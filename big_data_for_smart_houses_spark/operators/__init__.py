@@ -1,0 +1,13 @@
+from .silver import bronze_to_silver
+from .gold import (
+    daily_energy_consumption,
+    device_health_metrics,
+    daily_business_summary,
+)
+
+__all__ = [
+    "bronze_to_silver",
+    "daily_energy_consumption",
+    "device_health_metrics",
+    "daily_business_summary",
+]

@@ -1,0 +1,79 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+W1/W2 are 60-ROW frames per device, not time frames — the reference's
+"1-hour" rolling metrics are literally ``rolling(60)`` row windows
+(consumer/bronze_to_silver.py:246-268), so parity requires
+``rowsBetween(-59, 0)``. A time-honest variant using a range frame on
+seconds is provided alongside.
+
+Scale note: one shuffle on device_id for all three window columns —
+Spark computes W1/W2 and the dedup in a single Exchange when the
+partition keys match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import guarded_div
+
+ROWS_1H = 60  # 60 readings ≈ 1 h at the reference's 1 reading/min assumption
+
+
+def _device_row_window(frame_rows: int = ROWS_1H):
+    return (
+        Window.partitionBy("device_id")
+        .orderBy("timestamp")
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+
+
+def add_rolling_metrics(df: DataFrame, frame_rows: int = ROWS_1H) -> DataFrame:
+    """W1 + W2 + P9 + P12 — per-device rolling means of temperature and
+    power, alert flag + rolling alert count, and guarded
+    energy-efficiency (reference consumer/bronze_to_silver.py:239-275).
+    min_periods=1 semantics are the default for Spark window aggregates
+    (nulls ignored, frame can be short at partition start)."""
+    w = _device_row_window(frame_rows)
+    return (
+        df.withColumn("temp_1h_avg", F.avg("temperature").over(w))
+        .withColumn("power_1h_avg", F.avg("power_usage").over(w))
+        .withColumn(
+            "energy_efficiency",
+            guarded_div(F.col("energy_consumption_wh"), F.col("power_usage")),
+        )
+        .withColumn("has_alert", F.col("alert") != F.lit("none"))
+        .withColumn(
+            "alert_frequency_1h",
+            F.sum(F.col("has_alert").cast("long")).over(w).cast("double"),
+        )
+    )
+
+
+def add_rolling_metrics_time_based(df: DataFrame, seconds: int = 3600) -> DataFrame:
+    """Time-honest variant of W1/W2: a true 1-hour range frame on the
+    event time. Not used for parity (the reference's frame is row-based)
+    but exposed because it is the semantically honest operator."""
+    w = (
+        Window.partitionBy("device_id")
+        .orderBy(F.unix_micros("timestamp"))
+        .rangeBetween(-seconds * 1_000_000, 0)
+    )
+    return df.withColumn("temp_1h_avg_t", F.avg("temperature").over(w)).withColumn(
+        "power_1h_avg_t", F.avg("power_usage").over(w)
+    )
+
+
+def latest_row(df: DataFrame, order_col: str | Column = "date") -> DataFrame:
+    """W4 — single latest row (reference dashboard/app.py:334)."""
+    col = F.col(order_col) if isinstance(order_col, str) else order_col
+    return df.orderBy(col.desc()).limit(1)
+
+
+def top_k_latest(df: DataFrame, k: int, ts_col: str = "timestamp") -> DataFrame:
+    """O2 — newest k rows, returned in ascending time order for display
+    (reference dashboard/app.py:567, 618). Spark plans the inner
+    orderBy+limit as TakeOrderedAndProject — a true distributed top-k,
+    no full sort."""
+    return df.orderBy(F.col(ts_col).desc()).limit(k).orderBy(F.col(ts_col).asc())

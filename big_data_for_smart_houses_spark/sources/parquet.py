@@ -1,0 +1,93 @@
+"""Parquet sources and sinks.
+
+Replaces the reference's manual file management — hand-built
+``YYYY/MM/DD`` directory trees, per-file mtime pruning, and
+``pd.concat`` unions (reference consumer/bronze_to_silver.py:38-110,
+consumer/silver_to_gold.py:28-81, consumer/ingest_bronze.py:120-147) —
+with Spark-native partitioned reads/writes where partition pruning,
+predicate pushdown, and multi-file unions are Catalyst built-ins
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md): a single parquet file."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_bronze(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    since: dt.date | None = None,
+    until: dt.date | None = None,
+    modified_after: dt.datetime | None = None,
+) -> DataFrame:
+    """Scan the bronze layer with optional incremental pruning.
+
+    ``since``/``until`` become predicates on the ``event_date``
+    partition column -> Catalyst partition pruning (replaces the
+    directory-walk pruning at reference consumer/bronze_to_silver.py:48-62).
+    ``modified_after`` uses the parquet reader's ``modifiedAfter`` option
+    (replaces the mtime loop at reference consumer/bronze_to_silver.py:56-62).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if modified_after is not None:
+        reader = reader.option(
+            "modifiedAfter", modified_after.strftime("%Y-%m-%dT%H:%M:%S")
+        )
+    df = reader.parquet(path)
+    if since is not None:
+        df = df.filter(F.col("event_date") >= F.lit(since))
+    if until is not None:
+        df = df.filter(F.col("event_date") <= F.lit(until))
+    return df
+
+
+def read_silver(
+    spark: SparkSession,
+    path: str,
+    since: dt.date | None = None,
+    until: dt.date | None = None,
+) -> DataFrame:
+    """Scan the silver layer, pruning on the ``date`` partition column
+    (replaces reference consumer/silver_to_gold.py:28-48)."""
+    df = spark.read.parquet(path)
+    if since is not None:
+        df = df.filter(F.col("date") >= F.lit(since))
+    if until is not None:
+        df = df.filter(F.col("date") <= F.lit(until))
+    return df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date",
+    mode: str = "append",
+) -> None:
+    """Event-date partitioned parquet sink.
+
+    Replaces the reference's manual groupby-date + path-template writes
+    (consumer/ingest_bronze.py:120-147, consumer/bronze_to_silver.py:277-309).
+    At 100 TB the partition column keeps file counts sane and enables
+    pruning for every downstream date-ranged read.
+    """
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def write_snapshot(df: DataFrame, path: str) -> None:
+    """Recompute-and-replace gold snapshot (reference
+    consumer/silver_to_gold.py:277-312 writes timestamped snapshot files;
+    overwrite of one logical table is the Spark-native equivalent)."""
+    df.write.mode("overwrite").parquet(path)

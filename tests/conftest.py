@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from big_data_for_smart_houses_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def telemetry_fixture(spark):
+    """Small deterministic telemetry frame mirroring FIXTURES.md §1,
+    with edge rows: duplicates, nulls in critical fields, out-of-range
+    numerics, missing optional fields, late events."""
+    rows = [
+        # device, type, user, ts, temp, power, energy, status, alert, loc, manu, model, ingest
+        ("device_001", "thermostat", "user_001", "2025-07-20T10:00:00.000000+00:00",
+         22.0, 2000.0, 33.3, "online", "none", "living_room", "Nest", "T100",
+         "2025-07-20T10:00:00.100000+00:00"),
+        ("device_001", "thermostat", "user_001", "2025-07-20T10:01:00+00:00",
+         23.0, 2100.0, 35.0, "online", "high_temperature", "living_room", "Nest", "T100",
+         "2025-07-20T10:01:00.200000+00:00"),
+        # duplicate of the first (device_id, timestamp) — later ingestion, must be dropped
+        ("device_001", "thermostat", "user_001", "2025-07-20T10:00:00.000000+00:00",
+         99.0, 9999.0, 1.0, "online", "none", None, None, None,
+         "2025-07-20T10:05:00+00:00"),
+        # missing optional fields -> quality 0.7
+        ("device_002", "smart_bulb", "user_001", "2025-07-20T10:00:30+00:00",
+         21.0, 10.0, 0.2, "online", "none", None, None, None,
+         "2025-07-20T10:00:31+00:00"),
+        # temp out of quality band (>50) but within physical range -> penalty 0.2
+        ("device_003", "smart_plug", "user_002", "2025-07-20T11:00:00+00:00",
+         60.0, 100.0, 5.0, "online", "none", "kitchen", "TP-Link", "P1",
+         "2025-07-20T11:00:01+00:00"),
+        # power > 5000 (quality penalty) and late by 50 h
+        ("device_003", "smart_plug", "user_002", "2025-07-20T11:01:00+00:00",
+         25.0, 6000.0, 10.0, "online", "high_power", "kitchen", "TP-Link", "P1",
+         "2025-07-22T13:01:00+00:00"),
+        # out of physical range: temp > 100 -> dropped by P3
+        ("device_004", "security_camera", "user_002", "2025-07-20T12:00:00+00:00",
+         150.0, 8.0, 0.1, "online", "none", "front_door", "Ring", "C1",
+         "2025-07-20T12:00:01+00:00"),
+        # negative power -> dropped by P3
+        ("device_004", "security_camera", "user_002", "2025-07-20T12:01:00+00:00",
+         20.0, -5.0, 0.1, "online", "none", "front_door", "Ring", "C1",
+         "2025-07-20T12:01:01+00:00"),
+        # null critical field (user_id) -> dropped by P4
+        ("device_005", "motion_sensor", None, "2025-07-20T12:02:00+00:00",
+         20.0, 0.3, 0.01, "online", "none", "hallway", "Wyze", "M1",
+         "2025-07-20T12:02:01+00:00"),
+        # device not in catalog -> left join keeps it, nulls from catalog
+        ("device_099", "smart_plug", "user_002", "2025-07-20T13:00:00+00:00",
+         22.0, 50.0, 2.0, "online", "none", None, None, None,
+         "2025-07-20T13:00:01+00:00"),
+    ]
+    from big_data_for_smart_houses_spark.schemas import BRONZE_SCHEMA
+
+    return spark.createDataFrame(rows, schema=BRONZE_SCHEMA)
+
+
+@pytest.fixture(scope="session")
+def catalog_fixture(spark):
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.schemas import DEVICE_CATALOG_SCHEMA
+
+    rows = [
+        ("device_001", "thermostat", "user_001", "living_room",
+         dt.date(2024, 1, 15), "Nest", "T100"),
+        ("device_002", "smart_bulb", "user_001", "bedroom",
+         dt.date(2024, 1, 16), "Philips", "B200"),
+        ("device_003", "smart_plug", "user_002", "kitchen",
+         dt.date(2024, 1, 17), "TP-Link", "P1"),
+        ("device_004", "security_camera", "user_002", "front_door",
+         dt.date(2024, 1, 18), "Ring", "C1"),
+        ("device_005", "motion_sensor", "user_002", "hallway",
+         dt.date(2024, 1, 19), "Wyze", "M1"),
+    ]
+    return spark.createDataFrame(rows, schema=DEVICE_CATALOG_SCHEMA)
