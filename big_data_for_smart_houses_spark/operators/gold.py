@@ -20,25 +20,32 @@ from ..functions.timeutil import delta_minutes_us
 from ..schemas import ENERGY_RATE_PER_KWH
 
 
-def daily_energy_consumption(silver: DataFrame) -> DataFrame:
+def daily_energy_consumption(silver: DataFrame, rounded: bool = True) -> DataFrame:
     """A1 — per (device_id, device_type, user_id, date) energy rollup
     (reference consumer/silver_to_gold.py:83-129). Aggregate column
     names follow the reference's flattened ``{col}_{func}`` convention
-    (:105)."""
+    (:105).
+
+    ``rounded=True`` applies the reference's ``.round(3)`` (half-even)
+    for output parity. Cross-engine differential checks should pass
+    ``rounded=False``: decimal rounding amplifies last-bit float
+    summation differences to 1e-3 whenever an aggregate lands exactly
+    on a .0005 boundary, so raw doubles compare more reliably."""
+    r = bround3 if rounded else (lambda c: c)
     agg = silver.groupBy("device_id", "device_type", "user_id", "date").agg(
-        bround3(F.sum("energy_consumption_wh")).alias("energy_consumption_wh_sum"),
-        bround3(F.avg("energy_consumption_wh")).alias("energy_consumption_wh_mean"),
-        bround3(F.max("energy_consumption_wh")).alias("energy_consumption_wh_max"),
+        r(F.sum("energy_consumption_wh")).alias("energy_consumption_wh_sum"),
+        r(F.avg("energy_consumption_wh")).alias("energy_consumption_wh_mean"),
+        r(F.max("energy_consumption_wh")).alias("energy_consumption_wh_max"),
         F.count("energy_consumption_wh").alias("energy_consumption_wh_count"),
-        bround3(F.avg("power_usage")).alias("power_usage_mean"),
-        bround3(F.max("power_usage")).alias("power_usage_max"),
-        bround3(F.avg("temperature")).alias("temperature_mean"),
-        bround3(F.min("temperature")).alias("temperature_min"),
-        bround3(F.max("temperature")).alias("temperature_max"),
-        bround3(F.avg("quality_score")).alias("quality_score_mean"),
-        bround3(F.avg(F.col("is_valid").cast("double"))).alias("is_valid_mean"),
-        bround3(F.max("alert_frequency_1h")).alias("alert_frequency_1h_max"),
-        bround3(F.avg("energy_efficiency")).alias("avg_efficiency"),
+        r(F.avg("power_usage")).alias("power_usage_mean"),
+        r(F.max("power_usage")).alias("power_usage_max"),
+        r(F.avg("temperature")).alias("temperature_mean"),
+        r(F.min("temperature")).alias("temperature_min"),
+        r(F.max("temperature")).alias("temperature_max"),
+        r(F.avg("quality_score")).alias("quality_score_mean"),
+        r(F.avg(F.col("is_valid").cast("double"))).alias("is_valid_mean"),
+        r(F.max("alert_frequency_1h")).alias("alert_frequency_1h_max"),
+        r(F.avg("energy_efficiency")).alias("avg_efficiency"),
     )
     return agg.select(
         "device_id",
@@ -58,12 +65,12 @@ def daily_energy_consumption(silver: DataFrame) -> DataFrame:
         "is_valid_mean",
         "alert_frequency_1h_max",
         # cost = kWh × rate (reference silver_to_gold.py:109-111; rate config/config.py:46)
-        bround3(
-            F.col("energy_consumption_wh_sum") / 1000.0 * ENERGY_RATE_PER_KWH
-        ).alias("energy_cost_estimate"),
+        r(F.col("energy_consumption_wh_sum") / 1000.0 * ENERGY_RATE_PER_KWH).alias(
+            "energy_cost_estimate"
+        ),
         "avg_efficiency",
         # completeness = valid fraction × 100 (silver_to_gold.py:121-123)
-        bround3(F.col("is_valid_mean") * 100.0).alias("data_completeness"),
+        r(F.col("is_valid_mean") * 100.0).alias("data_completeness"),
         F.col("energy_consumption_wh_count").alias("total_readings"),
     )
 

@@ -1,0 +1,21 @@
+"""Driver-facing query registry.
+
+Each query is a named (Spark callable, DuckDB oracle SQL) pair running
+the engine's operators (SURVEY.md §2) against the driver testdata
+tables (TESTDATA.md). Queries without an oracle are genuinely
+non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from .core import ORACLES as _CORE_ORACLES
+from .core import QUERIES as _CORE_QUERIES
+from .extensions import ORACLES as _EXT_ORACLES
+from .extensions import QUERIES as _EXT_QUERIES
+from .pipeline import ORACLES as _PIPE_ORACLES
+from .pipeline import QUERIES as _PIPE_QUERIES
+
+QUERIES = {**_CORE_QUERIES, **_PIPE_QUERIES, **_EXT_QUERIES}
+ORACLES = {**_CORE_ORACLES, **_PIPE_ORACLES, **_EXT_ORACLES}
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,676 @@
+"""Reference-parity query shapes on the driver testdata (SURVEY.md §2).
+
+Every operator class of the reference — multi-aggregate groupBys (A1-A7),
+broadcast dimension joins (J1), scalar cross joins (J2), 60-row rolling
+windows (W1/W2), keep-first dedup (W3), latest-row/top-k (W4/O2),
+quality scoring (P7/P8), late flags (P13), unions (U1), tumbling windows
+(T4) — expressed Spark-first over `lineitem`/`orders`/`customer`/
+`nation`/`region`/`events`.
+
+Scale notes are per-query docstrings; the common themes: aggregations
+get map-side partial aggregation for free, dimension joins are
+broadcast (no fact shuffle), top-k plans as TakeOrderedAndProject, and
+every scan carries column pruning + predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import clamp01, guarded_div
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1 flagship: TPC-H-Q1-shaped pricing summary (multi-agg groupBy)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog (reference consumer/silver_to_gold.py:83-129): one
+    hash aggregation, 8 aggregates, low-cardinality keys. At 100 TB the
+    map-side partial agg reduces each partition to <10 rows before the
+    shuffle — the scan dominates, as it should."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       avg(l_extendedprice) AS avg_price,
+       avg(l_discount) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A3 on events: daily per-user rollup with countDistinct
+# ---------------------------------------------------------------------------
+
+def q_daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user event rollup — the daily_energy_consumption shape
+    (A1) with an exact countDistinct (A7)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("event_date")
+    ).agg(
+        F.sum("value").alias("value_sum"),
+        F.avg("value").alias("value_mean"),
+        F.max("value").alias("value_max"),
+        F.min("value").alias("value_min"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("distinct_event_types"),
+    )
+
+
+ORACLE_DAILY_USER_ROLLUP = """
+SELECT user_id, CAST(ts AS DATE) AS event_date,
+       sum(value) AS value_sum,
+       avg(value) AS value_mean,
+       max(value) AS value_max,
+       min(value) AS value_min,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS distinct_event_types
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: broadcast dimension enrichment chain
+# ---------------------------------------------------------------------------
+
+def q_customer_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (reference consumer/bronze_to_silver.py:185-190): fact LEFT
+    JOIN small dims. nation/region are broadcast — the customer side
+    never shuffles, which is the 100 TB-correct plan."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_ENRICHMENT = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       n_name AS nation_name, r_name AS region_name
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: 1-row scalar aggregate cross join
+# ---------------------------------------------------------------------------
+
+def q_revenue_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (reference consumer/silver_to_gold.py:244-254): per-date
+    revenue with the global daily average attached to every row via a
+    broadcast cross join of a 1-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum("o_totalprice").alias("daily_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    global_avg = daily.agg(F.avg("daily_revenue").alias("global_avg_revenue"))
+    return daily.crossJoin(F.broadcast(global_avg)).select(
+        "order_date",
+        "daily_revenue",
+        "n_orders",
+        "global_avg_revenue",
+        (F.col("daily_revenue") / F.col("global_avg_revenue")).alias(
+            "revenue_ratio"
+        ),
+    )
+
+
+ORACLE_REVENUE_VS_GLOBAL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         sum(o_totalprice) AS daily_revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), g AS (SELECT avg(daily_revenue) AS global_avg_revenue FROM daily)
+SELECT order_date, daily_revenue, n_orders, global_avg_revenue,
+       daily_revenue / global_avg_revenue AS revenue_ratio
+FROM daily CROSS JOIN g
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: 60-row rolling window per key
+# ---------------------------------------------------------------------------
+
+def q_rolling_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 (reference consumer/bronze_to_silver.py:246-268): rolling
+    mean and rolling event-count over a 60-ROW frame per user — the
+    reference's row-frame semantics, tie-broken on event_id for
+    determinism. One shuffle on user_id; frames never cross partitions."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-59, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("value_60row_avg"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .over(w)
+        .alias("errors_60row"),
+    )
+
+
+ORACLE_ROLLING_EVENT_METRICS = """
+SELECT event_id, user_id, ts, value,
+       avg(value) OVER w AS value_60row_avg,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS errors_60row
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3: deterministic keep-first dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_events_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (reference consumer/bronze_to_silver.py:125): first event per
+    (user_id, event_type) in (ts, event_id) order via row_number — the
+    deterministic version of pandas keep-first (SURVEY.md §7.3)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+ORACLE_DEDUP_EVENTS_KEEPFIRST = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2 / W4: top-k latest and latest-per-group
+# ---------------------------------------------------------------------------
+
+def q_latest_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 (reference dashboard/app.py:567): newest 100 events. Plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row driver
+    merge, no full sort at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+ORACLE_LATEST_EVENTS_TOPK = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (reference dashboard/app.py:334): latest row per group."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7/P8: quality scoring as pure column arithmetic
+# ---------------------------------------------------------------------------
+
+def q_event_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8 (reference consumer/bronze_to_silver.py:150-168): additive
+    penalty quality score + validity flag, zero UDFs."""
+    ev = _t(spark, sf_dir, "events")
+    score = (
+        F.lit(1.0)
+        - F.when(F.col("props").isNull(), 0.1).otherwise(0.0)
+        - F.when((F.col("value") < 0) | (F.col("value") > 100), 0.2).otherwise(0.0)
+        - F.when(F.col("event_type") == "error", 0.2).otherwise(0.0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        score.alias("quality_score"),
+    ).withColumn("is_valid", F.col("quality_score") >= 0.5)
+
+
+ORACLE_EVENT_QUALITY_SCORE = """
+SELECT event_id, user_id,
+       1.0 - (CASE WHEN props IS NULL THEN 0.1 ELSE 0.0 END)
+           - (CASE WHEN value < 0 OR value > 100 THEN 0.2 ELSE 0.0 END)
+           - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END)
+         AS quality_score,
+       (1.0 - (CASE WHEN props IS NULL THEN 0.1 ELSE 0.0 END)
+            - (CASE WHEN value < 0 OR value > 100 THEN 0.2 ELSE 0.0 END)
+            - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END)) >= 0.5
+         AS is_valid
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P13: late flag via timestamp arithmetic after a fact-fact join
+# ---------------------------------------------------------------------------
+
+def q_late_shipment_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/F4 (reference consumer/bronze_to_silver.py:213-237): delay
+    between two event times + flag-only lateness, then aggregated by
+    flag. The lineitem⋈orders join shuffles both sides on orderkey —
+    at 100 TB this is the case for bucketing both tables on orderkey
+    (co-located join, zero shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days")
+    )
+    return (
+        j.withColumn("is_late", F.col("delay_days") > 90)
+        .groupBy("is_late")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.avg("delay_days").alias("avg_delay_days"),
+            F.max("delay_days").alias("max_delay_days"),
+        )
+    )
+
+
+ORACLE_LATE_SHIPMENT_FLAG = """
+SELECT delay_days > 90 AS is_late,
+       count(*) AS n_items,
+       avg(delay_days) AS avg_delay_days,
+       max(delay_days) AS max_delay_days
+FROM (
+  SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# U1: union + distinct
+# ---------------------------------------------------------------------------
+
+def q_union_dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (reference dashboard/app.py:227-256): two-source union with
+    dedup — unionByName tolerates column-order drift between tiers."""
+    o = _t(spark, sf_dir, "orders")
+    high_value = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    return high_value.unionByName(urgent).distinct()
+
+
+ORACLE_UNION_DEDUP_ORDERS = """
+SELECT DISTINCT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: business-summary shape on orders
+# ---------------------------------------------------------------------------
+
+def q_orders_business_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (reference consumer/silver_to_gold.py:208-275): per-date
+    rollup with two exact countDistincts. Two distinct aggregates over
+    the same grouping expand to a single multi-distinct plan in Spark."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum("o_totalprice").alias("total_revenue"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+        F.countDistinct("o_orderpriority").alias("priority_levels"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.avg("o_totalprice").alias("avg_order_value"),
+    )
+
+
+ORACLE_ORDERS_BUSINESS_SUMMARY = """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       sum(o_totalprice) AS total_revenue,
+       count(DISTINCT o_custkey) AS active_customers,
+       count(DISTINCT o_orderpriority) AS priority_levels,
+       count(*) AS n_orders,
+       avg(o_totalprice) AS avg_order_value
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2: weighted composite-score aggregation
+# ---------------------------------------------------------------------------
+
+def q_supplier_health_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (reference consumer/silver_to_gold.py:131-206): per-entity
+    weighted composite scores with clamping — the device_health_metrics
+    formula shape on lineitem/supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    agg = li.groupBy("l_suppkey").agg(
+        F.avg("l_discount").alias("avg_discount"),
+        F.avg("l_quantity").alias("avg_quantity"),
+        F.avg((F.col("l_returnflag") == "R").cast("double")).alias("return_rate"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    health = clamp01(
+        (1.0 - F.col("return_rate")) * 0.5
+        + (1.0 - F.col("avg_discount") * 10.0) * 0.3
+        + F.least(F.lit(1.0), F.col("avg_quantity") / 50.0) * 0.2
+    )
+    joined = agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey, "left")
+    return joined.select(
+        "l_suppkey",
+        "s_name",
+        "avg_discount",
+        "return_rate",
+        "n_items",
+        health.alias("health_score"),
+        clamp01((1.0 - health) * 0.7 + F.col("return_rate") * 0.3).alias(
+            "failure_risk"
+        ),
+    )
+
+
+ORACLE_SUPPLIER_HEALTH_SCORES = """
+WITH agg AS (
+  SELECT l_suppkey,
+         avg(l_discount) AS avg_discount,
+         avg(l_quantity) AS avg_quantity,
+         avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS return_rate,
+         count(*) AS n_items
+  FROM lineitem GROUP BY 1
+), scored AS (
+  SELECT *,
+    greatest(0.0, least(1.0,
+      (1.0 - return_rate) * 0.5
+      + (1.0 - avg_discount * 10.0) * 0.3
+      + least(1.0, avg_quantity / 50.0) * 0.2)) AS health
+  FROM agg
+)
+SELECT l_suppkey, s_name, avg_discount, return_rate, n_items,
+       health AS health_score,
+       greatest(0.0, least(1.0, (1.0 - health) * 0.7 + return_rate * 0.3))
+         AS failure_risk
+FROM scored LEFT JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# T4: tumbling hourly window
+# ---------------------------------------------------------------------------
+
+def q_hourly_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (reference consumer/silver_to_gold.py:92-95): calendar-bucket
+    tumbling window as a batch groupBy on the truncated timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
+ORACLE_HOURLY_EVENT_WINDOW = """
+SELECT date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       sum(value) AS value_sum,
+       count(DISTINCT user_id) AS active_users
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (guide OLAP pattern; dashboard O2 generalized)
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — rank window over one
+    shuffle on the group key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# F9: JSON extraction at the event boundary
+# ---------------------------------------------------------------------------
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (reference consumer/ingest_bronze.py:52): JSON field
+    extraction + rollup, JVM-side (`get_json_object`, no Python)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+        )
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("value_mean"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n_events,
+       avg(value) AS value_mean,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (guide OLAP pattern) with a fixed value list
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot per-date event counts into fixed columns. Supplying the
+    value list avoids the extra distinct-scan Spark otherwise runs."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .select(
+            "event_date",
+            *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+ORACLE_EVENT_TYPE_PIVOT = """
+SELECT CAST(ts AS DATE) AS event_date,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Guarded division + unit conversion (P9/F7) over a join
+# ---------------------------------------------------------------------------
+
+def q_part_value_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/F7 (reference consumer/bronze_to_silver.py:258-262): guarded
+    division after a broadcast join — price per size unit, 0 when
+    size is 0/null-ish."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.avg(
+            guarded_div(F.col("l_extendedprice"), F.col("p_size").cast("double"))
+        ).alias("avg_price_per_size"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice") / 1000.0).alias("total_kprice"),
+    )
+
+
+ORACLE_PART_VALUE_DENSITY = """
+SELECT p_brand,
+       avg(CASE WHEN p_size > 0
+                THEN l_extendedprice / CAST(p_size AS DOUBLE)
+                ELSE 0.0 END) AS avg_price_per_size,
+       count(*) AS n_items,
+       sum(l_extendedprice / 1000.0) AS total_kprice
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "daily_user_rollup": q_daily_user_rollup,
+    "customer_enrichment": q_customer_enrichment,
+    "revenue_vs_global": q_revenue_vs_global,
+    "rolling_event_metrics": q_rolling_event_metrics,
+    "dedup_events_keepfirst": q_dedup_events_keepfirst,
+    "latest_events_topk": q_latest_events_topk,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_quality_score": q_event_quality_score,
+    "late_shipment_flag": q_late_shipment_flag,
+    "union_dedup_orders": q_union_dedup_orders,
+    "orders_business_summary": q_orders_business_summary,
+    "supplier_health_scores": q_supplier_health_scores,
+    "hourly_event_window": q_hourly_event_window,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "json_props_extract": q_json_props_extract,
+    "event_type_pivot": q_event_type_pivot,
+    "part_value_density": q_part_value_density,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "daily_user_rollup": ORACLE_DAILY_USER_ROLLUP,
+    "customer_enrichment": ORACLE_CUSTOMER_ENRICHMENT,
+    "revenue_vs_global": ORACLE_REVENUE_VS_GLOBAL,
+    "rolling_event_metrics": ORACLE_ROLLING_EVENT_METRICS,
+    "dedup_events_keepfirst": ORACLE_DEDUP_EVENTS_KEEPFIRST,
+    "latest_events_topk": ORACLE_LATEST_EVENTS_TOPK,
+    "latest_event_per_user": ORACLE_LATEST_EVENT_PER_USER,
+    "event_quality_score": ORACLE_EVENT_QUALITY_SCORE,
+    "late_shipment_flag": ORACLE_LATE_SHIPMENT_FLAG,
+    "union_dedup_orders": ORACLE_UNION_DEDUP_ORDERS,
+    "orders_business_summary": ORACLE_ORDERS_BUSINESS_SUMMARY,
+    "supplier_health_scores": ORACLE_SUPPLIER_HEALTH_SCORES,
+    "hourly_event_window": ORACLE_HOURLY_EVENT_WINDOW,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
+    "json_props_extract": ORACLE_JSON_PROPS_EXTRACT,
+    "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
+    "part_value_density": ORACLE_PART_VALUE_DENSITY,
+}

@@ -1,0 +1,221 @@
+"""The real medallion pipeline pushed through the correctness gate.
+
+`silver_pipeline_events` maps the driver's `events` table into the
+bronze telemetry shape deterministically and runs the production
+``bronze_to_silver`` operator composition (validation, dedup, quality,
+late flag, rolling windows — SURVEY.md §3.2); `gold_daily_energy_events`
+runs the production A1 gold aggregation on top. The oracles replicate
+the full pipeline as DuckDB CTE chains, so the driver hash-checks the
+actual engine code path, not a simplified stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.gold import daily_energy_consumption
+from ..operators.silver import bronze_to_silver
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table
+
+SILVER_OUT_COLS = [
+    "device_id",
+    "timestamp",
+    "temperature",
+    "power_usage",
+    "energy_consumption_wh",
+    "quality_score",
+    "is_valid",
+    "processing_delay_hours",
+    "is_late_event",
+    "temp_1h_avg",
+    "power_1h_avg",
+    "energy_efficiency",
+    "has_alert",
+    "alert_frequency_1h",
+    "date",
+]
+
+
+def _events_as_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic events -> telemetry mapping (FIXTURES.md §5):
+    each user is a device, value drives the numeric channels, the JSON
+    ``k`` prop synthesizes ingestion lag (0-99 h, so the 48 h late flag
+    fires) and optional-field nullness (quality penalties fire)."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        F.concat(F.lit("device_"), F.col("user_id").cast("string")).alias(
+            "device_id"
+        ),
+        F.col("event_type").alias("device_type"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias("user_id"),
+        F.col("ts").alias("timestamp"),
+        F.col("value").alias("temperature"),
+        (F.col("value") * 20.0).alias("power_usage"),
+        F.col("value").alias("energy_consumption_wh"),
+        F.lit("online").alias("status"),
+        F.when(F.col("event_type") == "error", "high_power")
+        .otherwise("none")
+        .alias("alert"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("room_"), (k % 5).cast("string")))
+        .alias("location"),
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("acme"))
+        .alias("manufacturer"),
+        F.lit("model_x").alias("model"),
+        (F.col("ts") + F.make_interval(hours=k)).alias("ingestion_time"),
+    )
+
+
+def q_silver_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bronze->silver pipeline (SURVEY.md §3.2) on mapped events."""
+    bronze = _events_as_bronze(spark, sf_dir)
+    silver = bronze_to_silver(bronze, catalog=None)
+    return silver.select(*SILVER_OUT_COLS)
+
+
+# The oracle replays every pipeline stage as SQL. Window frames are the
+# 60-ROW frames of W1/W2; the delay is integer-µs arithmetic divided
+# once, which is bit-identical in both engines.
+_BRONZE_CTE = """
+bronze AS (
+  SELECT 'device_' || CAST(user_id AS VARCHAR) AS device_id,
+         event_type AS device_type,
+         'user_' || CAST(user_id AS VARCHAR) AS user_id,
+         ts AS timestamp,
+         value AS temperature,
+         value * 20.0 AS power_usage,
+         value AS energy_consumption_wh,
+         'online' AS status,
+         CASE WHEN event_type = 'error' THEN 'high_power' ELSE 'none' END AS alert,
+         CASE WHEN k % 5 = 0 THEN NULL
+              ELSE 'room_' || CAST(k % 5 AS VARCHAR) END AS location,
+         CASE WHEN k % 7 = 0 THEN NULL ELSE 'acme' END AS manufacturer,
+         'model_x' AS model,
+         ts + to_hours(k) AS ingestion_time
+  FROM (SELECT *, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+),
+cleaned AS (
+  SELECT * FROM bronze
+  WHERE device_id IS NOT NULL AND device_type IS NOT NULL
+    AND user_id IS NOT NULL AND timestamp IS NOT NULL
+    AND temperature >= -50 AND temperature <= 100
+    AND power_usage >= 0 AND power_usage <= 10000
+    AND energy_consumption_wh >= 0
+    AND (temperature IS NOT NULL OR power_usage IS NOT NULL
+         OR energy_consumption_wh IS NOT NULL)
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY device_id, timestamp
+                                 ORDER BY ingestion_time ASC) AS rn
+    FROM cleaned
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT *,
+    1.0 - (CASE WHEN location IS NULL THEN 0.1 ELSE 0.0 END)
+        - (CASE WHEN manufacturer IS NULL THEN 0.1 ELSE 0.0 END)
+        - (CASE WHEN model IS NULL THEN 0.1 ELSE 0.0 END)
+        - (CASE WHEN temperature < 0 OR temperature > 50 THEN 0.2 ELSE 0.0 END)
+        - (CASE WHEN power_usage > 5000 THEN 0.2 ELSE 0.0 END) AS quality_score
+  FROM deduped
+),
+flagged AS (
+  SELECT *,
+    quality_score >= 0.5 AS is_valid,
+    (epoch_us(ingestion_time) - epoch_us(timestamp)) / 3600000000.0
+      AS processing_delay_hours,
+    ((epoch_us(ingestion_time) - epoch_us(timestamp)) / 3600000000.0) > 48.0
+      AS is_late_event,
+    alert <> 'none' AS has_alert
+  FROM scored
+),
+windowed AS (
+  SELECT *,
+    avg(temperature) OVER w AS temp_1h_avg,
+    avg(power_usage) OVER w AS power_1h_avg,
+    CASE WHEN power_usage > 0 THEN energy_consumption_wh / power_usage
+         ELSE 0.0 END AS energy_efficiency,
+    CAST(sum(CASE WHEN has_alert THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+      AS alert_frequency_1h,
+    CAST(timestamp AS DATE) AS date
+  FROM flagged
+  WINDOW w AS (PARTITION BY device_id ORDER BY timestamp
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+"""
+
+ORACLE_SILVER_PIPELINE_EVENTS = f"""
+WITH {_BRONZE_CTE}
+SELECT device_id, timestamp, temperature, power_usage, energy_consumption_wh,
+       quality_score, is_valid, processing_delay_hours, is_late_event,
+       temp_1h_avg, power_1h_avg, energy_efficiency, has_alert,
+       alert_frequency_1h, date
+FROM windowed
+"""
+
+
+def q_gold_daily_energy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production A1 gold aggregation (operators/gold.py) over the
+    pipeline silver — groupBy (device, type, user, date) with the full
+    aggregate set and half-even rounding."""
+    bronze = _events_as_bronze(spark, sf_dir)
+    silver = bronze_to_silver(bronze, catalog=None)
+    return daily_energy_consumption(silver, rounded=False)
+
+
+ORACLE_GOLD_DAILY_ENERGY_EVENTS = f"""
+WITH {_BRONZE_CTE},
+agg AS (
+  SELECT device_id, device_type, user_id, date,
+    sum(energy_consumption_wh) AS s_energy,
+    avg(energy_consumption_wh) AS m_energy,
+    max(energy_consumption_wh) AS x_energy,
+    count(energy_consumption_wh) AS c_energy,
+    avg(power_usage) AS m_power,
+    max(power_usage) AS x_power,
+    avg(temperature) AS m_temp,
+    min(temperature) AS n_temp,
+    max(temperature) AS x_temp,
+    avg(quality_score) AS m_quality,
+    avg(CASE WHEN is_valid THEN 1.0 ELSE 0.0 END) AS m_valid,
+    max(alert_frequency_1h) AS x_alert,
+    avg(energy_efficiency) AS m_eff
+  FROM windowed
+  GROUP BY device_id, device_type, user_id, date
+)
+SELECT device_id, device_type, user_id, date,
+       s_energy AS energy_consumption_wh_sum,
+       m_energy AS energy_consumption_wh_mean,
+       x_energy AS energy_consumption_wh_max,
+       c_energy AS energy_consumption_wh_count,
+       m_power AS power_usage_mean,
+       x_power AS power_usage_max,
+       m_temp AS temperature_mean,
+       n_temp AS temperature_min,
+       x_temp AS temperature_max,
+       m_quality AS quality_score_mean,
+       m_valid AS is_valid_mean,
+       x_alert AS alert_frequency_1h_max,
+       s_energy / 1000.0 * 0.12 AS energy_cost_estimate,
+       m_eff AS avg_efficiency,
+       m_valid * 100.0 AS data_completeness,
+       c_energy AS total_readings
+FROM agg
+"""
+
+
+QUERIES = {
+    "silver_pipeline_events": q_silver_pipeline_events,
+    "gold_daily_energy_events": q_gold_daily_energy_events,
+}
+
+ORACLES = {
+    "silver_pipeline_events": ORACLE_SILVER_PIPELINE_EVENTS,
+    "gold_daily_energy_events": ORACLE_GOLD_DAILY_ENERGY_EVENTS,
+}

@@ -19,7 +19,19 @@ from pyspark.sql.types import StructType
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table (TESTDATA.md): a single parquet file."""
+    """Read one driver testdata table (TESTDATA.md): a single parquet file.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; read it as long nanos and truncate to µs timestamps —
+    the same ns->µs truncation DuckDB applies, so oracle comparisons
+    stay exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
