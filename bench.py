@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). A tiny warm-up query first so JVM/codegen startup
+is not billed to the first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (scan+agg, join, window, dedup,
+# pipeline, gold, topk, json) plus extension ops as they land.
+HEADLINE = [
+    "pricing_summary",
+    "daily_user_rollup",
+    "customer_enrichment",
+    "late_shipment_flag",
+    "rolling_event_metrics",
+    "dedup_events_keepfirst",
+    "latest_events_topk",
+    "orders_business_summary",
+    "supplier_health_scores",
+    "json_props_extract",
+    "silver_pipeline_events",
+    "gold_daily_energy_events",
+    "minhash_dedup_documents",
+    "embedding_cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    from big_data_for_smart_houses_spark.queries import QUERIES
+    from big_data_for_smart_houses_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
