@@ -1,0 +1,232 @@
+"""Deduplication operators for document corpora (SURVEY.md §7.4).
+
+Five families, all partition-parallel with no driver collects:
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle).
+- n-gram Jaccard: shingle-explode + self-join on shingle — only pairs
+  sharing >=1 shingle ever materialize, which is the scalable blocking
+  (no all-pairs cross join at any scale).
+- MinHash + LSH: k hash functions over shingles -> per-doc signature ->
+  band-hash buckets -> candidate pairs from bucket self-join. The
+  classic sub-quadratic near-dup path for 100 TB corpora.
+- SimHash: per-token hash bit-vote -> 32-bit fingerprint -> banded
+  blocking (hamming <= 3 guarantees a shared 8-bit band by pigeonhole).
+- embedding cosine: see extensions/similarity.py (near-dup threshold
+  variant exposed in queries/extensions.py).
+
+Everything is built-in expressions (xxhash64, explode, groupBy) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalized
+
+# Deterministic MinHash parameters: k affine permutations of xxhash64
+# over a Mersenne prime. Fixed constants => reproducible signatures.
+MINHASH_K = 16
+MERSENNE_P = (1 << 61) - 1
+_MH_A = [1000003 * (i + 1) + 17 for i in range(MINHASH_K)]
+_MH_B = [999999937 * (i + 1) + 31 for i in range(MINHASH_K)]
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one hash
+    aggregation keyed by md5 — at 100 TB this shuffles only
+    (fingerprint, id), never the documents."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (id, shingle)."""
+    toks = F.split(normalized(F.col(text_col)), " ")
+    # guard: sequence(0, negative) would descend for docs shorter than n
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing at least
+    one shingle. The shingle self-join IS the blocking: pair cost is
+    proportional to shared-shingle count, not |docs|² — the standard
+    scalable exact-verification step after LSH candidate generation."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("set_size").alias("size2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size1") + F.col("size2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_inter", "size1", "size2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: explode shingles once, take k
+    affine-permuted minimums in a single groupBy (k min-aggregates —
+    one shuffle of (id, hash), map-side combined)."""
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    aggs = [
+        F.min(F.pmod(F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i]), F.lit(MERSENNE_P))).alias(
+            f"sig_{i}"
+        )
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures split into bands; docs
+    colliding on any band hash become candidates. Sub-quadratic: the
+    only join is a self-join on (band_id, band_hash) buckets."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"sig_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("band_hash"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = sig.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document: per-token xxhash64, ±1 vote per bit,
+    sign of the vote sum becomes the fingerprint bit. One explode +
+    one groupBy with 32 sum-aggregates."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs with banded blocking: 4 bands of 8 bits —
+    any pair within hamming distance 3 must agree on >=1 full band
+    (pigeonhole), so the self-join runs on band buckets, never all
+    pairs."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), b * 8)
+                .bitwiseAND(F.lit(0xFF))
+                .alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = fp.select(id_col, "simhash", F.explode(bands).alias("band")).select(
+        id_col, "simhash", "band.band_id", "band.band_val"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    ).filter(F.col("hamming") <= max_hamming)

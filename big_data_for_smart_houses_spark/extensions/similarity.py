@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (SURVEY.md §7.4).
+
+- Brute-force cosine top-k: correctness baseline. The query set is
+  broadcast; the corpus is scanned once, fully partition-parallel;
+  per-query top-k via window rank (at true scale: per-partition top-k
+  then merge — Spark's TakeOrdered shape).
+- Random-hyperplane LSH ANN: the scale path — bucket the corpus by
+  sign-pattern, search only the query's bucket (and optionally
+  neighboring buckets). Hyperplanes are fixed pseudo-random constants,
+  so results are deterministic and the bucket assignment is a pure
+  column expression (no Python, no model state).
+
+The dot products run as JVM higher-order functions (zip_with +
+aggregate) over double-cast arrays — sequential fold, bit-stable, no
+Pandas UDF needed at 64 dims.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64
+N_PLANES = 4
+_rng = random.Random(20240613)
+HYPERPLANES = [
+    [_rng.uniform(-1.0, 1.0) for _ in range(EMBEDDING_DIM)] for _ in range(N_PLANES)
+]
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector. The broadcast join is
+    the right plan at any corpus size (query set is small); the rank
+    window shuffles only (query_id, candidate, sim) triples."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs above a cosine threshold. Exact (quadratic) — the
+    correctness baseline the LSH path is checked against; at scale the
+    same output comes from lsh_bucket + within-bucket pairing."""
+    a = corpus.select(
+        F.col(id_col).alias("id1"), as_double(F.col(vec_col)).alias("v1")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id2"), as_double(F.col(vec_col)).alias("v2")
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Sign-pattern bucket id from N_PLANES fixed hyperplanes — a pure
+    column expression, usable in both batch and streaming."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(HYPERPLANES):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's hyperplane
+    bucket, multi-probed to all buckets within hamming distance 1 of
+    the query's sign pattern (recall boost at the cost of N_PLANES+1
+    bucket lookups). The corpus side stays single-bucket: at 100 TB it
+    is written bucket-partitioned once and each probe touches one
+    partition — the IVF-style scale path."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket0", lsh_bucket(F.col("qv")))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[
+                F.col("bucket0").bitwiseXOR(F.lit(1 << i))
+                for i in range(N_PLANES)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = q.withColumnRenamed("bucket0", "bucket")
+    q = F.broadcast(q)
+    scored = c.join(q, "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,7 +1,381 @@
-"""LLM-data-pipeline extension queries (SURVEY.md §7.4) — filled in
-alongside the extensions package. Registry populated incrementally."""
+"""LLM-data-pipeline extension queries (SURVEY.md §7.4) over the
+driver's `documents` and `embeddings` tables.
+
+Oracle-backed wherever the computation is hash-free (exact dedup,
+n-gram Jaccard — integer set arithmetic, cosine similarity — identical
+sequential double folds, text stats, fingerprints, multimodal feature
+plumbing). MinHash/SimHash/LSH queries are seeded with xxhash64 and
+cannot be replayed in DuckDB — those get rows-only checks, but their
+candidate sets are cross-checked against exact Jaccard in unit tests.
+
+Near-dup queries plant duplicates deterministically (docs re-unioned
+with shifted ids) so the dedup operators demonstrably *find* dups on
+the otherwise-unique synthetic corpus.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import dedup, multimodal, similarity, text
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table
+
+PLANT_OFFSET = 100_000
+PLANT_N = 50
+JACCARD_THRESHOLD = 0.2
+COSINE_NEARDUP_THRESHOLD = 0.4
+TOPK_QUERY_MAX_ID = 10
+TOPK_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    dups = d.filter(F.col("doc_id") < PLANT_N).withColumn(
+        "doc_id", F.col("doc_id") + PLANT_OFFSET
+    )
+    return d.unionByName(dups)
+
+
+_PLANTED_CTE = f"""
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < {PLANT_N}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy on normalized fingerprint)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs_with_planted_dups(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT_DOCUMENTS = f"""
+WITH {_PLANTED_CTE}
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM docs2 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact set arithmetic — oracle-safe)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH {_PLANTED_CTE},
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM docs2
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS shingle
+  FROM norm WHERE len(toks) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, n_inter, s1.set_size AS size1, s2.set_size AS size2,
+       CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter) AS jaccard
+FROM inter
+JOIN sizes s1 ON inter.id1 = s1.doc_id
+JOIN sizes s2 ON inter.id2 = s2.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH and SimHash (hash-seeded -> rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs on the planted-dup corpus; the planted exact
+    dups (Jaccard 1.0) must all collide in every band."""
+    return dedup.minhash_lsh_pairs(_docs_with_planted_dups(spark, sf_dir))
+
+
+def q_simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(_docs_with_planted_dups(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (oracle-safe: pure string/list arithmetic)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = text.add_text_stats(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        "avg_token_len",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "stopword_ratio",
+    )
+
+
+_STOP = ",".join(f"'{w}'" for w in text.QUALITY_STOPWORDS)
+
+ORACLE_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{text.BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         AS avg_token_len,
+       len(list_filter(toks, x -> x IN ({_STOP}))) AS n_stopwords,
+       CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS DOUBLE) / len(toks)
+         AS stopword_ratio
+FROM t
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = text.add_quality_score(_docs(spark, sf_dir))
+    return d.select("doc_id", "text_quality", "is_quality")
+
+
+ORACLE_TEXT_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(text) AS n_chars,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+           AS avg_len,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS DOUBLE) / len(toks)
+           AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       1.0 - (CASE WHEN n_tokens < 10 THEN 0.3 ELSE 0.0 END)
+           - (CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END)
+           - (CASE WHEN avg_len > 12 OR avg_len < 2 THEN 0.2 ELSE 0.0 END)
+           - (CASE WHEN n_chars < 50 THEN 0.2 ELSE 0.0 END) AS text_quality,
+       (1.0 - (CASE WHEN n_tokens < 10 THEN 0.3 ELSE 0.0 END)
+            - (CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END)
+            - (CASE WHEN avg_len > 12 OR avg_len < 2 THEN 0.2 ELSE 0.0 END)
+            - (CASE WHEN n_chars < 50 THEN 0.2 ELSE 0.0 END)) >= 0.5 AS is_quality
+FROM s
+"""
+
+
+def q_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = text.add_language_guess(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "lang",
+        "lang_guess",
+        (F.col("lang") == F.col("lang_guess")).alias("is_match"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({words})))"
+
+
+ORACLE_LANGUAGE_GUESS = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS en,
+         {_lang_score_sql('de')} AS de,
+         {_lang_score_sql('fr')} AS fr,
+         {_lang_score_sql('es')} AS es
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+              WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+              WHEN fr >= es AND fr > 0 THEN 'fr'
+              WHEN es > 0 THEN 'es'
+              ELSE 'unknown' END AS lang_guess
+  FROM s
+)
+SELECT doc_id, lang, lang_guess, lang = lang_guess AS is_match FROM g
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fp"),
+        F.substring(text.fingerprint(F.col("text")), 1, 4).alias("fp_bucket"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+       substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 4) AS fp_bucket
+FROM documents
+"""
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = text.add_text_stats(_docs(spark, sf_dir))
+    return d.groupBy("lang").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.sum(F.col("n_bpe_tokens").cast("long")).alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars_computed").alias("avg_chars"),
+    )
+
+
+ORACLE_TOKEN_STATS_BY_LANG = f"""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(lower(text), '{text.BPE_TOKEN_RE}')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       avg(n_tokens) AS avg_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       count(*) AS n_docs,
+       avg(n_chars) AS avg_chars
+FROM t GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (oracle-safe: identical sequential double folds)
+# ---------------------------------------------------------------------------
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    return similarity.brute_force_topk(emb, queries, k=TOPK_K)
+
+
+ORACLE_EMBEDDING_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {TOPK_QUERY_MAX_ID}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v)))
+           AS cosine_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=COSINE_NEARDUP_THRESHOLD)
+
+
+ORACLE_EMBEDDING_NEARDUP_PAIRS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN — rows-only check (the bucket
+    assignment uses fixed pseudo-random planes DuckDB can't replay);
+    recall vs brute force is asserted in unit tests."""
+    configure_for_oracle_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    return similarity.ann_lsh_topk(emb, queries, k=TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas over BinaryType; byte-level oracle)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.attach_payloads(_docs(spark, sf_dir))
+    return multimodal.extract_features(assets)
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_dedup_documents": q_minhash_dedup_documents,
+    "simhash_dedup_documents": q_simhash_dedup_documents,
+    "text_stats": q_text_stats,
+    "text_quality_score": q_text_quality_score,
+    "language_guess": q_language_guess,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality_score": ORACLE_TEXT_QUALITY_SCORE,
+    "language_guess": ORACLE_LANGUAGE_GUESS,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "token_stats_by_lang": ORACLE_TOKEN_STATS_BY_LANG,
+    "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
+    "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP_PAIRS,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+}
