@@ -18,8 +18,10 @@ def parse_iso_ts(col: Column) -> Column:
     """Parse an ISO-8601 string (incl. trailing ``Z``) to a UTC timestamp —
     the reference's ``pd.to_datetime(utc=True)`` /
     ``fromisoformat(s.replace('Z','+00:00'))``
-    (consumer/bronze_to_silver.py:122, consumer/ingest_bronze.py:91)."""
-    return F.to_timestamp(col)
+    (consumer/bronze_to_silver.py:122, consumer/ingest_bronze.py:91).
+    ``try_to_timestamp``: malformed input -> null (the reference's
+    coerce semantics) even under Spark 4's default ANSI mode."""
+    return F.try_to_timestamp(col)
 
 
 def delta_hours_us(later: Column, earlier: Column) -> Column:

@@ -26,11 +26,11 @@ def validate_required_fields(df: DataFrame) -> DataFrame:
 
 
 def coerce_numerics(df: DataFrame) -> DataFrame:
-    """P2 — ``pd.to_numeric(errors='coerce')`` equivalent: cast to
-    double, invalid -> null (reference consumer/bronze_to_silver.py:136).
-    Requires ANSI mode off (session.configure_for_oracle_parity)."""
+    """P2 — ``pd.to_numeric(errors='coerce')`` equivalent: try_cast to
+    double, invalid -> null (reference consumer/bronze_to_silver.py:136)
+    under any ANSI setting."""
     for f in NUMERIC_TELEMETRY_FIELDS:
-        df = df.withColumn(f, F.col(f).cast("double"))
+        df = df.withColumn(f, F.col(f).try_cast("double"))
     return df
 
 

@@ -1,0 +1,123 @@
+"""Structured Streaming ingest (SURVEY.md §2.1 S1/S5, §2.9, §3.1).
+
+Replaces the reference's Kafka consumer loop — manual buffer + lock +
+count/time flush policy + hand-rolled validator + per-date path
+templates (reference consumer/ingest_bronze.py:39-196) — with the
+micro-batch engine: ``from_json`` against an explicit schema does the
+validation (P1), ``trigger(processingTime)`` does the flush policy
+(T1), ``partitionBy(event_date)`` does the event-time layout (T2),
+and checkpointing replaces the ad-hoc re-buffer-on-error (T6 becomes
+exactly-once into the file sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import REQUIRED_TELEMETRY_FIELDS, TELEMETRY_JSON_SCHEMA
+
+DEFAULT_TRIGGER = "30 seconds"  # reference flush cadence (ingest_bronze.py:154-158)
+
+
+def telemetry_stream_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "smart_home.telemetry",
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 — Kafka JSON source (reference consumer/ingest_bronze.py:46-65;
+    topic/group config at config/config.py:10-14). Returns the raw
+    key/value stream; pipe through :func:`parse_telemetry_json`."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def parse_telemetry_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """P1 — JSON deserialize + required-field validation + ingestion
+    stamp (reference consumer/ingest_bronze.py:67-103). ``from_json``
+    yields nulls for malformed/missing fields, so the reference's
+    hand-rolled validator collapses to not-null predicates; rejected
+    messages are dropped exactly as the reference drops them."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), TELEMETRY_JSON_SCHEMA).alias(
+            "m"
+        )
+    ).select("m.*")
+    cond = F.lit(True)
+    for f in REQUIRED_TELEMETRY_FIELDS:
+        cond = cond & F.col(f).isNotNull()
+    # numeric fields must parse (from_json already nulled bad ones) and
+    # timestamp must be ISO-parseable (ingest_bronze.py:86-95)
+    cond = cond & F.try_to_timestamp(F.col("timestamp")).isNotNull()
+    return parsed.filter(cond).withColumn(
+        "ingestion_time", F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    )
+
+
+def write_bronze_stream(
+    telemetry: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: str | None = DEFAULT_TRIGGER,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """S5/T1/T2 — event-date partitioned parquet sink with the
+    reference's 30 s cadence. ``available_now=True`` gives the
+    catch-up-then-stop mode used by incremental orchestration (T5)."""
+    out = telemetry.withColumn(
+        "event_date", F.to_date(F.to_timestamp("timestamp"))
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("event_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def kafka_sink(
+    telemetry: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """S2 — JSON-serialize keyed by device_id (reference
+    producer/telemetry_sim.py:68-84, 155-172). ``acks=all`` matches the
+    producer's delivery setting."""
+    out = telemetry.select(
+        F.col("device_id").cast("string").alias("key"),
+        F.to_json(F.struct(*telemetry.columns)).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("kafka.acks", "all")
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def silver_stream_from_bronze_files(
+    spark: SparkSession,
+    bronze_path: str,
+    schema,
+) -> DataFrame:
+    """S8/T5 — incremental bronze consumption as a streaming file
+    source: Spark tracks processed files exactly-once, strictly better
+    than the reference's mtime-window heuristics
+    (consumer/bronze_to_silver.py:38-80)."""
+    return spark.readStream.schema(schema).parquet(bronze_path)
