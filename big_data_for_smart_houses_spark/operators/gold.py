@@ -75,12 +75,17 @@ def daily_energy_consumption(silver: DataFrame, rounded: bool = True) -> DataFra
     )
 
 
-def device_health_metrics(silver: DataFrame) -> DataFrame:
+def device_health_metrics(
+    silver: DataFrame, rounded: bool = True, with_created_at: bool = True
+) -> DataFrame:
     """A2 — per-device composite health scores (reference
     consumer/silver_to_gold.py:131-206). The weighted formulas
     (weights 0.4/0.3/0.2/0.1 at :154-159, failure at :162-167,
     reliability at :170-173, uptime at :182-188) are pure column
-    arithmetic over one groupBy."""
+    arithmetic over one groupBy. ``rounded``/``with_created_at`` as in
+    :func:`daily_energy_consumption` (cross-engine checks need
+    deterministic, timestamp-free output)."""
+    r = bround3 if rounded else (lambda c: c)
     agg = silver.groupBy("device_id", "device_type").agg(
         F.avg("quality_score").alias("_q"),
         F.avg(F.col("is_valid").cast("double")).alias("_v"),
@@ -103,64 +108,72 @@ def device_health_metrics(silver: DataFrame) -> DataFrame:
         F.lit(100.0),
         guarded_div(F.col("_n").cast("double"), span_minutes, default=100.0) * 100.0,
     )
-    return agg.select(
-        "device_id",
-        "device_type",
-        bround3(clamp01(health)).alias("health_score"),
-        bround3(clamp01(failure)).alias("failure_probability"),
-        bround3(F.col("_v") * 0.6 + (1.0 - F.col("_late")) * 0.4).alias(
+    cols = [
+        F.col("device_id"),
+        F.col("device_type"),
+        r(clamp01(health)).alias("health_score"),
+        r(clamp01(failure)).alias("failure_probability"),
+        r(F.col("_v") * 0.6 + (1.0 - F.col("_late")) * 0.4).alias(
             "data_reliability"
         ),
         # total alerts ≈ alert-rate × readings / 60 (silver_to_gold.py:176-179)
         F.bround(F.col("_alerts") * F.col("_n") / 60.0, 0)
         .cast("int")
         .alias("total_alerts"),
-        bround3(uptime).alias("uptime_percentage"),
-        F.current_timestamp().alias("created_at"),
-    )
+        r(uptime).alias("uptime_percentage"),
+    ]
+    if with_created_at:
+        cols.append(F.current_timestamp().alias("created_at"))
+    return agg.select(*cols)
 
 
 def daily_business_summary(
-    daily_energy: DataFrame, health: DataFrame
+    daily_energy: DataFrame,
+    health: DataFrame,
+    rounded: bool = True,
+    with_created_at: bool = True,
 ) -> DataFrame:
     """A3 + J2 — per-date business rollup of the daily-energy gold table
     joined (cross) with 1-row global health averages (reference
     consumer/silver_to_gold.py:208-275). The 1-row aggregate side makes
     the cross join a broadcast nested-loop — effectively free."""
+    r = bround3 if rounded else (lambda c: c)
     summary = daily_energy.groupBy("date").agg(
-        bround3(F.sum("energy_consumption_wh_sum")).alias("total_energy_wh"),
-        bround3(F.sum("energy_cost_estimate")).alias("total_cost_estimate"),
+        r(F.sum("energy_consumption_wh_sum")).alias("total_energy_wh"),
+        r(F.sum("energy_cost_estimate")).alias("total_cost_estimate"),
         F.countDistinct("device_id").alias("active_devices"),
         F.countDistinct("user_id").alias("active_users"),
-        bround3(F.avg("data_completeness")).alias("avg_data_quality"),
+        r(F.avg("data_completeness")).alias("avg_data_quality"),
         F.sum("total_readings").alias("total_data_points"),
     )
     summary = summary.withColumn(
-        "total_energy_kwh", bround3(F.col("total_energy_wh") / 1000.0)
+        "total_energy_kwh", r(F.col("total_energy_wh") / 1000.0)
     )
     health_scalars = health.agg(
-        bround3(F.avg("health_score")).alias("avg_device_health"),
-        bround3(F.avg("failure_probability")).alias("avg_failure_risk"),
+        r(F.avg("health_score")).alias("avg_device_health"),
+        r(F.avg("failure_probability")).alias("avg_failure_risk"),
         F.sum("total_alerts").cast("double").alias("total_alerts"),
     )
     out = summary.crossJoin(F.broadcast(health_scalars))
-    return out.select(
-        "date",
-        "total_energy_wh",
-        "total_cost_estimate",
-        "active_devices",
-        "active_users",
-        "avg_data_quality",
-        "total_data_points",
-        "total_energy_kwh",
-        "avg_device_health",
-        "avg_failure_risk",
-        "total_alerts",
-        bround3(
+    cols = [
+        F.col("date"),
+        F.col("total_energy_wh"),
+        F.col("total_cost_estimate"),
+        F.col("active_devices"),
+        F.col("active_users"),
+        F.col("avg_data_quality"),
+        F.col("total_data_points"),
+        F.col("total_energy_kwh"),
+        F.col("avg_device_health"),
+        F.col("avg_failure_risk"),
+        F.col("total_alerts"),
+        r(
             guarded_div(F.col("total_cost_estimate"), F.col("total_energy_kwh"))
         ).alias("cost_per_kwh"),
-        F.current_timestamp().alias("created_at"),
-    )
+    ]
+    if with_created_at:
+        cols.append(F.current_timestamp().alias("created_at"))
+    return out.select(*cols)
 
 
 def build_gold(silver: DataFrame) -> dict[str, DataFrame]:

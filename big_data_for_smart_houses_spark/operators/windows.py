@@ -71,9 +71,15 @@ def latest_row(df: DataFrame, order_col: str | Column = "date") -> DataFrame:
     return df.orderBy(col.desc()).limit(1)
 
 
-def top_k_latest(df: DataFrame, k: int, ts_col: str = "timestamp") -> DataFrame:
+def top_k_latest(
+    df: DataFrame, k: int, ts_col: str = "timestamp", tiebreak: str | None = None
+) -> DataFrame:
     """O2 — newest k rows, returned in ascending time order for display
     (reference dashboard/app.py:567, 618). Spark plans the inner
     orderBy+limit as TakeOrderedAndProject — a true distributed top-k,
-    no full sort."""
-    return df.orderBy(F.col(ts_col).desc()).limit(k).orderBy(F.col(ts_col).asc())
+    no full sort. ``tiebreak`` makes the cut deterministic when
+    timestamps can collide."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    return df.orderBy(*order).limit(k).orderBy(F.col(ts_col).asc())

@@ -8,6 +8,8 @@ non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 from __future__ import annotations
 
+from .analytics_gate import ORACLES as _GATE_ORACLES
+from .analytics_gate import QUERIES as _GATE_QUERIES
 from .core import ORACLES as _CORE_ORACLES
 from .core import QUERIES as _CORE_QUERIES
 from .extensions import ORACLES as _EXT_ORACLES
@@ -15,7 +17,7 @@ from .extensions import QUERIES as _EXT_QUERIES
 from .pipeline import ORACLES as _PIPE_ORACLES
 from .pipeline import QUERIES as _PIPE_QUERIES
 
-QUERIES = {**_CORE_QUERIES, **_PIPE_QUERIES, **_EXT_QUERIES}
-ORACLES = {**_CORE_ORACLES, **_PIPE_ORACLES, **_EXT_ORACLES}
+QUERIES = {**_CORE_QUERIES, **_PIPE_QUERIES, **_GATE_QUERIES, **_EXT_QUERIES}
+ORACLES = {**_CORE_ORACLES, **_PIPE_ORACLES, **_GATE_ORACLES, **_EXT_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,300 @@
+"""The remaining gold tables (A2/A3) and the read-side dashboard
+queries (SURVEY.md §2.11), pushed through the correctness gate on the
+events-mapped silver pipeline.
+
+The Spark side runs the production operators from ``operators/gold.py``
+and ``operators/analytics.py`` (unrounded, timestamp-free variants so
+the comparison is deterministic); the oracles extend the pipeline CTE
+from ``queries/pipeline.py`` with the same aggregation algebra.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import analytics
+from ..operators.gold import (
+    daily_business_summary,
+    daily_energy_consumption,
+    device_health_metrics,
+)
+from ..operators.silver import bronze_to_silver
+from ..operators.windows import top_k_latest
+from .pipeline import _BRONZE_CTE, _events_as_bronze
+
+KPI_DATE = dt.date(2024, 1, 5)
+LIVE_NOW = dt.datetime(2024, 1, 20, 0, 0, 0)
+LIVE_HOURS = 48
+
+
+def _silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bronze_to_silver(_events_as_bronze(spark, sf_dir), catalog=None)
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_energy_consumption(_silver(spark, sf_dir), rounded=False)
+
+
+def _health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return device_health_metrics(
+        _silver(spark, sf_dir), rounded=False, with_created_at=False
+    )
+
+
+# Shared oracle CTE: A1 per-group aggregates (unrounded) over the
+# pipeline silver, and the A2 health table.
+_GOLD_CTE = f"""
+{_BRONZE_CTE},
+agg AS (
+  SELECT device_id, device_type, user_id, date,
+    sum(energy_consumption_wh) AS s_energy,
+    avg(energy_consumption_wh) AS m_energy,
+    max(energy_consumption_wh) AS x_energy,
+    count(energy_consumption_wh) AS c_energy,
+    avg(CASE WHEN is_valid THEN 1.0 ELSE 0.0 END) AS m_valid
+  FROM windowed
+  GROUP BY device_id, device_type, user_id, date
+),
+health_agg AS (
+  SELECT device_id, device_type,
+    avg(quality_score) AS q,
+    avg(CASE WHEN is_valid THEN 1.0 ELSE 0.0 END) AS v,
+    avg(alert_frequency_1h) AS alerts,
+    avg(CASE WHEN is_late_event THEN 1.0 ELSE 0.0 END) AS late,
+    count(timestamp) AS n,
+    min(timestamp) AS ts_min,
+    max(timestamp) AS ts_max
+  FROM windowed GROUP BY 1, 2
+),
+health_scored AS (
+  SELECT *,
+    q * 0.4 + v * 0.3 + (1.0 - late) * 0.2
+      + (1.0 - least(1.0, alerts / 10.0)) * 0.1 AS health
+  FROM health_agg
+),
+health AS (
+  SELECT device_id, device_type,
+    greatest(0.0, least(1.0, health)) AS health_score,
+    greatest(0.0, least(1.0,
+      least(1.0, (1.0 - health) * 0.7 + alerts / 20.0 + late * 0.3)))
+      AS failure_probability,
+    v * 0.6 + (1.0 - late) * 0.4 AS data_reliability,
+    CAST(round_even(alerts * n / 60.0, 0) AS INT) AS total_alerts,
+    least(100.0,
+      (CASE WHEN (epoch_us(ts_max) - epoch_us(ts_min)) / 60000000.0 > 0
+            THEN CAST(n AS DOUBLE)
+                 / ((epoch_us(ts_max) - epoch_us(ts_min)) / 60000000.0)
+            ELSE 100.0 END) * 100.0) AS uptime_percentage
+  FROM health_scored
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2: device health gold table
+# ---------------------------------------------------------------------------
+
+def q_gold_device_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _health(spark, sf_dir)
+
+
+ORACLE_GOLD_DEVICE_HEALTH_EVENTS = f"""
+WITH {_GOLD_CTE}
+SELECT * FROM health
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 + J2: business summary gold table
+# ---------------------------------------------------------------------------
+
+def q_gold_business_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    health = _health(spark, sf_dir)
+    return daily_business_summary(
+        daily, health, rounded=False, with_created_at=False
+    )
+
+
+ORACLE_GOLD_BUSINESS_SUMMARY_EVENTS = f"""
+WITH {_GOLD_CTE},
+daily AS (
+  SELECT device_id, user_id, date, s_energy,
+         s_energy / 1000.0 * 0.12 AS cost,
+         m_valid * 100.0 AS completeness,
+         c_energy AS readings
+  FROM agg
+),
+summary AS (
+  SELECT date,
+         sum(s_energy) AS total_energy_wh,
+         sum(cost) AS total_cost_estimate,
+         count(DISTINCT device_id) AS active_devices,
+         count(DISTINCT user_id) AS active_users,
+         avg(completeness) AS avg_data_quality,
+         CAST(sum(readings) AS BIGINT) AS total_data_points
+  FROM daily GROUP BY 1
+),
+hs AS (
+  SELECT avg(health_score) AS avg_device_health,
+         avg(failure_probability) AS avg_failure_risk,
+         CAST(sum(total_alerts) AS DOUBLE) AS total_alerts
+  FROM health
+)
+SELECT date, total_energy_wh, total_cost_estimate, active_devices,
+       active_users, avg_data_quality, total_data_points,
+       total_energy_wh / 1000.0 AS total_energy_kwh,
+       avg_device_health, avg_failure_risk, total_alerts,
+       CASE WHEN total_energy_wh / 1000.0 > 0
+            THEN total_cost_estimate / (total_energy_wh / 1000.0)
+            ELSE 0.0 END AS cost_per_kwh
+FROM summary CROSS JOIN hs
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.11 dashboard queries over the gold tables
+# ---------------------------------------------------------------------------
+
+def q_analytics_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.energy_by_device_type(_daily(spark, sf_dir))
+
+
+ORACLE_ANALYTICS_ENERGY_BY_TYPE = f"""
+WITH {_GOLD_CTE}
+SELECT device_type, sum(s_energy) / 1000.0 AS energy_kwh
+FROM agg GROUP BY 1
+"""
+
+
+def q_analytics_daily_energy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.daily_energy_trend(_daily(spark, sf_dir))
+
+
+ORACLE_ANALYTICS_DAILY_ENERGY_TREND = f"""
+WITH {_GOLD_CTE}
+SELECT date, sum(s_energy) / 1000.0 AS energy_kwh FROM agg GROUP BY 1
+"""
+
+
+def q_analytics_daily_cost_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.daily_cost_trend(_daily(spark, sf_dir))
+
+
+ORACLE_ANALYTICS_DAILY_COST_TREND = f"""
+WITH {_GOLD_CTE}
+SELECT date, sum(s_energy) / 1000.0 * 0.12 AS cost FROM agg GROUP BY 1
+"""
+
+
+def q_analytics_kpi_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.kpi_today(_daily(spark, sf_dir), KPI_DATE)
+
+
+ORACLE_ANALYTICS_KPI_DAY = f"""
+WITH {_GOLD_CTE},
+day_rows AS (
+  SELECT device_id, s_energy,
+         s_energy / 1000.0 * 0.12 AS cost
+  FROM agg WHERE date = DATE '{KPI_DATE.isoformat()}'
+)
+SELECT sum(s_energy) / 1000.0 AS total_energy_kwh,
+       sum(cost) AS total_cost,
+       count(DISTINCT device_id) AS active_devices
+FROM day_rows
+"""
+
+
+def q_analytics_health_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.health_scatter(_health(spark, sf_dir))
+
+
+ORACLE_ANALYTICS_HEALTH_SCATTER = f"""
+WITH {_GOLD_CTE}
+SELECT health_score, failure_probability, total_alerts, device_type, device_id
+FROM health
+"""
+
+
+def q_analytics_live_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 live feed with a fixed 'now' and a deterministic tie-break."""
+    silver = _silver(spark, sf_dir)
+    cutoff = LIVE_NOW - dt.timedelta(hours=LIVE_HOURS)
+    recent = silver.filter(F.col("timestamp") >= F.lit(cutoff)).select(
+        "device_id", "timestamp", "temperature", "power_usage"
+    )
+    return top_k_latest(recent, 100, tiebreak="device_id")
+
+
+ORACLE_ANALYTICS_LIVE_READINGS = f"""
+WITH {_BRONZE_CTE}
+SELECT device_id, timestamp, temperature, power_usage
+FROM windowed
+WHERE timestamp >= TIMESTAMP '{(LIVE_NOW - dt.timedelta(hours=LIVE_HOURS)).isoformat(sep=" ")}'
+ORDER BY timestamp DESC, device_id DESC LIMIT 100
+"""
+
+
+def q_analytics_data_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidebar data-status panel (counts + time range per table) over
+    silver and the three gold tables — the U1 union-of-summaries shape."""
+    silver = _silver(spark, sf_dir)
+    daily = _daily(spark, sf_dir)
+    health = _health(spark, sf_dir)
+    summary = daily_business_summary(
+        daily, health, rounded=False, with_created_at=False
+    )
+    return analytics.data_status(
+        {
+            "silver": silver.select("timestamp"),
+            "daily_energy": daily.select("date"),
+            "device_health": health.select("device_id"),
+            "business_summary": summary.select("date"),
+        }
+    )
+
+
+ORACLE_ANALYTICS_DATA_STATUS = f"""
+WITH {_GOLD_CTE},
+summary AS (SELECT date FROM agg GROUP BY date)
+SELECT 'silver' AS table, count(*) AS n_rows,
+       CAST(min(timestamp) AS VARCHAR) AS min_ts,
+       CAST(max(timestamp) AS VARCHAR) AS max_ts
+FROM windowed
+UNION ALL
+SELECT 'daily_energy', count(*),
+       CAST(min(date) AS VARCHAR), CAST(max(date) AS VARCHAR) FROM agg
+UNION ALL
+SELECT 'device_health', count(*), NULL, NULL FROM health
+UNION ALL
+SELECT 'business_summary', count(*),
+       CAST(min(date) AS VARCHAR), CAST(max(date) AS VARCHAR) FROM summary
+"""
+
+
+QUERIES = {
+    "gold_device_health_events": q_gold_device_health_events,
+    "gold_business_summary_events": q_gold_business_summary_events,
+    "analytics_energy_by_type": q_analytics_energy_by_type,
+    "analytics_daily_energy_trend": q_analytics_daily_energy_trend,
+    "analytics_daily_cost_trend": q_analytics_daily_cost_trend,
+    "analytics_kpi_day": q_analytics_kpi_day,
+    "analytics_health_scatter": q_analytics_health_scatter,
+    "analytics_live_readings": q_analytics_live_readings,
+    "analytics_data_status": q_analytics_data_status,
+}
+
+ORACLES = {
+    "gold_device_health_events": ORACLE_GOLD_DEVICE_HEALTH_EVENTS,
+    "gold_business_summary_events": ORACLE_GOLD_BUSINESS_SUMMARY_EVENTS,
+    "analytics_energy_by_type": ORACLE_ANALYTICS_ENERGY_BY_TYPE,
+    "analytics_daily_energy_trend": ORACLE_ANALYTICS_DAILY_ENERGY_TREND,
+    "analytics_daily_cost_trend": ORACLE_ANALYTICS_DAILY_COST_TREND,
+    "analytics_kpi_day": ORACLE_ANALYTICS_KPI_DAY,
+    "analytics_health_scatter": ORACLE_ANALYTICS_HEALTH_SCATTER,
+    "analytics_live_readings": ORACLE_ANALYTICS_LIVE_READINGS,
+    "analytics_data_status": ORACLE_ANALYTICS_DATA_STATUS,
+}
