@@ -80,14 +80,15 @@ def ngram_jaccard_pairs(
     scalable exact-verification step after LSH candidate generation."""
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # pairs per shingle bucket via collect_list instead of a self-join:
+    # one aggregation instead of recomputing the shingle subtree twice,
+    # and bucket size is directly capped/inspectable at scale
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .groupBy(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     s1 = sizes.select(F.col(id_col).alias("id1"), F.col("set_size").alias("size1"))
@@ -103,6 +104,24 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "n_inter", "size1", "size2", "jaccard")
     )
+
+
+def _pairs_expr(arr_col: str) -> F.Column:
+    """All ordered pairs (a<b) from a sorted array column, as native
+    nested transforms — used to turn bucket membership lists into
+    candidate pairs without a self-join."""
+    return F.expr(
+        f"flatten(transform({arr_col}, (x, i) -> "
+        f"transform(slice({arr_col}, i + 2, size({arr_col}) - i - 1), "
+        f"y -> struct(x AS a, y AS b))))"
+    )
+
+
+# Buckets larger than this are skipped by the LSH pair generators: a
+# bucket with m members emits m(m-1)/2 pairs, and at corpus scale a
+# degenerate bucket (empty docs, boilerplate) would go quadratic. The
+# skipped bucket is recoverable by exact dedup on the fingerprint.
+MAX_BUCKET_SIZE = 10_000
 
 
 def minhash_signatures(
@@ -144,19 +163,12 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-        )
+        exploded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
         .distinct()
     )
 
@@ -210,20 +222,20 @@ def simhash_neardup_pairs(
     exploded = fp.select(id_col, "simhash", F.explode(bands).alias("band")).select(
         id_col, "simhash", "band.band_id", "band.band_val"
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        exploded.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("members")
         )
+        .filter((F.size("members") > 1) & (F.size("members") <= MAX_BUCKET_SIZE))
+        .select(F.explode(_pairs_expr("members")).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-            F.col("a.simhash").alias("sh1"),
-            F.col("b.simhash").alias("sh2"),
+            F.col("p.a.id").alias("id1"),
+            F.col("p.b.id").alias("id2"),
+            F.col("p.a.simhash").alias("sh1"),
+            F.col("p.b.simhash").alias("sh2"),
         )
         .distinct()
     )
