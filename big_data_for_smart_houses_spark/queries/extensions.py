@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..extensions import dedup, multimodal, similarity, text
 from ..session import configure_for_oracle_parity
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, spread
 
 PLANT_OFFSET = 100_000
 PLANT_N = 50
@@ -32,7 +32,10 @@ TOPK_K = 5
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle_parity(spark)
-    return load_table(spark, sf_dir, "documents")
+    # spread(): the text operators downstream are compute-bound narrow
+    # transforms (shingle explode, per-token hashing); parallelism must
+    # come from the source partitioning, not the later shuffles.
+    return spread(load_table(spark, sf_dir, "documents"), spark)
 
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,7 +280,7 @@ FROM t GROUP BY 1
 
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle_parity(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     return similarity.brute_force_topk(emb, queries, k=TOPK_K)
 
@@ -302,7 +305,7 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle_parity(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
     return similarity.neardup_pairs(emb, threshold=COSINE_NEARDUP_THRESHOLD)
 
 
@@ -324,7 +327,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment uses fixed pseudo-random planes DuckDB can't replay);
     recall vs brute force is asserted in unit tests."""
     configure_for_oracle_parity(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
     return similarity.ann_lsh_topk(emb, queries, k=TOPK_K)
 

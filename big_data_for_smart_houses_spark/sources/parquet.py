@@ -35,6 +35,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    source plan has fewer partitions — only relevant for compute-bound
+    narrow transforms (shingling, hashing, vector math) over small or
+    single-row-group files, where the scan alone can't parallelize.
+
+    At production scale the parquet scan already yields one split per
+    ~``spark.sql.files.maxPartitionBytes``, the partition count exceeds
+    default parallelism, and this is a no-op — so the extra shuffle is
+    paid exactly when it is cheap (small inputs) and skipped when it
+    would be expensive (large ones).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_bronze(
     spark: SparkSession,
     path: str,
