@@ -37,7 +37,15 @@ def bronze_to_silver(
     df = cleaning.coerce_numerics(df)
     df = cleaning.apply_range_filters(df)
     df = cleaning.drop_all_null_numeric(df)
-    df = cleaning.dedup_keep_first(df, keys=["device_id", "timestamp"])
+    # One shuffle for the whole pipeline: hash by device_id up front.
+    # HashPartitioning(device_id) satisfies the dedup window's required
+    # clustering on (device_id, timestamp) AND the rolling windows'
+    # clustering on device_id, so Catalyst plans a single exchange and
+    # one shared sort instead of back-to-back exchanges. Skew profile is
+    # unchanged — the rolling windows already force per-device clustering.
+    df = cleaning.dedup_keep_first(
+        df.repartition("device_id"), keys=["device_id", "timestamp"]
+    )
     df = quality.add_quality_score(df)
     if catalog is not None:
         df = enrichment.enrich_with_catalog(df, catalog)
