@@ -633,6 +633,50 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap sessionization (T7: the offline-threshold semantics the reference
+# declares but never wires up — operators/sessions.py)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SECONDS = 43_200  # 12 h — events median inter-event gap is ~7.3 h
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization of the event stream per user: lag + running
+    sum + per-session aggregate, all sharing ONE user_id shuffle (the
+    groupBy keys are a superset of the window partitioning, so Catalyst
+    adds no second exchange)."""
+    from ..operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=SESSION_GAP_SECONDS
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = f"""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > CAST({SESSION_GAP_SECONDS} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM e
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -652,6 +696,7 @@ QUERIES = {
     "json_props_extract": q_json_props_extract,
     "event_type_pivot": q_event_type_pivot,
     "part_value_density": q_part_value_density,
+    "sessionize_events": q_sessionize_events,
 }
 
 ORACLES = {
@@ -673,4 +718,5 @@ ORACLES = {
     "json_props_extract": ORACLE_JSON_PROPS_EXTRACT,
     "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "part_value_density": ORACLE_PART_VALUE_DENSITY,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
 }

@@ -1,0 +1,177 @@
+"""Sessionization tests: batch gap-split operator (operators/sessions),
+the applyInPandasWithState streaming tracker (streaming/stateful), and
+the watermarked streaming rollup (streaming/aggregates)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from big_data_for_smart_houses_spark.operators.sessions import sessionize
+from big_data_for_smart_houses_spark.streaming.aggregates import (
+    windowed_energy_rollup,
+)
+from big_data_for_smart_houses_spark.streaming.stateful import (
+    track_device_sessions,
+)
+
+T0 = dt.datetime(2025, 7, 20, 10, 0, 0)
+
+
+def _ts_df(spark, rows):
+    schema = StructType(
+        [
+            StructField("device_id", StringType()),
+            StructField("timestamp", TimestampType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(d, T0 + dt.timedelta(seconds=s)) for d, s in rows], schema
+    )
+
+
+def test_sessionize_batch_gap_split(spark):
+    df = _ts_df(
+        spark,
+        [
+            ("a", 0),
+            ("a", 10),
+            ("a", 400),  # > 300 s after 10 -> new session
+            ("a", 500),
+            ("b", 0),
+        ],
+    )
+    out = {
+        (r.device_id, r.session_seq): r
+        for r in sessionize(df, gap_seconds=300).collect()
+    }
+    assert len(out) == 3
+    s1 = out[("a", 1)]
+    assert s1.n_events == 2 and s1.duration_s == 10.0
+    s2 = out[("a", 2)]
+    assert s2.n_events == 2 and s2.session_start == T0 + dt.timedelta(seconds=400)
+    assert out[("b", 1)].n_events == 1 and out[("b", 1)].duration_s == 0.0
+
+
+def test_sessionize_single_shuffle(spark):
+    df = _ts_df(spark, [("a", 0), ("a", 10)])
+    plan = (
+        sessionize(df, gap_seconds=300)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_stateful_session_tracker_across_restarts(spark):
+    tmp = tempfile.mkdtemp()
+    schema = StructType(
+        [
+            StructField("device_id", StringType()),
+            StructField("timestamp", TimestampType()),
+        ]
+    )
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/staged")
+        q = (
+            track_device_sessions(stream, gap_seconds=300)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    batch1 = _ts_df(spark, [("a", 0), ("a", 10), ("a", 400), ("b", 0)])
+    batch1.write.mode("append").parquet(f"{tmp}/staged")
+    out1 = run()
+    # intra-batch gap closes (0..10); (400) and b's session stay open in state
+    assert len(out1) == 1
+    assert out1[0].device_id == "a" and out1[0].n_events == 2
+    assert out1[0].session_end == T0 + dt.timedelta(seconds=10)
+
+    batch2 = _ts_df(spark, [("a", 1000)])
+    batch2.write.mode("append").parquet(f"{tmp}/staged")
+    out2 = run()
+    # state survived the restart: (400) closes against the new event
+    assert len(out2) == 1
+    assert out2[0].device_id == "a" and out2[0].n_events == 1
+    assert out2[0].session_start == T0 + dt.timedelta(seconds=400)
+
+
+def test_windowed_rollup_watermark_drops_late(spark):
+    tmp = tempfile.mkdtemp()
+    schema = StructType(
+        [
+            StructField("device_id", StringType()),
+            StructField("timestamp", TimestampType()),
+            StructField("energy_consumption_wh", DoubleType()),
+            StructField("power_usage", DoubleType()),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (d, dt.datetime.fromisoformat(ts), e, p)
+                for d, ts, e, p in rows
+            ],
+            schema,
+        )
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/staged")
+        q = (
+            windowed_energy_rollup(stream)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    mk(
+        [
+            ("d1", "2025-07-20T10:00:00", 10.0, 100.0),
+            ("d1", "2025-07-20T11:00:00", 20.0, 300.0),
+        ]
+    ).write.mode("append").parquet(f"{tmp}/staged")
+    out1 = run()
+    assert len(out1) == 1
+    r = out1[0]
+    assert r.energy_wh_sum == 30.0 and r.power_max == 300.0 and r.n_readings == 2
+
+    # second run: watermark from run 1 is 2025-07-18T11 (max - 48 h);
+    # the 2025-07-17 event is behind it -> dropped from the aggregate,
+    # while the on-time 2025-07-25 event lands normally
+    mk(
+        [
+            ("d1", "2025-07-17T09:00:00", 999.0, 999.0),
+            ("d1", "2025-07-25T09:00:00", 5.0, 50.0),
+        ]
+    ).write.mode("append").parquet(f"{tmp}/staged")
+    out2 = run()
+    days = {str(r.window_start)[:10]: r for r in out2}
+    assert "2025-07-17" not in days
+    assert days["2025-07-25"].energy_wh_sum == 5.0
