@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -65,6 +66,132 @@ def attach_payloads(docs: DataFrame) -> DataFrame:
         F.when(F.col("modality") == "image", MIME_BY_MODALITY["image"])
         .when(F.col("modality") == "audio", MIME_BY_MODALITY["audio"])
         .otherwise(MIME_BY_MODALITY["video"]),
+    )
+
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def fake_decode(payload: bytes, mime_type: str) -> dict:
+    """Deterministic stand-in for a real decoder: metadata derived from
+    the payload bytes alone, so tests are reproducible and the
+    mapInPandas plumbing (schema, batch shape, per-modality branching)
+    is exactly what a PIL/ffmpeg-backed decoder would use."""
+    n = len(payload)
+    digest = sum(payload[:64]) if n else 0
+    if mime_type.startswith("image/"):
+        return {
+            "width": 16 + digest % 240,
+            "height": 16 + (digest * 7) % 240,
+            "duration_ms": None,
+            "n_frames": None,
+        }
+    if mime_type.startswith("audio/"):
+        return {"width": None, "height": None, "duration_ms": n * 10, "n_frames": None}
+    return {
+        "width": 320,
+        "height": 240,
+        "duration_ms": n * 40,
+        "n_frames": max(1, n // 25),
+    }
+
+
+def decode_metadata(assets: DataFrame) -> DataFrame:
+    """Typed per-modality metadata through mapInPandas — the decode
+    call is `fake_decode` here and PIL/ffmpeg in production; nothing
+    else in the plan changes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                fake_decode(p, m)
+                for p, m in zip(pdf["payload"], pdf["mime_type"])
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "modality", pdf["modality"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return assets.mapInPandas(batches, schema=METADATA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Binary-in/binary-out resize plumbing over image rows. The fake
+    transform is a deterministic byte slice/pad to width*height bytes;
+    a real implementation decodes, resizes, re-encodes in place."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling: one input video row fans out to one output row
+    per sampled frame — the 1:N batch shape (output batches need not
+    align with input rows) that a real ffmpeg frame extractor
+    produces. Fake frames are deterministic 25-byte slices."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frame_bytes = 25
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(
+                        bytes(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return assets.filter(F.col("modality") == "video").mapInPandas(
+        batches, schema=FRAME_SCHEMA
     )
 
 

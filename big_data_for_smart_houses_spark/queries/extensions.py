@@ -354,6 +354,53 @@ FROM documents
 """
 
 
+FRAME_SAMPLE_EVERY_N = 10
+FRAME_BYTES = 25
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out through mapInPandas: one video row
+    emits one row per sampled frame. The oracle replays the
+    deterministic fake decoder with blob slicing."""
+    assets = multimodal.attach_payloads(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(assets, every_n=FRAME_SAMPLE_EVERY_N)
+    # binary -> hex at the comparison boundary: bytes round-trip through
+    # pandas as bytearray-vs-bytes depending on engine, which breaks
+    # naive value hashing; hex strings compare unambiguously
+    return frames.select(
+        "doc_id", "frame_index", F.hex(F.col("frame")).alias("frame_hex")
+    )
+
+
+# documents.text is pure ASCII at every SF (verified), so character
+# slicing on the VARCHAR equals byte slicing on the BLOB — DuckDB's
+# substring() has no BLOB overload.
+ORACLE_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH v AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, text,
+         unnest(range(0,
+                      greatest(1, length(text) // {FRAME_BYTES}),
+                      {FRAME_SAMPLE_EVERY_N})) AS frame_index
+  FROM v
+)
+SELECT doc_id, frame_index,
+       upper(hex(encode(substring(text,
+                                  CAST(frame_index * {FRAME_BYTES} + 1 AS INT),
+                                  {FRAME_BYTES})))) AS frame_hex
+FROM f
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata via the deterministic fake decoder (rows-only
+    check: the byte-sum digest isn't replayable in SQL; unit tests
+    cover the per-modality values)."""
+    assets = multimodal.attach_payloads(_docs(spark, sf_dir))
+    return multimodal.decode_metadata(assets)
+
+
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -368,6 +415,8 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES = {
@@ -381,4 +430,5 @@ ORACLES = {
     "embedding_cosine_topk": ORACLE_EMBEDDING_COSINE_TOPK,
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP_PAIRS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
 }

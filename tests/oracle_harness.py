@@ -53,7 +53,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("int64")
         elif s.dtype == object:
             sample = next((x for x in s if x is not None and x == x), None)
-            if isinstance(sample, bool):
+            if isinstance(sample, (bytes, bytearray)):
+                # binary columns: Spark yields bytearray, DuckDB bytes —
+                # canonicalize to hex before the string compare
+                df[c] = s.map(
+                    lambda b: bytes(b).hex() if b is not None else None
+                ).astype("string")
+            elif isinstance(sample, bool):
                 df[c] = s.astype("boolean")
             elif isinstance(sample, (dt.date, dt.datetime)):
                 df[c] = pd.to_datetime(s).astype("datetime64[us]").astype("string")

@@ -86,3 +86,52 @@ def test_minhash_signature_determinism(planted):
     sig1 = dedup.minhash_signatures(planted).orderBy("doc_id").limit(5).collect()
     sig2 = dedup.minhash_signatures(planted).orderBy("doc_id").limit(5).collect()
     assert sig1 == sig2
+
+
+def test_multimodal_decode_metadata(spark):
+    from big_data_for_smart_houses_spark.extensions import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "img payload"), (1, "audio payload"), (2, "video payload" * 10)],
+        ["doc_id", "text"],
+    )
+    assets = multimodal.attach_payloads(docs)
+    meta = {r.doc_id: r for r in multimodal.decode_metadata(assets).collect()}
+    assert meta[0].modality == "image"
+    assert meta[0].width is not None and meta[0].duration_ms is None
+    assert meta[1].duration_ms == len("audio payload") * 10
+    v = meta[2]
+    assert v.n_frames == len("video payload" * 10) // 25
+    assert v.width == 320 and v.height == 240
+
+
+def test_multimodal_resize_plumbing(spark):
+    from big_data_for_smart_houses_spark.extensions import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 10), (3, "y" * 9000)], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize_images(
+            multimodal.attach_payloads(docs), width=8, height=8
+        ).collect()
+    }
+    # short payload zero-padded, long payload truncated — both 64 bytes
+    assert len(out[0].payload) == 64 and len(out[3].payload) == 64
+    assert bytes(out[0].payload[:10]) == b"x" * 10
+    assert bytes(out[0].payload[10:]) == b"\0" * 54
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    from big_data_for_smart_houses_spark.extensions import multimodal
+
+    # doc_id 2 -> video; 1000 bytes -> 40 frames -> sampled 0,10,20,30
+    docs = spark.createDataFrame([(2, "z" * 1000)], ["doc_id", "text"])
+    rows = multimodal.sample_frames(
+        multimodal.attach_payloads(docs), every_n=10
+    ).collect()
+    assert [r.frame_index for r in sorted(rows, key=lambda r: r.frame_index)] == [
+        0, 10, 20, 30,
+    ]
+    assert all(len(r.frame) == 25 for r in rows)
