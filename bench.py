@@ -34,9 +34,11 @@ HEADLINE = [
     "json_props_extract",
     "silver_pipeline_events",
     "gold_daily_energy_events",
+    "sessionize_events",
     "minhash_dedup_documents",
     "embedding_cosine_topk",
     "text_stats",
+    "multimodal_frame_sample",
 ]
 
 
