@@ -1,0 +1,90 @@
+"""Physical-plan property tests: the scale guarantees the engine's
+docstrings claim, asserted against `.explain` output so regressions in
+broadcast, pushdown, top-k, or shuffle count fail CI, not a cluster.
+
+Run at sf0.001 — plan shape is scale-free (same Catalyst decisions the
+driver's sf and a production cluster would see, modulo AQE runtime
+re-planning which only improves on these static plans).
+"""
+
+from __future__ import annotations
+
+from big_data_for_smart_houses_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark):
+    """J1: 25-row nation / 5-row region must broadcast — a shuffled
+    join here would shuffle the full customer table at 100 TB."""
+    plan = _plan(spark, "customer_enrichment")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """A1: the shipdate filter must reach the parquet scan (row-group
+    skipping) and the aggregation must have a map-side partial pass."""
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan
+    # column pruning: l_comment (the widest column) must not be read
+    assert "l_comment" not in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """O2: newest-100 must plan as a true top-k (TakeOrderedAndProject),
+    never a global sort of the full table."""
+    plan = _plan(spark, "latest_events_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_silver_pipeline_single_exchange(spark):
+    """The whole silver pipeline (dedup + quality + late flag + two
+    rolling windows) must run on ONE shuffle."""
+    plan = _plan(spark, "silver_pipeline_events")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization: lag window + running sum + session aggregate
+    share the key shuffle."""
+    plan = _plan(spark, "sessionize_events")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scalar_cross_join_is_broadcast(spark):
+    """J2: the 1-row global aggregate must broadcast, not shuffle."""
+    plan = _plan(spark, "revenue_vs_global")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    """The pricing scan+filter+partial-agg must fuse into codegen —
+    falling out of codegen (e.g. via a Python UDF) is the 10-100x
+    regression the engine is designed to avoid."""
+    # AQE hides codegen stages until runtime; inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, "pricing_summary")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # "*(N)" prefixes mark WholeStageCodegen stages in compact plan form
+    assert "*(1)" in plan and "*(2)" in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_no_cartesian_anywhere_in_core(spark):
+    for name in (
+        "pricing_summary",
+        "daily_user_rollup",
+        "customer_enrichment",
+        "supplier_health_scores",
+        "orders_business_summary",
+    ):
+        assert "CartesianProduct" not in _plan(spark, name), name
