@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-Python
+reference implementations on randomized inputs. Few examples, large
+strategy space — each example pays a Spark job, so the value is in
+input diversity, not example count."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+import pytest
+
+from big_data_for_smart_houses_spark.operators.sessions import sessionize
+from big_data_for_smart_houses_spark.operators.cleaning import dedup_keep_first
+
+T0 = dt.datetime(2025, 7, 20, 0, 0, 0)
+GAP = 300
+
+
+def _py_sessionize(rows: list[tuple[str, int]], gap_s: int) -> set[tuple]:
+    """Reference: per key, sort offsets, split on gap, aggregate."""
+    by_key: dict[str, list[int]] = {}
+    for k, off in rows:
+        by_key.setdefault(k, []).append(off)
+    out = set()
+    for k, offs in by_key.items():
+        offs.sort()
+        seq, start, last, n = 1, offs[0], offs[0], 1
+        for t in offs[1:]:
+            if t - last > gap_s:
+                out.add((k, seq, start, last, n))
+                seq, start, n = seq + 1, t, 0
+            last, n = t, n + 1
+        out.add((k, seq, start, last, n))
+    return out
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=5000),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+class TestSessionizeProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(rows=events_strategy)
+    def test_matches_python_reference(self, spark, rows):
+        schema = StructType(
+            [
+                StructField("k", StringType()),
+                StructField("ts", TimestampType()),
+            ]
+        )
+        # duplicates in `rows` are legal input (same key+offset twice)
+        df = spark.createDataFrame(
+            [(k, T0 + dt.timedelta(seconds=off)) for k, off in rows], schema
+        )
+        got = {
+            (
+                r.k,
+                r.session_seq,
+                int((r.session_start - T0).total_seconds()),
+                int((r.session_end - T0).total_seconds()),
+                r.n_events,
+            )
+            for r in sessionize(
+                df, key_col="k", ts_col="ts", gap_seconds=GAP
+            ).collect()
+        }
+        assert got == _py_sessionize(rows, GAP)
+
+
+class TestDedupKeepFirstProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=1000),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_keeps_min_order_col_per_key(self, spark, rows):
+        schema = StructType(
+            [
+                StructField("device_id", StringType()),
+                StructField("timestamp", LongType()),
+                StructField("ingestion_time", LongType()),
+            ]
+        )
+        df = spark.createDataFrame(rows, schema)
+        got = {
+            (r.device_id, r.timestamp): r.ingestion_time
+            for r in dedup_keep_first(
+                df, keys=["device_id", "timestamp"]
+            ).collect()
+        }
+        expect: dict[tuple, int] = {}
+        for k, t, ing in rows:
+            key = (k, t)
+            if key not in expect or ing < expect[key]:
+                expect[key] = ing
+        assert got == expect
