@@ -677,6 +677,25 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_business_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 scale variant: HyperLogLog++ approx_count_distinct in place
+    of exact countDistinct. At 100 TB the exact variant shuffles every
+    distinct (date, key) pair; the sketch keeps the shuffle at one
+    fixed-size HLL register set per group. Rows-only check (DuckDB's
+    approx sketch differs); the unit suite bounds the error vs exact."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -697,6 +716,7 @@ QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "part_value_density": q_part_value_density,
     "sessionize_events": q_sessionize_events,
+    "business_summary_approx": q_business_summary_approx,
 }
 
 ORACLES = {

@@ -88,3 +88,27 @@ def test_no_cartesian_anywhere_in_core(spark):
         "orders_business_summary",
     ):
         assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """A7 scale variant: HLL++ estimate within 3x the configured rsd of
+    the exact distinct count (rsd=2%, generous margin for small sf)."""
+    from big_data_for_smart_houses_spark.queries.core import (
+        q_business_summary_approx,
+    )
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.order_date: r.approx_customers
+        for r in q_business_summary_approx(spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = {
+        r.order_date: r.exact_customers
+        for r in o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.countDistinct("o_custkey").alias("exact_customers"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for d, ex in exact.items():
+        assert abs(approx[d] - ex) <= max(1, 0.06 * ex), (d, approx[d], ex)
