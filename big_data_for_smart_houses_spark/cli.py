@@ -1,0 +1,125 @@
+"""Command-line entry points mirroring the reference's runnable
+processes (reference README.md:125-135: producer, ingest consumer, ETL
+scheduler, dashboard):
+
+    python -m big_data_for_smart_houses_spark simulate --bronze ... [--seconds 10]
+    python -m big_data_for_smart_houses_spark silver   --bronze ... --silver ... [--catalog ...]
+    python -m big_data_for_smart_houses_spark gold     --silver ... --gold ...
+    python -m big_data_for_smart_houses_spark etl      --bronze ... --silver ... --gold ... --ckpt ...
+    python -m big_data_for_smart_houses_spark analytics --gold ...
+
+`simulate` replaces the Kafka producer with the rate-source simulator
+(no broker needed); with a broker, `streaming.ingest.kafka_sink` /
+`telemetry_stream_from_kafka` provide the Kafka path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--app-name", default="smart-houses-spark")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="big_data_for_smart_houses_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("simulate", help="rate-source telemetry -> bronze parquet")
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--seconds", type=int, default=10)
+    p.add_argument("--rows-per-second", type=int, default=100)
+    p.add_argument(
+        "--trigger-seconds",
+        type=int,
+        default=5,
+        help="micro-batch cadence (reference default is 30 s; 5 s here "
+        "so short simulations commit at least one batch)",
+    )
+    _add_common(p)
+
+    p = sub.add_parser("silver", help="batch bronze -> silver")
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--silver", required=True)
+    p.add_argument("--catalog")
+    p.add_argument("--since", help="YYYY-MM-DD partition lower bound")
+    _add_common(p)
+
+    p = sub.add_parser("gold", help="silver -> gold snapshots")
+    p.add_argument("--silver", required=True)
+    p.add_argument("--gold", required=True)
+    p.add_argument("--since")
+    _add_common(p)
+
+    p = sub.add_parser("etl", help="incremental silver + gold recompute")
+    p.add_argument("--bronze", required=True)
+    p.add_argument("--silver", required=True)
+    p.add_argument("--gold", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--catalog")
+    _add_common(p)
+
+    p = sub.add_parser("analytics", help="print dashboard KPIs/tables")
+    p.add_argument("--gold", required=True)
+    _add_common(p)
+
+    args = parser.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(args.app_name)
+    import datetime as dt
+
+    if args.cmd == "simulate":
+        from .streaming.ingest import write_bronze_stream
+        from .streaming.simulator import telemetry_stream_from_rate
+
+        stream = telemetry_stream_from_rate(
+            spark, rows_per_second=args.rows_per_second
+        )
+        q = write_bronze_stream(
+            stream,
+            args.bronze,
+            args.ckpt,
+            trigger=f"{args.trigger_seconds} seconds",
+        )
+        q.awaitTermination(args.seconds)
+        q.stop()
+    elif args.cmd == "silver":
+        from .plans import run_bronze_to_silver
+
+        since = dt.date.fromisoformat(args.since) if args.since else None
+        run_bronze_to_silver(
+            spark, args.bronze, args.silver, args.catalog, since=since
+        )
+    elif args.cmd == "gold":
+        from .plans import run_silver_to_gold
+
+        since = dt.date.fromisoformat(args.since) if args.since else None
+        run_silver_to_gold(spark, args.silver, args.gold, since=since)
+    elif args.cmd == "etl":
+        from .plans import run_full_etl
+
+        run_full_etl(
+            spark, args.bronze, args.silver, args.gold, args.ckpt, args.catalog
+        )
+    elif args.cmd == "analytics":
+        from .operators.analytics import (
+            daily_energy_trend,
+            energy_by_device_type,
+            health_scatter,
+        )
+
+        daily = spark.read.parquet(f"{args.gold}/daily_energy_consumption")
+        health = spark.read.parquet(f"{args.gold}/device_health_metrics")
+        energy_by_device_type(daily).show(truncate=False)
+        daily_energy_trend(daily).show(truncate=False)
+        health_scatter(health).show(truncate=False)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -71,7 +71,18 @@ def write_bronze_stream(
     """S5/T1/T2 — event-date partitioned parquet sink with the
     reference's 30 s cadence. ``available_now=True`` gives the
     catch-up-then-stop mode used by incremental orchestration (T5)."""
-    out = telemetry.withColumn(
+    out = telemetry
+    if "ingestion_time" not in out.columns:
+        # the Kafka path stamps this in parse_telemetry_json (reference
+        # consumer/ingest_bronze.py:103); direct simulator->bronze runs
+        # stamp it here so bronze schema is uniform either way
+        out = out.withColumn(
+            "ingestion_time",
+            F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+            ),
+        )
+    out = out.withColumn(
         "event_date", F.to_date(F.to_timestamp("timestamp"))
     )
     writer = (
