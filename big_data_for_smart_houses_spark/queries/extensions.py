@@ -354,6 +354,18 @@ FROM documents
 """
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted file) ANN — rows-only check (centroid
+    training isn't SQL-replayable); recall vs brute force asserted in
+    unit tests. Centroids train on the corpus with a fixed seed, so
+    the result is deterministic."""
+    configure_for_oracle_parity(spark)
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    centroids = similarity.train_ivf_centroids(emb, n_cells=8)
+    return similarity.ann_ivf_topk(emb, queries, centroids, k=TOPK_K, n_probe=3)
+
+
 FRAME_SAMPLE_EVERY_N = 10
 FRAME_BYTES = 25
 
@@ -414,6 +426,7 @@ QUERIES = {
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode": q_multimodal_decode,

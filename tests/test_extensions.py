@@ -135,3 +135,24 @@ def test_multimodal_frame_sampling_fanout(spark):
         0, 10, 20, 30,
     ]
     assert all(len(r.frame) == 25 for r in rows)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
+    centroids = similarity.train_ivf_centroids(emb, n_cells=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    exact = similarity.brute_force_topk(emb, queries, k=TOPK_K)
+    approx = similarity.ann_ivf_topk(emb, queries, centroids, k=TOPK_K, n_probe=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(approx_set) > 0
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 3 of 8 Voronoi cells probed; nearest-cell locality must beat
+    # the random-scan baseline (3/8) decisively
+    assert recall > 0.5, recall
+    # deterministic: same centroids -> same result
+    rerun = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_ivf_topk(emb, queries, centroids,
+                                              k=TOPK_K, n_probe=3).collect()}
+    assert rerun == approx_set
