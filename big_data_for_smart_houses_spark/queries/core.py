@@ -696,6 +696,109 @@ def q_business_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Join surface beyond the reference (SURVEY.md §2.3: semi/anti/as-of
+# absent there; the engine exposes them as first-class)
+# ---------------------------------------------------------------------------
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: existence filter with no right-side columns and
+    no duplicate explosion — at scale this shuffles only the key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ORACLE_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+BIG_ORDER_THRESHOLD = 300_000
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no order above the threshold —
+    the not-exists complement, with the filter pushed into the right
+    side before the anti shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BIG_ORDER_THRESHOLD
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER_THRESHOLD})
+"""
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in
+    one pass (null group keys coalesced to 'ALL' for engine-neutral
+    output). The reference has no grouping sets; Spark gives them free."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+ORACLE_PRICING_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event joined to the user's latest
+    click at-or-before it — single-shuffle union form
+    (operators/joins.py), vs the O(pairs) inequality join."""
+    from ..operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", right_cols=["click_event"]
+    )
+
+
+ORACLE_PURCHASE_ASOF_CLICK = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(event_id) AS click_event
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.ts, p.event_id, c.click_event, c.ts AS ts_asof
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -717,6 +820,10 @@ QUERIES = {
     "part_value_density": q_part_value_density,
     "sessionize_events": q_sessionize_events,
     "business_summary_approx": q_business_summary_approx,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "pricing_rollup": q_pricing_rollup,
+    "purchase_asof_click": q_purchase_asof_click,
 }
 
 ORACLES = {
@@ -739,4 +846,8 @@ ORACLES = {
     "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "part_value_density": ORACLE_PART_VALUE_DENSITY,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
+    "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    "pricing_rollup": ORACLE_PRICING_ROLLUP,
+    "purchase_asof_click": ORACLE_PURCHASE_ASOF_CLICK,
 }

@@ -175,3 +175,27 @@ def test_windowed_rollup_watermark_drops_late(spark):
     days = {str(r.window_start)[:10]: r for r in out2}
     assert "2025-07-17" not in days
     assert days["2025-07-25"].energy_wh_sum == 5.0
+
+
+def test_asof_join_edges(spark):
+    from big_data_for_smart_houses_spark.operators.joins import asof_join
+
+    left = _ts_df(spark, [("a", 100), ("a", 200), ("b", 50)]).withColumnRenamed(
+        "timestamp", "ts"
+    ).withColumnRenamed("device_id", "k")
+    right = (
+        _ts_df(spark, [("a", 100), ("a", 150), ("b", 60)])
+        .withColumnRenamed("timestamp", "ts")
+        .withColumnRenamed("device_id", "k")
+        .withColumn("payload", F.unix_timestamp("ts"))
+    )
+    out = {
+        (r.k, int((r.ts - T0).total_seconds())): r
+        for r in asof_join(left, right, on="k", right_cols=["payload"]).collect()
+    }
+    # equal timestamps match (inclusive <=)
+    assert out[("a", 100)].ts_asof == T0 + dt.timedelta(seconds=100)
+    # latest at-or-before, not just any earlier row
+    assert out[("a", 200)].ts_asof == T0 + dt.timedelta(seconds=150)
+    # no prior right row -> nulls, row preserved (left join semantics)
+    assert out[("b", 50)].ts_asof is None and out[("b", 50)].payload is None
