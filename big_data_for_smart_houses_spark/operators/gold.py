@@ -26,12 +26,22 @@ def daily_energy_consumption(silver: DataFrame, rounded: bool = True) -> DataFra
     names follow the reference's flattened ``{col}_{func}`` convention
     (:105).
 
-    ``rounded=True`` applies the reference's ``.round(3)`` (half-even)
-    for output parity. Cross-engine differential checks should pass
-    ``rounded=False``: decimal rounding amplifies last-bit float
-    summation differences to 1e-3 whenever an aggregate lands exactly
-    on a .0005 boundary, so raw doubles compare more reliably."""
+    ``rounded=True`` applies the reference's rounding widths —
+    ``.round(3)`` for the aggregates and ``avg_efficiency``,
+    ``.round(2)`` for ``energy_cost_estimate``, ``.round(1)`` for
+    ``data_completeness`` (silver_to_gold.py:102-124). Cross-engine
+    differential checks should pass ``rounded=False``: decimal
+    rounding amplifies last-bit float summation differences to 1e-3
+    whenever an aggregate lands exactly on a .0005 boundary, so raw
+    doubles compare more reliably.
+
+    ``avg_efficiency`` is the guarded ratio of the GROUP MEANS
+    (energy_mean / power_mean, silver_to_gold.py:114-118) — not the
+    mean of per-row ratios, which differs whenever power varies
+    within a group."""
     r = bround3 if rounded else (lambda c: c)
+    r2 = (lambda c: F.bround(c, 2)) if rounded else (lambda c: c)
+    r1 = (lambda c: F.bround(c, 1)) if rounded else (lambda c: c)
     agg = silver.groupBy("device_id", "device_type", "user_id", "date").agg(
         r(F.sum("energy_consumption_wh")).alias("energy_consumption_wh_sum"),
         r(F.avg("energy_consumption_wh")).alias("energy_consumption_wh_mean"),
@@ -45,7 +55,6 @@ def daily_energy_consumption(silver: DataFrame, rounded: bool = True) -> DataFra
         r(F.avg("quality_score")).alias("quality_score_mean"),
         r(F.avg(F.col("is_valid").cast("double"))).alias("is_valid_mean"),
         r(F.max("alert_frequency_1h")).alias("alert_frequency_1h_max"),
-        r(F.avg("energy_efficiency")).alias("avg_efficiency"),
     )
     return agg.select(
         "device_id",
@@ -64,13 +73,18 @@ def daily_energy_consumption(silver: DataFrame, rounded: bool = True) -> DataFra
         "quality_score_mean",
         "is_valid_mean",
         "alert_frequency_1h_max",
-        # cost = kWh × rate (reference silver_to_gold.py:109-111; rate config/config.py:46)
-        r(F.col("energy_consumption_wh_sum") / 1000.0 * ENERGY_RATE_PER_KWH).alias(
+        # cost = kWh × rate, .round(2) (silver_to_gold.py:109-111; rate config/config.py:46)
+        r2(F.col("energy_consumption_wh_sum") / 1000.0 * ENERGY_RATE_PER_KWH).alias(
             "energy_cost_estimate"
         ),
-        "avg_efficiency",
-        # completeness = valid fraction × 100 (silver_to_gold.py:121-123)
-        r(F.col("is_valid_mean") * 100.0).alias("data_completeness"),
+        # ratio of group means, guarded on zero power (silver_to_gold.py:114-118)
+        r(
+            guarded_div(
+                F.col("energy_consumption_wh_mean"), F.col("power_usage_mean")
+            )
+        ).alias("avg_efficiency"),
+        # completeness = valid fraction × 100, .round(1) (silver_to_gold.py:121-123)
+        r1(F.col("is_valid_mean") * 100.0).alias("data_completeness"),
         F.col("energy_consumption_wh_count").alias("total_readings"),
     )
 
@@ -120,7 +134,8 @@ def device_health_metrics(
         F.bround(F.col("_alerts") * F.col("_n") / 60.0, 0)
         .cast("int")
         .alias("total_alerts"),
-        r(uptime).alias("uptime_percentage"),
+        # uptime is .round(1) in the reference (silver_to_gold.py:182-188)
+        (F.bround(uptime, 1) if rounded else uptime).alias("uptime_percentage"),
     ]
     if with_created_at:
         cols.append(F.current_timestamp().alias("created_at"))
@@ -138,12 +153,15 @@ def daily_business_summary(
     consumer/silver_to_gold.py:208-275). The 1-row aggregate side makes
     the cross join a broadcast nested-loop — effectively free."""
     r = bround3 if rounded else (lambda c: c)
+    # the reference rounds the groupby block to 2 decimals
+    # (silver_to_gold.py:217-224), kWh/health/cost_per_kwh to 3
+    r2 = (lambda c: F.bround(c, 2)) if rounded else (lambda c: c)
     summary = daily_energy.groupBy("date").agg(
-        r(F.sum("energy_consumption_wh_sum")).alias("total_energy_wh"),
-        r(F.sum("energy_cost_estimate")).alias("total_cost_estimate"),
+        r2(F.sum("energy_consumption_wh_sum")).alias("total_energy_wh"),
+        r2(F.sum("energy_cost_estimate")).alias("total_cost_estimate"),
         F.countDistinct("device_id").alias("active_devices"),
         F.countDistinct("user_id").alias("active_users"),
-        r(F.avg("data_completeness")).alias("avg_data_quality"),
+        r2(F.avg("data_completeness")).alias("avg_data_quality"),
         F.sum("total_readings").alias("total_data_points"),
     )
     summary = summary.withColumn(

@@ -15,6 +15,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import quantize_cols
 from ..operators import analytics
 from ..operators.gold import (
     daily_business_summary,
@@ -98,12 +99,20 @@ health AS (
 # ---------------------------------------------------------------------------
 
 def q_gold_device_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _health(spark, sf_dir)
+    # health/failure chains of window-avg outputs carry ulp-level
+    # cross-engine jitter — gate-quantized both sides (gate_quantize)
+    return quantize_cols(
+        _health(spark, sf_dir), "health_score", "failure_probability"
+    )
 
 
 ORACLE_GOLD_DEVICE_HEALTH_EVENTS = f"""
 WITH {_GOLD_CTE}
-SELECT * FROM health
+SELECT device_id, device_type,
+       CAST(CAST(health_score AS REAL) AS DOUBLE) AS health_score,
+       CAST(CAST(failure_probability AS REAL) AS DOUBLE) AS failure_probability,
+       data_reliability, total_alerts, uptime_percentage
+FROM health
 """
 
 
@@ -114,8 +123,15 @@ SELECT * FROM health
 def q_gold_business_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir)
     health = _health(spark, sf_dir)
-    return daily_business_summary(
-        daily, health, rounded=False, with_created_at=False
+    return quantize_cols(
+        daily_business_summary(daily, health, rounded=False, with_created_at=False),
+        "total_energy_wh",
+        "total_cost_estimate",
+        "avg_data_quality",
+        "total_energy_kwh",
+        "avg_device_health",
+        "avg_failure_risk",
+        "cost_per_kwh",
     )
 
 
@@ -144,13 +160,19 @@ hs AS (
          CAST(sum(total_alerts) AS DOUBLE) AS total_alerts
   FROM health
 )
-SELECT date, total_energy_wh, total_cost_estimate, active_devices,
-       active_users, avg_data_quality, total_data_points,
-       total_energy_wh / 1000.0 AS total_energy_kwh,
-       avg_device_health, avg_failure_risk, total_alerts,
-       CASE WHEN total_energy_wh / 1000.0 > 0
-            THEN total_cost_estimate / (total_energy_wh / 1000.0)
-            ELSE 0.0 END AS cost_per_kwh
+SELECT date,
+       CAST(CAST(total_energy_wh AS REAL) AS DOUBLE) AS total_energy_wh,
+       CAST(CAST(total_cost_estimate AS REAL) AS DOUBLE) AS total_cost_estimate,
+       active_devices, active_users,
+       CAST(CAST(avg_data_quality AS REAL) AS DOUBLE) AS avg_data_quality,
+       total_data_points,
+       CAST(CAST(total_energy_wh / 1000.0 AS REAL) AS DOUBLE) AS total_energy_kwh,
+       CAST(CAST(avg_device_health AS REAL) AS DOUBLE) AS avg_device_health,
+       CAST(CAST(avg_failure_risk AS REAL) AS DOUBLE) AS avg_failure_risk,
+       total_alerts,
+       CAST(CAST(CASE WHEN total_energy_wh / 1000.0 > 0
+                  THEN total_cost_estimate / (total_energy_wh / 1000.0)
+                  ELSE 0.0 END AS REAL) AS DOUBLE) AS cost_per_kwh
 FROM summary CROSS JOIN hs
 """
 
@@ -160,38 +182,49 @@ FROM summary CROSS JOIN hs
 # ---------------------------------------------------------------------------
 
 def q_analytics_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.energy_by_device_type(_daily(spark, sf_dir))
+    return quantize_cols(
+        analytics.energy_by_device_type(_daily(spark, sf_dir)), "energy_kwh"
+    )
 
 
 ORACLE_ANALYTICS_ENERGY_BY_TYPE = f"""
 WITH {_GOLD_CTE}
-SELECT device_type, sum(s_energy) / 1000.0 AS energy_kwh
+SELECT device_type, CAST(CAST(sum(s_energy) / 1000.0 AS REAL) AS DOUBLE) AS energy_kwh
 FROM agg GROUP BY 1
 """
 
 
 def q_analytics_daily_energy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.daily_energy_trend(_daily(spark, sf_dir))
+    return quantize_cols(
+        analytics.daily_energy_trend(_daily(spark, sf_dir)), "energy_kwh"
+    )
 
 
 ORACLE_ANALYTICS_DAILY_ENERGY_TREND = f"""
 WITH {_GOLD_CTE}
-SELECT date, sum(s_energy) / 1000.0 AS energy_kwh FROM agg GROUP BY 1
+SELECT date, CAST(CAST(sum(s_energy) / 1000.0 AS REAL) AS DOUBLE) AS energy_kwh FROM agg GROUP BY 1
 """
 
 
 def q_analytics_daily_cost_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.daily_cost_trend(_daily(spark, sf_dir))
+    return quantize_cols(
+        analytics.daily_cost_trend(_daily(spark, sf_dir)), "cost"
+    )
 
 
 ORACLE_ANALYTICS_DAILY_COST_TREND = f"""
 WITH {_GOLD_CTE}
-SELECT date, sum(s_energy) / 1000.0 * 0.12 AS cost FROM agg GROUP BY 1
+SELECT date, CAST(CAST(sum(s_energy) / 1000.0 * 0.12 AS REAL) AS DOUBLE) AS cost
+FROM agg GROUP BY 1
 """
 
 
 def q_analytics_kpi_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.kpi_today(_daily(spark, sf_dir), KPI_DATE)
+    return quantize_cols(
+        analytics.kpi_today(_daily(spark, sf_dir), KPI_DATE),
+        "total_energy_kwh",
+        "total_cost",
+    )
 
 
 ORACLE_ANALYTICS_KPI_DAY = f"""
@@ -201,20 +234,26 @@ day_rows AS (
          s_energy / 1000.0 * 0.12 AS cost
   FROM agg WHERE date = DATE '{KPI_DATE.isoformat()}'
 )
-SELECT sum(s_energy) / 1000.0 AS total_energy_kwh,
-       sum(cost) AS total_cost,
+SELECT CAST(CAST(sum(s_energy) / 1000.0 AS REAL) AS DOUBLE) AS total_energy_kwh,
+       CAST(CAST(sum(cost) AS REAL) AS DOUBLE) AS total_cost,
        count(DISTINCT device_id) AS active_devices
 FROM day_rows
 """
 
 
 def q_analytics_health_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.health_scatter(_health(spark, sf_dir))
+    return quantize_cols(
+        analytics.health_scatter(_health(spark, sf_dir)),
+        "health_score",
+        "failure_probability",
+    )
 
 
 ORACLE_ANALYTICS_HEALTH_SCATTER = f"""
 WITH {_GOLD_CTE}
-SELECT health_score, failure_probability, total_alerts, device_type, device_id
+SELECT CAST(CAST(health_score AS REAL) AS DOUBLE) AS health_score,
+       CAST(CAST(failure_probability AS REAL) AS DOUBLE) AS failure_probability,
+       total_alerts, device_type, device_id
 FROM health
 """
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import clamp01, guarded_div
+from ..functions.numeric import clamp01, guarded_div, gate_quantize
 from ..session import configure_for_oracle_parity
 from ..sources.parquet import load_table
 
@@ -87,8 +87,8 @@ def q_daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.col("user_id"), F.to_date("ts").alias("event_date")
     ).agg(
-        F.sum("value").alias("value_sum"),
-        F.avg("value").alias("value_mean"),
+        gate_quantize(F.sum("value")).alias("value_sum"),
+        gate_quantize(F.avg("value")).alias("value_mean"),
         F.max("value").alias("value_max"),
         F.min("value").alias("value_min"),
         F.count(F.lit(1)).alias("n_events"),
@@ -98,8 +98,8 @@ def q_daily_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DAILY_USER_ROLLUP = """
 SELECT user_id, CAST(ts AS DATE) AS event_date,
-       sum(value) AS value_sum,
-       avg(value) AS value_mean,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum,
+       CAST(CAST(avg(value) AS REAL) AS DOUBLE) AS value_mean,
        max(value) AS value_max,
        min(value) AS value_min,
        count(*) AS n_events,
@@ -156,13 +156,15 @@ def q_revenue_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_totalprice").alias("daily_revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    global_avg = daily.agg(F.avg("daily_revenue").alias("global_avg_revenue"))
+    global_avg = daily.agg(
+        gate_quantize(F.avg("daily_revenue")).alias("global_avg_revenue")
+    )
     return daily.crossJoin(F.broadcast(global_avg)).select(
         "order_date",
         "daily_revenue",
         "n_orders",
         "global_avg_revenue",
-        (F.col("daily_revenue") / F.col("global_avg_revenue")).alias(
+        gate_quantize(F.col("daily_revenue") / F.col("global_avg_revenue")).alias(
             "revenue_ratio"
         ),
     )
@@ -174,9 +176,9 @@ WITH daily AS (
          sum(o_totalprice) AS daily_revenue,
          count(*) AS n_orders
   FROM orders GROUP BY 1
-), g AS (SELECT avg(daily_revenue) AS global_avg_revenue FROM daily)
+), g AS (SELECT CAST(CAST(avg(daily_revenue) AS REAL) AS DOUBLE) AS global_avg_revenue FROM daily)
 SELECT order_date, daily_revenue, n_orders, global_avg_revenue,
-       daily_revenue / global_avg_revenue AS revenue_ratio
+       CAST(CAST(daily_revenue / global_avg_revenue AS REAL) AS DOUBLE) AS revenue_ratio
 FROM daily CROSS JOIN g
 """
 
@@ -201,17 +203,22 @@ def q_rolling_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "value",
-        F.avg("value").over(w).alias("value_60row_avg"),
+        gate_quantize(F.avg("value").over(w)).alias("value_60row_avg"),
         F.sum((F.col("event_type") == "error").cast("long"))
         .over(w)
         .alias("errors_60row"),
     )
 
 
+# errors_60row CAST AS BIGINT: DuckDB types sum(INTEGER) as HUGEINT,
+# which pandas converts to float64 and the gate's hash then mismatches
+# Spark's long despite identical values. avg quantized both sides
+# (DuckDB computes window avgs via segment tree — ulp-different order).
 ORACLE_ROLLING_EVENT_METRICS = """
 SELECT event_id, user_id, ts, value,
-       avg(value) OVER w AS value_60row_avg,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS errors_60row
+       CAST(CAST(avg(value) OVER w AS REAL) AS DOUBLE) AS value_60row_avg,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w
+            AS BIGINT) AS errors_60row
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
@@ -309,21 +316,24 @@ def q_event_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        score.alias("quality_score"),
+        gate_quantize(score).alias("quality_score"),
     ).withColumn("is_valid", F.col("quality_score") >= 0.5)
 
 
+# quality_score quantized both sides: DuckDB evaluates the decimal
+# literals in DECIMAL arithmetic (exact) while Spark subtracts doubles,
+# leaving ulp-level differences the gate hash would flag.
 ORACLE_EVENT_QUALITY_SCORE = """
-SELECT event_id, user_id,
-       1.0 - (CASE WHEN props IS NULL THEN 0.1 ELSE 0.0 END)
-           - (CASE WHEN value < 0 OR value > 100 THEN 0.2 ELSE 0.0 END)
-           - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END)
-         AS quality_score,
-       (1.0 - (CASE WHEN props IS NULL THEN 0.1 ELSE 0.0 END)
-            - (CASE WHEN value < 0 OR value > 100 THEN 0.2 ELSE 0.0 END)
-            - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END)) >= 0.5
-         AS is_valid
-FROM events
+WITH scored AS (
+  SELECT event_id, user_id,
+         CAST(CAST(1.0 - (CASE WHEN props IS NULL THEN 0.1 ELSE 0.0 END)
+                   - (CASE WHEN value < 0 OR value > 100 THEN 0.2 ELSE 0.0 END)
+                   - (CASE WHEN event_type = 'error' THEN 0.2 ELSE 0.0 END) AS REAL) AS DOUBLE)
+           AS quality_score
+  FROM events
+)
+SELECT event_id, user_id, quality_score, quality_score >= 0.5 AS is_valid
+FROM scored
 """
 
 
@@ -495,7 +505,7 @@ def q_hourly_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour_start")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("value_sum"),
+        gate_quantize(F.sum("value")).alias("value_sum"),
         F.countDistinct("user_id").alias("active_users"),
     )
 
@@ -503,7 +513,7 @@ def q_hourly_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HOURLY_EVENT_WINDOW = """
 SELECT date_trunc('hour', ts) AS hour_start,
        count(*) AS n_events,
-       sum(value) AS value_sum,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum,
        count(DISTINCT user_id) AS active_users
 FROM events GROUP BY 1
 """
@@ -665,8 +675,11 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- BIGINT cast: DuckDB sum(INTEGER) is HUGEINT -> float64 in
+         -- pandas, which hash-mismatches Spark's long
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM e
 )
 SELECT user_id, session_seq,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extensions import dedup, multimodal, similarity, text
+from ..functions.numeric import quantize_cols
 from ..session import configure_for_oracle_parity
 from ..sources.parquet import load_table, spread
 
@@ -164,7 +165,11 @@ FROM t
 
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = text.add_quality_score(_docs(spark, sf_dir))
-    return d.select("doc_id", "text_quality", "is_quality")
+    # text_quality gate-quantized: DuckDB evaluates the 0.3/0.2 penalty
+    # literals in exact DECIMAL arithmetic, Spark in double — ulp diffs
+    return quantize_cols(
+        d.select("doc_id", "text_quality", "is_quality"), "text_quality"
+    )
 
 
 ORACLE_TEXT_QUALITY_SCORE = f"""
@@ -179,17 +184,17 @@ WITH t AS (
          CAST(len(list_filter(toks, x -> x IN ({_STOP}))) AS DOUBLE) / len(toks)
            AS stop_ratio
   FROM t
+), q AS (
+  SELECT doc_id,
+         1.0 - (CASE WHEN n_tokens < 10 THEN 0.3 ELSE 0.0 END)
+             - (CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END)
+             - (CASE WHEN avg_len > 12 OR avg_len < 2 THEN 0.2 ELSE 0.0 END)
+             - (CASE WHEN n_chars < 50 THEN 0.2 ELSE 0.0 END) AS text_quality
+  FROM s
 )
-SELECT doc_id,
-       1.0 - (CASE WHEN n_tokens < 10 THEN 0.3 ELSE 0.0 END)
-           - (CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END)
-           - (CASE WHEN avg_len > 12 OR avg_len < 2 THEN 0.2 ELSE 0.0 END)
-           - (CASE WHEN n_chars < 50 THEN 0.2 ELSE 0.0 END) AS text_quality,
-       (1.0 - (CASE WHEN n_tokens < 10 THEN 0.3 ELSE 0.0 END)
-            - (CASE WHEN stop_ratio < 0.01 THEN 0.2 ELSE 0.0 END)
-            - (CASE WHEN avg_len > 12 OR avg_len < 2 THEN 0.2 ELSE 0.0 END)
-            - (CASE WHEN n_chars < 50 THEN 0.2 ELSE 0.0 END)) >= 0.5 AS is_quality
-FROM s
+SELECT doc_id, CAST(CAST(text_quality AS REAL) AS DOUBLE) AS text_quality,
+       text_quality >= 0.5 AS is_quality
+FROM q
 """
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import quantize_cols
 from ..operators.gold import daily_energy_consumption
 from ..operators.silver import bronze_to_silver
 from ..session import configure_for_oracle_parity
@@ -72,10 +73,17 @@ def _events_as_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_silver_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full bronze->silver pipeline (SURVEY.md §3.2) on mapped events."""
+    """Full bronze->silver pipeline (SURVEY.md §3.2) on mapped events.
+
+    The 1h window avgs are gate-quantized (see
+    :func:`...functions.numeric.gate_quantize`): DuckDB's segment-tree
+    window aggregation sums in a different order than Spark's running
+    frame, leaving ulp-level diffs a byte hash would flag."""
     bronze = _events_as_bronze(spark, sf_dir)
     silver = bronze_to_silver(bronze, catalog=None)
-    return silver.select(*SILVER_OUT_COLS)
+    return quantize_cols(
+        silver.select(*SILVER_OUT_COLS), "temp_1h_avg", "power_1h_avg"
+    )
 
 
 # The oracle replays every pipeline stage as SQL. Window frames are the
@@ -154,7 +162,9 @@ ORACLE_SILVER_PIPELINE_EVENTS = f"""
 WITH {_BRONZE_CTE}
 SELECT device_id, timestamp, temperature, power_usage, energy_consumption_wh,
        quality_score, is_valid, processing_delay_hours, is_late_event,
-       temp_1h_avg, power_1h_avg, energy_efficiency, has_alert,
+       CAST(CAST(temp_1h_avg AS REAL) AS DOUBLE) AS temp_1h_avg,
+       CAST(CAST(power_1h_avg AS REAL) AS DOUBLE) AS power_1h_avg,
+       energy_efficiency, has_alert,
        alert_frequency_1h, date
 FROM windowed
 """
@@ -166,7 +176,11 @@ def q_gold_daily_energy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate set and half-even rounding."""
     bronze = _events_as_bronze(spark, sf_dir)
     silver = bronze_to_silver(bronze, catalog=None)
-    return daily_energy_consumption(silver, rounded=False)
+    return quantize_cols(
+        daily_energy_consumption(silver, rounded=False),
+        "quality_score_mean",
+        "avg_efficiency",
+    )
 
 
 ORACLE_GOLD_DAILY_ENERGY_EVENTS = f"""
@@ -184,8 +198,7 @@ agg AS (
     max(temperature) AS x_temp,
     avg(quality_score) AS m_quality,
     avg(CASE WHEN is_valid THEN 1.0 ELSE 0.0 END) AS m_valid,
-    max(alert_frequency_1h) AS x_alert,
-    avg(energy_efficiency) AS m_eff
+    max(alert_frequency_1h) AS x_alert
   FROM windowed
   GROUP BY device_id, device_type, user_id, date
 )
@@ -199,11 +212,13 @@ SELECT device_id, device_type, user_id, date,
        m_temp AS temperature_mean,
        n_temp AS temperature_min,
        x_temp AS temperature_max,
-       m_quality AS quality_score_mean,
+       CAST(CAST(m_quality AS REAL) AS DOUBLE) AS quality_score_mean,
        m_valid AS is_valid_mean,
        x_alert AS alert_frequency_1h_max,
        s_energy / 1000.0 * 0.12 AS energy_cost_estimate,
-       m_eff AS avg_efficiency,
+       -- ratio of group means, guarded (reference silver_to_gold.py:114-118)
+       CAST(CAST(CASE WHEN m_power > 0 THEN m_energy / m_power ELSE 0.0 END AS REAL) AS DOUBLE)
+         AS avg_efficiency,
        m_valid * 100.0 AS data_completeness,
        c_energy AS total_readings
 FROM agg

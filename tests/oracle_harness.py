@@ -36,7 +36,7 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     df = df.copy()
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -69,12 +69,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = s.astype("int64")
             else:
                 df[c] = s.astype("string")
-    # order-insensitive: sort rows by every column (floats rounded so
-    # last-bit jitter cannot permute rows)
+    # order-insensitive: sort rows by every column. In tolerant mode,
+    # floats are rounded for the sort so last-bit jitter cannot permute
+    # rows; in exact mode we sort on full precision — any bit
+    # difference then surfaces as a value mismatch, which is exactly
+    # what the driver's byte hash would report.
     sort_df = df.copy()
-    for c in sort_df.columns:
-        if pd.api.types.is_float_dtype(sort_df[c]):
-            sort_df[c] = sort_df[c].round(6)
+    if not exact:
+        for c in sort_df.columns:
+            if pd.api.types.is_float_dtype(sort_df[c]):
+                sort_df[c] = sort_df[c].round(6)
     order = sort_df.sort_values(by=list(df.columns), kind="mergesort").index
     return df.loc[order].reset_index(drop=True)
 
@@ -85,11 +89,19 @@ def compare(
     sf_dir: str,
     float_rtol: float = 1e-6,
     float_atol: float = 1e-9,
+    exact: bool = False,
 ) -> dict:
-    sp = _normalize(spark_df.toPandas())
+    """Compare Spark result vs DuckDB oracle. With ``exact=True`` the
+    comparison mirrors the driver's gate: order-insensitive but
+    bit-exact on every value (no float tolerance) — a query must pass
+    exact mode to be expected green in CORRECTNESS_r{N}.json."""
+    if exact:
+        float_rtol = 0.0
+        float_atol = 0.0
+    sp = _normalize(spark_df.toPandas(), exact=exact)
     con = duck_con(sf_dir)
     try:
-        du = _normalize(con.execute(oracle_sql).df())
+        du = _normalize(con.execute(oracle_sql).df(), exact=exact)
     finally:
         con.close()
 

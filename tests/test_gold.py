@@ -27,8 +27,9 @@ def test_daily_energy(gold):
     assert d1.temperature_max == pytest.approx(23.0)
     assert d1.is_valid_mean == pytest.approx(1.0)
     assert d1.data_completeness == pytest.approx(100.0)
-    # cost = 68.3/1000 * 0.12, bround to 3
-    assert d1.energy_cost_estimate == pytest.approx(round(68.3 / 1000 * 0.12, 3))
+    # cost = 68.3/1000 * 0.12, .round(2) as in the reference
+    # (silver_to_gold.py:109-111)
+    assert d1.energy_cost_estimate == pytest.approx(round(68.3 / 1000 * 0.12, 2))
 
 
 def test_device_health_shape_and_bounds(gold):

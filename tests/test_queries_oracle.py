@@ -13,15 +13,25 @@ from oracle_harness import assert_match
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
+# SPARK_GRAFT_EXACT=1 mirrors the driver's gate: order-insensitive,
+# bit-exact values, no float tolerance. Run this at sf0.01 before the
+# round ends:
+#   SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_EXACT=1 \
+#     pytest tests/test_queries_oracle.py
+EXACT = os.environ.get("SPARK_GRAFT_EXACT", "0") == "1"
+
 ORACLE_CASES = sorted(n for n in QUERIES if n in ORACLES)
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_query_matches_oracle(spark, name):
-    res = assert_match(name, QUERIES[name], ORACLES[name], spark, SF_DIR)
-    # float jitter margin: worst relative error must sit far below any
-    # plausible driver hash rounding
-    assert res["max_rel_err"] < 1e-6, res
+    res = assert_match(
+        name, QUERIES[name], ORACLES[name], spark, SF_DIR, exact=EXACT
+    )
+    if not EXACT:
+        # float jitter margin: worst relative error must sit far below
+        # any plausible driver hash rounding
+        assert res["max_rel_err"] < 1e-6, res
 
 
 def test_all_queries_have_callables():
