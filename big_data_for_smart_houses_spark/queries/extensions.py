@@ -411,11 +411,43 @@ FROM f
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata via the deterministic fake decoder (rows-only
-    check: the byte-sum digest isn't replayable in SQL; unit tests
-    cover the per-modality values)."""
+    """Typed metadata via the deterministic fake decoder
+    (extensions/multimodal.py:84). Fully oracle-checked: the fake
+    decoder's byte-sum digest over ASCII payloads is replayable in SQL
+    as a char-ordinal sum, so the mapInPandas plumbing gets a real
+    hash gate, not just a rows-only check."""
     assets = multimodal.attach_payloads(_docs(spark, sf_dir))
     return multimodal.decode_metadata(assets)
+
+
+# Replays fake_decode (extensions/multimodal.py:84): digest = sum of
+# the first 64 payload bytes; documents.text is pure ASCII, so
+# ord(char) == byte value.
+ORACLE_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(split(substring(text, 1, 64), ''),
+                                      x -> ord(x))) AS BIGINT) AS digest,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CASE WHEN doc_id % 3 = 0 THEN 16 + digest % 240
+            WHEN doc_id % 3 = 1 THEN CAST(NULL AS BIGINT)
+            ELSE 320 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 16 + (digest * 7) % 240
+            WHEN doc_id % 3 = 1 THEN CAST(NULL AS BIGINT)
+            ELSE 240 END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(NULL AS BIGINT)
+            WHEN doc_id % 3 = 1 THEN n * 10
+            ELSE n * 40 END AS duration_ms,
+       CASE WHEN doc_id % 3 = 2 THEN greatest(1, n // 25)
+            ELSE CAST(NULL AS BIGINT) END AS n_frames
+FROM d
+"""
 
 
 QUERIES = {
@@ -449,4 +481,5 @@ ORACLES = {
     "embedding_neardup_pairs": ORACLE_EMBEDDING_NEARDUP_PAIRS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
 }
