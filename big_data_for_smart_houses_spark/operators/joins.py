@@ -45,13 +45,26 @@ def asof_join(
     r = right.groupBy(on, right_ts).agg(
         *[F.max(c).alias(c) for c in right_cols]
     )
+    # Rename right payload columns to a private _r_ prefix BEFORE the
+    # union: if a payload name also exists in the left DataFrame,
+    # unionByName would merge both into one column and
+    # last(col, ignorenulls) would pick up the left row's own value
+    # (and earlier left rows' values) instead of the latest right
+    # row's — silently wrong results exactly on the overlapping-name
+    # path the `{col}_asof` rename exists to support. With the
+    # prefix, left rows are guaranteed null in every fill column.
+    ts_out = f"{right_ts}{suffix}"
+    fill_src = {c: f"_r_{c}" for c in right_cols}
+    fill_src[ts_out] = f"_r_{ts_out}"
     l_tagged = left.withColumn("_tag", F.lit(1)).withColumn(
         "_ts", F.col(left_ts)
     )
-    r_tagged = (
-        r.withColumn("_tag", F.lit(0))
-        .withColumn("_ts", F.col(right_ts))
-        .withColumn(f"{right_ts}{suffix}", F.col(right_ts))
+    r_tagged = r.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias(fill_src[ts_out]),
+        *[F.col(c).alias(fill_src[c]) for c in right_cols],
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows sort before left rows at equal ts (tag 0 < 1):
@@ -62,15 +75,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u
-    for c in [*right_cols, f"{right_ts}{suffix}"]:
+    for src in fill_src.values():
         filled = filled.withColumn(
-            f"_f_{c}", F.last(F.col(c), ignorenulls=True).over(w)
+            f"_f{src}", F.last(F.col(src), ignorenulls=True).over(w)
         )
     out = filled.filter(F.col("_tag") == 1)
     keep = [c for c in left.columns]
-    for c in [*right_cols, f"{right_ts}{suffix}"]:
-        out = out.withColumn(
-            c if c not in left.columns else f"{c}{suffix}", F.col(f"_f_{c}")
-        )
-        keep.append(c if c not in left.columns else f"{c}{suffix}")
+    for c in [*right_cols, ts_out]:
+        name = c if c not in left.columns else f"{c}{suffix}"
+        out = out.withColumn(name, F.col(f"_f{fill_src[c]}"))
+        keep.append(name)
     return out.select(*keep)

@@ -199,3 +199,37 @@ def test_asof_join_edges(spark):
     assert out[("a", 200)].ts_asof == T0 + dt.timedelta(seconds=150)
     # no prior right row -> nulls, row preserved (left join semantics)
     assert out[("b", 50)].ts_asof is None and out[("b", 50)].payload is None
+
+
+def test_asof_join_overlapping_payload_name(spark):
+    """A right payload column whose name also exists on the left must
+    fill from RIGHT rows only — the left row's own non-null value must
+    never leak into the <col>_asof output (operators/joins.py private
+    _r_ prefix)."""
+    from big_data_for_smart_houses_spark.operators.joins import asof_join
+
+    left = (
+        _ts_df(spark, [("a", 100), ("a", 200), ("b", 50)])
+        .withColumnRenamed("timestamp", "ts")
+        .withColumnRenamed("device_id", "k")
+        .withColumn("payload", F.lit(-1.0))  # overlapping name, non-null
+    )
+    right = (
+        _ts_df(spark, [("a", 90), ("a", 150)])
+        .withColumnRenamed("timestamp", "ts")
+        .withColumnRenamed("device_id", "k")
+        .withColumn("payload", F.unix_timestamp("ts").cast("double"))
+    )
+    rows = {
+        (r.k, int((r.ts - T0).total_seconds())): r
+        for r in asof_join(left, right, on="k", right_cols=["payload"]).collect()
+    }
+    t90 = (T0 + dt.timedelta(seconds=90)).timestamp()
+    t150 = (T0 + dt.timedelta(seconds=150)).timestamp()
+    # left's own payload (-1.0) is preserved untouched...
+    assert all(r.payload == -1.0 for r in rows.values())
+    # ...and payload_asof comes from the latest right row, never from
+    # the left row's -1.0
+    assert rows[("a", 100)].payload_asof == t90
+    assert rows[("a", 200)].payload_asof == t150
+    assert rows[("b", 50)].payload_asof is None
