@@ -25,12 +25,15 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint, normalized
 
-# Deterministic MinHash parameters: k affine permutations of xxhash64
-# over a Mersenne prime. Fixed constants => reproducible signatures.
+# Deterministic MinHash parameters: k independent 64-bit hash
+# functions h_i(x) = xxhash64(xxhash64(x), i). Rehashing the base
+# hash with the function index is ANSI-safe — the classic affine
+# permutation a_i·h + b_i mod p overflows 64-bit multiplication for
+# nearly every hash value, which silently wraps with ANSI off and
+# throws ARITHMETIC_OVERFLOW under Spark 4's default
+# spark.sql.ansi.enabled=true. Fixed scheme => reproducible
+# signatures.
 MINHASH_K = 16
-MERSENNE_P = (1 << 61) - 1
-_MH_A = [1000003 * (i + 1) + 17 for i in range(MINHASH_K)]
-_MH_B = [999999937 * (i + 1) + 31 for i in range(MINHASH_K)]
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
@@ -128,15 +131,17 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Per-document MinHash signature: explode shingles once, take k
-    affine-permuted minimums in a single groupBy (k min-aggregates —
-    one shuffle of (id, hash), map-side combined)."""
+    independent-hash minimums in a single groupBy (k min-aggregates —
+    one shuffle of (id, hash), map-side combined). Each h_i rehashes
+    the base shingle hash with the function index
+    (xxhash64(h, i) — 12 bytes, far cheaper than rehashing the
+    string k times), avoiding any 64-bit multiply so the operator is
+    ANSI-mode safe."""
     sh = shingles(df, id_col, text_col, n).withColumn(
         "h", F.xxhash64("shingle")
     )
     aggs = [
-        F.min(F.pmod(F.lit(_MH_A[i]) * F.col("h") + F.lit(_MH_B[i]), F.lit(MERSENNE_P))).alias(
-            f"sig_{i}"
-        )
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"sig_{i}")
         for i in range(MINHASH_K)
     ]
     return sh.groupBy(id_col).agg(*aggs)
