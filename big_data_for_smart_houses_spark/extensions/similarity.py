@@ -29,6 +29,25 @@ HYPERPLANES = [
     [_rng.uniform(-1.0, 1.0) for _ in range(EMBEDDING_DIM)] for _ in range(N_PLANES)
 ]
 
+# Banded hyperplane LSH for PAIR MINING (near-dup detection), mirroring
+# the MinHash band construction in extensions/dedup.py: B bands of R
+# planes each; a pair becomes a candidate iff it agrees on every sign
+# in at least one band. Recall for a pair with per-plane agreement
+# probability p (p = 1 - angle/pi) is 1-(1-p^R)^B — structurally 1.0
+# for exact duplicates and >=0.99 at cosine >=0.99 with B=4, R=8;
+# genuinely distant pairs land in the same 2^R-bucket band with
+# probability ~2^-R, keeping candidate generation sub-quadratic.
+NEARDUP_BANDS = 4
+NEARDUP_ROWS = 8
+_rng_pairs = random.Random(20250813)
+PAIR_HYPERPLANES = [
+    [
+        [_rng_pairs.uniform(-1.0, 1.0) for _ in range(EMBEDDING_DIM)]
+        for _ in range(NEARDUP_ROWS)
+    ]
+    for _ in range(NEARDUP_BANDS)
+]
+
 
 def as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -100,6 +119,70 @@ def neardup_pairs(
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _band_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """R-bit sign pattern of ``vec`` against one band's planes."""
+    sig = F.lit(0)
+    for r, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(dot(vec, p) >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+    return sig
+
+
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs above a cosine threshold via banded-LSH candidate
+    generation + exact cosine verification — the scale path that
+    replaces the O(n²) :func:`neardup_pairs` plan.
+
+    Each vector emits one (band_id, signature) bucket key per band;
+    candidate pairs come from within-bucket pairing (bucket size
+    capped, as in the MinHash/SimHash generators), then every
+    candidate is verified with the exact cosine — so precision is
+    exact and only recall is approximate (1-(1-p^R)^B, structurally
+    1.0 for exact duplicates since every band matches). At 100 TB the
+    shuffle is B× the corpus (vectors ride along to the buckets,
+    avoiding two corpus-wide join-backs) and pair cost is
+    ~B·Σ_bucket m², never n²."""
+    from .dedup import MAX_BUCKET_SIZE, _pairs_expr
+
+    v = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _band_signature(F.col("v"), PAIR_HYPERPLANES[b]).alias("sig"),
+            )
+            for b in range(NEARDUP_BANDS)
+        ]
+    )
+    exploded = v.select(
+        "id", "v", F.explode(bands).alias("band")
+    ).select("id", "v", "band.band_id", "band.sig")
+    return (
+        exploded.groupBy("band_id", "sig")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("v")))
+            ).alias("members")
+        )
+        .filter((F.size("members") > 1) & (F.size("members") <= MAX_BUCKET_SIZE))
+        .select(F.explode(_pairs_expr("members")).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id1"),
+            F.col("p.b.id").alias("id2"),
+            cosine(F.col("p.a.v"), F.col("p.b.v")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
     )
 
 

@@ -26,7 +26,6 @@ from ..sources.parquet import load_table, spread
 PLANT_OFFSET = 100_000
 PLANT_N = 50
 JACCARD_THRESHOLD = 0.2
-COSINE_NEARDUP_THRESHOLD = 0.4
 TOPK_QUERY_MAX_ID = 10
 TOPK_K = 5
 
@@ -308,14 +307,55 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """
 
 
+# Planted embedding near-dups: 50 vectors re-appear with shifted ids
+# and a +0.01 per-coordinate perturbation (cosine ~0.9968 to the
+# original — genuine near-dups, not byte-identical). The shift is
+# plain double arithmetic, so the oracle replays it bit-exactly.
+EMB_PLANT_N = 50
+EMB_PLANT_OFFSET = 100_000
+EMB_PLANT_SHIFT = 0.01
+NEARDUP_LSH_THRESHOLD = 0.7
+
+
+def _emb_with_planted_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < EMB_PLANT_N).select(
+        (F.col("vec_id") + EMB_PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(EMB_PLANT_SHIFT)
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded-LSH candidates + exact cosine verify
+    (extensions/similarity.py:neardup_pairs_lsh) — the sub-quadratic
+    plan. The brute-force O(n²) baseline (similarity.neardup_pairs)
+    survives as the unit-test cross-check only; parity between the two
+    at this threshold is asserted in tests/test_extensions.py."""
     configure_for_oracle_parity(spark)
-    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
-    return similarity.neardup_pairs(emb, threshold=COSINE_NEARDUP_THRESHOLD)
+    return similarity.neardup_pairs_lsh(
+        _emb_with_planted_neardups(spark, sf_dir),
+        threshold=NEARDUP_LSH_THRESHOLD,
+    )
 
 
+# The oracle is the brute-force pair scan (quadratic is fine in DuckDB
+# at gate scale) over the same planted corpus — so the gate verifies
+# that LSH candidate generation + exact verification reproduces the
+# full answer set.
 ORACLE_EMBEDDING_NEARDUP_PAIRS = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {EMB_PLANT_SHIFT}) AS v
+  FROM e0 WHERE vec_id < {EMB_PLANT_N}
+)
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -323,7 +363,7 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-      >= {COSINE_NEARDUP_THRESHOLD}
+      >= {NEARDUP_LSH_THRESHOLD}
 """
 
 

@@ -82,6 +82,37 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert rerun == approx_set
 
 
+def test_embedding_neardup_lsh_matches_brute_force(spark):
+    """The gated banded-LSH near-dup path must reproduce the exact
+    brute-force pair set at the gated threshold — LSH narrows
+    candidates, exact cosine verification decides, so precision is
+    exact and recall is checked here against the O(n²) baseline
+    (which survives only as this cross-check)."""
+    from big_data_for_smart_houses_spark.queries.extensions import (
+        EMB_PLANT_N,
+        EMB_PLANT_OFFSET,
+        NEARDUP_LSH_THRESHOLD,
+        _emb_with_planted_neardups,
+    )
+
+    corpus = _emb_with_planted_neardups(spark, SF_DIR).cache()
+    exact = {
+        (r.id1, r.id2)
+        for r in similarity.neardup_pairs(
+            corpus, threshold=NEARDUP_LSH_THRESHOLD
+        ).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in similarity.neardup_pairs_lsh(
+            corpus, threshold=NEARDUP_LSH_THRESHOLD
+        ).collect()
+    }
+    assert lsh == exact
+    # and the answer is exactly the planted near-dups (cos ~0.9968)
+    assert exact == {(i, i + EMB_PLANT_OFFSET) for i in range(EMB_PLANT_N)}
+
+
 def test_minhash_signature_determinism(planted):
     sig1 = dedup.minhash_signatures(planted).orderBy("doc_id").limit(5).collect()
     sig2 = dedup.minhash_signatures(planted).orderBy("doc_id").limit(5).collect()
