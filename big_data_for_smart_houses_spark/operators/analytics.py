@@ -31,6 +31,77 @@ def kpi_today(daily_energy: DataFrame, today: dt.date) -> DataFrame:
     )
 
 
+def kpi_with_fallback(
+    daily_energy: DataFrame,
+    silver: DataFrame,
+    summary: DataFrame,
+    health: DataFrame,
+    today: dt.date,
+    now: dt.datetime,
+    rate: float = ENERGY_RATE_PER_KWH,
+) -> DataFrame:
+    """The dashboard's full KPI source-priority chain as ONE composed
+    plan (reference dashboard/app.py:277-357):
+
+    1. gold ``daily_energy`` filtered to ``today`` — used if any rows;
+    2. else silver last-24h (cost = kWh × rate);
+    3. if the result is still zero energy and a business summary
+       exists, the latest summary row's values win;
+    4. ``avg_health`` = mean health score × 100 (0 when empty).
+
+    Each source collapses to a broadcast 1-row aggregate and the
+    priority logic is pure column CASEs over their cross join — no
+    driver-side branching, no second scan of any table, and the same
+    plan shape at any scale. ``kpi_source`` reports which tier won."""
+    g = daily_energy.filter(F.col("date") == F.lit(today)).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        (F.sum("energy_consumption_wh_sum") / 1000.0).alias("e_g"),
+        F.sum("energy_cost_estimate").alias("c_g"),
+        F.countDistinct("device_id").alias("d_g"),
+    )
+    cutoff = now - dt.timedelta(hours=24)
+    s = silver.filter(F.col("timestamp") >= F.lit(cutoff)).agg(
+        (F.coalesce(F.sum("energy_consumption_wh"), F.lit(0.0)) / 1000.0).alias(
+            "e_s"
+        ),
+        F.countDistinct("device_id").alias("d_s"),
+    )
+    b = summary.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.max_by("total_energy_kwh", "date").alias("e_b"),
+        F.max_by("total_cost_estimate", "date").alias("c_b"),
+        F.max_by("active_devices", "date").alias("d_b"),
+    )
+    h = health.agg(
+        F.coalesce(F.avg("health_score") * 100.0, F.lit(0.0)).alias("avg_health")
+    )
+    row = (
+        g.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(h))
+    )
+    gold_hit = F.col("n_g") > 0
+    e1 = F.when(gold_hit, F.col("e_g")).otherwise(F.col("e_s"))
+    c1 = F.when(gold_hit, F.col("c_g")).otherwise(F.col("e_s") * rate)
+    d1 = F.when(gold_hit, F.col("d_g")).otherwise(F.col("d_s"))
+    use_b = (e1 == 0.0) & (F.col("n_b") > 0)
+    source = (
+        F.when(use_b, F.lit("business_summary"))
+        .when(gold_hit, F.lit("gold_today"))
+        .otherwise(F.lit("silver_24h"))
+    )
+    return row.select(
+        F.when(use_b, F.col("e_b")).otherwise(e1).alias("total_energy_kwh"),
+        F.when(use_b, F.col("c_b")).otherwise(c1).alias("total_cost"),
+        F.when(use_b, F.col("d_b"))
+        .otherwise(d1)
+        .cast("long")
+        .alias("active_devices"),
+        F.col("avg_health"),
+        source.alias("kpi_source"),
+    )
+
+
 def kpi_last_24h_from_silver(silver: DataFrame, now: dt.datetime) -> DataFrame:
     """KPI fallback when gold is empty: aggregate raw silver over the
     last 24 h (reference dashboard/app.py:307-329)."""

@@ -241,6 +241,110 @@ FROM day_rows
 """
 
 
+# ---------------------------------------------------------------------------
+# KPI fallback chain (reference dashboard/app.py:277-357): one gated
+# query per source tier — gold-today, silver-24h, business-summary.
+# ---------------------------------------------------------------------------
+
+KPI_MISS_DATE = dt.date(2030, 1, 1)  # no gold rows on this date
+KPI_DEAD_NOW = dt.datetime(2030, 1, 1, 0, 0, 0)  # silver-24h empty too
+
+
+def _kpi_chain(spark: SparkSession, sf_dir: str, today, now) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    health = _health(spark, sf_dir)
+    silver = _silver(spark, sf_dir)
+    summary = daily_business_summary(
+        daily, health, rounded=False, with_created_at=False
+    )
+    return quantize_cols(
+        analytics.kpi_with_fallback(daily, silver, summary, health, today, now),
+        "total_energy_kwh",
+        "total_cost",
+        "avg_health",
+    )
+
+
+def q_analytics_kpi_chain_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 1: gold has rows for 'today' -> KPIs from gold."""
+    return _kpi_chain(spark, sf_dir, KPI_DATE, LIVE_NOW)
+
+
+def q_analytics_kpi_chain_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 2: no gold rows for 'today' -> silver last-24h."""
+    return _kpi_chain(spark, sf_dir, KPI_MISS_DATE, LIVE_NOW)
+
+
+def q_analytics_kpi_chain_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 3: gold miss AND empty silver window -> latest summary."""
+    return _kpi_chain(spark, sf_dir, KPI_MISS_DATE, KPI_DEAD_NOW)
+
+
+def _oracle_kpi_chain(today: dt.date, now: dt.datetime) -> str:
+    cutoff = (now - dt.timedelta(hours=24)).isoformat(sep=" ")
+    return f"""
+WITH {_GOLD_CTE},
+daily AS (
+  SELECT device_id, user_id, date, s_energy,
+         s_energy / 1000.0 * 0.12 AS cost
+  FROM agg
+),
+summary AS (
+  SELECT date,
+         sum(s_energy) / 1000.0 AS total_energy_kwh,
+         sum(cost) AS total_cost_estimate,
+         count(DISTINCT device_id) AS active_devices
+  FROM daily GROUP BY 1
+),
+g AS (
+  SELECT count(*) AS n_g,
+         sum(s_energy) / 1000.0 AS e_g,
+         sum(cost) AS c_g,
+         count(DISTINCT device_id) AS d_g
+  FROM daily WHERE date = DATE '{today.isoformat()}'
+),
+s AS (
+  SELECT coalesce(sum(energy_consumption_wh), 0.0) / 1000.0 AS e_s,
+         count(DISTINCT device_id) AS d_s
+  FROM windowed WHERE timestamp >= TIMESTAMP '{cutoff}'
+),
+b AS (
+  SELECT count(*) AS n_b,
+         arg_max(total_energy_kwh, date) AS e_b,
+         arg_max(total_cost_estimate, date) AS c_b,
+         arg_max(active_devices, date) AS d_b
+  FROM summary
+),
+h AS (
+  SELECT coalesce(avg(health_score) * 100.0, 0.0) AS avg_health FROM health
+),
+x AS (
+  SELECT *,
+    CASE WHEN n_g > 0 THEN e_g ELSE e_s END AS e1,
+    CASE WHEN n_g > 0 THEN c_g ELSE e_s * 0.12 END AS c1,
+    CASE WHEN n_g > 0 THEN d_g ELSE d_s END AS d1
+  FROM g CROSS JOIN s CROSS JOIN b CROSS JOIN h
+)
+SELECT
+  CAST(CAST(CASE WHEN e1 = 0.0 AND n_b > 0 THEN e_b ELSE e1 END
+            AS REAL) AS DOUBLE) AS total_energy_kwh,
+  CAST(CAST(CASE WHEN e1 = 0.0 AND n_b > 0 THEN c_b ELSE c1 END
+            AS REAL) AS DOUBLE) AS total_cost,
+  CAST(CASE WHEN e1 = 0.0 AND n_b > 0 THEN d_b ELSE d1 END
+       AS BIGINT) AS active_devices,
+  CAST(CAST(avg_health AS REAL) AS DOUBLE) AS avg_health,
+  CASE WHEN e1 = 0.0 AND n_b > 0 THEN 'business_summary'
+       WHEN n_g > 0 THEN 'gold_today'
+       ELSE 'silver_24h' END AS kpi_source
+FROM x
+"""
+
+
+ORACLE_ANALYTICS_KPI_CHAIN_GOLD = _oracle_kpi_chain(KPI_DATE, LIVE_NOW)
+ORACLE_ANALYTICS_KPI_CHAIN_SILVER = _oracle_kpi_chain(KPI_MISS_DATE, LIVE_NOW)
+ORACLE_ANALYTICS_KPI_CHAIN_SUMMARY = _oracle_kpi_chain(KPI_MISS_DATE, KPI_DEAD_NOW)
+
+
 def q_analytics_health_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_cols(
         analytics.health_scatter(_health(spark, sf_dir)),
@@ -321,6 +425,9 @@ QUERIES = {
     "analytics_daily_energy_trend": q_analytics_daily_energy_trend,
     "analytics_daily_cost_trend": q_analytics_daily_cost_trend,
     "analytics_kpi_day": q_analytics_kpi_day,
+    "analytics_kpi_chain_gold": q_analytics_kpi_chain_gold,
+    "analytics_kpi_chain_silver": q_analytics_kpi_chain_silver,
+    "analytics_kpi_chain_summary": q_analytics_kpi_chain_summary,
     "analytics_health_scatter": q_analytics_health_scatter,
     "analytics_live_readings": q_analytics_live_readings,
     "analytics_data_status": q_analytics_data_status,
@@ -333,6 +440,9 @@ ORACLES = {
     "analytics_daily_energy_trend": ORACLE_ANALYTICS_DAILY_ENERGY_TREND,
     "analytics_daily_cost_trend": ORACLE_ANALYTICS_DAILY_COST_TREND,
     "analytics_kpi_day": ORACLE_ANALYTICS_KPI_DAY,
+    "analytics_kpi_chain_gold": ORACLE_ANALYTICS_KPI_CHAIN_GOLD,
+    "analytics_kpi_chain_silver": ORACLE_ANALYTICS_KPI_CHAIN_SILVER,
+    "analytics_kpi_chain_summary": ORACLE_ANALYTICS_KPI_CHAIN_SUMMARY,
     "analytics_health_scatter": ORACLE_ANALYTICS_HEALTH_SCATTER,
     "analytics_live_readings": ORACLE_ANALYTICS_LIVE_READINGS,
     "analytics_data_status": ORACLE_ANALYTICS_DATA_STATUS,
