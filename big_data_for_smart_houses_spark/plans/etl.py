@@ -61,20 +61,34 @@ def run_bronze_to_silver_incremental(
     checkpoint: str,
     catalog_path: str | None = None,
 ) -> None:
-    """Exactly-once incremental bronze→silver: streaming file source
-    tracks processed files in the checkpoint (replaces the reference's
-    mtime-window pruning); each micro-batch runs the full silver
-    transform and appends date-partitioned parquet. `availableNow`
-    drains the backlog and stops — the scheduled-batch cadence of the
-    reference with none of its at-least-twice reprocessing."""
+    """Exactly-once incremental bronze→silver: the streaming file
+    source tracks processed files in the checkpoint (replaces the
+    reference's mtime-window pruning); each micro-batch runs the full
+    silver transform. `availableNow` drains the backlog and stops —
+    the scheduled-batch cadence of the reference with none of its
+    at-least-twice reprocessing.
+
+    foreachBatch itself only guarantees at-least-once delivery, so the
+    write must be idempotent to reach exactly-once end-to-end: each
+    epoch OVERWRITES its own ``batch_id=<epoch>`` directory (epoch ids
+    are stable across retries), so a batch that failed mid-write is
+    replaced wholesale on retry instead of re-appended. A plain
+    parquet append here would silently duplicate silver rows on
+    retry. Readers see ``batch_id`` as just another partition column
+    above ``date``; date pruning is unaffected."""
     catalog = (
         read_device_catalog(spark, catalog_path) if catalog_path else None
     )
     stream = spark.readStream.schema(BRONZE_SCHEMA).parquet(bronze_path)
 
-    def process(batch_df: DataFrame, _epoch: int) -> None:
+    def process(batch_df: DataFrame, epoch: int) -> None:
         silver = bronze_to_silver(batch_df, catalog)
-        write_partitioned(silver, silver_path, partition_col="date")
+        write_partitioned(
+            silver,
+            f"{silver_path}/batch_id={epoch}",
+            partition_col="date",
+            mode="overwrite",
+        )
 
     (
         stream.writeStream.foreachBatch(process)

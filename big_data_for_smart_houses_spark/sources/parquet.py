@@ -46,9 +46,21 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     default parallelism, and this is a no-op — so the extra shuffle is
     paid exactly when it is cheap (small inputs) and skipped when it
     would be expensive (large ones).
+
+    Small-source detection uses ``inputFiles()`` (a listing-only
+    planning call) rather than ``df.rdd.getNumPartitions()``, which
+    would force a plan-to-RDD conversion on every call. Files larger
+    than ``maxPartitionBytes`` yield multiple scan splits anyway, so
+    a *large* single-file source gains partitions from the scan and
+    the 32-way exchange here is bounded by target, never a reduction
+    of a wide plan.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target  # non-file source: leave the plan alone
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
