@@ -35,11 +35,23 @@ HEADLINE = [
     "silver_pipeline_events",
     "gold_daily_energy_events",
     "sessionize_events",
+    "purchase_asof_click",
+    "pricing_rollup",
     "minhash_dedup_documents",
+    "simhash_dedup_documents",
     "embedding_cosine_topk",
+    "embedding_neardup_pairs",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
     "text_stats",
     "multimodal_frame_sample",
 ]
+
+# N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN
+# across runs (the least-noisy estimator of the plan's cost on an
+# otherwise-idle machine); the reported value stays the sum of
+# per-query times so round-over-round numbers remain comparable.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
 
 
 def main() -> None:
@@ -53,15 +65,17 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    for run in range(N_RUNS):
+        for name in HEADLINE:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            t = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, t), t)
+            print(f"  [{run}] {name}: {t:.3f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
