@@ -39,13 +39,44 @@ MODALITIES = ["image", "audio", "video"]
 MIME_BY_MODALITY = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
 
 
-def decode_media(payload: bytes, mime_type: str):  # pragma: no cover - stub
-    """Real media decode (resize / frame-sample / spectrogram) plugs in
-    here. Deliberately stubbed: media libs are not available in this
-    environment."""
+def decode_media(payload: bytes, mime_type: str):
+    """Real media decode behind import guards: PIL for images and the
+    stdlib ``wave`` module for WAV audio when available, so the stub
+    self-upgrades outside this container (which ships neither PIL nor
+    ffmpeg). Video decode stays NotImplementedError until an ffmpeg
+    binding is present. Returns the METADATA_SCHEMA dict shape, like
+    :func:`fake_decode`."""
+    if mime_type.startswith("image/"):
+        try:  # pragma: no cover - PIL absent in this container
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires PIL, which is not installed"
+            ) from exc
+        img = Image.open(io.BytesIO(payload))
+        return {
+            "width": img.width,
+            "height": img.height,
+            "duration_ms": None,
+            "n_frames": getattr(img, "n_frames", 1),
+        }
+    if mime_type == "audio/wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            frames, rate = w.getnframes(), w.getframerate()
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": int(frames * 1000 / rate),
+            "n_frames": frames,
+        }
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; extract_features uses byte-level features instead"
+        f"no decoder available for {mime_type}; extract_features uses "
+        "byte-level features instead"
     )
 
 

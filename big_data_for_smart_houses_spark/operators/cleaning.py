@@ -63,6 +63,7 @@ def dedup_keep_first(
     df: DataFrame,
     keys: list[str],
     order_col: str = "ingestion_time",
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """W3 — deterministic keep-first dedup.
 
@@ -72,8 +73,18 @@ def dedup_keep_first(
     keep the row with the smallest ``order_col`` per key via
     ``row_number`` (SURVEY.md §7.3 trap 2). One shuffle on ``keys`` —
     the same shuffle ``dropDuplicates`` would need, no extra cost.
+
+    If rows can tie on ``(keys, order_col)`` while differing in
+    payload, pass ``tiebreak_cols`` (e.g. a unique event id) to pin
+    which row survives — otherwise the survivor among such ties is
+    partition-order dependent. Call sites that omit it assert that
+    full ties are exact duplicate rows in their data model, where any
+    survivor is the same row.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc_nulls_last())
+    order = [F.col(order_col).asc_nulls_last()] + [
+        F.col(c).asc_nulls_last() for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

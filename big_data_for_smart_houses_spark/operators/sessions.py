@@ -15,6 +15,15 @@ the final per-session aggregation share that clustering, so Catalyst
 plans a single exchange (the aggregation keys are (key, session_seq),
 a superset of the window partitioning — no re-shuffle). The streaming
 equivalent is streaming/stateful.py.
+
+Tie handling: session assignment is invariant to the relative order of
+rows with EQUAL timestamps — their pairwise gaps are 0 (<= any
+positive threshold), so they land in the same session regardless of
+window order, and the first tied row's gap to the previous event does
+not depend on which tied row comes first; the per-session aggregates
+(min/max/count) are order-free. ``tiebreak_cols`` therefore only
+matters if a caller consumes ``with_session_seq``'s row order itself,
+not for session boundaries or aggregates.
 """
 
 from __future__ import annotations

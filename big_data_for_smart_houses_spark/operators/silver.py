@@ -43,6 +43,11 @@ def bronze_to_silver(
     # clustering on device_id, so Catalyst plans a single exchange and
     # one shared sort instead of back-to-back exchanges. Skew profile is
     # unchanged — the rolling windows already force per-device clustering.
+    # no tiebreak_cols: bronze carries no unique row id, and rows tying
+    # on (device_id, timestamp, ingestion_time) are exact duplicates in
+    # this data model (same reading delivered twice), so any survivor
+    # is the same row — mirrors the reference's subset-keyed
+    # drop_duplicates (consumer/bronze_to_silver.py:125)
     df = cleaning.dedup_keep_first(
         df.repartition("device_id"), keys=["device_id", "timestamp"]
     )
