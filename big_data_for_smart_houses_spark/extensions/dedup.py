@@ -178,6 +178,67 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_groups(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets a
+    ``group_id`` — the minimum doc id reachable through the pair graph
+    (its own id for singletons). This is the step that turns pairwise
+    similarity into an actual dedup decision (keep ``group_id``, drop
+    the rest), composable with any pair generator (jaccard, MinHash,
+    SimHash, embedding LSH).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels, converging in
+    O(graph diameter) rounds — near-dup components are dense and
+    shallow (diameter ≤ ~3), so this is 2-4 rounds in practice, with
+    ``max_iterations`` as a hard stop. The per-round driver ``count``
+    is a deliberate scalar convergence check (the same shape GraphX
+    uses); all real work — the edge join and min-aggregate — stays
+    distributed, and ``localCheckpoint`` cuts the growing lineage so
+    round N does not replay rounds 1..N-1."""
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+    labels = (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("neighbor_min"))
+        )
+        updated = labels.join(
+            neigh.select(F.col("src").alias("id"), "neighbor_min"), "id", "left"
+        ).select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("neighbor_min"), F.col("label")),
+            ).alias("label"),
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("label") < F.col("old_label")).count()
+        labels = updated.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("group_id")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

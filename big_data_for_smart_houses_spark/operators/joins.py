@@ -24,6 +24,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval containment join: each left row matches the right rows
+    whose ``[start_col, end_col]`` interval (same key) contains its
+    ``left_ts`` — inclusive on both ends.
+
+    Spark plans a bare ``l.key = r.key AND ts BETWEEN start AND end``
+    as a hash join on the key with the range as a post-filter, which
+    degenerates when keys are few or hot (every row of a hot key meets
+    every interval of that key). This implementation makes the range
+    part of the JOIN KEY by time-bucketing: left rows get one bucket,
+    right intervals explode to the buckets they span, and the join is
+    a plain equi-join on (key, bucket) — the standard interval-
+    bucketing trick (same family as Databricks' range-join bin
+    optimization). Each left row carries exactly one bucket, so a
+    (row, interval) match occurs exactly once — no post-dedup.
+
+    Pick ``bucket_seconds`` near the typical interval length: the
+    explode factor is ~len/bucket + 1 per interval, and the filter
+    does the exact containment check after the equi-join.
+    """
+    width_us = bucket_seconds * 1_000_000
+    l_b = left.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(left_ts)) / width_us)
+    )
+    r_b = right.withColumn(
+        "_buckets",
+        F.sequence(
+            F.floor(F.unix_micros(F.col(start_col)) / width_us),
+            F.floor(F.unix_micros(F.col(end_col)) / width_us),
+        ),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    return (
+        l_b.join(r_b, [on, "_bucket"])
+        .filter(
+            (F.col(left_ts) >= F.col(start_col))
+            & (F.col(left_ts) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

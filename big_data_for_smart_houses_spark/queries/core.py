@@ -812,6 +812,65 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+# ---------------------------------------------------------------------------
+# Range (interval-containment) join: events matched to their sessions
+# ---------------------------------------------------------------------------
+
+def q_events_in_session_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py:range_join): every event matched
+    to the session interval containing it — bucketized equi-join on
+    (user_id, hour bucket), never an inequality-only nested loop.
+    Sessions partition each user's timeline, so every event lands in
+    exactly one interval and the output row count equals the input."""
+    from ..operators.joins import range_join
+    from ..operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=SESSION_GAP_SECONDS
+    ).select("user_id", "session_seq", "session_start", "session_end")
+    return range_join(
+        ev.select("user_id", "event_id", "ts"),
+        sessions,
+        on="user_id",
+        left_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=3600,
+    ).select(
+        "user_id", "event_id", "ts",
+        "session_seq", "session_start", "session_end",
+    )
+
+
+ORACLE_EVENTS_IN_SESSION_RANGE = f"""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > CAST({SESSION_GAP_SECONDS} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM e
+), sess AS (
+  SELECT user_id, session_seq,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM s GROUP BY 1, 2
+)
+SELECT ev.user_id, ev.event_id, ev.ts,
+       sess.session_seq, sess.session_start, sess.session_end
+FROM events ev
+JOIN sess ON ev.user_id = sess.user_id
+         AND ev.ts BETWEEN sess.session_start AND sess.session_end
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -837,6 +896,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "pricing_rollup": q_pricing_rollup,
     "purchase_asof_click": q_purchase_asof_click,
+    "events_in_session_range": q_events_in_session_range,
 }
 
 ORACLES = {
@@ -863,4 +923,5 @@ ORACLES = {
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "purchase_asof_click": ORACLE_PURCHASE_ASOF_CLICK,
+    "events_in_session_range": ORACLE_EVENTS_IN_SESSION_RANGE,
 }

@@ -83,8 +83,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM_JACCARD_PAIRS = f"""
-WITH {_PLANTED_CTE},
+# Shared CTE chain: planted corpus -> shingles -> pairwise jaccard,
+# reused by the pair query and the connected-components oracle.
+_JACCARD_CTES = f"""{_PLANTED_CTE},
 norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
@@ -101,14 +102,58 @@ inter AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jac AS (
+  SELECT id1, id2, n_inter, s1.set_size AS size1, s2.set_size AS size2,
+         CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter)
+           AS jaccard
+  FROM inter
+  JOIN sizes s1 ON inter.id1 = s1.doc_id
+  JOIN sizes s2 ON inter.id2 = s2.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter)
+        >= {JACCARD_THRESHOLD}
+)"""
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH {_JACCARD_CTES}
+SELECT id1, id2, n_inter, size1, size2, jaccard FROM jac
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components: near-dup pairs -> dedup groups
+# ---------------------------------------------------------------------------
+
+def q_dedup_groups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> groups: min-label connected components
+    (extensions/dedup.py:dedup_groups) over the exact jaccard pair
+    graph; every doc reports the minimum doc id of its component.
+    Oracle replays the closure with a recursive CTE — a full
+    hash-checked gate for an iterative distributed algorithm."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=JACCARD_THRESHOLD
+    ).select("id1", "id2")
+    return dedup.dedup_groups(d, pairs)
+
+
+ORACLE_DEDUP_GROUPS_DOCUMENTS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM jac
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM jac
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT id1, id2, n_inter, s1.set_size AS size1, s2.set_size AS size2,
-       CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter) AS jaccard
-FROM inter
-JOIN sizes s1 ON inter.id1 = s1.doc_id
-JOIN sizes s2 ON inter.id2 = s2.doc_id
-WHERE CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter)
-      >= {JACCARD_THRESHOLD}
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT)
+         AS group_id
+FROM docs2 d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
 """
 
 
@@ -493,6 +538,7 @@ FROM d
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_groups_documents": q_dedup_groups_documents,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_dedup_documents": q_simhash_dedup_documents,
     "text_stats": q_text_stats,
@@ -512,6 +558,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "dedup_groups_documents": ORACLE_DEDUP_GROUPS_DOCUMENTS,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_TEXT_QUALITY_SCORE,
     "language_guess": ORACLE_LANGUAGE_GUESS,

@@ -113,6 +113,23 @@ def test_embedding_neardup_lsh_matches_brute_force(spark):
     assert exact == {(i, i + EMB_PLANT_OFFSET) for i in range(EMB_PLANT_N)}
 
 
+def test_dedup_groups_multihop_chain(spark):
+    """Min-label propagation must traverse chains (a-b, b-c, c-d ->
+    one component labeled by the smallest id), handle two disjoint
+    components, and leave singletons labeled by themselves."""
+    corpus = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (1, 2), (10, 11)], ["id1", "id2"]
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in dedup.dedup_groups(corpus, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_minhash_signature_determinism(planted):
     sig1 = dedup.minhash_signatures(planted).orderBy("doc_id").limit(5).collect()
     sig2 = dedup.minhash_signatures(planted).orderBy("doc_id").limit(5).collect()

@@ -201,6 +201,30 @@ def test_asof_join_edges(spark):
     assert out[("b", 50)].ts_asof is None and out[("b", 50)].payload is None
 
 
+def test_range_join_containment_and_buckets(spark):
+    """Inclusive bounds, cross-bucket intervals, and no duplicate
+    matches when an interval spans many buckets."""
+    from big_data_for_smart_houses_spark.operators.joins import range_join
+
+    left = _ts_df(
+        spark, [("a", 0), ("a", 100), ("a", 7200), ("a", 7201), ("b", 50)]
+    ).withColumnRenamed("timestamp", "ts").withColumnRenamed("device_id", "k")
+    # interval [0s, 7200s] spans 3 one-hour buckets; b has no interval
+    right = spark.createDataFrame(
+        [("a", T0, T0 + dt.timedelta(seconds=7200), "iv1")],
+        ["k", "start", "end", "label"],
+    )
+    rows = range_join(
+        left, right, on="k", left_ts="ts",
+        start_col="start", end_col="end", bucket_seconds=3600,
+    ).collect()
+    matched = sorted(int((r.ts - T0).total_seconds()) for r in rows)
+    # 0 and 7200 are inclusive; 7201 is out; b unmatched (inner join)
+    assert matched == [0, 100, 7200]
+    assert all(r.label == "iv1" for r in rows)
+    assert len(rows) == 3  # exactly one match per (row, interval)
+
+
 def test_asof_join_overlapping_payload_name(spark):
     """A right payload column whose name also exists on the left must
     fill from RIGHT rows only — the left row's own non-null value must
