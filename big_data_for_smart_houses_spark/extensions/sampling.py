@@ -1,0 +1,80 @@
+"""Dataset assembly operators for training pipelines (SURVEY.md §7.4):
+deterministic splits and token-budget batch packing.
+
+Both are pure integer column arithmetic — reproducible across runs,
+engines, and cluster sizes, with no RNG state to ship. At 100 TB the
+split adds zero shuffles (a projection), and packing shuffles once on
+the shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative-hash constant (2^32 / phi). id * KNUTH stays
+# within int64 for ids < ~3.5e9; document-scale ids fit with room.
+KNUTH = 2654435761
+
+SPLIT_BUCKETS = 1000
+DEFAULT_SPLIT = (("train", 900), ("val", 950), ("test", SPLIT_BUCKETS))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    thresholds: tuple[tuple[str, int], ...] = DEFAULT_SPLIT,
+    salt: int = 0,
+) -> DataFrame:
+    """Assign every row a train/val/test split from a multiplicative
+    hash of its id — deterministic (same id => same split, any run,
+    any engine), stable under corpus growth (new ids don't reshuffle
+    old ones), and leak-free across epochs (unlike random() sampling,
+    which resamples per run). ``salt`` derives independent splits for
+    ablations.
+
+    ``thresholds`` are cumulative bucket bounds out of
+    ``SPLIT_BUCKETS`` — the default is a 90/5/5 split.
+    """
+    bucket = F.pmod(F.col(id_col) * F.lit(KNUTH) + F.lit(salt), F.lit(SPLIT_BUCKETS))
+    expr = None
+    for name, bound in thresholds:
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split_bucket", bucket.cast("long")).withColumn(
+        "split", expr
+    )
+
+
+def pack_token_batches(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Pack documents into contiguous training batches of roughly
+    ``budget`` tokens: order docs by id (within ``shard_col`` when
+    given), take the exclusive running token sum, and assign
+    ``batch_id = floor(exclusive_sum / budget)``.
+
+    This is the one-pass distributed packing: a document whose tokens
+    straddle a budget boundary stays in the earlier batch, so batches
+    can overshoot by at most one document's tokens (and never
+    undershoot except the last). Exact greedy reset-on-overflow
+    packing needs a stateful sequential scan — the streaming
+    equivalent belongs in applyInPandasWithState — and buys little
+    when budget >> max document length, the normal regime for LLM
+    batch assembly. One shuffle (on the shard key, or single-partition
+    ordering when ``shard_col`` is None — use shards at scale).
+    """
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl_sum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("_excl_tokens", excl_sum).withColumn(
+        "batch_id", F.floor(F.col("_excl_tokens") / F.lit(budget)).cast("long")
+    ).drop("_excl_tokens")

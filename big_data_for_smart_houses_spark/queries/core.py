@@ -871,6 +871,38 @@ JOIN sess ON ev.user_id = sess.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# CUBE: multi-level rollup in one pass
+# ---------------------------------------------------------------------------
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, event day): all four grouping levels —
+    detail, per-type, per-day, grand total — in ONE aggregation pass
+    (Catalyst expands the grouping sets map-side; no re-scan per
+    level, unlike a UNION of four groupBys). grouping_id disambiguates
+    subtotal NULLs from data NULLs."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_day", F.to_date("ts"))
+        .cube("event_type", "event_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            gate_quantize(F.sum("value")).alias("value_sum"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type, CAST(ts AS DATE) AS event_day,
+       count(*) AS n_events,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -897,6 +929,7 @@ QUERIES = {
     "pricing_rollup": q_pricing_rollup,
     "purchase_asof_click": q_purchase_asof_click,
     "events_in_session_range": q_events_in_session_range,
+    "events_cube": q_events_cube,
 }
 
 ORACLES = {
@@ -924,4 +957,5 @@ ORACLES = {
     "pricing_rollup": ORACLE_PRICING_ROLLUP,
     "purchase_asof_click": ORACLE_PURCHASE_ASOF_CLICK,
     "events_in_session_range": ORACLE_EVENTS_IN_SESSION_RANGE,
+    "events_cube": ORACLE_EVENTS_CUBE,
 }

@@ -172,6 +172,60 @@ def q_simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset assembly: deterministic split + token-budget packing
+# ---------------------------------------------------------------------------
+
+TOKEN_BATCH_BUDGET = 2000
+
+
+def q_dataset_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split (extensions/sampling.py) — pure
+    integer hash of doc_id, zero shuffles."""
+    from ..extensions.sampling import deterministic_split
+
+    return deterministic_split(_docs(spark, sf_dir)).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+ORACLE_DATASET_SPLIT_DOCUMENTS = """
+SELECT doc_id,
+       CAST((doc_id * 2654435761) % 1000 AS BIGINT) AS split_bucket,
+       CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+            WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_token_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing (extensions/sampling.py) sharded by
+    language: exclusive running token sum -> floor-division batch id.
+    Integer-exact, so the oracle hash-checks the full assignment."""
+    from ..extensions.sampling import pack_token_batches
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return pack_token_batches(
+        d, token_col="n_tokens", budget=TOKEN_BATCH_BUDGET, shard_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "batch_id")
+
+
+ORACLE_TOKEN_BATCH_PACKING = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(floor(
+         coalesce(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / {TOKEN_BATCH_BUDGET}
+       ) AS BIGINT) AS batch_id
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (oracle-safe: pure string/list arithmetic)
 # ---------------------------------------------------------------------------
 
@@ -539,6 +593,8 @@ QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_groups_documents": q_dedup_groups_documents,
+    "dataset_split_documents": q_dataset_split_documents,
+    "token_batch_packing": q_token_batch_packing,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_dedup_documents": q_simhash_dedup_documents,
     "text_stats": q_text_stats,
@@ -559,6 +615,8 @@ ORACLES = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "dedup_groups_documents": ORACLE_DEDUP_GROUPS_DOCUMENTS,
+    "dataset_split_documents": ORACLE_DATASET_SPLIT_DOCUMENTS,
+    "token_batch_packing": ORACLE_TOKEN_BATCH_PACKING,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_TEXT_QUALITY_SCORE,
     "language_guess": ORACLE_LANGUAGE_GUESS,
