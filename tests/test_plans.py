@@ -90,6 +90,33 @@ def test_no_cartesian_anywhere_in_core(spark):
         assert "CartesianProduct" not in _plan(spark, name), name
 
 
+def test_range_join_is_equi_join(spark):
+    """The bucketized range join must plan as a HASH equi-join on
+    (key, bucket) with the range as a join condition — never a
+    BroadcastNestedLoopJoin/CartesianProduct, which is what a bare
+    inequality join degenerates to and what dies at 100 TB."""
+    plan = _plan(spark, "events_in_session_range")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_kpi_chain_tiers_all_broadcast(spark):
+    """The KPI fallback chain cross-joins four 1-row aggregates — every
+    one must broadcast; a shuffled join of 1-row relations would be
+    plan noise at best and a full exchange at worst."""
+    plan = _plan(spark, "analytics_kpi_chain_gold")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_neardup_lsh_has_no_join(spark):
+    """Banded-LSH near-dup mining is explode -> groupBy -> pair expr:
+    candidate generation must contain NO join at all (vectors ride
+    along to the buckets), and certainly no quadratic join."""
+    plan = _plan(spark, "embedding_neardup_pairs")
+    assert "Join" not in plan, plan
+
+
 def test_approx_count_distinct_error_bound(spark):
     """A7 scale variant: HLL++ estimate within 3x the configured rsd of
     the exact distinct count (rsd=2%, generous margin for small sf)."""
