@@ -46,6 +46,36 @@ def deterministic_split(
     )
 
 
+def weighted_mix(
+    sources: list[tuple[DataFrame, float, str]],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted mixture of corpora: each source keeps
+    rows whose hash bucket falls under ``weight`` (a sampling fraction
+    in [0, 1]) and is tagged with its label — the standard pretraining
+    recipe ("webtext at 0.7, code at 0.3, …") without RNG state.
+
+    Same id + same salt => same keep decision on every run and engine,
+    so a mixture is exactly reproducible and resumable; vary ``salt``
+    to draw an independent mixture. Zero shuffles: per-source filter +
+    union-all."""
+    parts = []
+    for df, weight, label in sources:
+        bucket = F.pmod(
+            F.col(id_col) * F.lit(KNUTH) + F.lit(salt), F.lit(SPLIT_BUCKETS)
+        )
+        parts.append(
+            df.filter(bucket < int(weight * SPLIT_BUCKETS)).withColumn(
+                "source", F.lit(label)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def pack_token_batches(
     df: DataFrame,
     token_col: str,

@@ -903,6 +903,34 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact percentiles (distribution stats per group)
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event type — Spark's exact
+    ``percentile`` (sort-based within the aggregation; at 100 TB the
+    scale path is ``approx_percentile``, the A7'-style trade already
+    demonstrated by business_summary_approx)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        gate_quantize(F.expr("percentile(value, 0.5)")).alias("p50"),
+        gate_quantize(F.expr("percentile(value, 0.9)")).alias("p90"),
+        gate_quantize(F.expr("percentile(value, 0.99)")).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       CAST(CAST(quantile_cont(value, 0.5) AS REAL) AS DOUBLE) AS p50,
+       CAST(CAST(quantile_cont(value, 0.9) AS REAL) AS DOUBLE) AS p90,
+       CAST(CAST(quantile_cont(value, 0.99) AS REAL) AS DOUBLE) AS p99,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -930,6 +958,7 @@ QUERIES = {
     "purchase_asof_click": q_purchase_asof_click,
     "events_in_session_range": q_events_in_session_range,
     "events_cube": q_events_cube,
+    "value_percentiles": q_value_percentiles,
 }
 
 ORACLES = {
@@ -958,4 +987,5 @@ ORACLES = {
     "purchase_asof_click": ORACLE_PURCHASE_ASOF_CLICK,
     "events_in_session_range": ORACLE_EVENTS_IN_SESSION_RANGE,
     "events_cube": ORACLE_EVENTS_CUBE,
+    "value_percentiles": ORACLE_VALUE_PERCENTILES,
 }

@@ -198,6 +198,34 @@ FROM documents
 """
 
 
+MIX_EN_WEIGHT = 0.7
+MIX_OTHER_WEIGHT = 0.3
+
+
+def q_weighted_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture (extensions/sampling.py): English
+    docs sampled at 0.7, all other languages at 0.3, tagged by
+    source — the pretraining data-mixing recipe with zero shuffles."""
+    from ..extensions.sampling import weighted_mix
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return weighted_mix(
+        [
+            (d.filter(F.col("lang") == "en"), MIX_EN_WEIGHT, "en"),
+            (d.filter(F.col("lang") != "en"), MIX_OTHER_WEIGHT, "other"),
+        ]
+    )
+
+
+ORACLE_WEIGHTED_CORPUS_MIX = f"""
+SELECT doc_id, lang, 'en' AS source FROM documents
+WHERE lang = 'en' AND (doc_id * 2654435761) % 1000 < {int(MIX_EN_WEIGHT * 1000)}
+UNION ALL
+SELECT doc_id, lang, 'other' AS source FROM documents
+WHERE lang <> 'en' AND (doc_id * 2654435761) % 1000 < {int(MIX_OTHER_WEIGHT * 1000)}
+"""
+
+
 def q_token_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget batch packing (extensions/sampling.py) sharded by
     language: exclusive running token sum -> floor-division batch id.
@@ -595,6 +623,7 @@ QUERIES = {
     "dedup_groups_documents": q_dedup_groups_documents,
     "dataset_split_documents": q_dataset_split_documents,
     "token_batch_packing": q_token_batch_packing,
+    "weighted_corpus_mix": q_weighted_corpus_mix,
     "minhash_dedup_documents": q_minhash_dedup_documents,
     "simhash_dedup_documents": q_simhash_dedup_documents,
     "text_stats": q_text_stats,
@@ -617,6 +646,7 @@ ORACLES = {
     "dedup_groups_documents": ORACLE_DEDUP_GROUPS_DOCUMENTS,
     "dataset_split_documents": ORACLE_DATASET_SPLIT_DOCUMENTS,
     "token_batch_packing": ORACLE_TOKEN_BATCH_PACKING,
+    "weighted_corpus_mix": ORACLE_WEIGHTED_CORPUS_MIX,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_TEXT_QUALITY_SCORE,
     "language_guess": ORACLE_LANGUAGE_GUESS,
