@@ -203,6 +203,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
     seed: int = 20240613,
+    max_iter: int = 10,
 ) -> list[list[float]]:
     """Fit IVF cell centroids with Spark ML KMeans. At 100 TB, train on
     a sample (`sample_fraction`) — centroid quality converges long
@@ -218,7 +219,13 @@ def train_ivf_centroids(
     feats = train.select(
         array_to_vector(as_double(F.col(vec_col))).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, initMode="k-means||").fit(feats)
+    # IVF wants a coarse Voronoi partition, not a converged clustering:
+    # cell QUALITY converges in a handful of Lloyd steps and recall is
+    # governed by n_probe, so a tight maxIter just burns scheduler
+    # rounds (each iteration is a full pass = one Spark job chain)
+    model = KMeans(
+        k=n_cells, seed=seed, initMode="k-means||", maxIter=max_iter
+    ).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
