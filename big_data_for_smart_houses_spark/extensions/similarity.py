@@ -126,7 +126,7 @@ def _band_signature(vec: Column, planes: list[list[float]]) -> Column:
     """R-bit sign pattern of ``vec`` against one band's planes."""
     sig = F.lit(0)
     for r, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = F.lit(plane)  # single array literal: one py4j call, not dim
         sig = sig + F.when(dot(vec, p) >= 0, F.lit(1 << r)).otherwise(F.lit(0))
     return sig
 
@@ -191,10 +191,16 @@ def lsh_bucket(vec: Column) -> Column:
     column expression, usable in both batch and streaming."""
     bucket = F.lit(0)
     for i, plane in enumerate(HYPERPLANES):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = F.lit(plane)  # single array literal: one py4j call, not dim
         bit = F.when(dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
+
+
+# Hard ceiling on rows ever collected for quantizer training — keeps
+# the driver collect bounded no matter what sample_fraction resolves
+# to at the actual corpus size.
+_MAX_TRAIN_ROWS = 100_000
 
 
 def train_ivf_centroids(
@@ -203,30 +209,67 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     sample_fraction: float = 1.0,
     seed: int = 20240613,
-    max_iter: int = 10,
+    max_iter: int = 5,
+    tol: float = 1e-4,
 ) -> list[list[float]]:
-    """Fit IVF cell centroids with Spark ML KMeans. At 100 TB, train on
-    a sample (`sample_fraction`) — centroid quality converges long
-    before the full corpus is seen; assignment below still covers every
-    row. Returns plain python lists so cell assignment can be a pure
-    column expression (streaming-safe, no model object at execution)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Fit IVF cell centroids: ONE Spark job collects a bounded
+    training sample to the driver, then Lloyd's algorithm runs in
+    numpy there — the standard IVF coarse-quantizer design (FAISS
+    trains its quantizer the same way: on a sample, off the engine).
+
+    Why not distribute the fit? A coarse quantizer needs only a
+    bounded sample (~100× n_cells rows), which fits in driver memory
+    at ANY corpus size — 100k × 64 doubles is 51 MB; `sample_fraction`
+    (and the unconditional `_MAX_TRAIN_ROWS` limit) bound the collect.
+    Distributed alternatives measured far worse here: pyspark.ml
+    KMeans pays ~5 s of class-loading + k-means|| init per session,
+    and a DataFrame-native Lloyd loop pays ~2.5 s/iteration of plan
+    build + scheduling for microseconds of actual math. Assignment at
+    search time still covers every corpus row via the pure-expression
+    scorer below.
+
+    Init: rows sorted by a stable hash of the vector bytes, first
+    n_cells — deterministic and decorrelated from storage order.
+    Empty cells keep their previous centroid. Stops early when the max
+    centroid shift drops below ``tol``. Returns plain python lists so
+    cell assignment is a pure column expression (streaming-safe, no
+    model object)."""
+    import hashlib
+
+    import numpy as np
 
     train = corpus
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
-    feats = train.select(
-        array_to_vector(as_double(F.col(vec_col))).alias("features")
+    rows = (
+        train.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(_MAX_TRAIN_ROWS)
+        .collect()
     )
-    # IVF wants a coarse Voronoi partition, not a converged clustering:
-    # cell QUALITY converges in a handful of Lloyd steps and recall is
-    # governed by n_probe, so a tight maxIter just burns scheduler
-    # rounds (each iteration is a full pass = one Spark job chain)
-    model = KMeans(
-        k=n_cells, seed=seed, initMode="k-means||", maxIter=max_iter
-    ).fit(feats)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    if len(x) <= n_cells:
+        return [list(map(float, v)) for v in x]
+
+    def _key(v: np.ndarray) -> bytes:
+        return hashlib.sha256(v.tobytes() + str(seed).encode()).digest()
+
+    order = sorted(range(len(x)), key=lambda i: _key(x[i]))
+    centroids = x[order[:n_cells]].copy()
+
+    for _ in range(max_iter):
+        # nearest centroid by L2 == argmax of dot(v,c) - |c|^2/2
+        scores = x @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        updated = centroids.copy()
+        for cell in range(n_cells):
+            members = x[assign == cell]
+            if len(members):
+                updated[cell] = members.mean(axis=0)
+        shift = float(np.abs(updated - centroids).max())
+        centroids = updated
+        if shift < tol:
+            break
+    return [list(map(float, c)) for c in centroids]
 
 
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
@@ -234,16 +277,29 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     equivalent to nearest-centroid by L2, minus the shared |v|^2)."""
     scores = []
     for c in centroids:
-        carr = F.array(*[F.lit(x) for x in c])
+        carr = F.lit(c)  # single array literal: one py4j call, not dim
         half_norm2 = sum(x * x for x in c) / 2.0
         scores.append(dot(vec, carr) - F.lit(half_norm2))
     return F.array(*scores)
 
 
 def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid cell id as a pure expression (0-based)."""
+    """Nearest-centroid cell id as a pure expression (0-based).
+
+    Argmax via struct-max so the (n_cells x dim)-sized score expression
+    appears ONCE in the plan — ``array_position(s, array_max(s))``
+    embeds it twice, and HOF subtrees run interpreted (no codegen CSE),
+    which doubled per-row assignment cost."""
     s = _cell_scores(vec, centroids)
-    return F.array_position(s, F.array_max(s)).cast("int") - 1
+    best = F.array_max(
+        F.transform(
+            s,
+            lambda score, i: F.struct(
+                score.alias("score"), i.cast("int").alias("cell")
+            ),
+        )
+    )
+    return best["cell"]
 
 
 def _probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:

@@ -42,19 +42,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # sum_qty/avg_qty stay raw: l_quantity is integer-valued, so
+            # partial sums are exact and order-independent. Every other
+            # float aggregate is gate-quantized — double sums jitter at
+            # the ulp level with partial-agg merge order (run-to-run!),
+            # so an unquantized one is a latent gate failure.
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+            gate_quantize(F.sum("l_extendedprice")).alias("sum_base_price"),
+            gate_quantize(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            gate_quantize(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
             ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            gate_quantize(F.avg("l_extendedprice")).alias("avg_price"),
+            gate_quantize(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -63,12 +70,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       CAST(CAST(sum(l_extendedprice) AS REAL) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS REAL) AS DOUBLE) AS sum_charge,
        avg(l_quantity) AS avg_qty,
-       avg(l_extendedprice) AS avg_price,
-       avg(l_discount) AS avg_disc,
+       CAST(CAST(avg(l_extendedprice) AS REAL) AS DOUBLE) AS avg_price,
+       CAST(CAST(avg(l_discount) AS REAL) AS DOUBLE) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -161,7 +168,7 @@ def q_revenue_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.crossJoin(F.broadcast(global_avg)).select(
         "order_date",
-        "daily_revenue",
+        gate_quantize(F.col("daily_revenue")).alias("daily_revenue"),
         "n_orders",
         "global_avg_revenue",
         gate_quantize(F.col("daily_revenue") / F.col("global_avg_revenue")).alias(
@@ -177,7 +184,9 @@ WITH daily AS (
          count(*) AS n_orders
   FROM orders GROUP BY 1
 ), g AS (SELECT CAST(CAST(avg(daily_revenue) AS REAL) AS DOUBLE) AS global_avg_revenue FROM daily)
-SELECT order_date, daily_revenue, n_orders, global_avg_revenue,
+SELECT order_date,
+       CAST(CAST(daily_revenue AS REAL) AS DOUBLE) AS daily_revenue,
+       n_orders, global_avg_revenue,
        CAST(CAST(daily_revenue / global_avg_revenue AS REAL) AS DOUBLE) AS revenue_ratio
 FROM daily CROSS JOIN g
 """
@@ -415,21 +424,21 @@ def q_orders_business_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same grouping expand to a single multi-distinct plan in Spark."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum("o_totalprice").alias("total_revenue"),
+        gate_quantize(F.sum("o_totalprice")).alias("total_revenue"),
         F.countDistinct("o_custkey").alias("active_customers"),
         F.countDistinct("o_orderpriority").alias("priority_levels"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.avg("o_totalprice").alias("avg_order_value"),
+        gate_quantize(F.avg("o_totalprice")).alias("avg_order_value"),
     )
 
 
 ORACLE_ORDERS_BUSINESS_SUMMARY = """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
-       sum(o_totalprice) AS total_revenue,
+       CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS total_revenue,
        count(DISTINCT o_custkey) AS active_customers,
        count(DISTINCT o_orderpriority) AS priority_levels,
        count(*) AS n_orders,
-       avg(o_totalprice) AS avg_order_value
+       CAST(CAST(avg(o_totalprice) AS REAL) AS DOUBLE) AS avg_order_value
 FROM orders GROUP BY 1
 """
 
@@ -456,16 +465,18 @@ def q_supplier_health_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(F.lit(1.0), F.col("avg_quantity") / 50.0) * 0.2
     )
     joined = agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey, "left")
+    # return_rate is a mean of 0/1 (exact); avg_discount and the score
+    # chain built on it are order-sensitive double aggs -> quantized
     return joined.select(
         "l_suppkey",
         "s_name",
-        "avg_discount",
+        gate_quantize(F.col("avg_discount")).alias("avg_discount"),
         "return_rate",
         "n_items",
-        health.alias("health_score"),
-        clamp01((1.0 - health) * 0.7 + F.col("return_rate") * 0.3).alias(
-            "failure_risk"
-        ),
+        gate_quantize(health).alias("health_score"),
+        gate_quantize(
+            clamp01((1.0 - health) * 0.7 + F.col("return_rate") * 0.3)
+        ).alias("failure_risk"),
     )
 
 
@@ -485,10 +496,12 @@ WITH agg AS (
       + least(1.0, avg_quantity / 50.0) * 0.2)) AS health
   FROM agg
 )
-SELECT l_suppkey, s_name, avg_discount, return_rate, n_items,
-       health AS health_score,
-       greatest(0.0, least(1.0, (1.0 - health) * 0.7 + return_rate * 0.3))
-         AS failure_risk
+SELECT l_suppkey, s_name,
+       CAST(CAST(avg_discount AS REAL) AS DOUBLE) AS avg_discount,
+       return_rate, n_items,
+       CAST(CAST(health AS REAL) AS DOUBLE) AS health_score,
+       CAST(CAST(greatest(0.0, least(1.0, (1.0 - health) * 0.7 + return_rate * 0.3))
+            AS REAL) AS DOUBLE) AS failure_risk
 FROM scored LEFT JOIN supplier ON l_suppkey = s_suppkey
 """
 
@@ -562,7 +575,7 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.avg("value").alias("value_mean"),
+            gate_quantize(F.avg("value")).alias("value_mean"),
             F.max("k").alias("k_max"),
         )
     )
@@ -571,7 +584,7 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON_PROPS_EXTRACT = """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
        count(*) AS n_events,
-       avg(value) AS value_mean,
+       CAST(CAST(avg(value) AS REAL) AS DOUBLE) AS value_mean,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
 FROM events GROUP BY 1
 """
@@ -623,21 +636,27 @@ def q_part_value_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     return j.groupBy("p_brand").agg(
-        F.avg(
-            guarded_div(F.col("l_extendedprice"), F.col("p_size").cast("double"))
+        gate_quantize(
+            F.avg(
+                guarded_div(
+                    F.col("l_extendedprice"), F.col("p_size").cast("double")
+                )
+            )
         ).alias("avg_price_per_size"),
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_extendedprice") / 1000.0).alias("total_kprice"),
+        gate_quantize(F.sum(F.col("l_extendedprice") / 1000.0)).alias(
+            "total_kprice"
+        ),
     )
 
 
 ORACLE_PART_VALUE_DENSITY = """
 SELECT p_brand,
-       avg(CASE WHEN p_size > 0
-                THEN l_extendedprice / CAST(p_size AS DOUBLE)
-                ELSE 0.0 END) AS avg_price_per_size,
+       CAST(CAST(avg(CASE WHEN p_size > 0
+                          THEN l_extendedprice / CAST(p_size AS DOUBLE)
+                          ELSE 0.0 END) AS REAL) AS DOUBLE) AS avg_price_per_size,
        count(*) AS n_items,
-       sum(l_extendedprice / 1000.0) AS total_kprice
+       CAST(CAST(sum(l_extendedprice / 1000.0) AS REAL) AS DOUBLE) AS total_kprice
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
 """

@@ -176,9 +176,19 @@ def q_gold_daily_energy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate set and half-even rounding."""
     bronze = _events_as_bronze(spark, sf_dir)
     silver = bronze_to_silver(bronze, catalog=None)
+    # Quantize EVERY order-sensitive float aggregate, not just the ones
+    # observed to diverge: any double sum/avg jitters at the ulp level
+    # run-to-run with partial-agg merge order, so an unquantized column
+    # is a latent gate failure. Exact-by-construction columns (counts,
+    # min/max, means of 0/1 indicators, and their scalings) stay raw.
     return quantize_cols(
         daily_energy_consumption(silver, rounded=False),
+        "energy_consumption_wh_sum",
+        "energy_consumption_wh_mean",
+        "power_usage_mean",
+        "temperature_mean",
         "quality_score_mean",
+        "energy_cost_estimate",
         "avg_efficiency",
     )
 
@@ -203,19 +213,19 @@ agg AS (
   GROUP BY device_id, device_type, user_id, date
 )
 SELECT device_id, device_type, user_id, date,
-       s_energy AS energy_consumption_wh_sum,
-       m_energy AS energy_consumption_wh_mean,
+       CAST(CAST(s_energy AS REAL) AS DOUBLE) AS energy_consumption_wh_sum,
+       CAST(CAST(m_energy AS REAL) AS DOUBLE) AS energy_consumption_wh_mean,
        x_energy AS energy_consumption_wh_max,
        c_energy AS energy_consumption_wh_count,
-       m_power AS power_usage_mean,
+       CAST(CAST(m_power AS REAL) AS DOUBLE) AS power_usage_mean,
        x_power AS power_usage_max,
-       m_temp AS temperature_mean,
+       CAST(CAST(m_temp AS REAL) AS DOUBLE) AS temperature_mean,
        n_temp AS temperature_min,
        x_temp AS temperature_max,
        CAST(CAST(m_quality AS REAL) AS DOUBLE) AS quality_score_mean,
        m_valid AS is_valid_mean,
        x_alert AS alert_frequency_1h_max,
-       s_energy / 1000.0 * 0.12 AS energy_cost_estimate,
+       CAST(CAST(s_energy / 1000.0 * 0.12 AS REAL) AS DOUBLE) AS energy_cost_estimate,
        -- ratio of group means, guarded (reference silver_to_gold.py:114-118)
        CAST(CAST(CASE WHEN m_power > 0 THEN m_energy / m_power ELSE 0.0 END AS REAL) AS DOUBLE)
          AS avg_efficiency,
