@@ -45,6 +45,9 @@ HEADLINE = [
     "embedding_ann_lsh",
     "text_stats",
     "multimodal_frame_sample",
+    "contamination_check_documents",
+    "tfidf_top_terms",
+    "corpus_shuffle_documents",
 ]
 
 # N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN

@@ -1,0 +1,140 @@
+"""Corpus-statistics term ranking: TF-IDF and BM25 (SURVEY.md §7.4).
+
+Classic distributed text scoring — term frequencies are row-local,
+document frequencies are one aggregation over (term, doc) pairs, and
+the global constants (corpus size, average doc length) are 1-row
+aggregates broadcast back, the J2 scalar-cross-join shape from the
+reference's business summary.
+
+Plan shape at 100 TB:
+- tokenize + per-doc term counts: explode + groupBy(doc, term) with
+  map-side combine — one shuffle keyed (doc, term).
+- document frequency: groupBy(term) over the (doc, term) pairs — one
+  shuffle keyed term. The vocabulary can be huge, so DF joins back by
+  a term-keyed shuffle join, NOT a broadcast (a 100 TB corpus has a
+  multi-GB vocabulary).
+- N and avgdl: 1-row aggregates, broadcast cross join (free).
+- top-k per doc: rank window over (doc)-keyed shuffle — the same
+  single-exchange reuse as the silver pipeline when the (doc, term)
+  partitioning is already in place (doc is a prefix of the key).
+
+All built-in expressions; ties rank deterministically by term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalized
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf, doc_len): per-document term frequencies over
+    whitespace tokens of the normalized text."""
+    toks = F.split(normalized(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col), F.size(toks).alias("doc_len"), F.explode(toks).alias("term")
+    )
+    return exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
+    )
+
+
+def doc_frequencies(tc: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, df): number of documents containing each term. Input is
+    the term_counts output, whose (doc, term) rows are distinct, so a
+    plain count works."""
+    return tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_transform=None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (``tf * (ln((1 + N) / (1 + df)) + 1)`` — the sklearn-style smooth
+    idf, never negative, defined for df = N).
+
+    ``score_transform`` (Column -> Column), when given, is applied to
+    the score BOTH for ranking and for output — cross-engine gates pass
+    a quantizer here so a 1-ulp ``ln`` difference can't flip the rank
+    order of two nearly-equal scores."""
+    tc = term_counts(df, id_col=id_col, text_col=text_col)
+    dfreq = doc_frequencies(tc, id_col=id_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * (
+        F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + F.lit(1.0)
+    )
+    if score_transform is not None:
+        tfidf = score_transform(tfidf)
+    scored = (
+        tc.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Robertson-Sparck-Jones idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``. The query-term filter is
+    pushed below the DF join, so only matching (doc, term) pairs flow."""
+    tc = term_counts(df, id_col=id_col, text_col=text_col).filter(
+        F.col("term").isin(query_terms)
+    )
+    dfreq = doc_frequencies(tc, id_col=id_col)
+    globals_ = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split(normalized(F.col(text_col)), " "))).alias("avgdl"),
+    )
+    scored = (
+        tc.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(globals_))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("term_score").alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )

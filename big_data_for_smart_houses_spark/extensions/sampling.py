@@ -76,6 +76,84 @@ def weighted_mix(
     return out
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its id-hash
+    bucket falls under its stratum's fraction — `sampleBy` without RNG
+    state (same id + salt => same decision on every run, engine, and
+    cluster size, so a sampled dataset is exactly reproducible and
+    incrementally extendable).
+
+    Zero shuffles: the keep decision is a pure projection + filter,
+    pushed to the scan. Strata not named in ``fractions`` keep
+    ``default_fraction`` of their rows."""
+    bucket = F.pmod(
+        F.col(id_col) * F.lit(KNUTH) + F.lit(salt), F.lit(SPLIT_BUCKETS)
+    )
+    frac = None
+    for name, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == name
+        bound = F.lit(int(f * SPLIT_BUCKETS))
+        frac = F.when(cond, bound) if frac is None else frac.when(cond, bound)
+    frac = (
+        frac.otherwise(F.lit(int(default_fraction * SPLIT_BUCKETS)))
+        if frac is not None
+        else F.lit(int(default_fraction * SPLIT_BUCKETS))
+    )
+    return df.filter(bucket < frac)
+
+
+# Modulus for the shuffle ordering hash — larger than SPLIT_BUCKETS so
+# the ordering has enough resolution that ties (two ids in one bucket)
+# stay rare; ties are broken by id anyway, so this is purely about
+# dispersion quality.
+SHUFFLE_BUCKETS = 1_000_003  # prime
+
+# Per-salt multiplier stride (xxhash's 32-bit prime 2): large mod
+# SHUFFLE_BUCKETS, so each salt picks a genuinely different
+# multiplicative permutation. Keep salts small (epoch counters) so
+# id * (KNUTH + salt * STRIDE) stays inside int64.
+SALT_STRIDE = 2_246_822_519
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", salt: int = 0
+) -> DataFrame:
+    """Global pseudo-random training order without RNG state: sort by a
+    multiplicative hash of the id (ties by id) and assign a contiguous
+    0-based ``shuffle_pos``. Different ``salt`` => independent order per
+    epoch; same salt => identical order on every run and engine, so a
+    training run is resumable from any step.
+
+    The global row_number is a single total order — at 100 TB the same
+    hash column is the thing to range-partition + sortWithinPartitions
+    on at write time (files come out in shuffled order, no single-point
+    window); this operator is the semantic definition the writer
+    implements.
+
+    The salt enters as a different MULTIPLIER, not an additive term:
+    adding a constant mod M merely rotates the key circle (epoch orders
+    would be cyclic rotations of each other), and a small multiplier
+    perturbation shifts keys by less than their average spacing.
+    Striding the multiplier by a large constant per salt yields
+    unrelated multiplicative permutations (M is prime, so any
+    multiplier not divisible by M is a bijection)."""
+    key = F.pmod(
+        F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE),
+        F.lit(SHUFFLE_BUCKETS),
+    )
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn(
+        "shuffle_pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
 def pack_token_batches(
     df: DataFrame,
     token_col: str,

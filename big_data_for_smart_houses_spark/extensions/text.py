@@ -100,6 +100,102 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# word boundaries. No backrefs, no lookaround (RE2 has neither).
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "ip": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped substrings (emails, IPv4s, phone numbers) with
+    typed placeholder tokens and count each kind — the standard
+    pre-training scrub pass. Row-local regex work: zero shuffle, scales
+    linearly with the scan.
+
+    Counts are independent matches against the ORIGINAL text;
+    replacements apply sequentially in PII_PATTERNS order (email, ip,
+    phone), so an email whose host is an IP is consumed by the email
+    pass first."""
+    t = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        )
+    scrubbed = t
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed_text", scrubbed)
+
+
+def add_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4 quality family):
+    fraction of duplicate tokens, duplicate sentences, and duplicate
+    word trigrams. All row-local array arithmetic (split /
+    array_distinct / size) — zero shuffle."""
+    toks = tokens(normalized(F.col(text_col)))
+    sents = F.filter(
+        F.split(F.col(text_col), "\\. "), lambda s: F.length(s) > 0
+    )
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            (n - F.size(F.array_distinct(arr))).cast("double") / n,
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("dup_token_frac", dup_frac(toks))
+        .withColumn("dup_sentence_frac", dup_frac(sents))
+        .withColumn("dup_trigram_frac", dup_frac(tri))
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, table A1 spirit — exact
+# values are config, the operator shape is the point).
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_TOKEN_LEN_RANGE = (3.0, 10.0)
+GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.30
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compose the Gopher-style document filter: token-count bounds,
+    mean token length bounds, trigram repetition cap, and a minimum
+    stopword presence — one boolean per rule plus the conjunction
+    ``passes_gopher``. Builds on add_text_stats / add_repetition_stats
+    (all row-local)."""
+    df = add_text_stats(df, text_col)
+    df = add_repetition_stats(df, text_col)
+    checks = {
+        "ok_n_tokens": (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS),
+        "ok_token_len": (F.col("avg_token_len") >= GOPHER_TOKEN_LEN_RANGE[0])
+        & (F.col("avg_token_len") <= GOPHER_TOKEN_LEN_RANGE[1]),
+        "ok_repetition": F.col("dup_trigram_frac")
+        <= GOPHER_MAX_DUP_TRIGRAM_FRAC,
+        "ok_stopwords": F.col("n_stopwords") >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    passes = None
+    for name, cond in checks.items():
+        df = df.withColumn(name, cond)
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return df.withColumn("passes_gopher", passes)
+
+
 def add_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram (stopword-count) language heuristic: score each language
     by stopword hits, argmax with a fixed preference order on ties."""

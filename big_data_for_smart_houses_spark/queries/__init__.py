@@ -14,10 +14,24 @@ from .core import ORACLES as _CORE_ORACLES
 from .core import QUERIES as _CORE_QUERIES
 from .extensions import ORACLES as _EXT_ORACLES
 from .extensions import QUERIES as _EXT_QUERIES
+from .llm_ops import ORACLES as _LLM_ORACLES
+from .llm_ops import QUERIES as _LLM_QUERIES
 from .pipeline import ORACLES as _PIPE_ORACLES
 from .pipeline import QUERIES as _PIPE_QUERIES
 
-QUERIES = {**_CORE_QUERIES, **_PIPE_QUERIES, **_GATE_QUERIES, **_EXT_QUERIES}
-ORACLES = {**_CORE_ORACLES, **_PIPE_ORACLES, **_GATE_ORACLES, **_EXT_ORACLES}
+QUERIES = {
+    **_CORE_QUERIES,
+    **_PIPE_QUERIES,
+    **_GATE_QUERIES,
+    **_EXT_QUERIES,
+    **_LLM_QUERIES,
+}
+ORACLES = {
+    **_CORE_ORACLES,
+    **_PIPE_ORACLES,
+    **_GATE_ORACLES,
+    **_EXT_ORACLES,
+    **_LLM_ORACLES,
+}
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,424 @@
+"""Training-data pipeline queries: decontamination, term ranking,
+deterministic sampling/ordering, PII scrubbing, and repetition-based
+quality — all oracle-gated (SURVEY.md §7.4).
+
+Planting conventions mirror queries/extensions.py: contamination and
+PII are INJECTED deterministically (id-derived) so the operators
+demonstrably fire on the otherwise-clean synthetic corpus, and the
+oracle replays the identical injection in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import decontam, ranking, text
+from ..extensions.sampling import (
+    KNUTH,
+    SHUFFLE_BUCKETS,
+    SPLIT_BUCKETS,
+    deterministic_shuffle,
+    stratified_sample,
+)
+from ..functions.numeric import gate_quantize, quantize_cols
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table, spread
+
+# test slice: every 20th doc; planted leaks: every 40th (half the test
+# slice appears verbatim inside the training corpus under shifted ids)
+TEST_MOD = 20
+LEAK_MOD = 40
+LEAK_OFFSET = 200_000
+
+NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return spread(load_table(spark, sf_dir, "documents"), spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _train_test(spark: SparkSession, sf_dir: str):
+    d = _docs(spark, sf_dir)
+    test = d.filter(F.col("doc_id") % TEST_MOD == 0)
+    leaked = d.filter(F.col("doc_id") % LEAK_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + LEAK_OFFSET
+    )
+    train = d.filter(F.col("doc_id") % TEST_MOD != 0).unionByName(leaked)
+    return train, test
+
+
+_TRAIN_TEST_CTE = f"""
+test AS (SELECT doc_id, text FROM documents WHERE doc_id % {TEST_MOD} = 0),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {TEST_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {LEAK_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {LEAK_MOD} = 0
+)
+"""
+
+# word-trigram shingling, identical to extensions/dedup.py shingles(n=3).
+# DuckDB list slices are INCLUSIVE of the end index: toks[i:i+2] is the
+# 3-element trigram starting at i.
+def _shingle_cte(src: str, alias: str) -> str:
+    return f"""
+{alias} AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split({NORM}, ' ') AS toks FROM {src})
+  WHERE len(toks) >= 3
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: train/test n-gram overlap
+# ---------------------------------------------------------------------------
+
+def q_contamination_check_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every (train, test) doc pair sharing >= 1 word trigram, with the
+    contained-fraction of the test doc. The planted leaks must surface
+    at contamination = 1.0."""
+    train, test = _train_test(spark, sf_dir)
+    return decontam.contamination_check(train, test, n=3)
+
+
+ORACLE_CONTAMINATION_CHECK_DOCUMENTS = f"""
+WITH {_TRAIN_TEST_CTE},
+{_shingle_cte("train", "tr")},
+{_shingle_cte("test", "te")},
+sizes AS (SELECT doc_id AS test_id, count(*) AS test_size FROM te GROUP BY 1),
+matched AS (
+  SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS n_shared
+  FROM tr JOIN te ON tr.shingle = te.shingle
+  GROUP BY 1, 2
+)
+SELECT train_id, test_id, n_shared, test_size,
+       CAST(n_shared AS DOUBLE) / test_size AS contamination
+FROM matched JOIN sizes USING (test_id)
+"""
+
+
+def q_decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal side: training docs surviving decontamination at
+    threshold 0.8 — exactly the corpus minus the planted leaks (plus
+    any organic near-containments)."""
+    train, test = _train_test(spark, sf_dir)
+    return decontam.decontaminate(train, test, n=3, threshold=0.8).select(
+        "doc_id"
+    )
+
+
+ORACLE_DECONTAMINATED_TRAIN_DOCS = f"""
+WITH {_TRAIN_TEST_CTE},
+{_shingle_cte("train", "tr")},
+{_shingle_cte("test", "te")},
+sizes AS (SELECT doc_id AS test_id, count(*) AS test_size FROM te GROUP BY 1),
+matched AS (
+  SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS n_shared
+  FROM tr JOIN te ON tr.shingle = te.shingle
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT DISTINCT train_id FROM matched JOIN sizes USING (test_id)
+  WHERE CAST(n_shared AS DOUBLE) / test_size >= 0.8
+)
+SELECT doc_id FROM train
+WHERE doc_id NOT IN (SELECT train_id FROM flagged)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25 term ranking
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc. Scores are quantized BEFORE
+    ranking (score_transform=gate_quantize) so a 1-ulp cross-engine
+    ``ln`` difference can't flip near-equal ranks; ties break by term."""
+    return ranking.tfidf_top_terms(
+        _docs(spark, sf_dir), k=TFIDF_K, score_transform=gate_quantize
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tc AS (
+  SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tc GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(CAST(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)
+              AS REAL) AS DOUBLE) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_K}
+"""
+
+
+BM25_TERMS = ["spark", "join", "vector"]
+
+
+def q_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every doc against a fixed 3-term query. The
+    per-doc score sums <= 3 term scores — quantized (sum order and
+    cross-engine ln both jitter at the ulp level)."""
+    return quantize_cols(
+        ranking.bm25_scores(_docs(spark, sf_dir), BM25_TERMS), "bm25"
+    )
+
+
+ORACLE_BM25_DOCUMENTS = f"""
+WITH tc AS (
+  SELECT doc_id, len(string_split({NORM}, ' ')) AS doc_len,
+         unnest(string_split({NORM}, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(doc_len) AS doc_len
+  FROM tc WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+g AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split({NORM}, ' '))) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avgdl)) AS term_score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN g
+)
+SELECT doc_id,
+       CAST(CAST(sum(term_score) AS REAL) AS DOUBLE) AS bm25,
+       count(*) AS n_matched_terms
+FROM scored GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling + corpus shuffle
+# ---------------------------------------------------------------------------
+
+STRATA_FRACTIONS = {"click": 0.5, "error": 1.0, "purchase": 0.25}
+STRATA_DEFAULT = 0.1
+
+
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type deterministic sampling — sampleBy without RNG
+    state (pure id-hash filter, zero shuffles)."""
+    return stratified_sample(
+        _events(spark, sf_dir),
+        strata_col="event_type",
+        fractions=STRATA_FRACTIONS,
+        default_fraction=STRATA_DEFAULT,
+        id_col="event_id",
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+ORACLE_STRATIFIED_SAMPLE_EVENTS = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE (event_id * {KNUTH}) % {SPLIT_BUCKETS} <
+      CASE event_type
+        WHEN 'click' THEN {int(0.5 * SPLIT_BUCKETS)}
+        WHEN 'error' THEN {SPLIT_BUCKETS}
+        WHEN 'purchase' THEN {int(0.25 * SPLIT_BUCKETS)}
+        ELSE {int(0.1 * SPLIT_BUCKETS)}
+      END
+"""
+
+
+def q_corpus_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (epoch-0 salt)."""
+    return deterministic_shuffle(_docs(spark, sf_dir)).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+ORACLE_CORPUS_SHUFFLE_DOCUMENTS = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY (doc_id * {KNUTH}) % {SHUFFLE_BUCKETS}, doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (planted, deterministic)
+# ---------------------------------------------------------------------------
+
+def _docs_with_planted_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+    )
+    ip = F.concat(
+        F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")
+    )
+    phone = F.lit(" call 555-123-4567")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 10 == 0, email).otherwise(F.lit("")),
+        F.when(did % 10 == 0, ip).otherwise(F.lit("")),
+        F.when(did % 15 == 0, phone).otherwise(F.lit("")),
+    )
+    return d.withColumn("text", planted)
+
+
+def q_pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction counts + scrubbed text over docs with deterministically
+    planted emails/IPs/phones (every 10th/10th/15th doc)."""
+    return text.scrub_pii(_docs_with_planted_pii(spark, sf_dir)).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "scrubbed_text"
+    )
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+ORACLE_PII_SCRUB_DOCUMENTS = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 10 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 15 = 0 THEN ' call 555-123-4567' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text
+FROM planted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats + Gopher-rule quality filter
+# ---------------------------------------------------------------------------
+
+def q_gopher_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter with its repetition inputs. All ratios
+    are single divisions of exact integers — deterministic without
+    quantization."""
+    return text.gopher_quality_flags(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_sentence_frac",
+        "dup_trigram_frac",
+        "ok_n_tokens",
+        "ok_token_len",
+        "ok_repetition",
+        "ok_stopwords",
+        "passes_gopher",
+    )
+
+
+_STOP7 = "'the', 'a', 'of', 'and', 'is', 'to', 'in'"
+
+ORACLE_GOPHER_QUALITY_DOCUMENTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS raw_toks,
+         string_split({NORM}, ' ') AS toks,
+         list_filter(string_split(text, '. '), s -> len(s) > 0) AS sents
+  FROM documents
+),
+tri AS (
+  SELECT *,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 1)]
+              ELSE [] END AS trigrams
+  FROM base
+),
+stats AS (
+  SELECT doc_id,
+         len(raw_toks) AS n_tokens,
+         CAST(list_sum(list_transform(raw_toks, x -> length(x))) AS DOUBLE)
+           / len(raw_toks) AS avg_token_len,
+         len(list_filter(raw_toks, x -> x IN ({_STOP7}))) AS n_stopwords,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks) ELSE 0.0 END AS dup_token_frac,
+         CASE WHEN len(sents) > 0
+              THEN CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+                   / len(sents) ELSE 0.0 END AS dup_sentence_frac,
+         CASE WHEN len(trigrams) > 0
+              THEN CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE)
+                   / len(trigrams) ELSE 0.0 END AS dup_trigram_frac
+  FROM tri
+)
+SELECT doc_id, n_tokens, dup_token_frac, dup_sentence_frac, dup_trigram_frac,
+       n_tokens >= {text.GOPHER_MIN_TOKENS}
+         AND n_tokens <= {text.GOPHER_MAX_TOKENS} AS ok_n_tokens,
+       avg_token_len >= {text.GOPHER_TOKEN_LEN_RANGE[0]}
+         AND avg_token_len <= {text.GOPHER_TOKEN_LEN_RANGE[1]} AS ok_token_len,
+       dup_trigram_frac <= {text.GOPHER_MAX_DUP_TRIGRAM_FRAC} AS ok_repetition,
+       n_stopwords >= {text.GOPHER_MIN_STOPWORD_HITS} AS ok_stopwords,
+       (n_tokens >= {text.GOPHER_MIN_TOKENS}
+         AND n_tokens <= {text.GOPHER_MAX_TOKENS})
+         AND (avg_token_len >= {text.GOPHER_TOKEN_LEN_RANGE[0]}
+              AND avg_token_len <= {text.GOPHER_TOKEN_LEN_RANGE[1]})
+         AND dup_trigram_frac <= {text.GOPHER_MAX_DUP_TRIGRAM_FRAC}
+         AND n_stopwords >= {text.GOPHER_MIN_STOPWORD_HITS} AS passes_gopher
+FROM stats
+"""
+
+
+QUERIES = {
+    "contamination_check_documents": q_contamination_check_documents,
+    "decontaminated_train_docs": q_decontaminated_train_docs,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_documents": q_bm25_documents,
+    "stratified_sample_events": q_stratified_sample_events,
+    "corpus_shuffle_documents": q_corpus_shuffle_documents,
+    "pii_scrub_documents": q_pii_scrub_documents,
+    "gopher_quality_documents": q_gopher_quality_documents,
+}
+
+ORACLES = {
+    "contamination_check_documents": ORACLE_CONTAMINATION_CHECK_DOCUMENTS,
+    "decontaminated_train_docs": ORACLE_DECONTAMINATED_TRAIN_DOCS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "bm25_documents": ORACLE_BM25_DOCUMENTS,
+    "stratified_sample_events": ORACLE_STRATIFIED_SAMPLE_EVENTS,
+    "corpus_shuffle_documents": ORACLE_CORPUS_SHUFFLE_DOCUMENTS,
+    "pii_scrub_documents": ORACLE_PII_SCRUB_DOCUMENTS,
+    "gopher_quality_documents": ORACLE_GOPHER_QUALITY_DOCUMENTS,
+}

@@ -1,0 +1,145 @@
+"""Unit tests for the training-pipeline operators: decontamination,
+TF-IDF/BM25, stratified sampling, deterministic shuffle, PII scrub,
+and repetition/Gopher quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_for_smart_houses_spark.extensions import decontam, ranking, text
+from big_data_for_smart_houses_spark.extensions.sampling import (
+    deterministic_shuffle,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_finds_planted_leak(spark):
+    test = _docs(spark, [(0, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # full leak
+            (11, "completely unrelated words about spark plans"),
+            (12, "quick brown fox jumps somewhere else entirely"),  # partial
+        ],
+    )
+    out = {
+        r.train_id: r
+        for r in decontam.contamination_check(train, test, n=3).collect()
+    }
+    assert out[10].contamination == 1.0
+    assert 0.0 < out[12].contamination < 1.0
+    assert 11 not in out
+
+
+def test_decontaminate_drops_only_flagged(spark):
+    test = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    train = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "unrelated text with no shared trigrams here"),
+        ],
+    )
+    kept = decontam.decontaminate(train, test, threshold=0.8)
+    assert [r.doc_id for r in kept.collect()] == [11]
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "common rare rare"),
+            (1, "common other other"),
+            (2, "common filler filler"),
+        ],
+    )
+    top = ranking.tfidf_top_terms(docs, k=1).collect()
+    by_doc = {r.doc_id: r.term for r in top}
+    # 'common' appears in every doc (idf floor); the doc-specific term wins
+    assert by_doc[0] == "rare"
+    assert by_doc[1] == "other"
+
+
+def test_bm25_scores_only_matching_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "spark join vector spark"),
+            (1, "nothing relevant here at all"),
+            (2, "join once"),
+        ],
+    )
+    rows = {r.doc_id: r for r in ranking.bm25_scores(docs, ["spark", "join"]).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0].n_matched_terms == 2
+    assert rows[0].bm25 > rows[2].bm25 > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("kind"),
+    )
+    out = stratified_sample(
+        df, "kind", {"a": 0.5, "b": 0.0}, default_fraction=0.0,
+        id_col="event_id",
+    )
+    rows = out.collect()
+    assert all(r.kind == "a" for r in rows)
+    # multiplicative hash is uniform: expect ~1000 of 2000 'a' rows
+    assert 850 <= len(rows) <= 1150
+    # deterministic: second run identical
+    again = stratified_sample(
+        df, "kind", {"a": 0.5, "b": 0.0}, default_fraction=0.0,
+        id_col="event_id",
+    ).collect()
+    assert sorted(r.event_id for r in rows) == sorted(r.event_id for r in again)
+
+
+def test_deterministic_shuffle_is_salted_permutation(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    s0 = deterministic_shuffle(df, salt=0).collect()
+    assert sorted(r.shuffle_pos for r in s0) == list(range(500))
+    order0 = [r.doc_id for r in sorted(s0, key=lambda r: r.shuffle_pos)]
+    assert order0 != list(range(500))  # actually shuffled
+    s0b = deterministic_shuffle(df, salt=0).collect()
+    assert sorted(s0) == sorted(s0b)  # reproducible
+    s1 = deterministic_shuffle(df, salt=1).collect()
+    order1 = [r.doc_id for r in sorted(s1, key=lambda r: r.shuffle_pos)]
+    assert order0 != order1  # independent epoch order
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = _docs(
+        spark,
+        [(0, "mail a.b@x.io and c@y.org ip 10.0.0.1 call 555-123-4567 done")],
+    )
+    r = text.scrub_pii(df).collect()[0]
+    assert (r.n_email, r.n_ip, r.n_phone) == (2, 1, 1)
+    assert r.scrubbed_text == "mail <EMAIL> and <EMAIL> ip <IP> call <PHONE> done"
+    assert "@" not in r.scrubbed_text
+
+
+def test_repetition_stats(spark):
+    df = _docs(spark, [(0, "a b a b a b"), (1, "x y z w v u")])
+    rows = {r.doc_id: r for r in text.add_repetition_stats(df).collect()}
+    assert rows[0].dup_token_frac == 4 / 6
+    assert rows[1].dup_token_frac == 0.0
+    # "a b a" / "b a b" / "a b a" / "b a b": 4 trigrams, 2 distinct
+    assert rows[0].dup_trigram_frac == 0.5
+
+
+def test_gopher_flags(spark):
+    good = " ".join(["the quick brown fox and the dog run fast"] * 8)
+    short = "tiny doc"
+    repeated = " ".join(["the same words again"] * 40)
+    df = _docs(spark, [(0, good), (1, short), (2, repeated)])
+    rows = {r.doc_id: r for r in text.gopher_quality_flags(df).collect()}
+    assert not rows[1].ok_n_tokens and not rows[1].passes_gopher
+    assert not rows[2].ok_repetition and not rows[2].passes_gopher
+    assert rows[0].ok_n_tokens and rows[0].ok_stopwords
