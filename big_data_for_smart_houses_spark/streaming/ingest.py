@@ -132,3 +132,22 @@ def silver_stream_from_bronze_files(
     than the reference's mtime-window heuristics
     (consumer/bronze_to_silver.py:38-80)."""
     return spark.readStream.schema(schema).parquet(bronze_path)
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "timestamp",
+    watermark_delay: str = "48 hours",
+) -> DataFrame:
+    """T6 with bounded state: at-least-once delivery (Kafka redelivery,
+    producer retries) made effectively-once by key-dedup inside the
+    watermark horizon. `dropDuplicatesWithinWatermark` evicts a key's
+    dedup state once the watermark passes its event time — state is
+    O(keys per horizon), never O(stream) like a plain
+    `dropDuplicates` on a stream would be. The batch layer's W3
+    keep-first dedup remains the backstop for duplicates arriving
+    further apart than the horizon."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -1,0 +1,45 @@
+"""Stream-stream correlation (SURVEY.md §2.9).
+
+The reference correlates telemetry with alert events only in batch;
+Structured Streaming can do it online with BOUNDED state, which is the
+100 TB-day-correct shape: both sides carry a watermark and the join
+condition carries an explicit event-time range, so each side's state
+buffer is evicted as the watermark passes (state ~ key-rate x
+lookback, independent of stream length). An unbounded-condition
+stream-stream join would buffer forever — Spark rejects it in append
+mode for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "1 hour"
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    watermark_delay: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Inner-join two streams on a key, keeping right rows whose event
+    time falls within ``[left_ts - lookback, left_ts]`` — the streaming
+    analog of the batch as-of/range join family (operators/joins.py),
+    e.g. "each purchase with the clicks of the preceding hour".
+
+    Both inputs must be streaming DataFrames with distinct column
+    names apart from ``on``. The two-sided time bound plus the
+    watermarks is what lets Spark GC join state."""
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, "inner").drop(r[on])

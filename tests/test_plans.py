@@ -139,3 +139,25 @@ def test_approx_count_distinct_error_bound(spark):
     assert approx.keys() == exact.keys()
     for d, ex in exact.items():
         assert abs(approx[d] - ex) <= max(1, 0.06 * ex), (d, approx[d], ex)
+
+
+def test_contamination_train_side_never_shuffles_for_the_join(spark):
+    """Decontamination joins the train shingles against a BROADCAST of
+    the (tiny) test shingle set — a SortMergeJoin here would shuffle
+    the whole training corpus at 100 TB."""
+    plan = _plan(spark, "contamination_check_documents")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_stratified_sample_is_scan_only(spark):
+    """The deterministic sample is a pure projection + filter: zero
+    exchanges of any kind."""
+    plan = _plan(spark, "stratified_sample_events")
+    assert "Exchange" not in plan, plan
+
+
+def test_gopher_rules_are_scan_only(spark):
+    """Row-local quality rules must not shuffle."""
+    plan = _plan(spark, "gopher_quality_documents")
+    assert "Exchange" not in plan.replace("Exchange RoundRobinPartitioning", ""), plan

@@ -138,3 +138,96 @@ def test_streaming_file_source_incremental(spark, telemetry_fixture):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT count(*) FROM inc_test").collect()[0][0] == 10
+
+
+def _run_stream(spark, tmp, build, name):
+    collected = []
+    q = (
+        build()
+        .writeStream.foreachBatch(lambda df, _e: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return collected
+
+
+def test_dedup_stream_within_watermark(spark):
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.streaming.ingest import (
+        dedup_stream_within_watermark,
+    )
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0, 2.0),  # redelivered duplicate key (same event)
+        ("b", t0 + dt.timedelta(seconds=5), 3.0),
+        ("a", t0 + dt.timedelta(seconds=9), 4.0),  # same device, new event
+    ]
+    df = spark.createDataFrame(
+        rows, "device_id string, timestamp timestamp, v double"
+    )
+    df.write.mode("append").parquet(f"{tmp}/staged")
+    stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/staged")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: dedup_stream_within_watermark(
+            stream, ["device_id", "timestamp"], watermark_delay="1 hour"
+        ),
+        "dedup",
+    )
+    assert len(out) == 3  # the redelivery is suppressed
+    assert sorted((r.device_id, r.timestamp) for r in out) == [
+        ("a", t0),
+        ("a", t0 + dt.timedelta(seconds=9)),
+        ("b", t0 + dt.timedelta(seconds=5)),
+    ]
+
+
+def test_stream_interval_join_bounds(spark):
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    purchases = spark.createDataFrame(
+        [("u1", ts(100), "p1"), ("u2", ts(200), "p2")],
+        "user_id string, p_ts timestamp, purchase_id string",
+    )
+    clicks = spark.createDataFrame(
+        [
+            ("u1", ts(40), "c1"),   # inside 60s lookback of p1
+            ("u1", ts(99), "c2"),   # inside
+            ("u1", ts(101), "c3"),  # AFTER the purchase -> excluded
+            ("u2", ts(100), "c4"),  # 100s before p2 -> outside 60s window
+        ],
+        "user_id string, c_ts timestamp, click_id string",
+    )
+    purchases.write.mode("append").parquet(f"{tmp}/p")
+    clicks.write.mode("append").parquet(f"{tmp}/c")
+    ps = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/p")
+    cs = spark.readStream.schema(clicks.schema).parquet(f"{tmp}/c")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=60,
+        ),
+        "ssjoin",
+    )
+    got = sorted((r.purchase_id, r.click_id) for r in out)
+    assert got == [("p1", "c1"), ("p1", "c2")]
