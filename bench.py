@@ -54,7 +54,7 @@ HEADLINE = [
 # across runs (the least-noisy estimator of the plan's cost on an
 # otherwise-idle machine); the reported value stays the sum of
 # per-query times so round-over-round numbers remain comparable.
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
 def main() -> None:

@@ -950,6 +950,27 @@ FROM events GROUP BY 1
 """
 
 
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of value_percentiles: ``approx_percentile``
+    (Greenwald-Khanna sketch, bounded memory per group) in place of the
+    exact sort-based percentile — the same exact-vs-sketch trade as
+    business_summary_approx. Rows-only check (DuckDB's sketch differs);
+    the unit suite bounds the error vs the exact query."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("p_approx"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        F.col("p_approx")[0].alias("p50"),
+        F.col("p_approx")[1].alias("p90"),
+        F.col("p_approx")[2].alias("p99"),
+        "n",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_user_rollup": q_daily_user_rollup,
@@ -978,6 +999,7 @@ QUERIES = {
     "events_in_session_range": q_events_in_session_range,
     "events_cube": q_events_cube,
     "value_percentiles": q_value_percentiles,
+    "value_percentiles_approx": q_value_percentiles_approx,
 }
 
 ORACLES = {

@@ -161,3 +161,29 @@ def test_gopher_rules_are_scan_only(spark):
     """Row-local quality rules must not shuffle."""
     plan = _plan(spark, "gopher_quality_documents")
     assert "Exchange" not in plan.replace("Exchange RoundRobinPartitioning", ""), plan
+
+
+def test_approx_percentile_error_bound(spark):
+    """GK-sketch percentile guarantee is on RANK, not value (a sparse
+    tail makes value distance meaningless): the returned element's
+    empirical quantile must sit within eps of the target."""
+    from big_data_for_smart_houses_spark.queries.core import (
+        q_value_percentiles_approx,
+    )
+
+    approx = {
+        r.event_type: r
+        for r in q_value_percentiles_approx(spark, SF_DIR).collect()
+    }
+    vals = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    eps = 0.01
+    for et, grp in vals.groupby("event_type"):
+        v = grp["value"].sort_values().to_numpy()
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            a = getattr(approx[et], col)
+            rank = (v <= a).mean()
+            assert q - eps <= rank <= q + eps, (et, col, a, rank)
