@@ -66,7 +66,35 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--gold", required=True)
     _add_common(p)
 
+    p = sub.add_parser(
+        "dataprep",
+        help="corpus ops over a (doc_id, text) parquet: dedup, split, "
+        "sample-ratio, shuffle, scrub-pii, quality, decontam",
+    )
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="output parquet path")
+    p.add_argument(
+        "--op",
+        required=True,
+        choices=[
+            "dedup-exact",
+            "dedup-minhash",
+            "dedup-simhash",
+            "split",
+            "shuffle",
+            "scrub-pii",
+            "quality",
+            "decontam",
+        ],
+    )
+    p.add_argument("--test-input", help="test-set parquet (decontam)")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--salt", type=int, default=0)
+    _add_common(p)
+
     args = parser.parse_args(argv)
+
+    from pyspark.sql.functions import col as F_col
 
     from .session import get_spark
 
@@ -118,6 +146,56 @@ def main(argv: list[str] | None = None) -> int:
         energy_by_device_type(daily).show(truncate=False)
         daily_energy_trend(daily).show(truncate=False)
         health_scatter(health).show(truncate=False)
+    elif args.cmd == "dataprep":
+        docs = spark.read.parquet(args.input)
+        if args.op == "dedup-exact":
+            from .extensions.dedup import exact_dedup
+
+            # keep one row per fingerprint: join keepers back to docs
+            keepers = exact_dedup(docs).select(
+                F_col("keeper_id").alias("doc_id")
+            )
+            out = docs.join(keepers, "doc_id", "left_semi")
+        elif args.op in ("dedup-minhash", "dedup-simhash"):
+            from .extensions.dedup import (
+                dedup_groups,
+                minhash_lsh_pairs,
+                simhash_neardup_pairs,
+            )
+
+            pairs = (
+                minhash_lsh_pairs(docs)
+                if args.op == "dedup-minhash"
+                else simhash_neardup_pairs(docs)
+            ).select("id1", "id2")
+            groups = dedup_groups(docs, pairs)
+            out = docs.join(groups, "doc_id").filter(
+                F_col("doc_id") == F_col("group_id")
+            ).drop("group_id")
+        elif args.op == "split":
+            from .extensions.sampling import deterministic_split
+
+            out = deterministic_split(docs, salt=args.salt)
+        elif args.op == "shuffle":
+            from .extensions.sampling import deterministic_shuffle
+
+            out = deterministic_shuffle(docs, salt=args.salt)
+        elif args.op == "scrub-pii":
+            from .extensions.text import scrub_pii
+
+            out = scrub_pii(docs)
+        elif args.op == "quality":
+            from .extensions.text import gopher_quality_flags
+
+            out = gopher_quality_flags(docs)
+        else:  # decontam
+            if not args.test_input:
+                parser.error("--op decontam requires --test-input")
+            from .extensions.decontam import decontaminate
+
+            test = spark.read.parquet(args.test_input)
+            out = decontaminate(docs, test, threshold=args.threshold)
+        out.write.mode("overwrite").parquet(args.out)
     return 0
 
 

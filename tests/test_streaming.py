@@ -231,3 +231,46 @@ def test_stream_interval_join_bounds(spark):
     )
     got = sorted((r.purchase_id, r.click_id) for r in out)
     assert got == [("p1", "c1"), ("p1", "c2")]
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_for_smart_houses_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    tmp = tempfile.mkdtemp()
+    lines = [
+        '{"doc_id": 1, "text": "alpha", "score": 0.5}',
+        '{"doc_id": 2, "text": "beta", "score": 1.5}',
+        'not json at all {{{',
+    ]
+    with open(f"{tmp}/in.jsonl", "w") as f:
+        f.write("\n".join(lines))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    clean = read_jsonl(spark, f"{tmp}/in.jsonl", schema)
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    # Spark disallows queries touching ONLY _corrupt_record on raw
+    # JSON; collect full rows and filter driver-side in the test
+    rows = read_jsonl(spark, f"{tmp}/in.jsonl", schema, keep_corrupt=True).collect()
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+    write_jsonl(clean, f"{tmp}/out")
+    back = read_jsonl(spark, f"{tmp}/out", schema)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
