@@ -950,6 +950,49 @@ FROM events GROUP BY 1
 """
 
 
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join gated against the PLAIN join oracle —
+    salting must be semantics-invariant (the salt spreads hot keys
+    over n reducers; the row set is identical by construction), so a
+    hash-exact match against the unsalted SQL is the right proof."""
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(o, c, on="o_custkey")
+
+
+ORACLE_SALTED_JOIN_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_two_phase_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation gated against the plain groupBy
+    oracle — the extra shuffle boundary must not change any value."""
+    from ..functions.numeric import quantize_cols
+    from ..operators.skew import two_phase_agg
+
+    o = _t(spark, sf_dir, "orders")
+    return quantize_cols(
+        two_phase_agg(o, keys=["o_orderpriority"], sum_cols=["o_totalprice"]),
+        "sum_o_totalprice",
+    )
+
+
+ORACLE_TWO_PHASE_AGG_ORDERS = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS sum_o_totalprice
+FROM orders GROUP BY 1
+"""
+
+
 def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale variant of value_percentiles: ``approx_percentile``
     (Greenwald-Khanna sketch, bounded memory per group) in place of the
@@ -1000,6 +1043,8 @@ QUERIES = {
     "events_cube": q_events_cube,
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
+    "salted_join_orders": q_salted_join_orders,
+    "two_phase_agg_orders": q_two_phase_agg_orders,
 }
 
 ORACLES = {
@@ -1029,4 +1074,6 @@ ORACLES = {
     "events_in_session_range": ORACLE_EVENTS_IN_SESSION_RANGE,
     "events_cube": ORACLE_EVENTS_CUBE,
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
+    "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
+    "two_phase_agg_orders": ORACLE_TWO_PHASE_AGG_ORDERS,
 }

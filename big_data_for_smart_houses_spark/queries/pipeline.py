@@ -235,12 +235,72 @@ FROM agg
 """
 
 
+def q_catalog_enrichment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P10 + P14 gated end-to-end: a deterministic device catalog
+    (synthesized from the even user ids) broadcast-joined to the bronze
+    telemetry; location/manufacturer/model coalesce from the catalog
+    where the event is null, and device_age_days derives from the
+    catalog installation date (the reference's INTENDED semantics —
+    its own version silently no-ops, SURVEY.md §1.3)."""
+    from ..operators.enrichment import enrich_with_catalog
+
+    bronze = _events_as_bronze(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    catalog = (
+        ev.select(uid).distinct()
+        .filter(uid % 2 == 0)
+        .select(
+            F.concat(F.lit("device_"), uid.cast("string")).alias("device_id"),
+            F.concat(F.lit("room_c"), (uid % 4).cast("string")).alias(
+                "location"
+            ),
+            F.lit("cat_acme").alias("manufacturer"),
+            F.lit("model_c").alias("model"),
+            F.date_add(
+                F.lit("2020-01-01").cast("date"), (uid % 365).cast("int")
+            ).alias("installation_date"),
+        )
+    )
+    return enrich_with_catalog(bronze, catalog).select(
+        "device_id",
+        "timestamp",
+        "location",
+        "manufacturer",
+        "model",
+        "device_age_days",
+    )
+
+
+ORACLE_CATALOG_ENRICHMENT_EVENTS = f"""
+WITH {_BRONZE_CTE},
+catalog AS (
+  SELECT 'device_' || CAST(user_id AS VARCHAR) AS device_id,
+         'room_c' || CAST(user_id % 4 AS VARCHAR) AS cat_location,
+         'cat_acme' AS cat_manufacturer,
+         'model_c' AS cat_model,
+         DATE '2020-01-01' + to_days(CAST(user_id % 365 AS INT))
+           AS installation_date
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0)
+)
+SELECT b.device_id, b.timestamp,
+       coalesce(b.location, c.cat_location) AS location,
+       coalesce(b.manufacturer, c.cat_manufacturer) AS manufacturer,
+       coalesce(b.model, c.cat_model) AS model,
+       CAST(datediff('day', c.installation_date, CAST(b.timestamp AS DATE))
+            AS INT) AS device_age_days
+FROM bronze b LEFT JOIN catalog c ON b.device_id = c.device_id
+"""
+
+
 QUERIES = {
     "silver_pipeline_events": q_silver_pipeline_events,
     "gold_daily_energy_events": q_gold_daily_energy_events,
+    "catalog_enrichment_events": q_catalog_enrichment_events,
 }
 
 ORACLES = {
     "silver_pipeline_events": ORACLE_SILVER_PIPELINE_EVENTS,
     "gold_daily_energy_events": ORACLE_GOLD_DAILY_ENERGY_EVENTS,
+    "catalog_enrichment_events": ORACLE_CATALOG_ENRICHMENT_EVENTS,
 }
