@@ -950,6 +950,64 @@ FROM events GROUP BY 1
 """
 
 
+def q_event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window surface (beyond the reference, SURVEY.md §2.5
+    note): per-user event-type transition counts — lag(event_type)
+    over the user timeline, then a (prev, next) aggregation. The same
+    single user_id shuffle serves the window and the groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+ORACLE_EVENT_TRANSITION_COUNTS = """
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_rolling_time_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-HONEST rolling variant (windows.py
+    add_rolling_metrics_time_based shape): a true 1-hour range frame on
+    event time per user, vs W1's literal 60-row frame. Gated on the µs
+    range frame both engines define identically (inclusive bounds)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        gate_quantize(F.avg("value").over(w)).alias("value_1h_avg"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+ORACLE_ROLLING_TIME_WINDOW_EVENTS = """
+SELECT event_id, user_id, ts,
+       CAST(CAST(avg(value) OVER w AS REAL) AS DOUBLE) AS value_1h_avg,
+       count(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join gated against the PLAIN join oracle —
     salting must be semantics-invariant (the salt spreads hot keys
@@ -1045,6 +1103,8 @@ QUERIES = {
     "value_percentiles_approx": q_value_percentiles_approx,
     "salted_join_orders": q_salted_join_orders,
     "two_phase_agg_orders": q_two_phase_agg_orders,
+    "event_transition_counts": q_event_transition_counts,
+    "rolling_time_window_events": q_rolling_time_window_events,
 }
 
 ORACLES = {
@@ -1076,4 +1136,6 @@ ORACLES = {
     "value_percentiles": ORACLE_VALUE_PERCENTILES,
     "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
     "two_phase_agg_orders": ORACLE_TWO_PHASE_AGG_ORDERS,
+    "event_transition_counts": ORACLE_EVENT_TRANSITION_COUNTS,
+    "rolling_time_window_events": ORACLE_ROLLING_TIME_WINDOW_EVENTS,
 }
