@@ -62,6 +62,16 @@ def configure_for_oracle_parity(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
-    except Exception:
-        pass  # conf may be non-modifiable in some deployments; nulls then surface in tests
+    except Exception as exc:  # non-modifiable in some deployments
+        # Don't swallow this silently: under ANSI, invalid casts THROW
+        # instead of yielding null, which changes P2's coerce-to-null
+        # semantics. The hash-based operators are ANSI-safe by
+        # construction (xxhash64 rehash instead of multiply), so only
+        # the cast paths are affected — surface the condition.
+        import warnings
+
+        warnings.warn(
+            f"could not disable spark.sql.ansi.enabled ({exc}); "
+            "invalid-cast coercion will raise instead of yielding null"
+        )
     return spark
