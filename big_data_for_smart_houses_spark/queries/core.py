@@ -1008,6 +1008,29 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set surface (beyond reference): per-user distinct event
+    types as a canonical sorted CSV. Set aggregation is shuffle-light
+    (map-side partial sets merge); the sort + concat makes the
+    nondeterministically-ordered set comparable across engines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "event_types_csv"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+ORACLE_USER_EVENT_TYPE_SETS = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+         AS event_types_csv,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+
 def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join gated against the PLAIN join oracle —
     salting must be semantics-invariant (the salt spreads hot keys
@@ -1105,6 +1128,7 @@ QUERIES = {
     "two_phase_agg_orders": q_two_phase_agg_orders,
     "event_transition_counts": q_event_transition_counts,
     "rolling_time_window_events": q_rolling_time_window_events,
+    "user_event_type_sets": q_user_event_type_sets,
 }
 
 ORACLES = {
@@ -1138,4 +1162,5 @@ ORACLES = {
     "two_phase_agg_orders": ORACLE_TWO_PHASE_AGG_ORDERS,
     "event_transition_counts": ORACLE_EVENT_TRANSITION_COUNTS,
     "rolling_time_window_events": ORACLE_ROLLING_TIME_WINDOW_EVENTS,
+    "user_event_type_sets": ORACLE_USER_EVENT_TYPE_SETS,
 }
