@@ -9,8 +9,8 @@ Five families, all partition-parallel with no driver collects:
 - MinHash + LSH: k hash functions over shingles -> per-doc signature ->
   band-hash buckets -> candidate pairs from bucket self-join. The
   classic sub-quadratic near-dup path for 100 TB corpora.
-- SimHash: per-token hash bit-vote -> 32-bit fingerprint -> banded
-  blocking (hamming <= 3 guarantees a shared 8-bit band by pigeonhole).
+- SimHash: per-token hash bit-vote -> 64-bit fingerprint -> banded
+  blocking (hamming <= 3 guarantees a shared 16-bit band by pigeonhole).
 - embedding cosine: see extensions/similarity.py (near-dup threshold
   variant exposed in queries/extensions.py).
 
@@ -37,7 +37,17 @@ MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
-SIMHASH_BITS = 32
+# 64-bit fingerprints with 4 x 16-bit bands. Width matters for SCALE,
+# not just precision: banded blocking puts two docs in a candidate
+# bucket iff they agree on a full band, and real corpora have
+# correlated token distributions — with 8-bit bands the hot bucket
+# held ~17% of a 5k-doc corpus (sum m^2 ~ 5.5M candidate pairs,
+# quadratic blowup); 16-bit bands require agreeing on twice the bits
+# and collapse the hot buckets while the hamming<=3 pigeonhole
+# guarantee (<=3 flipped bits cannot touch all 4 bands) is unchanged.
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -242,9 +252,9 @@ def dedup_groups(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """32-bit SimHash per document: per-token xxhash64, ±1 vote per bit,
+    """64-bit SimHash per document: per-token xxhash64, ±1 vote per bit,
     sign of the vote sum becomes the fingerprint bit. One explode +
-    one groupBy with 32 sum-aggregates.
+    one groupBy with SIMHASH_BITS sum-aggregates.
 
     Scale note: this looks like a one-row-per-token shuffle, but it is
     not — all of a doc's exploded tokens land in the SAME map partition
@@ -265,11 +275,16 @@ def simhash_fingerprints(
         for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    fp = None
+    # assemble via OR of shifted bits: bit 63 as a +(1<<63) literal
+    # would overflow signed long, while shiftleft wraps into the sign
+    # bit by definition (no ANSI overflow check on shifts)
+    fp = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        bit = (
+            F.when(F.col(f"v_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+        fp = fp.bitwiseOR(F.shiftleft(bit, i))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -278,20 +293,21 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup pairs with banded blocking: 4 bands of 8 bits —
+    """SimHash near-dup pairs with banded blocking: 4 bands of 16 bits —
     any pair within hamming distance 3 must agree on >=1 full band
     (pigeonhole), so the self-join runs on band buckets, never all
-    pairs."""
+    pairs. See the SIMHASH_BITS note for why band width is a
+    scale-safety parameter, not a tuning nicety."""
     fp = simhash_fingerprints(df, id_col, text_col)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftright(F.col("simhash"), b * 8)
-                .bitwiseAND(F.lit(0xFF))
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
                 .alias("band_val"),
             )
-            for b in range(4)
+            for b in range(SIMHASH_BANDS)
         ]
     )
     exploded = fp.select(id_col, "simhash", F.explode(bands).alias("band")).select(
