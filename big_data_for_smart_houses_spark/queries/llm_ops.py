@@ -401,6 +401,55 @@ FROM stats
 """
 
 
+QUALITY_KEEP_FRAC = 0.25
+
+
+def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based corpus curation: keep the top quarter of documents
+    per language by quality score (percent_rank over the (lang)
+    partition — one shuffle; at 100 TB the same selection runs as an
+    approx_percentile threshold per group, trading the sort for a
+    sketch). Ranks tie-break nothing: equal scores share a
+    percent_rank, so the kept set is deterministic."""
+    scored = text.add_quality_score(_docs(spark, sf_dir))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("text_quality").desc())
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= QUALITY_KEEP_FRAC)
+        .select("doc_id", "lang", "text_quality", "pr")
+    )
+
+
+ORACLE_QUALITY_TOPK_PER_LANG = f"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         string_split(text, ' ') AS toks,
+         length(text) AS n_chars_c
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         1.0
+         - (CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END)
+         - (CASE WHEN CAST(len(list_filter(toks, x -> x IN ({_STOP7})))
+                       AS DOUBLE) / len(toks) < 0.01 THEN 0.2 ELSE 0.0 END)
+         - (CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) > 12
+                   OR CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) < 2 THEN 0.2 ELSE 0.0 END)
+         - (CASE WHEN n_chars_c < 50 THEN 0.2 ELSE 0.0 END) AS text_quality
+  FROM stats
+)
+SELECT doc_id, lang, text_quality, pr FROM (
+  SELECT *, percent_rank() OVER (PARTITION BY lang
+                                 ORDER BY text_quality DESC) AS pr
+  FROM scored
+) WHERE pr <= {QUALITY_KEEP_FRAC}
+"""
+
+
 QUERIES = {
     "contamination_check_documents": q_contamination_check_documents,
     "decontaminated_train_docs": q_decontaminated_train_docs,
@@ -410,6 +459,7 @@ QUERIES = {
     "corpus_shuffle_documents": q_corpus_shuffle_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
+    "quality_topk_per_lang": q_quality_topk_per_lang,
 }
 
 ORACLES = {
@@ -421,4 +471,5 @@ ORACLES = {
     "corpus_shuffle_documents": ORACLE_CORPUS_SHUFFLE_DOCUMENTS,
     "pii_scrub_documents": ORACLE_PII_SCRUB_DOCUMENTS,
     "gopher_quality_documents": ORACLE_GOPHER_QUALITY_DOCUMENTS,
+    "quality_topk_per_lang": ORACLE_QUALITY_TOPK_PER_LANG,
 }
