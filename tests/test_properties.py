@@ -116,3 +116,77 @@ class TestDedupKeepFirstProperty:
             if key not in expect or ing < expect[key]:
                 expect[key] = ing
         assert got == expect
+
+
+class TestSamplingProperties:
+    """Hash-based sampling invariants vs pure-Python reference."""
+
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10_000_000),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        salt=st.integers(min_value=0, max_value=5),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_split_matches_python_and_ignores_other_rows(
+        self, spark, ids, salt
+    ):
+        from big_data_for_smart_houses_spark.extensions.sampling import (
+            KNUTH,
+            SPLIT_BUCKETS,
+            deterministic_split,
+        )
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r.doc_id: (r.split_bucket, r.split)
+            for r in deterministic_split(df, salt=salt).collect()
+        }
+
+        def py_split(i):
+            b = (i * KNUTH + salt) % SPLIT_BUCKETS
+            return (b, "train" if b < 900 else "val" if b < 950 else "test")
+
+        # matches the pure function row-by-row => the decision for an
+        # id can never depend on which OTHER rows are in the corpus
+        assert got == {i: py_split(i) for i in ids}
+
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=1_000_000),
+            min_size=2,
+            max_size=50,
+            unique=True,
+        )
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_shuffle_is_stable_under_corpus_growth_prefix(self, spark, ids):
+        """Relative order of two ids depends only on their own keys:
+        shuffling a SUBSET preserves the relative order those ids have
+        in the full corpus."""
+        from big_data_for_smart_houses_spark.extensions.sampling import (
+            deterministic_shuffle,
+        )
+
+        full = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        sub_ids = ids[: max(2, len(ids) // 2)]
+        sub = spark.createDataFrame([(i,) for i in sub_ids], "doc_id long")
+        order_full = [
+            r.doc_id
+            for r in sorted(
+                deterministic_shuffle(full).collect(),
+                key=lambda r: r.shuffle_pos,
+            )
+        ]
+        order_sub = [
+            r.doc_id
+            for r in sorted(
+                deterministic_shuffle(sub).collect(),
+                key=lambda r: r.shuffle_pos,
+            )
+        ]
+        filtered = [i for i in order_full if i in set(sub_ids)]
+        assert filtered == order_sub
