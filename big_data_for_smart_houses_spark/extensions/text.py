@@ -196,6 +196,56 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("passes_gopher", passes)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    context-window chunking step before embedding or training. Each
+    chunk holds ``chunk_tokens`` whitespace tokens and starts
+    ``chunk_tokens - overlap`` after the previous one; the final chunk
+    may be short but is never empty, and a doc shorter than one window
+    yields exactly one chunk.
+
+    Row-local: tokenize once, generate chunk starts with ``sequence``
+    (stride = chunk_tokens - overlap), slice per start, posexplode.
+    Zero shuffle — the 1:N fan-out scales with the scan exactly like
+    the multimodal frame sampler."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    # last start: the largest multiple of stride that still begins a
+    # non-empty window; docs with <= chunk_tokens tokens get start 0
+    last_start = F.greatest(
+        F.lit(0),
+        F.floor((F.size(toks) - 1) / F.lit(stride)).cast("int") * stride,
+    )
+    # drop trailing starts that would chunk only already-seen tokens
+    last_start = F.least(
+        last_start,
+        F.when(
+            F.size(toks) > chunk_tokens,
+            F.ceil((F.size(toks) - chunk_tokens) / F.lit(stride)).cast("int")
+            * stride,
+        ).otherwise(F.lit(0)),
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return exploded.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), " "))
+    )
+
+
 def add_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram (stopword-count) language heuristic: score each language
     by stopword hits, argmax with a fixed preference order on ties."""

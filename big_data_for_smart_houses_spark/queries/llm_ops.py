@@ -401,6 +401,49 @@ FROM stats
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 16-token overlap,
+    1:N row-local fan-out (posexplode) — the pre-embedding split."""
+    return text.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bounded AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > {CHUNK_TOKENS}
+              THEN CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0)
+                        AS INT) * {_CHUNK_STRIDE}
+              ELSE 0 END AS last_start
+  FROM base
+),
+chunked AS (
+  SELECT doc_id,
+         unnest([{{'cid': s / {_CHUNK_STRIDE},
+                   'chunk': array_to_string(
+                       toks[s + 1 : s + {CHUNK_TOKENS}], ' ')}}
+                 for s in range(0, last_start + 1, {_CHUNK_STRIDE})]) AS u
+  FROM bounded
+)
+SELECT doc_id,
+       CAST(u.cid AS INT) AS chunk_id,
+       u.chunk AS chunk_text,
+       CAST(len(string_split(u.chunk, ' ')) AS INT) AS n_chunk_tokens
+FROM chunked
+"""
+
+
 QUALITY_KEEP_FRAC = 0.25
 
 
@@ -460,6 +503,7 @@ QUERIES = {
     "pii_scrub_documents": q_pii_scrub_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "quality_topk_per_lang": q_quality_topk_per_lang,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLES = {
@@ -472,4 +516,5 @@ ORACLES = {
     "pii_scrub_documents": ORACLE_PII_SCRUB_DOCUMENTS,
     "gopher_quality_documents": ORACLE_GOPHER_QUALITY_DOCUMENTS,
     "quality_topk_per_lang": ORACLE_QUALITY_TOPK_PER_LANG,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
 }

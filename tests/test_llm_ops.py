@@ -143,3 +143,31 @@ def test_gopher_flags(spark):
     assert not rows[1].ok_n_tokens and not rows[1].passes_gopher
     assert not rows[2].ok_repetition and not rows[2].passes_gopher
     assert rows[0].ok_n_tokens and rows[0].ok_stopwords
+
+
+def test_chunk_documents_edges(spark):
+    short = " ".join(f"t{i}" for i in range(5))         # < 1 window
+    exact = " ".join(f"t{i}" for i in range(8))         # == 1 window
+    long = " ".join(f"t{i}" for i in range(20))         # multi-chunk
+    df = _docs(spark, [(0, short), (1, exact), (2, long)])
+    out = text.chunk_documents(df, chunk_tokens=8, overlap=3)
+    rows = sorted(
+        out.collect(), key=lambda r: (r.doc_id, r.chunk_id)
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # short & exact docs: exactly one chunk, full text
+    assert len(by_doc[0]) == 1 and by_doc[0][0].chunk_text == short
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == exact
+    # long doc: stride 5, windows cover all 20 tokens, last start 15
+    chunks = [r.chunk_text.split(" ") for r in by_doc[2]]
+    assert [c[0] for c in chunks] == ["t0", "t5", "t10", "t15"]
+    assert all(len(c) == 8 for c in chunks[:-1])
+    assert chunks[-1] == ["t15", "t16", "t17", "t18", "t19"]
+    # overlap: each chunk repeats the previous one's last 3 tokens
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert prev[-3:] == cur[:3]
+    # every token covered
+    covered = {t for c in chunks for t in c}
+    assert covered == {f"t{i}" for i in range(20)}
