@@ -48,6 +48,8 @@ HEADLINE = [
     "contamination_check_documents",
     "tfidf_top_terms",
     "corpus_shuffle_documents",
+    "chunk_documents",
+    "quality_topk_per_lang",
 ]
 
 # N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN

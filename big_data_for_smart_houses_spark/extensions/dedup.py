@@ -64,6 +64,35 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def dedup_against_history(
+    new_docs: DataFrame,
+    history_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion dedup: drop new documents whose normalized
+    fingerprint already exists in the historical fingerprint store
+    (a 1-column `fp` DataFrame — persist `exact_dedup(...)['fp']` per
+    batch and union/compact over time), then dedup within the batch.
+
+    This is the production shape for continuous corpus growth: the
+    history side carries only fingerprints (16 bytes/doc — billions of
+    docs fit in a few tens of GB, a shuffle join; broadcast when it
+    still fits), and the new batch is scanned once. Returns the
+    surviving new rows with their fingerprint attached so the caller
+    can append them to the store."""
+    from pyspark.sql import Window
+
+    fps = new_docs.withColumn("fp", fingerprint(F.col(text_col)))
+    fresh = fps.join(
+        history_fps.select("fp").distinct(), "fp", "left_anti"
+    )
+    w_first = F.row_number().over(
+        Window.partitionBy("fp").orderBy(F.col(id_col))
+    )
+    return fresh.withColumn("_rn", w_first).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (id, shingle)."""
     toks = F.split(normalized(F.col(text_col)), " ")

@@ -171,3 +171,29 @@ def test_chunk_documents_edges(spark):
     # every token covered
     covered = {t for c in chunks for t in c}
     assert covered == {f"t{i}" for i in range(20)}
+
+
+def test_dedup_against_history(spark):
+    from big_data_for_smart_houses_spark.extensions.dedup import (
+        dedup_against_history,
+        exact_dedup,
+    )
+
+    history = _docs(spark, [(0, "seen before"), (1, "also seen")])
+    history_fps = exact_dedup(history).select("fp")
+    new = _docs(
+        spark,
+        [
+            (10, "seen before"),        # already in history -> dropped
+            (11, "brand new text"),
+            (12, "brand new text"),     # intra-batch dup -> keep min id
+            (13, "Seen  BEFORE"),       # normalized match -> dropped
+        ],
+    )
+    out = dedup_against_history(new, history_fps)
+    assert sorted(r.doc_id for r in out.collect()) == [11]
+
+    # empty history: pure within-batch dedup
+    empty = history_fps.filter("1=0")
+    out2 = dedup_against_history(new, empty)
+    assert sorted(r.doc_id for r in out2.collect()) == [10, 11]
