@@ -131,11 +131,14 @@ def deterministic_shuffle(
     epoch; same salt => identical order on every run and engine, so a
     training run is resumable from any step.
 
-    The global row_number is a single total order — at 100 TB the same
-    hash column is the thing to range-partition + sortWithinPartitions
-    on at write time (files come out in shuffled order, no single-point
-    window); this operator is the semantic definition the writer
-    implements.
+    Scale shape: a naive global row_number would funnel the whole
+    corpus through ONE window partition. Instead the only global
+    window here runs over the per-key-bucket COUNTS — bounded by
+    SHUFFLE_BUCKETS (~1M rows) no matter the corpus size — producing
+    each bucket's exclusive offset; rows then take
+    ``offset + rank-within-bucket`` with a fully partitioned window.
+    Total order is identical to the naive definition (and to the SQL
+    oracle). Two shuffles + a key join, all bounded.
 
     The salt enters as a different MULTIPLIER, not an additive term:
     adding a constant mod M merely rotates the key circle (epoch orders
@@ -148,9 +151,23 @@ def deterministic_shuffle(
         F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE),
         F.lit(SHUFFLE_BUCKETS),
     )
-    w = Window.orderBy(key, F.col(id_col))
-    return df.withColumn(
-        "shuffle_pos", (F.row_number().over(w) - 1).cast("long")
+    keyed = df.withColumn("_sk", key)
+    counts = keyed.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_sk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_sk", "_off")
+    w_in = Window.partitionBy("_sk").orderBy(F.col(id_col))
+    return (
+        keyed.join(offsets, "_sk")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_off") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("_sk", "_off")
     )
 
 
