@@ -239,6 +239,8 @@ def dedup_groups(
     uses); all real work — the edge join and min-aggregate — stays
     distributed, and ``localCheckpoint`` cuts the growing lineage so
     round N does not replay rounds 1..N-1."""
+    if max_iterations < 1:
+        raise ValueError("dedup_groups needs max_iterations >= 1")
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")
     ).union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
@@ -273,6 +275,17 @@ def dedup_groups(
         labels = updated.select("id", "label")
         if n_changed == 0:
             break
+    else:
+        # A component with diameter > max_iterations would otherwise
+        # silently return SPLIT groups — duplicate docs kept with no
+        # signal. Surface it: the caller can raise max_iterations or
+        # pre-contract the graph.
+        raise RuntimeError(
+            f"dedup_groups: min-label propagation did not converge in "
+            f"{max_iterations} rounds ({n_changed} labels still "
+            f"changing) — the pair graph has a component with diameter "
+            f"> {max_iterations}; raise max_iterations"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("group_id")
     )

@@ -9,7 +9,7 @@ the shard key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth's multiplicative-hash constant (2^32 / phi). id * KNUTH stays
@@ -18,6 +18,30 @@ KNUTH = 2654435761
 
 SPLIT_BUCKETS = 1000
 DEFAULT_SPLIT = (("train", 900), ("val", 950), ("test", SPLIT_BUCKETS))
+
+# Per-salt multiplier stride (xxhash's 32-bit prime 2). A salt must
+# change the MULTIPLIER, not add a constant: pmod(id*K + salt, M) is the
+# salt-0 bucketing rotated by `salt`, so "salted" splits would be
+# near-identical rotations (only boundary-crossing ids move) — not
+# independent draws. Striding the multiplier picks an unrelated
+# multiplicative permutation per salt. Keep salts small (epoch/ablation
+# counters) so id * (KNUTH + salt * STRIDE) stays inside int64:
+# safe for id < 2^63 / (KNUTH + salt*STRIDE) ≈ 4e9 at salt ≤ 1000.
+SALT_STRIDE = 2_246_822_519
+
+
+def _salted_bucket(id_col: str, salt: int, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets) from a multiplicative hash
+    of the id; distinct salts yield unrelated bucketings (multiplier
+    stride, see SALT_STRIDE). Salt 0 is exactly id*KNUTH mod buckets —
+    the oracle-replayable baseline. Note all operators in this module
+    share the salt-0 hash BY DESIGN (consistent hashing: a doc's sample
+    membership nests inside its split membership, which is what you
+    want for leak-free eval slices); pass distinct salts where
+    statistically independent draws are required."""
+    return F.pmod(
+        F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE), F.lit(buckets)
+    )
 
 
 def deterministic_split(
@@ -30,13 +54,14 @@ def deterministic_split(
     hash of its id — deterministic (same id => same split, any run,
     any engine), stable under corpus growth (new ids don't reshuffle
     old ones), and leak-free across epochs (unlike random() sampling,
-    which resamples per run). ``salt`` derives independent splits for
-    ablations.
+    which resamples per run). ``salt`` derives an independent split for
+    ablations via a multiplier stride (see ``_salted_bucket`` — an
+    additive salt would only rotate bucket ids).
 
     ``thresholds`` are cumulative bucket bounds out of
     ``SPLIT_BUCKETS`` — the default is a 90/5/5 split.
     """
-    bucket = F.pmod(F.col(id_col) * F.lit(KNUTH) + F.lit(salt), F.lit(SPLIT_BUCKETS))
+    bucket = _salted_bucket(id_col, salt, SPLIT_BUCKETS)
     expr = None
     for name, bound in thresholds:
         cond = bucket < bound
@@ -58,13 +83,11 @@ def weighted_mix(
 
     Same id + same salt => same keep decision on every run and engine,
     so a mixture is exactly reproducible and resumable; vary ``salt``
-    to draw an independent mixture. Zero shuffles: per-source filter +
-    union-all."""
+    to draw an independent mixture (multiplier stride — see
+    ``_salted_bucket``). Zero shuffles: per-source filter + union-all."""
     parts = []
     for df, weight, label in sources:
-        bucket = F.pmod(
-            F.col(id_col) * F.lit(KNUTH) + F.lit(salt), F.lit(SPLIT_BUCKETS)
-        )
+        bucket = _salted_bucket(id_col, salt, SPLIT_BUCKETS)
         parts.append(
             df.filter(bucket < int(weight * SPLIT_BUCKETS)).withColumn(
                 "source", F.lit(label)
@@ -92,10 +115,9 @@ def stratified_sample(
 
     Zero shuffles: the keep decision is a pure projection + filter,
     pushed to the scan. Strata not named in ``fractions`` keep
-    ``default_fraction`` of their rows."""
-    bucket = F.pmod(
-        F.col(id_col) * F.lit(KNUTH) + F.lit(salt), F.lit(SPLIT_BUCKETS)
-    )
+    ``default_fraction`` of their rows. ``salt`` draws an independent
+    sample via a multiplier stride (see ``_salted_bucket``)."""
+    bucket = _salted_bucket(id_col, salt, SPLIT_BUCKETS)
     frac = None
     for name, f in sorted(fractions.items()):
         cond = F.col(strata_col) == name
@@ -113,13 +135,23 @@ def stratified_sample(
 # the ordering has enough resolution that ties (two ids in one bucket)
 # stay rare; ties are broken by id anyway, so this is purely about
 # dispersion quality.
-SHUFFLE_BUCKETS = 1_000_003  # prime
+SHUFFLE_BUCKETS = 1_000_003  # prime (see _check_shuffle_buckets below)
 
-# Per-salt multiplier stride (xxhash's 32-bit prime 2): large mod
-# SHUFFLE_BUCKETS, so each salt picks a genuinely different
-# multiplicative permutation. Keep salts small (epoch counters) so
-# id * (KNUTH + salt * STRIDE) stays inside int64.
-SALT_STRIDE = 2_246_822_519
+
+def _check_shuffle_buckets() -> None:
+    """The offsets window in :func:`deterministic_shuffle` is global
+    (unpartitioned) over the per-bucket COUNTS — safe only because it
+    sees at most SHUFFLE_BUCKETS rows. Guard the constant so a future
+    bump can't silently create a mega-partition on one reducer."""
+    assert SHUFFLE_BUCKETS <= 4_000_000, (
+        "SHUFFLE_BUCKETS feeds an unpartitioned window in "
+        "deterministic_shuffle; raising it past a few million rows "
+        "funnels that window through one reducer. Re-shard the offsets "
+        "computation before raising this constant."
+    )
+
+
+_check_shuffle_buckets()
 
 
 def deterministic_shuffle(
@@ -177,6 +209,7 @@ def pack_token_batches(
     budget: int,
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    allow_single_shard: bool = False,
 ) -> DataFrame:
     """Pack documents into contiguous training batches of roughly
     ``budget`` tokens: order docs by id (within ``shard_col`` when
@@ -190,9 +223,20 @@ def pack_token_batches(
     packing needs a stateful sequential scan — the streaming
     equivalent belongs in applyInPandasWithState — and buys little
     when budget >> max document length, the normal regime for LLM
-    batch assembly. One shuffle (on the shard key, or single-partition
-    ordering when ``shard_col`` is None — use shards at scale).
+    batch assembly. One shuffle on the shard key.
+
+    ``shard_col`` is effectively required: a ``None`` shard funnels the
+    WHOLE corpus through one window partition (a single reducer sorts
+    and scans everything — the scale-killer shape), so it raises unless
+    ``allow_single_shard=True`` is passed explicitly for small inputs.
     """
+    if shard_col is None and not allow_single_shard:
+        raise ValueError(
+            "pack_token_batches with shard_col=None runs a global "
+            "unpartitioned window — the whole corpus on one reducer. "
+            "Pass shard_col (e.g. a language or date column), or "
+            "allow_single_shard=True for small, known-bounded inputs."
+        )
     part = [shard_col] if shard_col else []
     w = (
         Window.partitionBy(*part)

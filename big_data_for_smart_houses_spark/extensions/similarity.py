@@ -34,19 +34,48 @@ HYPERPLANES = [
 # planes each; a pair becomes a candidate iff it agrees on every sign
 # in at least one band. Recall for a pair with per-plane agreement
 # probability p (p = 1 - angle/pi) is 1-(1-p^R)^B — structurally 1.0
-# for exact duplicates and >=0.99 at cosine >=0.99 with B=4, R=8;
-# genuinely distant pairs land in the same 2^R-bucket band with
-# probability ~2^-R, keeping candidate generation sub-quadratic.
-NEARDUP_BANDS = 4
+# for exact duplicates; genuinely distant pairs land in the same
+# 2^R-bucket band with probability ~2^-R, keeping candidate generation
+# sub-quadratic.
+#
+# The band count is chosen PER THRESHOLD at call time (more bands for
+# lower thresholds, to hold recall >= NEARDUP_TARGET_RECALL at the
+# threshold boundary). Below NEARDUP_MIN_THRESHOLD hyperplane LSH
+# stops being a sensible plan at all: at cosine 0.7 a boundary pair
+# agrees per plane with p ~ 0.75, so holding 95% recall needs ~30
+# bands while random pairs collide per band at 2^-8 — the candidate
+# set degenerates toward quadratic. That regime belongs to the exact
+# neardup_pairs baseline or token-based (MinHash) blocking instead.
 NEARDUP_ROWS = 8
+NEARDUP_MIN_THRESHOLD = 0.95
+NEARDUP_TARGET_RECALL = 0.95
+NEARDUP_MAX_BANDS = 16
 _rng_pairs = random.Random(20250813)
+# Band-major generation: extending NEARDUP_MAX_BANDS appends new bands
+# without changing existing ones (seeded stream prefix is stable).
 PAIR_HYPERPLANES = [
     [
         [_rng_pairs.uniform(-1.0, 1.0) for _ in range(EMBEDDING_DIM)]
         for _ in range(NEARDUP_ROWS)
     ]
-    for _ in range(NEARDUP_BANDS)
+    for _ in range(NEARDUP_MAX_BANDS)
 ]
+
+
+def neardup_bands_for(threshold: float) -> int:
+    """Bands needed so a pair AT the threshold is recalled with
+    probability >= NEARDUP_TARGET_RECALL: smallest B with
+    1-(1-p^R)^B >= target, p = 1 - arccos(threshold)/pi."""
+    import math
+
+    p = 1.0 - math.acos(min(threshold, 1.0)) / math.pi
+    band_hit = p**NEARDUP_ROWS
+    if band_hit >= 1.0:
+        return 1
+    b = math.ceil(
+        math.log(1.0 - NEARDUP_TARGET_RECALL) / math.log(1.0 - band_hit)
+    )
+    return max(1, min(b, NEARDUP_MAX_BANDS))
 
 
 def as_double(arr: Column) -> Column:
@@ -149,9 +178,28 @@ def neardup_pairs_lsh(
     1.0 for exact duplicates since every band matches). At 100 TB the
     shuffle is B× the corpus (vectors ride along to the buckets,
     avoiding two corpus-wide join-backs) and pair cost is
-    ~B·Σ_bucket m², never n²."""
+    ~B·Σ_bucket m², never n².
+
+    ``threshold`` must be >= NEARDUP_MIN_THRESHOLD — below it the
+    hyperplane family can't hold recall without a near-quadratic band
+    count (see the constant's comment); use the exact
+    :func:`neardup_pairs` or MinHash blocking for that regime. The
+    band count is derived from the threshold so recall at the boundary
+    is >= NEARDUP_TARGET_RECALL. Buckets larger than MAX_BUCKET_SIZE
+    are dropped from pairing (they'd be quadratic hot spots); use
+    :func:`neardup_bucket_stats` on the same corpus to count/inspect
+    any such buckets rather than trusting silence."""
     from .dedup import MAX_BUCKET_SIZE, _pairs_expr
 
+    if threshold < NEARDUP_MIN_THRESHOLD:
+        raise ValueError(
+            f"neardup_pairs_lsh supports threshold >= "
+            f"{NEARDUP_MIN_THRESHOLD} (got {threshold}): at lower "
+            f"thresholds hyperplane-LSH recall collapses (~30 bands "
+            f"for 95% recall at 0.7 while candidates go quadratic). "
+            f"Use neardup_pairs (exact) or MinHash blocking instead."
+        )
+    n_bands = neardup_bands_for(threshold)
     v = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -161,7 +209,7 @@ def neardup_pairs_lsh(
                 F.lit(b).alias("band_id"),
                 _band_signature(F.col("v"), PAIR_HYPERPLANES[b]).alias("sig"),
             )
-            for b in range(NEARDUP_BANDS)
+            for b in range(n_bands)
         ]
     )
     exploded = v.select(
@@ -183,6 +231,50 @@ def neardup_pairs_lsh(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .distinct()
+    )
+
+
+def neardup_bucket_stats(
+    corpus: DataFrame,
+    threshold: float = NEARDUP_MIN_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-band bucket-size distribution for the exact banding
+    :func:`neardup_pairs_lsh` would use at ``threshold`` — the
+    observability companion for its over-cap drop: one row per band
+    with the bucket count, max bucket size, and how many buckets
+    (and member vectors) exceed MAX_BUCKET_SIZE and would be skipped.
+    Run it when a corpus is suspected of hot spots (duplicated zero
+    vectors, constant embeddings) before trusting the pair output."""
+    from .dedup import MAX_BUCKET_SIZE
+
+    n_bands = neardup_bands_for(threshold)
+    v = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _band_signature(F.col("v"), PAIR_HYPERPLANES[b]).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sizes = (
+        v.select(F.explode(bands).alias("band"))
+        .groupBy("band.band_id", "band.sig")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    over = F.col("m") > MAX_BUCKET_SIZE
+    return sizes.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("m").alias("max_bucket_size"),
+        F.sum(over.cast("long")).alias("n_overcap_buckets"),
+        F.sum(F.when(over, F.col("m")).otherwise(F.lit(0))).alias(
+            "n_overcap_vectors"
+        ),
     )
 
 

@@ -441,7 +441,13 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 EMB_PLANT_N = 50
 EMB_PLANT_OFFSET = 100_000
 EMB_PLANT_SHIFT = 0.01
-NEARDUP_LSH_THRESHOLD = 0.7
+# 0.95 is the documented minimum supported threshold for the banded
+# hyperplane LSH path (similarity.NEARDUP_MIN_THRESHOLD): below it the
+# band count needed to hold recall goes near-quadratic. The planted
+# pairs sit at cosine ~0.9968 and random 64-dim embeddings have no
+# organic pairs above ~0.52, so the gate's answer set is the same as at
+# the old 0.7 setting — but now inside the family's honest regime.
+NEARDUP_LSH_THRESHOLD = 0.95
 
 
 def _emb_with_planted_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

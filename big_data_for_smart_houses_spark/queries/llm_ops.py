@@ -453,8 +453,16 @@ def q_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — one shuffle; at 100 TB the same selection runs as an
     approx_percentile threshold per group, trading the sort for a
     sketch). Ranks tie-break nothing: equal scores share a
-    percent_rank, so the kept set is deterministic."""
-    scored = text.add_quality_score(_docs(spark, sf_dir))
+    percent_rank, so the kept set is deterministic.
+
+    text_quality is gate-quantized BEFORE ranking (not just on output):
+    DuckDB folds the 0.3/0.2 penalty literals in exact DECIMAL while
+    Spark chains doubles (1.0-0.3-0.2 = 0.49999999999999994 vs 0.5), so
+    a multi-penalty doc would otherwise rank differently per engine and
+    flip top-quartile membership."""
+    scored = quantize_cols(
+        text.add_quality_score(_docs(spark, sf_dir)), "text_quality"
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.col("text_quality").desc())
@@ -482,13 +490,21 @@ scored AS (
                        AS DOUBLE) / len(toks) > 12
                    OR CAST(list_sum(list_transform(toks, x -> length(x)))
                        AS DOUBLE) / len(toks) < 2 THEN 0.2 ELSE 0.0 END)
-         - (CASE WHEN n_chars_c < 50 THEN 0.2 ELSE 0.0 END) AS text_quality
+         - (CASE WHEN n_chars_c < 50 THEN 0.2 ELSE 0.0 END) AS text_quality_r
   FROM stats
+),
+quantized AS (
+  -- rank over the quantized score (mirror of the Spark side): DuckDB's
+  -- DECIMAL folding vs Spark's chained doubles differ by 1 ulp on
+  -- multi-penalty docs, which would flip rank order
+  SELECT doc_id, lang,
+         CAST(CAST(text_quality_r AS REAL) AS DOUBLE) AS text_quality
+  FROM scored
 )
 SELECT doc_id, lang, text_quality, pr FROM (
   SELECT *, percent_rank() OVER (PARTITION BY lang
                                  ORDER BY text_quality DESC) AS pr
-  FROM scored
+  FROM quantized
 ) WHERE pr <= {QUALITY_KEEP_FRAC}
 """
 

@@ -204,3 +204,66 @@ def test_ann_ivf_recall_vs_brute_force(spark):
              for r in similarity.ann_ivf_topk(emb, queries, centroids,
                                               k=TOPK_K, n_probe=3).collect()}
     assert rerun == approx_set
+
+
+def test_dedup_groups_raises_on_non_convergence(spark):
+    """A chain whose diameter exceeds max_iterations must raise, not
+    silently return split components (duplicate docs kept unnoticed)."""
+    ids = list(range(8))
+    corpus = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], ["id1", "id2"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_groups(corpus, chain, max_iterations=2)
+    # enough rounds: the same graph converges to one component
+    got = {
+        r.doc_id: r.group_id
+        for r in dedup.dedup_groups(corpus, chain, max_iterations=10).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_neardup_lsh_rejects_low_threshold(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 4), (1, [1.0] * 4)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="threshold >= 0.95"):
+        similarity.neardup_pairs_lsh(emb, threshold=0.7)
+
+
+def test_neardup_bands_for_recall_math():
+    import math
+
+    # boundary-pair recall with the chosen band count must clear the
+    # target everywhere in the supported threshold range
+    for t in (0.95, 0.97, 0.99, 0.999, 1.0):
+        b = similarity.neardup_bands_for(t)
+        assert 1 <= b <= similarity.NEARDUP_MAX_BANDS
+        p = 1.0 - math.acos(min(t, 1.0)) / math.pi
+        recall = 1.0 - (1.0 - p**similarity.NEARDUP_ROWS) ** b
+        assert recall >= similarity.NEARDUP_TARGET_RECALL - 1e-12
+    # lower thresholds need more bands
+    assert similarity.neardup_bands_for(0.95) > similarity.neardup_bands_for(0.99)
+
+
+def test_neardup_bucket_stats_counts_overcap(spark):
+    from big_data_for_smart_houses_spark.extensions.dedup import (
+        MAX_BUCKET_SIZE,
+    )
+
+    # a degenerate corpus: many copies of one vector -> one hot bucket
+    # per band, over the cap -> stats must surface it
+    n = MAX_BUCKET_SIZE + 5
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0] * 16) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    stats = similarity.neardup_bucket_stats(emb).collect()
+    assert len(stats) == similarity.neardup_bands_for(
+        similarity.NEARDUP_MIN_THRESHOLD
+    )
+    for r in stats:
+        assert r.n_overcap_buckets == 1
+        assert r.n_overcap_vectors == n
+        assert r.max_bucket_size == n

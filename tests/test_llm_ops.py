@@ -197,3 +197,54 @@ def test_dedup_against_history(spark):
     empty = history_fps.filter("1=0")
     out2 = dedup_against_history(new, empty)
     assert sorted(r.doc_id for r in out2.collect()) == [10, 11]
+
+
+def test_pack_token_batches_requires_shard_col(spark):
+    import pytest
+
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        pack_token_batches,
+    )
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tok")
+    )
+    # None shard = whole corpus through one window partition: refused
+    with pytest.raises(ValueError, match="one reducer"):
+        pack_token_batches(df, token_col="n_tok", budget=250)
+    # explicit small-input opt-out still works (single global ordering)
+    out = pack_token_batches(
+        df, token_col="n_tok", budget=250, allow_single_shard=True
+    ).collect()
+    assert [r.batch_id for r in sorted(out, key=lambda r: r.doc_id)] == [
+        i * 100 // 250 for i in range(10)
+    ]
+
+
+def test_split_salts_are_independent_not_rotations(spark):
+    """An additive salt only rotates bucket ids, so two 90% train
+    splits would overlap on ~all ids that don't cross a boundary. The
+    multiplier-stride salt must produce genuinely different bucket
+    ASSIGNMENTS (not a constant offset) between salts."""
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        SPLIT_BUCKETS,
+        deterministic_split,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    b0 = {
+        r.doc_id: r.split_bucket
+        for r in deterministic_split(df, salt=0).collect()
+    }
+    b1 = {
+        r.doc_id: r.split_bucket
+        for r in deterministic_split(df, salt=1).collect()
+    }
+    # rotation test: for an additive salt, (b1 - b0) mod M is the SAME
+    # constant for every id; the stride scheme must break that
+    deltas = {(b1[i] - b0[i]) % SPLIT_BUCKETS for i in b0}
+    assert len(deltas) > 100  # wildly non-constant
+    # and the 5% val slices of two salts should overlap ~5% * 5%, not ~100%
+    v0 = {i for i in b0 if 900 <= b0[i] < 950}
+    v1 = {i for i in b1 if 900 <= b1[i] < 950}
+    assert len(v0 & v1) < len(v0) // 2

@@ -136,6 +136,7 @@ class TestSamplingProperties:
     ):
         from big_data_for_smart_houses_spark.extensions.sampling import (
             KNUTH,
+            SALT_STRIDE,
             SPLIT_BUCKETS,
             deterministic_split,
         )
@@ -147,7 +148,8 @@ class TestSamplingProperties:
         }
 
         def py_split(i):
-            b = (i * KNUTH + salt) % SPLIT_BUCKETS
+            # salt strides the MULTIPLIER (additive salt only rotates)
+            b = (i * (KNUTH + salt * SALT_STRIDE)) % SPLIT_BUCKETS
             return (b, "train" if b < 900 else "val" if b < 950 else "test")
 
         # matches the pure function row-by-row => the decision for an
