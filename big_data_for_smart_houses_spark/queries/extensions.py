@@ -544,6 +544,180 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, queries, centroids, k=TOPK_K, n_probe=3)
 
 
+# ---------------------------------------------------------------------------
+# Recall-invariant gates for the hash-seeded sketches (minhash / simhash
+# / ANN-LSH / ANN-IVF). The sketches themselves can't be replayed in
+# SQL, but their RECALL against an exactly-computable truth set can be
+# hash-gated: the Spark side returns truth-set rows that the sketch
+# recovered; the oracle returns the FULL truth set. Any truth row the
+# sketch misses is a row-count mismatch => hard driver failure — so the
+# rows-only status of the sketch queries is now backed by a gated
+# invariant, not just a count.
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _exact_dup_truth_pairs(d: DataFrame) -> DataFrame:
+    """All (id1 < id2) pairs of documents with identical normalized
+    fingerprints — the Jaccard-1.0 truth set (planted dups plus any
+    organic exact dups in the corpus, e.g. sf0.1 has 8)."""
+    fps = d.select(F.col("doc_id"), dedup.fingerprint(F.col("text")).alias("fp"))
+    a = fps.select(F.col("fp"), F.col("doc_id").alias("id1"))
+    b = fps.select(F.col("fp"), F.col("doc_id").alias("id2"))
+    return a.join(b, "fp").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+
+
+_TRUTH_PAIRS_SQL = f"""
+fps AS (SELECT doc_id, {_FP_SQL} AS fp FROM docs2),
+truth AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+"""
+
+
+def q_minhash_recall_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall gate: every identical-text pair (Jaccard 1.0)
+    MUST appear in the LSH candidate set — identical shingle sets give
+    identical signatures, so every band collides (a structural
+    guarantee, not a probabilistic one). Spark returns truth ∩
+    candidates; the oracle returns the full truth set; a single missed
+    pair fails the hash/row gate."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    cands = dedup.minhash_lsh_pairs(d).select("id1", "id2")
+    return _exact_dup_truth_pairs(d).join(cands, ["id1", "id2"])
+
+
+ORACLE_MINHASH_RECALL_EXACT_DUPS = f"""
+WITH {_PLANTED_CTE},
+{_TRUTH_PAIRS_SQL}
+SELECT id1, id2 FROM truth
+"""
+
+
+def q_simhash_recall_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall gate: identical texts have identical 64-bit
+    fingerprints (hamming 0 <= 3), and the 4x16-bit banding pigeonhole
+    guarantees any hamming<=3 pair agrees on a full band — so every
+    truth pair must be recovered. Same truth-∩-candidates vs
+    full-truth-oracle shape as the MinHash gate."""
+    d = _docs_with_planted_dups(spark, sf_dir)
+    cands = dedup.simhash_neardup_pairs(d).select("id1", "id2")
+    return _exact_dup_truth_pairs(d).join(cands, ["id1", "id2"])
+
+
+ORACLE_SIMHASH_RECALL_EXACT_DUPS = ORACLE_MINHASH_RECALL_EXACT_DUPS
+
+
+def q_ann_lsh_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-LSH recall gate: each planted near-twin (cosine ~0.9968 —
+    the corpus' global-max similarity, far above the ~0.52 organic
+    ceiling) must surface as its query's rank-1 neighbor through the
+    bucket + hamming-1 multiprobe path. Spark returns the twin rows the
+    ANN search recovered; the oracle enumerates all planted twins with
+    the exact cosine — a missed twin is a row mismatch."""
+    configure_for_oracle_parity(spark)
+    corpus = _emb_with_planted_neardups(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < EMB_PLANT_N)
+    topk = similarity.ann_lsh_topk(corpus, queries, k=TOPK_K)
+    return topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + EMB_PLANT_OFFSET
+    )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT vec_id AS query_id,
+         vec_id + {EMB_PLANT_OFFSET} AS neighbor_id,
+         v AS qv, list_transform(v, x -> x + {EMB_PLANT_SHIFT}) AS nv
+  FROM e0 WHERE vec_id < {EMB_PLANT_N}
+)
+SELECT query_id, neighbor_id,
+       list_dot_product(qv, nv)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv)))
+         AS cosine_sim,
+       CAST(1 AS INT) AS rank
+FROM pairs
+"""
+
+ORACLE_ANN_LSH_RECALL_PLANTED = _ANN_RECALL_ORACLE
+
+
+def q_ann_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-IVF recall gate: same planted-twin invariant through the IVF
+    path — the twin's cell must land inside the query's n_probe nearest
+    cells (a +0.01 shift moves a vector a tiny fraction of a cell
+    radius, so query and twin quantize together). Centroids train on
+    the planted corpus with a fixed seed => deterministic."""
+    configure_for_oracle_parity(spark)
+    corpus = _emb_with_planted_neardups(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < EMB_PLANT_N)
+    centroids = similarity.train_ivf_centroids(corpus, n_cells=8)
+    topk = similarity.ann_ivf_topk(
+        corpus, queries, centroids, k=TOPK_K, n_probe=3
+    )
+    return topk.filter(
+        F.col("neighbor_id") == F.col("query_id") + EMB_PLANT_OFFSET
+    )
+
+
+ORACLE_ANN_IVF_RECALL_PLANTED = _ANN_RECALL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingestion dedup, two-batch gate (VERDICT r2 #6)
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 4  # history = doc_id % 4 != 0; incoming = the rest + plants
+
+
+def q_dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental dedup (extensions/dedup.py:
+    dedup_against_history): batch 1 (three quarters of the corpus)
+    persists only its fingerprint store; batch 2 (the remaining
+    quarter, plus planted copies of the first 50 docs) anti-joins that
+    store, then dedups within itself. Exercises all three paths:
+    cross-batch drop (plants of history docs), within-batch keep-min
+    (plants of incoming docs), and fresh keeps."""
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    history_fps = dedup.exact_dedup(history).select("fp")
+    incoming = d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0).unionByName(
+        d.filter(F.col("doc_id") < PLANT_N).withColumn(
+            "doc_id", F.col("doc_id") + PLANT_OFFSET
+        )
+    )
+    return dedup.dedup_against_history(incoming, history_fps).select(
+        "doc_id", "fp"
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL_DOCUMENTS = f"""
+WITH hist AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents
+  WHERE doc_id % {INCR_BATCH_MOD} <> 0
+),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < {PLANT_N}
+),
+fps AS (SELECT doc_id, {_FP_SQL} AS fp FROM incoming),
+fresh AS (
+  SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hist)
+),
+ranked AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fresh
+)
+SELECT doc_id, fp FROM ranked WHERE rn = 1
+"""
+
+
 FRAME_SAMPLE_EVERY_N = 10
 FRAME_BYTES = 25
 
@@ -644,6 +818,11 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_decode": q_multimodal_decode,
+    "minhash_recall_exact_dups": q_minhash_recall_exact_dups,
+    "simhash_recall_exact_dups": q_simhash_recall_exact_dups,
+    "ann_lsh_recall_planted": q_ann_lsh_recall_planted,
+    "ann_ivf_recall_planted": q_ann_ivf_recall_planted,
+    "dedup_incremental_documents": q_dedup_incremental_documents,
 }
 
 ORACLES = {
@@ -663,4 +842,9 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "minhash_recall_exact_dups": ORACLE_MINHASH_RECALL_EXACT_DUPS,
+    "simhash_recall_exact_dups": ORACLE_SIMHASH_RECALL_EXACT_DUPS,
+    "ann_lsh_recall_planted": ORACLE_ANN_LSH_RECALL_PLANTED,
+    "ann_ivf_recall_planted": ORACLE_ANN_IVF_RECALL_PLANTED,
+    "dedup_incremental_documents": ORACLE_DEDUP_INCREMENTAL_DOCUMENTS,
 }
