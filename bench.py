@@ -50,13 +50,19 @@ HEADLINE = [
     "corpus_shuffle_documents",
     "chunk_documents",
     "quality_topk_per_lang",
+    "bm25_documents",
+    "pii_scrub_documents",
+    "dedup_groups_documents",
+    "token_batch_packing",
+    "dedup_incremental_documents",
 ]
 
 # N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN
 # across runs (the least-noisy estimator of the plan's cost on an
 # otherwise-idle machine); the reported value stays the sum of
 # per-query times so round-over-round numbers remain comparable.
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# n=3: with min-of-2, a single noisy run still sets half the floor.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:

@@ -241,9 +241,15 @@ def dedup_groups(
     round N does not replay rounds 1..N-1."""
     if max_iterations < 1:
         raise ValueError("dedup_groups needs max_iterations >= 1")
-    edges = pairs.select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
-    ).union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+    # localCheckpoint: the edge list joins into EVERY round — without a
+    # lineage cut each round would re-run the whole upstream pair
+    # generator (shingling + bucket joins), multiplying its cost by the
+    # round count (measured ~3s of the 5s gate query before the cut)
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
         corpus.select(F.col(id_col).alias("id"))
         .distinct()
