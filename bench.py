@@ -55,6 +55,9 @@ HEADLINE = [
     "dedup_groups_documents",
     "token_batch_packing",
     "dedup_incremental_documents",
+    "temperature_mix_documents",
+    "length_bucketed_packing",
+    "boilerplate_ngram_documents",
 ]
 
 # N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN

@@ -217,6 +217,48 @@ def minhash_lsh_pairs(
     )
 
 
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_freq: int = 3,
+    frac_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-document repetition stats (the C4-style boilerplate rule):
+    a word n-gram appearing in >= ``min_doc_freq`` distinct documents
+    is boilerplate (navigation chrome, license headers, templated
+    spam); each document reports how much of it is made of such
+    n-grams and a drop flag at ``frac_threshold``.
+
+    Per-document shingles are DISTINCT, so doc_freq counts documents,
+    not occurrences. Scale shape mirrors TF-IDF's document-frequency
+    join: one shingle-keyed aggregate (map-side combined), one join
+    back (shingle-keyed shuffle — the n-gram vocabulary of a 100 TB
+    corpus is far too big to broadcast), one per-doc aggregate.
+    Documents shorter than ``n`` tokens have no shingles and are
+    absent from the output (nothing to judge).
+
+    ``boilerplate_frac`` is a single division of exact integers —
+    deterministic, no quantization needed."""
+    sh = shingles(df, id_col, text_col, n)
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(doc_freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= min_doc_freq).cast("long")).alias(
+                "n_boilerplate"
+            ),
+        )
+    )
+    frac = F.col("n_boilerplate") / F.col("n_shingles")
+    return per_doc.withColumn("boilerplate_frac", frac).withColumn(
+        "is_boilerplate", frac >= F.lit(frac_threshold)
+    )
+
+
 def dedup_groups(
     corpus: DataFrame,
     pairs: DataFrame,
@@ -238,20 +280,28 @@ def dedup_groups(
     is a deliberate scalar convergence check (the same shape GraphX
     uses); all real work — the edge join and min-aggregate — stays
     distributed, and ``localCheckpoint`` cuts the growing lineage so
-    round N does not replay rounds 1..N-1."""
+    round N does not replay rounds 1..N-1.
+
+    Scale shape: propagation runs ONLY over nodes that appear in some
+    pair — at 100 TB the dup-graph node set is a small fraction of the
+    corpus, so each round's join touches |V(pairs)| rows, not the
+    corpus. The corpus enters exactly once, at the end, via a single
+    left join that labels singletons with their own id."""
     if max_iterations < 1:
         raise ValueError("dedup_groups needs max_iterations >= 1")
     # localCheckpoint: the edge list joins into EVERY round — without a
     # lineage cut each round would re-run the whole upstream pair
     # generator (shingling + bucket joins), multiplying its cost by the
-    # round count (measured ~3s of the 5s gate query before the cut)
+    # round count (measured 1.7x on the sf0.1 gate query)
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .localCheckpoint()
     )
+    # both directions are present, so src alone enumerates every
+    # pair-graph node
     labels = (
-        corpus.select(F.col(id_col).alias("id"))
+        edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
@@ -292,8 +342,14 @@ def dedup_groups(
             f"changing) — the pair graph has a component with diameter "
             f"> {max_iterations}; raise max_iterations"
         )
-    return labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("group_id")
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("label"), F.col("id")).alias("group_id"),
+        )
     )
 
 

@@ -203,6 +203,94 @@ def deterministic_shuffle(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    base_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based corpus re-balancing (the multilingual
+    pretraining recipe: sample group g with probability ∝ n_g^alpha,
+    alpha < 1 up-weighting low-resource groups). Deterministic — the
+    keep decision is the same id-hash filter as the other samplers, so
+    the mixture is reproducible and resumable with no RNG state.
+
+    Per group: w_g = n_g^alpha, q_g = w_g / Σw, expected sample size
+    base_frac·N distributed as q_g, so keep fraction
+    f_g = min(1, base_frac·N·q_g / n_g). Scale shape: group counts are
+    one tiny aggregate (|groups| rows) broadcast back onto the corpus —
+    the corpus itself never shuffles, just scan + filter.
+
+    The f_g -> bucket bound goes through the float32 gate quantization
+    before flooring: pow() is not guaranteed correctly rounded, so
+    engines can disagree by 1 ulp exactly at a bucket boundary.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"), F.sum(w).alias("_wsum")
+    )
+    fracs = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_keep_buckets",
+            F.floor(
+                # min(1, base_frac * N * q_g / n_g) * SPLIT_BUCKETS
+                F.least(
+                    F.lit(1.0),
+                    F.lit(base_frac)
+                    * F.col("_total")
+                    * (w / F.col("_wsum"))
+                    / F.col("_n"),
+                )
+                .cast("float")
+                .cast("double")
+                * SPLIT_BUCKETS
+            ),
+        )
+        .select(group_col, "_keep_buckets")
+    )
+    bucket = _salted_bucket(id_col, salt, SPLIT_BUCKETS)
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .filter(bucket < F.col("_keep_buckets"))
+        .drop("_keep_buckets")
+    )
+
+
+def pack_length_bucketed(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    bucket_width: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget packing with length bucketing: documents are first
+    grouped into ``bucket_width``-sized length buckets, then packed
+    within each bucket — so a batch contains only similar-length
+    documents and per-batch padding waste (pad-to-max) stays bounded
+    by ``bucket_width`` tokens per row instead of the corpus' full
+    length spread. The standard efficiency trick for sequence-model
+    batch assembly.
+
+    Adds ``length_bucket`` and reuses :func:`pack_token_batches` with
+    the bucket as the shard key: one shuffle, and the per-shard window
+    is bounded by the bucket's row count."""
+    bucketed = df.withColumn(
+        "length_bucket",
+        F.floor(F.col(token_col) / F.lit(bucket_width)).cast("long"),
+    )
+    return pack_token_batches(
+        bucketed,
+        token_col=token_col,
+        budget=budget,
+        id_col=id_col,
+        shard_col="length_bucket",
+    )
+
+
 def pack_token_batches(
     df: DataFrame,
     token_col: str,

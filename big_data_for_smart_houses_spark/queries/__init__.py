@@ -73,12 +73,16 @@ _CERTIFICATION_FRONT = [
     "gopher_quality_documents",
     "quality_topk_per_lang",
     "chunk_documents",
-    # --- new this round (recall invariants + incremental dedup) ---
+    # --- new this round (recall invariants, incremental dedup, and
+    #     the temperature-mix / length-packing / boilerplate ops) ---
     "minhash_recall_exact_dups",
     "simhash_recall_exact_dups",
     "ann_lsh_recall_planted",
     "ann_ivf_recall_planted",
     "dedup_incremental_documents",
+    "temperature_mix_documents",
+    "length_bucketed_packing",
+    "boilerplate_ngram_documents",
     # --- certified sentinel spine (green in CORRECTNESS_r02.json) ---
     "silver_pipeline_events",
     "gold_daily_energy_events",
@@ -88,13 +92,10 @@ _CERTIFICATION_FRONT = [
     "analytics_kpi_day",
     "analytics_data_status",
     "analytics_health_scatter",
-    "analytics_energy_by_type",
     "pricing_summary",
-    "rolling_event_metrics",
     "sessionize_events",
     "purchase_asof_click",
     "salted_join_orders",
-    "hourly_event_window",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
 ]

@@ -253,6 +253,133 @@ FROM documents
 """
 
 
+TEMP_MIX_ALPHA = 0.5
+TEMP_MIX_BASE_FRAC = 0.5
+
+
+def q_temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus re-balancing (extensions/sampling.py:
+    temperature_mix): per-language keep fraction ∝ n_lang^alpha
+    renormalized — alpha=0.5 up-weights low-resource languages, the
+    multilingual pretraining recipe. Group counts are one tiny
+    broadcast; the corpus never shuffles."""
+    from ..extensions.sampling import temperature_mix
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_mix(
+        d, "lang", alpha=TEMP_MIX_ALPHA, base_frac=TEMP_MIX_BASE_FRAC
+    ).select("doc_id", "lang")
+
+
+# pow() is not guaranteed correctly rounded, so the keep-fraction ->
+# bucket bound is float32-quantized on BOTH engines before flooring
+# (same rule as the float-aggregate gate contract).
+ORACLE_TEMPERATURE_MIX_DOCUMENTS = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tot AS (
+  SELECT sum(n) AS total, sum(pow(n, {TEMP_MIX_ALPHA})) AS wsum FROM counts
+),
+fr AS (
+  SELECT lang,
+         floor(CAST(CAST(
+           least(1.0, {TEMP_MIX_BASE_FRAC} * total
+                        * (pow(n, {TEMP_MIX_ALPHA}) / wsum) / n)
+         AS REAL) AS DOUBLE) * 1000) AS keep_buckets
+  FROM counts CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN fr USING (lang)
+WHERE (d.doc_id * 2654435761) % 1000 < fr.keep_buckets
+"""
+
+
+LENGTH_BUCKET_WIDTH = 32
+LENGTH_PACK_BUDGET = 2000
+
+
+def q_length_bucketed_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed token packing (extensions/sampling.py:
+    pack_length_bucketed): batches contain only similar-length docs so
+    pad-to-max waste is bounded by the bucket width — the standard
+    sequence-model batching efficiency trick. Integer-exact."""
+    from ..extensions.sampling import pack_length_bucketed
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return pack_length_bucketed(
+        d,
+        token_col="n_tokens",
+        budget=LENGTH_PACK_BUDGET,
+        bucket_width=LENGTH_BUCKET_WIDTH,
+    ).select("doc_id", "length_bucket", "n_tokens", "batch_id")
+
+
+ORACLE_LENGTH_BUCKETED_PACKING = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(floor(len(string_split(text, ' ')) / {LENGTH_BUCKET_WIDTH})
+              AS BIGINT) AS length_bucket
+  FROM documents
+)
+SELECT doc_id, length_bucket, n_tokens,
+       CAST(floor(
+         coalesce(sum(n_tokens)
+                    OVER (PARTITION BY length_bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / {LENGTH_PACK_BUDGET}
+       ) AS BIGINT) AS batch_id
+FROM t
+"""
+
+
+BOILERPLATE_MIN_DF = 3
+BOILERPLATE_FRAC_THRESHOLD = 0.5
+
+
+def q_boilerplate_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (extensions/dedup.py:
+    boilerplate_ngram_stats): trigrams shared by >= 3 documents are
+    boilerplate; each doc reports its boilerplate fraction and a drop
+    flag — the C4-style repeated-content rule, TF-IDF-shaped at scale
+    (shingle-keyed DF join, never broadcast)."""
+    return dedup.boilerplate_ngram_stats(
+        _docs(spark, sf_dir),
+        min_doc_freq=BOILERPLATE_MIN_DF,
+        frac_threshold=BOILERPLATE_FRAC_THRESHOLD,
+    )
+
+
+ORACLE_BOILERPLATE_NGRAM_DOCUMENTS = f"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS shingle
+  FROM norm WHERE len(toks) >= 3
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN dfreq.df >= {BOILERPLATE_MIN_DF}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+  FROM sh JOIN dfreq USING (shingle)
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_boilerplate,
+       CAST(n_boilerplate AS DOUBLE) / n_shingles AS boilerplate_frac,
+       CAST(n_boilerplate AS DOUBLE) / n_shingles
+         >= {BOILERPLATE_FRAC_THRESHOLD} AS is_boilerplate
+FROM per_doc
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (oracle-safe: pure string/list arithmetic)
 # ---------------------------------------------------------------------------
@@ -823,6 +950,9 @@ QUERIES = {
     "ann_lsh_recall_planted": q_ann_lsh_recall_planted,
     "ann_ivf_recall_planted": q_ann_ivf_recall_planted,
     "dedup_incremental_documents": q_dedup_incremental_documents,
+    "temperature_mix_documents": q_temperature_mix_documents,
+    "length_bucketed_packing": q_length_bucketed_packing,
+    "boilerplate_ngram_documents": q_boilerplate_ngram_documents,
 }
 
 ORACLES = {
@@ -847,4 +977,7 @@ ORACLES = {
     "ann_lsh_recall_planted": ORACLE_ANN_LSH_RECALL_PLANTED,
     "ann_ivf_recall_planted": ORACLE_ANN_IVF_RECALL_PLANTED,
     "dedup_incremental_documents": ORACLE_DEDUP_INCREMENTAL_DOCUMENTS,
+    "temperature_mix_documents": ORACLE_TEMPERATURE_MIX_DOCUMENTS,
+    "length_bucketed_packing": ORACLE_LENGTH_BUCKETED_PACKING,
+    "boilerplate_ngram_documents": ORACLE_BOILERPLATE_NGRAM_DOCUMENTS,
 }

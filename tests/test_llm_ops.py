@@ -248,3 +248,94 @@ def test_split_salts_are_independent_not_rotations(spark):
     v0 = {i for i in b0 if 900 <= b0[i] < 950}
     v1 = {i for i in b1 if 900 <= b1[i] < 950}
     assert len(v0 & v1) < len(v0) // 2
+
+
+def test_temperature_mix_upweights_low_resource_groups(spark):
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "big").otherwise("small").alias("lang"),
+    )
+    out = temperature_mix(df, "lang", alpha=0.5, base_frac=0.5)
+    rows = out.collect()
+    by = {"big": 0, "small": 0}
+    for r in rows:
+        by[r.lang] += 1
+    # alpha=0.5: w = sqrt(800), sqrt(200) -> q = 2/3, 1/3
+    # keep fracs = min(1, 500*q/n) = 0.416 (big), 0.833 (small):
+    # the small group keeps a ~2x larger share than the big one
+    assert 0.33 <= by["big"] / 800 <= 0.50
+    assert 0.72 <= by["small"] / 200 <= 0.94
+    # deterministic
+    again = temperature_mix(df, "lang", alpha=0.5, base_frac=0.5).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    # alpha=1 degenerates to a flat base_frac sample (q ∝ n cancels)
+    flat = temperature_mix(df, "lang", alpha=1.0, base_frac=0.5).collect()
+    flat_by = {"big": 0, "small": 0}
+    for r in flat:
+        flat_by[r.lang] += 1
+    assert 0.40 <= flat_by["big"] / 800 <= 0.60
+    assert 0.40 <= flat_by["small"] / 200 <= 0.60
+
+
+def test_pack_length_bucketed_bounds_padding(spark):
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        pack_length_bucketed,
+    )
+
+    # lengths 10..109: bucket width 25 -> buckets 0..4
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 10).alias("n_tok")
+    )
+    out = pack_length_bucketed(
+        df, token_col="n_tok", budget=100, bucket_width=25
+    ).collect()
+    for r in out:
+        assert r.length_bucket == (r.doc_id + 10) // 25
+    # within every batch, length spread is bounded by the bucket width
+    from collections import defaultdict
+
+    batches = defaultdict(list)
+    for r in out:
+        batches[(r.length_bucket, r.batch_id)].append(r.n_tok)
+    for (_, _), toks in batches.items():
+        assert max(toks) - min(toks) < 25
+    # batch ids are contiguous from 0 within each bucket
+    for b in {r.length_bucket for r in out}:
+        ids = sorted({r.batch_id for r in out if r.length_bucket == b})
+        assert ids == list(range(len(ids)))
+
+
+def test_boilerplate_ngram_stats_flags_shared_trigrams(spark):
+    from big_data_for_smart_houses_spark.extensions.dedup import (
+        boilerplate_ngram_stats,
+    )
+
+    chrome = "click here to subscribe now"
+    docs = _docs(
+        spark,
+        [
+            (0, chrome),                            # pure boilerplate
+            (1, chrome),
+            (2, chrome + " unique tail zero one"),  # mixed
+            (3, "completely original content body text here"),
+            (4, "xx"),                              # < n tokens: absent
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in boilerplate_ngram_stats(
+            docs, min_doc_freq=3, frac_threshold=0.5
+        ).collect()
+    }
+    assert 4 not in rows
+    # the chrome trigrams appear in docs 0,1,2 (doc_freq 3)
+    assert rows[0].is_boilerplate and rows[1].is_boilerplate
+    assert rows[0].boilerplate_frac == 1.0
+    # doc 2: 3 chrome trigrams of 7 total -> below the 0.5 threshold
+    assert rows[2].n_boilerplate == 3
+    assert not rows[2].is_boilerplate
+    assert rows[3].n_boilerplate == 0 and not rows[3].is_boilerplate
