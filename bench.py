@@ -58,6 +58,12 @@ HEADLINE = [
     "temperature_mix_documents",
     "length_bucketed_packing",
     "boilerplate_ngram_documents",
+    "sentence_dedup_documents",
+    "semantic_dedup_embeddings",
+    "source_cap_documents",
+    "mix_manifest_documents",
+    "profile_documents",
+    "winsorize_events",
 ]
 
 # N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN

@@ -335,3 +335,73 @@ def pack_token_batches(
     return df.withColumn("_excl_tokens", excl_sum).withColumn(
         "batch_id", F.floor(F.col("_excl_tokens") / F.lit(budget)).cast("long")
     ).drop("_excl_tokens")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group row cap (domain balancing: at most ``max_rows``
+    documents per source/domain, keeping the lowest ids — a
+    deterministic, stable-under-growth selection, unlike a random
+    sample that reshuffles membership every run).
+
+    One shuffle on the group key; within a group the window sorts only
+    that group's rows. A pathologically hot domain makes a hot
+    partition — when the cap is small relative to the hot group, the
+    cheap pre-filter is a per-partition partial top-``max_rows``
+    (AQE's skew split also applies); when deterministic lowest-id
+    semantics are not required, :func:`deterministic_split`'s hash
+    filter caps a group with zero sorting at all."""
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col))
+    return (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .filter(F.col("group_rank") <= F.lit(max_rows))
+    )
+
+
+def mix_manifest(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    alpha: float = 0.5,
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Training-mixture planning manifest: per group (language/source),
+    the observed token mass, its temperature-weighted share of a token
+    budget, and the implied epoch multiplier (share / observed —
+    > 1 means the group repeats during training, the standard
+    low-resource up-sampling readout).
+
+    The whole manifest is one tiny aggregate (|groups| rows) — the
+    plan-side complement to :func:`temperature_mix`, which applies the
+    same weighting as a corpus filter. pow() is not correctly-rounded,
+    so every float derived from it is float32-quantized (the gate
+    contract); epochs is a single division of a quantized value by an
+    exact integer."""
+    from ..functions.numeric import gate_quantize
+
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    tot = counts.agg(F.sum(w).alias("_wsum"))
+    share = gate_quantize(
+        F.lit(float(token_budget)) * w / F.col("_wsum")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("weight", gate_quantize(w))
+        .withColumn("target_tokens", F.floor(share).cast("long"))
+        .withColumn(
+            "epochs",
+            F.col("target_tokens").cast("double") / F.col("n_tokens"),
+        )
+        .select(
+            group_col, "n_docs", "n_tokens", "weight",
+            "target_tokens", "epochs",
+        )
+    )

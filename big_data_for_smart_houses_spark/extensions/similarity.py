@@ -506,3 +506,38 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+) -> DataFrame:
+    """Embedding-space dedup (the SemDeDup recipe): vectors whose
+    cosine similarity reaches ``threshold`` are the same semantic
+    content; connected components over the pair graph pick one keeper
+    (the minimum id) per semantic cluster, and everything else is
+    marked for drop.
+
+    Composition of two already-scale-shaped pieces: pair generation
+    (:func:`neardup_pairs_lsh` at scale — banded hyperplane candidates
+    + exact verify, never all-pairs; the exact :func:`neardup_pairs`
+    baseline when ``use_lsh=False``) and
+    :func:`~..extensions.dedup.dedup_groups` (iterative min-label over
+    pair-graph nodes only). The corpus is touched once per piece; no
+    step is quadratic in corpus size on the LSH path.
+
+    Output: one row per vector — ``group_id`` (min id of its semantic
+    cluster, own id for singletons) and ``is_keeper``."""
+    from .dedup import dedup_groups
+
+    pair_fn = neardup_pairs_lsh if use_lsh else neardup_pairs
+    pairs = pair_fn(
+        corpus, threshold, id_col=id_col, vec_col=vec_col
+    ).select("id1", "id2")
+    groups = dedup_groups(corpus, pairs, id_col=id_col)
+    return groups.withColumn(
+        "is_keeper", F.col(id_col) == F.col("group_id")
+    )

@@ -246,6 +246,72 @@ def chunk_documents(
     )
 
 
+def sentence_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Cross-document sentence-level dedup (the CC-Net / C4 line-dedup
+    rule): a sentence appearing in >= ``min_doc_freq`` DISTINCT
+    documents is boilerplate chrome and is removed from every document;
+    the survivors are re-joined in their original order. Unlike
+    document-level dedup this salvages the unique remainder of a page
+    instead of dropping or keeping it whole.
+
+    Scale shape: sentence-keyed aggregate for document frequency
+    (map-side combined), sentence-keyed join back, then one per-doc
+    aggregate that rebuilds the text — ``collect_list`` is safe here
+    because its input is one document's sentences (bounded by document
+    length, the same bound every per-doc array op in this module
+    relies on), and order is restored by sorting on the captured
+    position, never on collection order. The sentence vocabulary of a
+    100 TB corpus cannot broadcast, so the join back is a shuffle —
+    the same shape as :func:`~..extensions.dedup.boilerplate_ngram_stats`.
+
+    Output: ``n_sentences`` / ``n_removed`` (exact ints) and
+    ``cleaned_text`` — all engine-exact, no floats anywhere."""
+    import re as _re
+
+    sents = F.split(F.col(text_col), _re.escape(sep), -1)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(sents).alias("pos", "sentence")
+    )
+    doc_freq = exploded.groupBy("sentence").agg(
+        F.countDistinct(id_col).alias("_sdf")
+    )
+    keep = F.col("_sdf") < F.lit(min_doc_freq)
+    return (
+        exploded.join(doc_freq, "sentence")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        # collect_list skips nulls, so the when() keeps
+                        # only surviving sentences; sorting the
+                        # (pos, sentence) structs restores document
+                        # order regardless of collection order
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct(
+                                    F.col("pos"), F.col("sentence")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("sentence"),
+                ),
+                sep,
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def add_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram (stopword-count) language heuristic: score each language
     by stopword hits, argmax with a fixed preference order on ties."""

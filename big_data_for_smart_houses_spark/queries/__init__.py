@@ -21,6 +21,8 @@ from .analytics_gate import ORACLES as _GATE_ORACLES
 from .analytics_gate import QUERIES as _GATE_QUERIES
 from .core import ORACLES as _CORE_ORACLES
 from .core import QUERIES as _CORE_QUERIES
+from .curation import ORACLES as _CUR_ORACLES
+from .curation import QUERIES as _CUR_QUERIES
 from .extensions import ORACLES as _EXT_ORACLES
 from .extensions import QUERIES as _EXT_QUERIES
 from .llm_ops import ORACLES as _LLM_ORACLES
@@ -34,6 +36,7 @@ _ALL_QUERIES = {
     **_GATE_QUERIES,
     **_EXT_QUERIES,
     **_LLM_QUERIES,
+    **_CUR_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -41,6 +44,7 @@ ORACLES = {
     **_GATE_ORACLES,
     **_EXT_ORACLES,
     **_LLM_ORACLES,
+    **_CUR_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [
@@ -83,19 +87,19 @@ _CERTIFICATION_FRONT = [
     "temperature_mix_documents",
     "length_bucketed_packing",
     "boilerplate_ngram_documents",
+    "sentence_dedup_documents",
+    "semantic_dedup_embeddings",
+    "source_cap_documents",
+    "mix_manifest_documents",
+    "profile_documents",
+    "winsorize_events",
     # --- certified sentinel spine (green in CORRECTNESS_r02.json) ---
     "silver_pipeline_events",
     "gold_daily_energy_events",
-    "gold_device_health_events",
-    "gold_business_summary_events",
-    "catalog_enrichment_events",
     "analytics_kpi_day",
-    "analytics_data_status",
-    "analytics_health_scatter",
     "pricing_summary",
     "sessionize_events",
     "purchase_asof_click",
-    "salted_join_orders",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
 ]

@@ -1,0 +1,326 @@
+"""Corpus-curation queries (SURVEY.md §7.4, second tier): sentence-
+level dedup, embedding-space (SemDeDup) dedup, domain balancing,
+mixture planning, table profiling, and percentile winsorization.
+
+All six are oracle-gated bit-exact: the only floats are pow()/
+percentile chains that go through the float32 gate quantization on
+both engines (the same contract every gated query in this package
+follows), plus cosine similarity, which is an identical sequential
+double fold on both engines (established by the embedding_neardup
+gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions import profiling, similarity, text
+from ..functions.numeric import gate_quantize
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table, spread
+from .extensions import (
+    EMB_PLANT_N,
+    EMB_PLANT_OFFSET,
+    EMB_PLANT_SHIFT,
+    NEARDUP_LSH_THRESHOLD,
+    _emb_with_planted_neardups,
+)
+
+SENT_PLANT_N = 50
+SENT_PLANT_OFFSET = 100_000
+SOURCE_CAP_K = 10
+MIX_ALPHA = 0.5
+MIX_TOKEN_BUDGET = 1_000_000
+PROFILE_COLUMNS = ["text", "lang", "source", "n_chars"]
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return spread(load_table(spark, sf_dir, "documents"), spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level dedup (CC-Net / C4 line rule)
+# ---------------------------------------------------------------------------
+
+def q_sentence_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sentence dedup (extensions/text.py:
+    sentence_dedup). The synthetic corpus has no sentence separators,
+    so the gate plants them: 49 two-sentence docs share doc 0's text
+    as a leading "chrome" sentence (df=50 -> stripped everywhere,
+    emptying doc 0 itself) while each planted doc's second sentence is
+    unique (kept). Base docs are untouched. Exact ints/strings only."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    chrome = F.broadcast(
+        d.filter(F.col("doc_id") == 0).select(F.col("text").alias("_chrome"))
+    )
+    planted = (
+        d.filter((F.col("doc_id") >= 1) & (F.col("doc_id") < SENT_PLANT_N))
+        .crossJoin(chrome)
+        .select(
+            (F.col("doc_id") + SENT_PLANT_OFFSET).alias("doc_id"),
+            F.concat(
+                F.col("_chrome"), F.lit(". "), F.col("text"), F.lit(" tail")
+            ).alias("text"),
+        )
+    )
+    return text.sentence_dedup(d.unionByName(planted), min_doc_freq=2)
+
+
+ORACLE_SENTENCE_DEDUP_DOCUMENTS = f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+chrome AS (SELECT text AS c FROM documents WHERE doc_id = 0),
+docs2 AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {SENT_PLANT_OFFSET} AS doc_id,
+         c || '. ' || text || ' tail' AS text
+  FROM base CROSS JOIN chrome
+  WHERE doc_id >= 1 AND doc_id < {SENT_PLANT_N}
+),
+t AS (SELECT doc_id, string_split(text, '. ') AS sents FROM docs2),
+e AS (
+  SELECT doc_id, unnest(sents) AS sentence,
+         unnest(range(1, len(sents) + 1)) AS pos
+  FROM t
+),
+dfreq AS (
+  SELECT sentence, count(DISTINCT doc_id) AS sdf FROM e GROUP BY 1
+)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(
+         array_to_string(list(e.sentence ORDER BY e.pos)
+                           FILTER (WHERE sdf < 2), '. '),
+         ''
+       ) AS cleaned_text
+FROM e JOIN dfreq USING (sentence)
+GROUP BY e.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup keep-set
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set (extensions/similarity.py:semantic_dedup):
+    cosine-threshold pairs -> connected components -> min-id keeper per
+    semantic cluster, over the planted near-dup corpus. The gate runs
+    the SCALE path (use_lsh=True: banded-LSH candidates + exact
+    verify) against a brute-force-pairs recursive-CTE oracle — the
+    same LSH-vs-brute-force contract the embedding_neardup_pairs gate
+    establishes at this threshold, extended through the component
+    closure. The exact-pair baseline (use_lsh=False) stays as the
+    unit-test cross-check."""
+    emb = _emb_with_planted_neardups(spark, sf_dir)
+    return similarity.semantic_dedup(
+        emb, threshold=NEARDUP_LSH_THRESHOLD, use_lsh=True
+    ).select("vec_id", "group_id", "is_keeper")
+
+
+ORACLE_SEMANTIC_DEDUP_EMBEDDINGS = f"""
+WITH RECURSIVE
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM e0
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET} AS vec_id,
+         list_transform(v, x -> x + {EMB_PLANT_SHIFT}) AS v
+  FROM e0 WHERE vec_id < {EMB_PLANT_N}
+),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v)))
+        >= {NEARDUP_LSH_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS src, id2 AS dst FROM p
+  UNION ALL
+  SELECT id2 AS src, id1 AS dst FROM p
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src
+)
+SELECT vec_id, group_id, vec_id = group_id AS is_keeper FROM (
+  SELECT v.vec_id,
+         CAST(least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS BIGINT)
+           AS group_id
+  FROM e v LEFT JOIN reach r ON r.src = v.vec_id
+  GROUP BY v.vec_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain balancing: per-source row cap
+# ---------------------------------------------------------------------------
+
+def q_source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (extensions/sampling.py:cap_per_group):
+    keep the lowest {SOURCE_CAP_K} doc ids per source — the domain-
+    balancing guard against one crawl host dominating the mix."""
+    from ..extensions.sampling import cap_per_group
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return cap_per_group(d, "source", SOURCE_CAP_K).select(
+        "doc_id", "source", F.col("group_rank").cast("long").alias("group_rank")
+    )
+
+
+ORACLE_SOURCE_CAP_DOCUMENTS = f"""
+SELECT doc_id, source, group_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+           AS group_rank
+  FROM documents
+) WHERE group_rank <= {SOURCE_CAP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning manifest
+# ---------------------------------------------------------------------------
+
+def q_mix_manifest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-mix manifest (extensions/sampling.py:
+    mix_manifest): observed token mass, temperature-weighted share of
+    a 1M-token budget, implied epoch multiplier. One tiny aggregate."""
+    from ..extensions.sampling import mix_manifest
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return mix_manifest(
+        d, "lang", "n_tok", alpha=MIX_ALPHA, token_budget=MIX_TOKEN_BUDGET
+    )
+
+
+ORACLE_MIX_MANIFEST_DOCUMENTS = f"""
+WITH t AS (
+  SELECT lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+counts AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM t GROUP BY 1
+),
+tot AS (SELECT sum(pow(n_tokens, {MIX_ALPHA})) AS wsum FROM counts)
+SELECT lang, n_docs, n_tokens,
+       CAST(CAST(pow(n_tokens, {MIX_ALPHA}) AS REAL) AS DOUBLE) AS weight,
+       CAST(floor(CAST(CAST(
+         {float(MIX_TOKEN_BUDGET)} * pow(n_tokens, {MIX_ALPHA}) / wsum
+       AS REAL) AS DOUBLE)) AS BIGINT) AS target_tokens,
+       CAST(floor(CAST(CAST(
+         {float(MIX_TOKEN_BUDGET)} * pow(n_tokens, {MIX_ALPHA}) / wsum
+       AS REAL) AS DOUBLE)) AS DOUBLE) / n_tokens AS epochs
+FROM counts CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (single-pass ANALYZE)
+# ---------------------------------------------------------------------------
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass long-format profile of the documents table
+    (extensions/profiling.py:profile_columns): rows / nulls / exact
+    distinct / string-ordered min-max per column, one scan total."""
+    return profiling.profile_columns(_docs(spark, sf_dir), PROFILE_COLUMNS)
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_value,
+       max(CAST({c} AS VARCHAR)) AS max_value
+FROM documents"""
+
+
+ORACLE_PROFILE_DOCUMENTS = "\nUNION ALL\n".join(
+    _profile_col_sql(c) for c in PROFILE_COLUMNS
+)
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization of event values
+# ---------------------------------------------------------------------------
+
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize event values to the per-type [p05, p95] band — the
+    outlier-trimming step before value aggregation. The percentile
+    aggregate is one small per-type row set broadcast back onto the
+    events; percentiles are gate-quantized BEFORE the clamp so the
+    clip decision is the same on both engines, and the clamped output
+    is quantized again (it may equal a percentile)."""
+    ev = _events(spark, sf_dir)
+    p = ev.groupBy("event_type").agg(
+        gate_quantize(F.expr(f"percentile(value, {WINSOR_LO})")).alias("p_lo"),
+        gate_quantize(F.expr(f"percentile(value, {WINSOR_HI})")).alias("p_hi"),
+    )
+    clamped = F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            gate_quantize(clamped).alias("value_winsorized"),
+            ((F.col("value") < F.col("p_lo"))
+             | (F.col("value") > F.col("p_hi"))).alias("is_clipped"),
+        )
+    )
+
+
+ORACLE_WINSORIZE_EVENTS = f"""
+WITH p AS (
+  SELECT event_type,
+         CAST(CAST(quantile_cont(value, {WINSOR_LO}) AS REAL) AS DOUBLE)
+           AS p_lo,
+         CAST(CAST(quantile_cont(value, {WINSOR_HI}) AS REAL) AS DOUBLE)
+           AS p_hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       CAST(CAST(greatest(p_lo, least(p_hi, value)) AS REAL) AS DOUBLE)
+         AS value_winsorized,
+       (value < p_lo OR value > p_hi) AS is_clipped
+FROM events e JOIN p ON e.event_type = p.event_type
+"""
+
+
+QUERIES = {
+    "sentence_dedup_documents": q_sentence_dedup_documents,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "source_cap_documents": q_source_cap_documents,
+    "mix_manifest_documents": q_mix_manifest_documents,
+    "profile_documents": q_profile_documents,
+    "winsorize_events": q_winsorize_events,
+}
+
+ORACLES = {
+    "sentence_dedup_documents": ORACLE_SENTENCE_DEDUP_DOCUMENTS,
+    "semantic_dedup_embeddings": ORACLE_SEMANTIC_DEDUP_EMBEDDINGS,
+    "source_cap_documents": ORACLE_SOURCE_CAP_DOCUMENTS,
+    "mix_manifest_documents": ORACLE_MIX_MANIFEST_DOCUMENTS,
+    "profile_documents": ORACLE_PROFILE_DOCUMENTS,
+    "winsorize_events": ORACLE_WINSORIZE_EVENTS,
+}

@@ -1,0 +1,119 @@
+"""Unit tests for the curation-tier operators: sentence-level dedup,
+semantic (embedding) dedup, per-group caps, mix manifest, profiling,
+and winsorization edges the gate corpus doesn't exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_for_smart_houses_spark.extensions import profiling, text
+from big_data_for_smart_houses_spark.extensions.sampling import (
+    cap_per_group,
+    mix_manifest,
+)
+from big_data_for_smart_houses_spark.extensions.similarity import (
+    semantic_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_sentence_dedup_strips_chrome_keeps_order(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "subscribe to our newsletter. unique alpha content here"),
+            (1, "original beta text. subscribe to our newsletter. more beta"),
+            (2, "subscribe to our newsletter"),
+            (3, "totally unrelated gamma document"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in text.sentence_dedup(docs, min_doc_freq=2).collect()
+    }
+    # the shared sentence is removed from every doc, order preserved
+    assert rows[0].cleaned_text == "unique alpha content here"
+    assert rows[1].cleaned_text == "original beta text. more beta"
+    assert rows[1].n_sentences == 3 and rows[1].n_removed == 1
+    # a doc that was ONLY chrome comes back empty, not missing
+    assert rows[2].cleaned_text == "" and rows[2].n_removed == 1
+    assert rows[3].cleaned_text == "totally unrelated gamma document"
+    assert rows[3].n_removed == 0
+
+
+def test_sentence_dedup_counts_docs_not_occurrences(spark):
+    # the repeated sentence appears twice in ONE doc: doc frequency is
+    # 1, so it must survive (df counts documents, not occurrences)
+    docs = _docs(spark, [(0, "echo echo sentence. other. echo echo sentence")])
+    r = text.sentence_dedup(docs, min_doc_freq=2).collect()[0]
+    assert r.n_removed == 0
+    assert r.cleaned_text == "echo echo sentence. other. echo echo sentence"
+
+
+def test_semantic_dedup_groups_and_keepers(spark):
+    # two tight clusters + one singleton; within-cluster cosine ~1,
+    # across ~orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.0, 0.999, 0.001, 0.0]),
+        (9, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.95).collect()}
+    assert out[0].group_id == 0 and out[1].group_id == 0
+    assert out[5].group_id == 5 and out[7].group_id == 5
+    assert out[9].group_id == 9
+    keepers = {v for v, r in out.items() if r.is_keeper}
+    assert keepers == {0, 5, 9}
+
+
+def test_cap_per_group_keeps_lowest_ids(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("src")
+    )
+    out = cap_per_group(df, "src", 5, id_col="doc_id").collect()
+    assert len(out) == 20
+    for r in out:
+        # lowest ids per group: doc_id = group + 4*k for k < 5
+        assert r.doc_id < 4 * 5
+        assert 1 <= r.group_rank <= 5
+
+
+def test_mix_manifest_budget_and_epochs(spark):
+    df = spark.createDataFrame(
+        [("en", 100), ("de", 100)] * 50 + [("fr", 100)] * 10,
+        "lang string, n_tok long",
+    )
+    out = {r.lang: r for r in mix_manifest(df, "lang", "n_tok", alpha=0.5,
+                                           token_budget=12_000).collect()}
+    # en/de symmetric: identical manifests
+    assert out["en"].target_tokens == out["de"].target_tokens
+    assert out["en"].n_tokens == 5000 and out["fr"].n_tokens == 1000
+    # alpha=0.5 gives fr sqrt(1000)/(2*sqrt(5000)+sqrt(1000)) ~ 0.1828
+    # of the budget => ~2194 tokens over 1000 observed => epochs > 2
+    assert out["fr"].epochs > 2.0
+    assert out["en"].epochs < 1.0
+    # shares sum to at most the budget (floor per group)
+    assert sum(r.target_tokens for r in out.values()) <= 12_000
+
+
+def test_profile_columns_single_pass_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a")],
+        "id long, tag string",
+    )
+    out = {r.column: r for r in profiling.profile_columns(df, ["id", "tag"]).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    # string-ordered min/max, stated contract: '1' < '4' here
+    assert out["id"].min_value == "1" and out["id"].max_value == "4"
+    assert out["tag"].n_nulls == 1 and out["tag"].n_distinct == 2
+    assert out["tag"].min_value == "a" and out["tag"].max_value == "b"
+    # single job: the plan contains exactly one scan of the source
+    plan = profiling.profile_columns(df, ["id", "tag"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("logicalrdd") == 1
