@@ -64,7 +64,20 @@ HEADLINE = [
     "mix_manifest_documents",
     "profile_documents",
     "winsorize_events",
+    "token_heavy_hitters",
+    "value_histogram_events",
+    "bigram_lm_documents",
 ]
+
+# Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the
+# named headline queries (unknown names are an error, not a no-op).
+_only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if _only:
+    _names = [n.strip() for n in _only.split(",") if n.strip()]
+    _bad = [n for n in _names if n not in HEADLINE]
+    if _bad:
+        sys.exit(f"SPARK_GRAFT_BENCH_ONLY: not in HEADLINE: {_bad}")
+    HEADLINE = _names
 
 # N_RUNS > 1 bounds run-to-run variance: per-query time is the MIN
 # across runs (the least-noisy estimator of the plan's cost on an

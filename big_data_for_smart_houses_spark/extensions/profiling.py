@@ -50,3 +50,33 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-range histogram of a numeric column: ``n_bins`` equal
+    bins over [lo, hi), with underflow clamped into bin 0 and overflow
+    into the last bin (so every row is counted — the distribution
+    readout that drives winsorization / bucketing decisions).
+
+    One map-side-combined aggregate producing ``n_bins`` rows, scale-
+    free. The bin arithmetic is row-level double math on constants —
+    identical IEEE ops on every engine, so counts are exact without
+    quantization; ``bin_lo`` is derived from the integer bin id the
+    same way on both sides."""
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("value_histogram needs n_bins >= 1 and hi > lo")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_id = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
+        .select("bin", "bin_lo", "n")
+    )

@@ -138,3 +138,74 @@ def bm25_scores(
         F.sum("term_score").alias("bm25"),
         F.count(F.lit(1)).alias("n_matched_terms"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram language-model quality scoring (the CC-Net perplexity
+    filter, self-trained): fit an add-one-smoothed bigram LM on the
+    corpus itself, then score every document by its mean token
+    log-probability — fluent, corpus-typical text scores high;
+    gibberish, wrong-language, and template spam score low. The
+    standard model-based quality dimension next to the rule-based
+    Gopher filters.
+
+    P(w2|w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), avg_logprob =
+    mean ln P over the document's bigrams, ppl = exp(-avg_logprob).
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the output.
+
+    Plan shape at 100 TB (the TF-IDF template): bigram construction is
+    row-local (transform over token slices, zero shuffle); the LM
+    counts are two map-side-combined aggregates (bigram-keyed,
+    history-keyed); V is a 1-row scalar broadcast. Scoring joins the
+    model back by bigram-keyed shuffle — a 100 TB corpus' bigram
+    vocabulary cannot broadcast. Float contract: the per-doc ln-sum is
+    order-sensitive, so the mean is gate-quantized, and ppl is
+    exp() of the already-quantized mean, quantized again."""
+    from ..functions.numeric import gate_quantize
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+
+    model = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("_c_bi"))
+    hist = (
+        bi.select(F.split(F.col("bigram"), " ").getItem(0).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_c_w1"))
+    )
+    vocab = df.select(F.explode(toks).alias("_tok")).agg(
+        F.countDistinct("_tok").alias("_v")
+    )
+
+    scored = (
+        bi.withColumn("_w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(model, "bigram")
+        .join(hist, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.col("_c_bi") + F.lit(1.0))
+                / (F.col("_c_w1") + F.col("_v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        gate_quantize(
+            F.sum("_logp") / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+    )
+    return per_doc.withColumn(
+        "ppl", gate_quantize(F.exp(-F.col("avg_logprob")))
+    )

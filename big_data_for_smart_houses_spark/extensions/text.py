@@ -7,7 +7,7 @@ partition-parallel, no shuffle at all for the row-level stats).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword sets for the n-gram language heuristic. Tiny on purpose —
@@ -327,3 +327,34 @@ def add_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("unknown")
     )
     return df.withColumn("lang_guess", guess)
+
+
+def token_heavy_hitters(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` tokens by corpus frequency with document counts — the
+    vocabulary heavy-hitter readout (tokenizer coverage checks, stopword
+    discovery, Zipf-head inspection).
+
+    Scale shape: one token-keyed aggregate (map-side combined — the
+    shuffle carries |vocab| partial counts, not corpus tokens), then
+    ``orderBy(...).limit(k)``, which Spark executes as
+    TakeOrderedAndProject: each partition contributes at most ``k``
+    rows, never a global sort. The rank window afterwards runs over the
+    ``k`` surviving rows only. Ties break by token ascending, so the
+    cut is deterministic on both engines."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -93,15 +93,15 @@ _CERTIFICATION_FRONT = [
     "mix_manifest_documents",
     "profile_documents",
     "winsorize_events",
+    "token_heavy_hitters",
+    "value_histogram_events",
+    "bigram_lm_documents",
     # --- certified sentinel spine (green in CORRECTNESS_r02.json) ---
     "silver_pipeline_events",
     "gold_daily_energy_events",
     "analytics_kpi_day",
     "pricing_summary",
-    "sessionize_events",
-    "purchase_asof_click",
     "dedup_exact_documents",
-    "ngram_jaccard_pairs",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

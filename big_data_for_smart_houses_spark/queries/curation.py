@@ -307,6 +307,123 @@ FROM events e JOIN p ON e.event_type = p.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+HH_K = 20
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus tokens with occurrence and document counts
+    (extensions/text.py:token_heavy_hitters) — exact counts, the
+    orderBy+limit runs as TakeOrderedAndProject (per-partition
+    partial top-K, never a global sort)."""
+    return text.token_heavy_hitters(_docs(spark, sf_dir), k=HH_K)
+
+
+ORACLE_TOKEN_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM toks GROUP BY 1
+)
+SELECT token, n_occurrences, n_docs, rank FROM (
+  SELECT *, CAST(row_number()
+                   OVER (ORDER BY n_occurrences DESC, token) AS BIGINT)
+              AS rank
+  FROM counts
+) WHERE rank <= {HH_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-range value histogram
+# ---------------------------------------------------------------------------
+
+HIST_LO = 0.0
+HIST_HI = 600.0
+HIST_BINS = 30
+
+
+def q_value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram of event values (extensions/profiling.py:
+    value_histogram): 30 bins over [0, 600), under/overflow clamped
+    into the edge bins. One |bins|-row aggregate; the bin arithmetic
+    is row-level double math on constants — exact on both engines."""
+    return profiling.value_histogram(
+        _events(spark, sf_dir), "value", HIST_LO, HIST_HI, HIST_BINS
+    )
+
+
+_HIST_WIDTH = (HIST_HI - HIST_LO) / HIST_BINS
+
+ORACLE_VALUE_HISTOGRAM_EVENTS = f"""
+SELECT bin, {HIST_LO!r} + bin * {_HIST_WIDTH!r} AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT least({HIST_BINS - 1}, greatest(0,
+           CAST(floor((value - {HIST_LO!r}) / {_HIST_WIDTH!r}) AS BIGINT)
+         )) AS bin
+  FROM events
+) GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (perplexity-filter analog)
+# ---------------------------------------------------------------------------
+
+def q_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM document scoring (extensions/ranking.py:
+    bigram_lm_scores): add-one-smoothed mean token log-probability and
+    perplexity per document — the model-based quality dimension (the
+    CC-Net LM-filter shape) next to the rule-based Gopher gates."""
+    from ..extensions.ranking import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+ORACLE_BIGRAM_LM_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 for i in range(1, len(toks))]) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+model AS (SELECT bigram, count(*) AS c_bi FROM bi GROUP BY 1),
+hist AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, count(*) AS c_w1
+  FROM bi GROUP BY 1
+),
+vocab AS (
+  SELECT count(DISTINCT u.tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t) u
+),
+per_doc AS (
+  SELECT bi.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(CAST(sum(ln((c_bi + 1.0) / (c_w1 + v))) / count(*)
+              AS REAL) AS DOUBLE) AS avg_logprob
+  FROM bi
+  JOIN model USING (bigram)
+  JOIN hist ON hist.w1 = string_split(bi.bigram, ' ')[1]
+  CROSS JOIN vocab
+  GROUP BY bi.doc_id
+)
+SELECT doc_id, n_bigrams, avg_logprob,
+       CAST(CAST(exp(-avg_logprob) AS REAL) AS DOUBLE) AS ppl
+FROM per_doc
+"""
+
+
 QUERIES = {
     "sentence_dedup_documents": q_sentence_dedup_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -314,6 +431,9 @@ QUERIES = {
     "mix_manifest_documents": q_mix_manifest_documents,
     "profile_documents": q_profile_documents,
     "winsorize_events": q_winsorize_events,
+    "token_heavy_hitters": q_token_heavy_hitters,
+    "value_histogram_events": q_value_histogram_events,
+    "bigram_lm_documents": q_bigram_lm_documents,
 }
 
 ORACLES = {
@@ -323,4 +443,7 @@ ORACLES = {
     "mix_manifest_documents": ORACLE_MIX_MANIFEST_DOCUMENTS,
     "profile_documents": ORACLE_PROFILE_DOCUMENTS,
     "winsorize_events": ORACLE_WINSORIZE_EVENTS,
+    "token_heavy_hitters": ORACLE_TOKEN_HEAVY_HITTERS,
+    "value_histogram_events": ORACLE_VALUE_HISTOGRAM_EVENTS,
+    "bigram_lm_documents": ORACLE_BIGRAM_LM_DOCUMENTS,
 }

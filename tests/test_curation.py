@@ -117,3 +117,54 @@ def test_profile_columns_single_pass_metrics(spark):
     # single job: the plan contains exactly one scan of the source
     plan = profiling.profile_columns(df, ["id", "tag"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("logicalrdd") == 1
+
+
+def test_token_heavy_hitters_counts_and_ties(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "zz aa zz"),
+            (1, "aa bb zz"),
+            (2, "cc"),
+        ],
+    )
+    out = text.token_heavy_hitters(docs, k=3).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs, r.rank) for r in out] == [
+        ("zz", 3, 2, 1),
+        ("aa", 2, 2, 2),
+        # bb/cc tie on count 1: token ascending breaks it
+        ("bb", 1, 1, 3),
+    ]
+
+
+def test_value_histogram_clamps_edges(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (25.0,), (99.0,), (250.0,)],
+        "v double",
+    )
+    out = {r.bin: r for r in profiling.value_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert out[0].n == 3          # -5 clamped in, 0.0, 9.9
+    assert out[1].n == 1          # 10.0
+    assert out[2].n == 1          # 25.0
+    assert out[9].n == 2          # 99.0, 250 clamped into last bin
+    assert sum(r.n for r in out.values()) == 7
+    assert out[1].bin_lo == 10.0
+
+
+def test_bigram_lm_smoothed_probabilities(spark):
+    import math
+
+    from big_data_for_smart_houses_spark.extensions.ranking import (
+        bigram_lm_scores,
+    )
+
+    docs = _docs(spark, [(0, "a b"), (1, "a b"), (2, "a c"), (3, "x")])
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    # V=4 (a,b,c,x), C(a ·)=3: P(b|a)=(2+1)/(3+4), P(c|a)=(1+1)/7
+    assert abs(out[0].avg_logprob - math.log(3 / 7)) < 1e-6
+    assert abs(out[2].avg_logprob - math.log(2 / 7)) < 1e-6
+    assert abs(out[0].ppl - 7 / 3) < 1e-6
+    # corpus-typical text scores higher than the rarer continuation
+    assert out[0].avg_logprob > out[2].avg_logprob
+    # single-token doc has no bigrams: absent
+    assert 3 not in out
