@@ -274,3 +274,71 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark):
         (1, "alpha"),
         (2, "beta"),
     ]
+
+
+def test_document_curation_stream_end_to_end(spark):
+    import datetime as _dt
+
+    from big_data_for_smart_houses_spark.streaming.docs import (
+        DOC_STREAM_SCHEMA,
+        curate_document_stream,
+        document_stream_from_files,
+        write_curated_stream,
+    )
+
+    tmp = tempfile.mkdtemp()
+    ts = _dt.datetime(2025, 7, 20, 10, 0, 0)
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running through the quiet green field until the early evening "
+        "light finally fades away over the distant hills tonight"
+    )
+    rows = [
+        (1, good, "en", "srcA", ts),
+        (2, good, "en", "srcB", ts),                  # exact dup of 1
+        (3, "too short", "en", "srcA", ts),           # fails quality
+        (4, good + " contact me at bob@example.com please everyone",
+         "de", "srcC", ts),                           # PII to scrub
+        (5, None, "en", "srcA", ts),                  # nothing to curate
+    ]
+    spark.createDataFrame(rows, DOC_STREAM_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/incoming")
+
+    stream = document_stream_from_files(spark, f"{tmp}/incoming")
+    q = write_curated_stream(
+        curate_document_stream(stream),
+        f"{tmp}/curated",
+        f"{tmp}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(f"{tmp}/curated")
+    by_id = {r.doc_id: r for r in out.collect()}
+    # dup pair collapsed to one row; short + null docs dropped
+    assert len({1, 2} & set(by_id)) == 1
+    assert 3 not in by_id and 5 not in by_id
+    assert 4 in by_id
+    assert "<EMAIL>" in by_id[4].text and "bob@" not in by_id[4].text
+    # lang partitioning on disk (S6 shape)
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(f"{tmp}/curated"))
+
+    # incremental catch-up: only new files process on the second run
+    late = [(6, good + " with a genuinely new unique tail", "fr", "srcD", ts)]
+    spark.createDataFrame(late, DOC_STREAM_SCHEMA).write.mode(
+        "append"
+    ).parquet(f"{tmp}/incoming")
+    stream2 = document_stream_from_files(spark, f"{tmp}/incoming")
+    q2 = write_curated_stream(
+        curate_document_stream(stream2),
+        f"{tmp}/curated",
+        f"{tmp}/ckpt",
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(f"{tmp}/curated")
+    assert out2.count() == len(by_id) + 1
+    assert out2.filter(F.col("doc_id") == 6).count() == 1
