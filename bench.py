@@ -67,6 +67,7 @@ HEADLINE = [
     "token_heavy_hitters",
     "value_histogram_events",
     "bigram_lm_documents",
+    "cdc_chunk_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -358,3 +358,66 @@ def token_heavy_hitters(
     ).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+CDC_WINDOW = 3
+# Boundary rule: first hex nibble of the window fingerprint in {0, 1}
+# => boundary probability 1/8, expected chunk length ~8 tokens.
+CDC_BOUNDARY_NIBBLES = ("0", "1")
+
+
+def cdc_chunk_documents(
+    df: DataFrame,
+    window: int = CDC_WINDOW,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the
+    fingerprint of the trailing ``window``-token sequence matches a
+    bit pattern, so boundaries are a function of CONTENT, not
+    position. Insert or delete one token and only the neighbouring
+    chunks change — unlike fixed-size chunking, where every downstream
+    chunk shifts. That shift-robustness is why CDC is the dedup
+    primitive for revision-heavy corpora (wiki dumps, crawl re-fetches,
+    code histories): re-chunk a new revision and every unchanged chunk
+    re-fingerprints identically for exact dedup against the store.
+
+    Entirely row-local array work (filter over positions + slice per
+    chunk), zero shuffle, exact md5/integer arithmetic — no floats
+    anywhere. The fingerprint is md5 of the window text, engine-exact;
+    a boundary fires when its first hex nibble lands in
+    ``CDC_BOUNDARY_NIBBLES`` (p = 1/8 per position). A document
+    shorter than ``window`` is one chunk."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    ends0 = F.filter(
+        F.when(n >= window, F.sequence(F.lit(window), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i - window + 1, window))),
+            1,
+            1,
+        ).isin(*CDC_BOUNDARY_NIBBLES),
+    )
+    ends = F.when(
+        (F.size(ends0) == 0) | (F.element_at(ends0, -1) != n),
+        F.concat(ends0, F.array(n)),
+    ).otherwise(ends0)
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        ends.alias("_ends"),
+        F.posexplode(ends).alias("chunk_id", "_end"),
+    )
+    start = F.when(F.col("chunk_id") == 0, F.lit(1)).otherwise(
+        F.element_at(F.col("_ends"), F.col("chunk_id")) + 1
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.col("_toks"), start, F.col("_end") - start + 1),
+        ).alias("chunk_text"),
+    )

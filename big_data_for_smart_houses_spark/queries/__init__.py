@@ -96,12 +96,12 @@ _CERTIFICATION_FRONT = [
     "token_heavy_hitters",
     "value_histogram_events",
     "bigram_lm_documents",
+    "cdc_chunk_documents",
     # --- certified sentinel spine (green in CORRECTNESS_r02.json) ---
     "silver_pipeline_events",
     "gold_daily_energy_events",
     "analytics_kpi_day",
     "pricing_summary",
-    "dedup_exact_documents",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -424,6 +424,51 @@ FROM per_doc
 """
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+def q_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (extensions/text.py:
+    cdc_chunk_documents): boundaries where the md5 of the trailing
+    3-token window starts with nibble 0/1 — chunk edges follow
+    CONTENT, so edits shift only neighbouring chunks (the shift-robust
+    dedup primitive). Row-local, md5/integer-exact."""
+    return text.cdc_chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
+ORACLE_CDC_CHUNK_DOCUMENTS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         [i for i in range({text.CDC_WINDOW}, len(toks) + 1)
+          if substr(md5(array_to_string(
+               toks[i - {text.CDC_WINDOW - 1}:i], ' ')), 1, 1)
+             IN {text.CDC_BOUNDARY_NIBBLES!r}] AS ends0
+  FROM t
+),
+b2 AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(ends0) = 0 OR ends0[-1] != n
+              THEN list_append(ends0, n) ELSE ends0 END AS ends
+  FROM b
+),
+e AS (
+  SELECT doc_id, toks, ends,
+         unnest(range(1, len(ends) + 1)) AS j
+  FROM b2
+)
+SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
+       array_to_string(
+         toks[CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END : ends[j]],
+         ' '
+       ) AS chunk_text
+FROM e
+"""
+
+
 QUERIES = {
     "sentence_dedup_documents": q_sentence_dedup_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -434,6 +479,7 @@ QUERIES = {
     "token_heavy_hitters": q_token_heavy_hitters,
     "value_histogram_events": q_value_histogram_events,
     "bigram_lm_documents": q_bigram_lm_documents,
+    "cdc_chunk_documents": q_cdc_chunk_documents,
 }
 
 ORACLES = {
@@ -446,4 +492,5 @@ ORACLES = {
     "token_heavy_hitters": ORACLE_TOKEN_HEAVY_HITTERS,
     "value_histogram_events": ORACLE_VALUE_HISTOGRAM_EVENTS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM_DOCUMENTS,
+    "cdc_chunk_documents": ORACLE_CDC_CHUNK_DOCUMENTS,
 }

@@ -168,3 +168,28 @@ def test_bigram_lm_smoothed_probabilities(spark):
     assert out[0].avg_logprob > out[2].avg_logprob
     # single-token doc has no bigrams: absent
     assert 3 not in out
+
+
+def test_cdc_chunking_is_shift_robust(spark):
+    base = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"
+    # insert one token at the front: fixed-size chunking would shift
+    # every chunk; CDC must leave the tail chunks identical
+    shifted = "zz " + base
+    docs = _docs(spark, [(0, base), (1, shifted)])
+    out = text.cdc_chunk_documents(docs).collect()
+    chunks0 = [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id)
+               if r.doc_id == 0]
+    chunks1 = [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_id)
+               if r.doc_id == 1]
+    # chunks tile the document exactly
+    assert " ".join(chunks0) == base
+    assert " ".join(chunks1) == shifted
+    # content-defined boundaries: the chunk sets share their tail
+    assert len(set(chunks0) & set(chunks1)) >= max(len(chunks0) - 2, 1)
+
+
+def test_cdc_chunking_short_doc_single_chunk(spark):
+    docs = _docs(spark, [(0, "one two"), (1, "single")])
+    out = {(r.doc_id, r.chunk_id): r.chunk_text
+           for r in text.cdc_chunk_documents(docs).collect()}
+    assert out == {(0, 0): "one two", (1, 0): "single"}
