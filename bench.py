@@ -68,6 +68,8 @@ HEADLINE = [
     "value_histogram_events",
     "bigram_lm_documents",
     "cdc_chunk_documents",
+    "ewma_events",
+    "zscore_anomaly_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -83,3 +83,66 @@ def top_k_latest(
     if tiebreak:
         order.append(F.col(tiebreak).desc())
     return df.orderBy(*order).limit(k).orderBy(F.col(ts_col).asc())
+
+
+# Exactly representable in binary floating point, so alpha and
+# (1 - alpha) are literally identical constants on every engine.
+EWMA_ALPHA = 0.25
+
+
+def ewma_smooth(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    alpha: float = EWMA_ALPHA,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the classic
+    telemetry smoother (the recursive cousin of the W1 rolling mean):
+    s_1 = x_1, s_i = alpha*x_i + (1-alpha)*s_{i-1} over the key's
+    (ts, tiebreak) order.
+
+    EWMA is inherently sequential, so the per-key history is folded
+    with one O(n) higher-order aggregate over the collected, position-
+    sorted series — one shuffle on the key, state bounded by per-key
+    history length (the same bound the sessionizer accepts). For
+    unbounded histories the streaming form belongs in
+    applyInPandasWithState (see streaming/stateful.py), carrying only
+    the last smoothed value as state; a window-frame rewrite would be
+    O(n²) per key (pow-decay against every prior row).
+
+    Both engines execute the identical multiply-add chain in the same
+    order, so intermediates match bit-for-bit; the output is still
+    gate-quantized per the float contract."""
+    from ..functions.numeric import gate_quantize
+
+    beta = 1.0 - alpha
+    series = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+        )
+    )
+    per_key = df.groupBy(key_col).agg(series.alias("_series"))
+    vals = F.transform(F.col("_series"), lambda s: s.getField(value_col))
+    smoothed = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.slice(vals, 1, 1),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.lit(alpha) * x + F.lit(beta) * F.element_at(acc, -1)
+            ),
+        ),
+    )
+    exploded = per_key.select(
+        F.col(key_col),
+        F.arrays_zip(F.col("_series"), smoothed.alias("_s")).alias("_z"),
+    ).select(key_col, F.explode("_z").alias("_row"))
+    return exploded.select(
+        F.col(key_col),
+        F.col(f"_row._series.{ts_col}").alias(ts_col),
+        F.col(f"_row._series.{tiebreak_col}").alias(tiebreak_col),
+        F.col(f"_row._series.{value_col}").alias(value_col),
+        gate_quantize(F.col("_row._s")).alias("ewma"),
+    )

@@ -97,11 +97,11 @@ _CERTIFICATION_FRONT = [
     "value_histogram_events",
     "bigram_lm_documents",
     "cdc_chunk_documents",
+    "ewma_events",
+    "zscore_anomaly_events",
     # --- certified sentinel spine (green in CORRECTNESS_r02.json) ---
     "silver_pipeline_events",
     "gold_daily_energy_events",
-    "analytics_kpi_day",
-    "pricing_summary",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

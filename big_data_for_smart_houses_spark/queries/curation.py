@@ -469,6 +469,84 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA smoothing + z-score anomaly flags (sensor analytics pair)
+# ---------------------------------------------------------------------------
+
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/windows.py:
+    ewma_smooth) — the recursive telemetry smoother, folded O(n) per
+    key. The oracle replays the identical multiply-add chain with a
+    recursive CTE; alpha=0.25 is exactly representable, so both
+    engines run literally the same constants."""
+    from ..operators.windows import ewma_smooth
+
+    return ewma_smooth(_events(spark, sf_dir))
+
+
+ORACLE_EWMA_EVENTS = """
+WITH RECURSIVE r AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s(user_id, ts, event_id, value, rn, ewma) AS (
+  SELECT user_id, ts, event_id, value, rn, value FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.ts, r.event_id, r.value, r.rn,
+         0.25 * r.value + 0.75 * s.ewma
+  FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1
+)
+SELECT user_id, ts, event_id, value,
+       CAST(CAST(ewma AS REAL) AS DOUBLE) AS ewma
+FROM s
+"""
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+def q_zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flags: mean/stddev are one small
+    aggregate broadcast back (the winsorize shape); both moments are
+    quantized BEFORE the z computation so the |z| > 3 decision is
+    engine-exact."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        gate_quantize(F.avg("value")).alias("t_mean"),
+        gate_quantize(F.stddev("value")).alias("t_std"),
+    )
+    z = gate_quantize(
+        (F.col("value") - F.col("t_mean")) / F.col("t_std")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            (F.abs(z) > F.lit(ZSCORE_THRESHOLD)).alias("is_anomaly"),
+        )
+    )
+
+
+ORACLE_ZSCORE_ANOMALY_EVENTS = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(CAST(avg(value) AS REAL) AS DOUBLE) AS t_mean,
+         CAST(CAST(stddev(value) AS REAL) AS DOUBLE) AS t_std
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       CAST(CAST((value - t_mean) / t_std AS REAL) AS DOUBLE) AS zscore,
+       abs(CAST(CAST((value - t_mean) / t_std AS REAL) AS DOUBLE))
+         > {ZSCORE_THRESHOLD} AS is_anomaly
+FROM events e JOIN stats USING (event_type)
+"""
+
+
 QUERIES = {
     "sentence_dedup_documents": q_sentence_dedup_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -480,6 +558,8 @@ QUERIES = {
     "value_histogram_events": q_value_histogram_events,
     "bigram_lm_documents": q_bigram_lm_documents,
     "cdc_chunk_documents": q_cdc_chunk_documents,
+    "ewma_events": q_ewma_events,
+    "zscore_anomaly_events": q_zscore_anomaly_events,
 }
 
 ORACLES = {
@@ -493,4 +573,6 @@ ORACLES = {
     "value_histogram_events": ORACLE_VALUE_HISTOGRAM_EVENTS,
     "bigram_lm_documents": ORACLE_BIGRAM_LM_DOCUMENTS,
     "cdc_chunk_documents": ORACLE_CDC_CHUNK_DOCUMENTS,
+    "ewma_events": ORACLE_EWMA_EVENTS,
+    "zscore_anomaly_events": ORACLE_ZSCORE_ANOMALY_EVENTS,
 }

@@ -193,3 +193,24 @@ def test_cdc_chunking_short_doc_single_chunk(spark):
     out = {(r.doc_id, r.chunk_id): r.chunk_text
            for r in text.cdc_chunk_documents(docs).collect()}
     assert out == {(0, 0): "one two", (1, 0): "single"}
+
+
+def test_ewma_fold_and_tiebreak(spark):
+    import datetime as _dt
+
+    from big_data_for_smart_houses_spark.operators.windows import ewma_smooth
+
+    t = _dt.datetime(2025, 1, 1)
+    rows = [
+        # same timestamp: event_id must break the tie (20 then 40)
+        (1, t, 20.0, 7),
+        (1, t, 40.0, 8),
+        (2, t, 9.0, 9),  # single-event key: ewma == value
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {(r.user_id, r.event_id): r.ewma for r in ewma_smooth(df).collect()}
+    assert out[(1, 7)] == 20.0
+    assert out[(1, 8)] == 0.25 * 40.0 + 0.75 * 20.0
+    assert out[(2, 9)] == 9.0
