@@ -73,3 +73,39 @@ def two_phase_agg(
         F.sum("_pc").alias(count_alias),
         *[F.sum(f"_ps_{c}").alias(f"sum_{c}") for c in sum_cols],
     )
+
+
+def two_phase_topk(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str = "doc_id",
+    n_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-safe top-K per group (lowest ``order_col`` first): phase 1
+    takes a per-(group, salt) partial top-K, so a hot group sorts in
+    ``n_buckets`` reducer-local pieces instead of one; phase 2 merges
+    at most ``n_buckets * k`` survivors per group into the final
+    ranking. Semantics are identical to the single-window
+    ``cap_per_group`` — only the physical shape changes (the same
+    invariant the salted-join gate asserts: salting must never change
+    the answer). Top-K selection is decomposable (the global top-K is
+    contained in the union of partial top-Ks), which is what makes the
+    rewrite sound; the salt is a deterministic hash of ``order_col``,
+    not rand(), so retries and replays see the same buckets."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets))
+    w1 = Window.partitionBy(group_col, _SALT).orderBy(F.col(order_col))
+    partial = (
+        df.withColumn(_SALT, salt)
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (
+        partial.withColumn("group_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("group_rank") <= k)
+        .drop(_SALT)
+    )

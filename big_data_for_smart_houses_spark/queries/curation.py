@@ -470,6 +470,24 @@ FROM e
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe two-phase top-K per group
+# ---------------------------------------------------------------------------
+
+def q_source_cap_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe variant of source_cap_documents (operators/skew.py:
+    two_phase_topk): per-(group, salt) partial top-K then a bounded
+    merge — gated against the same UNsalted SQL as the plain window,
+    proving the physical rewrite is semantics-invariant (the
+    salted_join_orders contract)."""
+    from ..operators.skew import two_phase_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return two_phase_topk(d, "source", SOURCE_CAP_K).select(
+        "doc_id", "source", "group_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # EWMA smoothing + z-score anomaly flags (sensor analytics pair)
 # ---------------------------------------------------------------------------
 
@@ -560,6 +578,7 @@ QUERIES = {
     "cdc_chunk_documents": q_cdc_chunk_documents,
     "ewma_events": q_ewma_events,
     "zscore_anomaly_events": q_zscore_anomaly_events,
+    "source_cap_two_phase": q_source_cap_two_phase,
 }
 
 ORACLES = {
@@ -575,4 +594,7 @@ ORACLES = {
     "cdc_chunk_documents": ORACLE_CDC_CHUNK_DOCUMENTS,
     "ewma_events": ORACLE_EWMA_EVENTS,
     "zscore_anomaly_events": ORACLE_ZSCORE_ANOMALY_EVENTS,
+    # same UNsalted oracle as the plain window: the rewrite must be
+    # physically different but semantically identical
+    "source_cap_two_phase": ORACLE_SOURCE_CAP_DOCUMENTS,
 }

@@ -214,3 +214,18 @@ def test_ewma_fold_and_tiebreak(spark):
     assert out[(1, 7)] == 20.0
     assert out[(1, 8)] == 0.25 * 40.0 + 0.75 * 20.0
     assert out[(2, 9)] == 9.0
+
+
+def test_two_phase_topk_matches_plain_window(spark):
+    from big_data_for_smart_houses_spark.operators.skew import two_phase_topk
+
+    # skewed groups: group 0 holds 90% of rows
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "hot").otherwise("cold").alias("src"),
+    )
+    salted = two_phase_topk(df, "src", 7, order_col="doc_id")
+    plain = cap_per_group(df, "src", 7, id_col="doc_id")
+    a = sorted((r.src, r.doc_id, r.group_rank) for r in salted.collect())
+    b = sorted((r.src, r.doc_id, r.group_rank) for r in plain.collect())
+    assert a == b and len(a) == 14
