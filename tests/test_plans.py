@@ -187,3 +187,51 @@ def test_approx_percentile_error_bound(spark):
             a = getattr(approx[et], col)
             rank = (v <= a).mean()
             assert q - eps <= rank <= q + eps, (et, col, a, rank)
+
+
+def test_heavy_hitters_take_ordered_not_global_sort(spark):
+    """token_heavy_hitters: the top-K cut must be TakeOrderedAndProject
+    (per-partition partial top-K) — a global Sort of the vocabulary
+    would single-thread a multi-GB token table at 100 TB."""
+    plan = _plan(spark, "token_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winsorize_and_zscore_broadcast_the_moments(spark):
+    """The per-type percentile/moment tables are |types| rows — they
+    must ride a BroadcastHashJoin back onto the events scan, never a
+    shuffle of the fact side."""
+    for name in ["winsorize_events", "zscore_anomaly_events"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_temperature_mix_broadcasts_keep_fractions(spark):
+    """temperature_mix: the per-group keep fractions join back by
+    broadcast; the corpus side must not shuffle for it."""
+    plan = _plan(spark, "temperature_mix_documents")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_chunking_no_key_shuffle(spark):
+    """cdc_chunk_documents is row-local: the only Exchange allowed is
+    the deliberate round-robin `spread()` of the small scan — no
+    hash-partitioned shuffle may exist (nothing is keyed)."""
+    plan = _plan(spark, "cdc_chunk_documents")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bigram_lm_joins_adapt_and_aggregate_map_side(spark):
+    """The model joins are plain equi-joins with nothing forcing a
+    broadcast: at gate scale Catalyst broadcasts the tiny model (right
+    call), at 100 TB the same plan degrades to a bigram-keyed shuffle
+    because stats forbid the broadcast — assert the scale-free
+    properties instead: equi-join (the only nested-loop join is the
+    1-row vocab cross join) and map-side partial aggregation on the
+    model counts."""
+    plan = _plan(spark, "bigram_lm_documents")
+    assert "partial_count" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
