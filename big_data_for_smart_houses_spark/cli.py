@@ -68,8 +68,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "dataprep",
-        help="corpus ops over a (doc_id, text) parquet: dedup, split, "
-        "sample-ratio, shuffle, scrub-pii, quality, decontam",
+        help="corpus ops over a (doc_id, text) parquet: dedup "
+        "(exact/minhash/simhash/sentence), split, shuffle, scrub-pii, "
+        "quality, decontam, profile, chunk-cdc, lm-score",
     )
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--out", required=True, help="output parquet path")
@@ -80,11 +81,15 @@ def main(argv: list[str] | None = None) -> int:
             "dedup-exact",
             "dedup-minhash",
             "dedup-simhash",
+            "dedup-sentence",
             "split",
             "shuffle",
             "scrub-pii",
             "quality",
             "decontam",
+            "profile",
+            "chunk-cdc",
+            "lm-score",
         ],
     )
     p.add_argument("--test-input", help="test-set parquet (decontam)")
@@ -184,10 +189,26 @@ def main(argv: list[str] | None = None) -> int:
             from .extensions.text import scrub_pii
 
             out = scrub_pii(docs)
+        elif args.op == "dedup-sentence":
+            from .extensions.text import sentence_dedup
+
+            out = sentence_dedup(docs)
         elif args.op == "quality":
             from .extensions.text import gopher_quality_flags
 
             out = gopher_quality_flags(docs)
+        elif args.op == "profile":
+            from .extensions.profiling import profile_columns
+
+            out = profile_columns(docs, docs.columns)
+        elif args.op == "chunk-cdc":
+            from .extensions.text import cdc_chunk_documents
+
+            out = cdc_chunk_documents(docs)
+        elif args.op == "lm-score":
+            from .extensions.ranking import bigram_lm_scores
+
+            out = bigram_lm_scores(docs)
         else:  # decontam
             if not args.test_input:
                 parser.error("--op decontam requires --test-input")

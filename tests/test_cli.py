@@ -63,3 +63,40 @@ def test_cli_scrub_and_decontam(spark, corpus):
         r.doc_id for r in spark.read.parquet(f"{corpus}/clean").collect()
     )
     assert kept == [2, 3]
+
+
+def test_cli_profile_chunk_and_lm_score(spark, corpus):
+    main(["dataprep", "--input", f"{corpus}/docs", "--out", f"{corpus}/prof",
+          "--op", "profile"])
+    prof = {r.column: r for r in spark.read.parquet(f"{corpus}/prof").collect()}
+    assert prof["doc_id"].n_rows == 4 and prof["text"].n_distinct == 3
+
+    main(["dataprep", "--input", f"{corpus}/docs", "--out", f"{corpus}/cdc",
+          "--op", "chunk-cdc"])
+    cdc = spark.read.parquet(f"{corpus}/cdc")
+    assert set(cdc.columns) == {"doc_id", "chunk_id", "chunk_text"}
+    assert cdc.count() >= 4
+
+    main(["dataprep", "--input", f"{corpus}/docs", "--out", f"{corpus}/lm",
+          "--op", "lm-score"])
+    lm = {r.doc_id: r for r in spark.read.parquet(f"{corpus}/lm").collect()}
+    # the duplicated doc's bigrams are corpus-typical: higher logprob
+    assert lm[0].avg_logprob > lm[2].avg_logprob
+
+
+def test_cli_sentence_dedup(spark, corpus):
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp()
+    rows = [
+        (0, "shared chrome line. unique body zero"),
+        (1, "shared chrome line. unique body one"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/docs")
+    main(["dataprep", "--input", f"{tmp}/docs", "--out", f"{tmp}/out",
+          "--op", "dedup-sentence"])
+    out = {r.doc_id: r for r in spark.read.parquet(f"{tmp}/out").collect()}
+    assert out[0].cleaned_text == "unique body zero"
+    assert out[1].cleaned_text == "unique body one"

@@ -192,3 +192,92 @@ class TestSamplingProperties:
         ]
         filtered = [i for i in order_full if i in set(sub_ids)]
         assert filtered == order_sub
+
+
+# ---------------------------------------------------------------------------
+# Curation-op invariants on randomized corpora
+# ---------------------------------------------------------------------------
+
+_token = st.text(alphabet="abcd", min_size=1, max_size=3)
+_doc = st.lists(_token, min_size=1, max_size=30).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_cdc_chunks_tile_every_document(spark, docs):
+    """CDC invariant: chunks, joined in chunk_id order, reproduce the
+    document exactly — no token lost, duplicated, or reordered,
+    whatever the boundary pattern does."""
+    from big_data_for_smart_houses_spark.extensions.text import (
+        cdc_chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = cdc_chunk_documents(df).collect()
+    rebuilt: dict[int, list[tuple[int, str]]] = {}
+    for r in out:
+        rebuilt.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    assert set(rebuilt) == set(range(len(docs)))
+    for i, doc in enumerate(docs):
+        chunks = [c for _, c in sorted(rebuilt[i])]
+        assert " ".join(chunks) == doc
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus, st.integers(min_value=1, max_value=5))
+def test_heavy_hitters_match_python_counter(spark, docs, k):
+    """Heavy hitters == collections.Counter with (count desc, token
+    asc) ordering, cut at k."""
+    from collections import Counter
+
+    from big_data_for_smart_houses_spark.extensions.text import (
+        token_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = [
+        (r.token, r.n_occurrences)
+        for r in sorted(token_heavy_hitters(df, k=k).collect(),
+                        key=lambda r: r.rank)
+    ]
+    counts = Counter(t for d in docs for t in d.split(" "))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20))
+def test_ewma_stays_inside_running_envelope(spark, values):
+    """EWMA invariant: every smoothed value lies within the running
+    [min, max] envelope of the values seen so far (convexity of the
+    recurrence), and s_1 == x_1."""
+    import datetime as _dt
+
+    from big_data_for_smart_houses_spark.operators.windows import ewma_smooth
+
+    rows = [
+        (1, _dt.datetime(2025, 1, 1) + _dt.timedelta(seconds=i), float(v), i)
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    import numpy as np
+
+    out = sorted(ewma_smooth(df).collect(), key=lambda r: r.event_id)
+    # the output is gate-quantized: s_1 is x_1 rounded through float32
+    # (which flushes subnormal doubles to 0 — correct, not a bug)
+    assert out[0].ewma == float(np.float32(values[0]))
+    lo = hi = values[0]
+    for r, v in zip(out, values):
+        lo, hi = min(lo, v), max(hi, v)
+        # f32 gate quantization can nudge the output by one f32 ulp
+        eps = 1e-4 * max(1.0, abs(lo), abs(hi))
+        assert lo - eps <= r.ewma <= hi + eps
