@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -113,6 +114,89 @@ def track_device_sessions(
         _track_sessions(gap_seconds),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the incremental form of operators/windows.ewma_smooth
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+# the entire carried state: last smoothed value + last (ts, tiebreak)
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ewma", DoubleType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+
+def _ewma_fn(alpha: float):
+    beta = 1.0 - alpha
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last, _, _ = state.get
+        else:
+            last = None
+        rows: list[tuple[int, pd.Timestamp, float, float]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                v = float(r["value"])
+                last = v if last is None else alpha * v + beta * last
+                rows.append((int(r["event_id"]), r["ts"], v, last))
+        if rows:
+            last_eid, last_ts = rows[-1][0], rows[-1][1]
+            state.update(
+                (float(last), int(pd.Timestamp(last_ts).value // 1000),
+                 int(last_eid))
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                    "value": [r[2] for r in rows],
+                    "ewma": [r[3] for r in rows],
+                }
+            )
+
+    return fn
+
+
+def ewma_stream(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming EWMA per user: the incremental form of
+    ``operators/windows.ewma_smooth`` — the carried state is ONE row
+    per key (the last smoothed value), so memory is O(keys) however
+    long the stream runs, and the recurrence continues seamlessly
+    across micro-batches and restarts (state is checkpointed).
+
+    Within a micro-batch rows are folded in (ts, event_id) order —
+    the same total order as the batch operator, so a stream replayed
+    batch-wise produces exactly the batch answer (asserted in tests).
+    Late rows older than the carried (ts, event_id) cursor would fold
+    out of order; feed the operator from a watermarked source when
+    out-of-order arrival is possible."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

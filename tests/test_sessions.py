@@ -10,6 +10,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -257,3 +258,66 @@ def test_asof_join_overlapping_payload_name(spark):
     assert rows[("a", 100)].payload_asof == t90
     assert rows[("a", 200)].payload_asof == t150
     assert rows[("b", 50)].payload_asof is None
+
+
+def test_streaming_ewma_matches_batch_across_restarts(spark):
+    from big_data_for_smart_houses_spark.operators.windows import ewma_smooth
+    from big_data_for_smart_houses_spark.streaming.stateful import ewma_stream
+
+    tmp = tempfile.mkdtemp()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/staged")
+        q = (
+            ewma_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(u, T0 + dt.timedelta(seconds=s), float(v), eid)
+             for u, s, v, eid in rows],
+            schema,
+        )
+
+    batch1 = [(1, 0, 10.0, 100), (1, 60, 20.0, 101), (2, 0, 8.0, 102)]
+    rows_df(batch1).write.mode("append").parquet(f"{tmp}/staged")
+    out1 = {r.event_id: r.ewma for r in run()}
+    assert out1[100] == 10.0
+    assert out1[101] == 0.25 * 20.0 + 0.75 * 10.0
+
+    # second run restarts the query from the checkpoint: the
+    # recurrence must CONTINUE from user 1's carried state, not reset
+    batch2 = [(1, 120, 40.0, 103)]
+    rows_df(batch2).write.mode("append").parquet(f"{tmp}/staged")
+    out2 = {r.event_id: r.ewma for r in run()}
+    assert set(out2) == {103}
+    assert out2[103] == 0.25 * 40.0 + 0.75 * out1[101]
+
+    # and the stream's full history equals the batch operator's answer
+    # (modulo the batch op's float32 gate quantization)
+    batch_all = ewma_smooth(rows_df(batch1 + batch2))
+    import numpy as np
+
+    expect = {r.event_id: r.ewma for r in batch_all.collect()}
+    got = {**out1, **out2}
+    assert set(got) == set(expect)
+    for eid, v in expect.items():
+        assert abs(got[eid] - v) <= abs(float(np.float32(got[eid])) - got[eid]) + 1e-12
