@@ -278,8 +278,16 @@ def sentence_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(sents).alias("pos", "sentence")
     )
-    doc_freq = exploded.groupBy("sentence").agg(
-        F.countDistinct(id_col).alias("_sdf")
+    # document frequency: per-doc de-dup happens ROW-LOCALLY
+    # (array_distinct) so the aggregate is a plain count — one
+    # exchange; a countDistinct(doc_id) here would cost a second
+    # exchange for Spark's distinct-aggregate rewrite
+    doc_freq = (
+        df.select(
+            F.explode(F.array_distinct(sents)).alias("sentence")
+        )
+        .groupBy("sentence")
+        .agg(F.count(F.lit(1)).alias("_sdf"))
     )
     keep = F.col("_sdf") < F.lit(min_doc_freq)
     return (

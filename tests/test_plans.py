@@ -235,3 +235,20 @@ def test_bigram_lm_joins_adapt_and_aggregate_map_side(spark):
     assert "partial_count" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_shuffle_budgets_of_new_ops(spark):
+    """Pin the SCALE.md shuffle budgets: ewma = 1 key exchange,
+    two-phase top-K = 2 (salted + merge), sentence dedup = 3 (the
+    doc-frequency branch de-dups row-locally via array_distinct — a
+    countDistinct would cost a 4th exchange)."""
+    budgets = {
+        "ewma_events": 1,
+        "source_cap_two_phase": 2,
+        "sentence_dedup_documents": 3,
+        "boilerplate_ngram_documents": 2,
+    }
+    for name, n in budgets.items():
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == n, (
+            name, plan.count("Exchange hashpartitioning"))
