@@ -337,6 +337,32 @@ def pack_token_batches(
     ).drop("_excl_tokens")
 
 
+def hash_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly-``k`` uniform sample per group, deterministic: rows are
+    ranked by a multiplicative hash of their id (salted like the other
+    samplers) and the ``k`` smallest hash values win. Unlike a
+    keep-fraction filter this guarantees the exact per-group count;
+    unlike ``cap_per_group`` the selection is uniform, not
+    lowest-id-biased. Same window shape as the cap — one group-key
+    shuffle; the skew mitigations in :func:`~..operators.skew.two_phase_topk`
+    apply identically (top-K by hash is just as decomposable)."""
+    order = F.pmod(
+        F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE),
+        F.lit(SHUFFLE_BUCKETS),
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= F.lit(k))
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -81,11 +81,18 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row gains the most recent right row
-    at-or-before its timestamp (per ``on`` key); left rows with no
-    prior right row keep nulls. Right rows are first reduced to one
-    per (key, ts) — deterministic under ties."""
+    at-or-before its timestamp (per ``on`` key) — or, with
+    ``direction="forward"``, the earliest right row at-or-after it
+    (the next-event lookup: click -> next purchase, reading -> next
+    calibration). Left rows with no matching right row keep nulls.
+    Right rows are first reduced to one per (key, ts) — deterministic
+    under ties. Both directions are the same single-shuffle union
+    form; forward only flips the tie order and the window frame."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join direction must be backward/forward, got {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -116,18 +123,28 @@ def asof_join(
         *[F.col(c).alias(fill_src[c]) for c in right_cols],
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts (tag 0 < 1):
-    # inclusive <= semantics
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ts"), F.col("_tag"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts (tag 0 < 1):
+        # inclusive <= semantics; fill = last right value seen so far
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts"), F.col("_tag"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # forward: right rows sort AFTER left rows at equal ts
+        # (tag desc: 1 before 0), so an equal-ts right row sits inside
+        # the left row's forward frame; fill = first right value ahead
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts"), F.col("_tag").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = u
     for src in fill_src.values():
-        filled = filled.withColumn(
-            f"_f{src}", F.last(F.col(src), ignorenulls=True).over(w)
-        )
+        filled = filled.withColumn(f"_f{src}", fill(F.col(src)))
     out = filled.filter(F.col("_tag") == 1)
     keep = [c for c in left.columns]
     for c in [*right_cols, ts_out]:

@@ -565,6 +565,99 @@ FROM events e JOIN stats USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Forward as-of join, per-group hash sampling, quantile normalization
+# (registry positions past the driver's 50-query window this round —
+# verified by the local exact-gate mirror, certifiable next round)
+# ---------------------------------------------------------------------------
+
+def q_click_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py:asof_join
+    direction="forward"): each click gains the user's NEXT purchase
+    at-or-after it — the next-event lookup, same single-shuffle union
+    form as the backward gate query with the frame flipped."""
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["purchase_event"],
+        direction="forward",
+    )
+
+
+ORACLE_CLICK_ASOF_NEXT_PURCHASE = """
+WITH c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts, c.event_id, p.purchase_event, p.ts AS ts_asof
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+HASH_SAMPLE_K = 5
+
+
+def q_hash_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K uniform deterministic sample per language
+    (extensions/sampling.py:hash_sample_per_group): k smallest salted
+    multiplicative-hash values win — exact count per group, no
+    lowest-id bias, reproducible on any engine."""
+    from ..extensions.sampling import hash_sample_per_group
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return hash_sample_per_group(d, "lang", HASH_SAMPLE_K)
+
+
+ORACLE_HASH_SAMPLE_PER_LANG = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 1000003, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {HASH_SAMPLE_K}
+"""
+
+
+def q_quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: per-type percent_rank maps values onto
+    [0, 1] uniformly — the rank-based feature transform robust to any
+    distribution shape. percent_rank is (rank-1)/(n-1), a division of
+    exact ints, and ties on the raw double compare identically on both
+    engines — no quantization needed anywhere."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("value_quantile"),
+    )
+
+
+ORACLE_QUANTILE_NORMALIZE_EVENTS = """
+SELECT event_id, event_type, value,
+       percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+         AS value_quantile
+FROM events
+"""
+
+
 QUERIES = {
     "sentence_dedup_documents": q_sentence_dedup_documents,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -579,6 +672,9 @@ QUERIES = {
     "ewma_events": q_ewma_events,
     "zscore_anomaly_events": q_zscore_anomaly_events,
     "source_cap_two_phase": q_source_cap_two_phase,
+    "click_asof_next_purchase": q_click_asof_next_purchase,
+    "hash_sample_per_lang": q_hash_sample_per_lang,
+    "quantile_normalize_events": q_quantile_normalize_events,
 }
 
 ORACLES = {
@@ -597,4 +693,7 @@ ORACLES = {
     # same UNsalted oracle as the plain window: the rewrite must be
     # physically different but semantically identical
     "source_cap_two_phase": ORACLE_SOURCE_CAP_DOCUMENTS,
+    "click_asof_next_purchase": ORACLE_CLICK_ASOF_NEXT_PURCHASE,
+    "hash_sample_per_lang": ORACLE_HASH_SAMPLE_PER_LANG,
+    "quantile_normalize_events": ORACLE_QUANTILE_NORMALIZE_EVENTS,
 }

@@ -229,3 +229,59 @@ def test_two_phase_topk_matches_plain_window(spark):
     a = sorted((r.src, r.doc_id, r.group_rank) for r in salted.collect())
     b = sorted((r.src, r.doc_id, r.group_rank) for r in plain.collect())
     assert a == b and len(a) == 14
+
+
+def test_asof_forward_ties_and_no_match(spark):
+    import datetime as _dt
+
+    from big_data_for_smart_houses_spark.operators.joins import asof_join
+
+    t = lambda s: _dt.datetime(2025, 1, 1) + _dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(10), 101), (1, t(30), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 7), (1, t(20), 8)],
+        "user_id long, ts timestamp, nxt long",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["nxt"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[100].nxt == 7                      # strictly after
+    assert out[101].nxt == 7                      # equal ts: inclusive
+    assert out[101].ts_asof == t(10)
+    assert out[102].nxt is None                   # nothing follows
+    # backward on the same data still matches at-or-before
+    back = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["nxt"]
+        ).collect()
+    }
+    assert back[100].nxt is None and back[101].nxt == 7 and back[102].nxt == 8
+
+
+def test_hash_sample_per_group_exact_k_and_uniformity(spark):
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        hash_sample_per_group,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    out = hash_sample_per_group(df, "g", 10).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.doc_id)
+    assert all(len(v) == 10 for v in by_g.values())
+    # uniform, not lowest-id-biased: the sample is not the first 10 ids
+    assert by_g["0"] != {2 * i for i in range(10)}
+    # a different salt draws a (near-)disjoint sample
+    other = hash_sample_per_group(df, "g", 10, salt=1).collect()
+    o0 = {r.doc_id for r in other if r.g == "0"}
+    assert len(o0 & by_g["0"]) < 5
