@@ -70,6 +70,13 @@ HEADLINE = [
     "cdc_chunk_documents",
     "ewma_events",
     "zscore_anomaly_events",
+    "regression_drift_events",
+    "gapfill_locf_events",
+    "unpivot_daily_metrics",
+    "zorder_key_events",
+    "click_asof_next_purchase",
+    "hash_sample_per_lang",
+    "quantile_normalize_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the
@@ -100,31 +107,41 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # One failing query must not zero out the whole round's numbers
+    # (round 3 lost every timing to a single AnalysisException): record
+    # the error, skip the query in later runs, keep benchmarking.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for run in range(N_RUNS):
         for name in HEADLINE:
             fn = QUERIES.get(name)
-            if fn is None:
+            if fn is None or name in errors:
                 continue
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 - report, don't die
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"  [{run}] {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             print(f"  [{run}] {name}: {t:.3f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if not timings:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -6,16 +6,14 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. `_CERTIFICATION_FRONT` therefore leads with every
-query that has never had a driver CORRECTNESS row (the LLM-pipeline
-block cut at index 50 in rounds 1-2, plus every query added this
-round), followed by whatever already-certified sentinels still fit.
-This round the never-certified block is 49 queries, so the sentinel
-spine is down to one (`silver_pipeline_events`, the deepest core
-pipeline); the rest of the core surface — all green in
-CORRECTNESS_r02.json — sits after index 50 and is re-verified every
-session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
-which covers ALL entries, not just 50.
+insertion order. `_CERTIFICATION_FRONT` leads with queries that have
+never had a green driver CORRECTNESS row, then the round-3 NTZ
+casualty, then rotates the core/gate spine (certified in rounds 1-2
+against the OLD testdata) back into the window so it re-certifies on
+the regenerated parquet. Everything past index 50 — the round-3-green
+LLM block — is re-verified every session by the local
+`SPARK_GRAFT_EXACT=1` mirror of the driver gate, which covers ALL
+entries, not just 50.
 """
 
 from __future__ import annotations
@@ -32,6 +30,8 @@ from .llm_ops import ORACLES as _LLM_ORACLES
 from .llm_ops import QUERIES as _LLM_QUERIES
 from .pipeline import ORACLES as _PIPE_ORACLES
 from .pipeline import QUERIES as _PIPE_QUERIES
+from .stats_gate import ORACLES as _STATS_ORACLES
+from .stats_gate import QUERIES as _STATS_QUERIES
 
 _ALL_QUERIES = {
     **_CORE_QUERIES,
@@ -40,6 +40,7 @@ _ALL_QUERIES = {
     **_EXT_QUERIES,
     **_LLM_QUERIES,
     **_CUR_QUERIES,
+    **_STATS_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -48,63 +49,69 @@ ORACLES = {
     **_EXT_ORACLES,
     **_LLM_ORACLES,
     **_CUR_ORACLES,
+    **_STATS_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [
-    # --- never driver-certified (r1-r2 window cut them at index 50) ---
-    "dedup_groups_documents",
-    "dataset_split_documents",
-    "token_batch_packing",
-    "weighted_corpus_mix",
-    "minhash_dedup_documents",
-    "simhash_dedup_documents",
-    "text_stats",
-    "text_quality_score",
-    "language_guess",
-    "doc_fingerprint",
-    "token_stats_by_lang",
-    "embedding_cosine_topk",
-    "embedding_neardup_pairs",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_decode",
-    "contamination_check_documents",
-    "decontaminated_train_docs",
-    "tfidf_top_terms",
-    "bm25_documents",
-    "stratified_sample_events",
-    "corpus_shuffle_documents",
-    "pii_scrub_documents",
-    "gopher_quality_documents",
-    "quality_topk_per_lang",
-    "chunk_documents",
-    # --- new this round (recall invariants, incremental dedup, and
-    #     the temperature-mix / length-packing / boilerplate ops) ---
-    "minhash_recall_exact_dups",
-    "simhash_recall_exact_dups",
-    "ann_lsh_recall_planted",
-    "ann_ivf_recall_planted",
-    "dedup_incremental_documents",
-    "temperature_mix_documents",
-    "length_bucketed_packing",
-    "boilerplate_ngram_documents",
-    "sentence_dedup_documents",
-    "semantic_dedup_embeddings",
-    "source_cap_documents",
-    "mix_manifest_documents",
-    "profile_documents",
-    "winsorize_events",
-    "token_heavy_hitters",
-    "value_histogram_events",
-    "bigram_lm_documents",
-    "cdc_chunk_documents",
-    "ewma_events",
-    "zscore_anomaly_events",
-    "source_cap_two_phase",
-    # --- certified sentinel spine (green in CORRECTNESS_r02.json) ---
+    # --- never driver-certified (added after the round-3 window froze,
+    #     or new this round: stats/layout gate) ---
+    "regression_drift_events",
+    "gapfill_locf_events",
+    "unpivot_daily_metrics",
+    "zorder_key_events",
+    "click_asof_next_purchase",
+    "hash_sample_per_lang",
+    "quantile_normalize_events",
+    # --- failed in round 3 (TIMESTAMP_NTZ testdata regression, fixed in
+    #     sources/parquet.py: NTZ columns normalized to TIMESTAMP) ---
     "silver_pipeline_events",
+    # --- core/gate spine: last driver-certified in rounds 1-2 AGAINST THE
+    #     OLD testdata; the driver regenerated the parquet (µs-NTZ now),
+    #     so these re-certify on the new data. The round-3 LLM block
+    #     (all green in CORRECTNESS_r03.json on the new data) rotates out
+    #     and stays covered by the local SPARK_GRAFT_EXACT gate. ---
+    "pricing_summary",
+    "daily_user_rollup",
+    "customer_enrichment",
+    "revenue_vs_global",
+    "rolling_event_metrics",
+    "dedup_events_keepfirst",
+    "latest_events_topk",
+    "latest_event_per_user",
+    "event_quality_score",
+    "late_shipment_flag",
+    "union_dedup_orders",
+    "orders_business_summary",
+    "supplier_health_scores",
+    "hourly_event_window",
+    "top_orders_per_customer",
+    "json_props_extract",
+    "event_type_pivot",
+    "part_value_density",
+    "sessionize_events",
+    "customers_with_orders",
+    "customers_without_orders",
+    "pricing_rollup",
+    "purchase_asof_click",
+    "events_in_session_range",
+    "events_cube",
+    "value_percentiles",
+    "salted_join_orders",
+    "two_phase_agg_orders",
+    "event_transition_counts",
+    "rolling_time_window_events",
+    "user_event_type_sets",
+    "gold_daily_energy_events",
+    "catalog_enrichment_events",
+    "gold_device_health_events",
+    "gold_business_summary_events",
+    "analytics_energy_by_type",
+    "analytics_daily_energy_trend",
+    "analytics_daily_cost_trend",
+    "analytics_kpi_day",
+    "analytics_kpi_chain_gold",
+    "analytics_kpi_chain_silver",
+    "analytics_health_scatter",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -1,0 +1,227 @@
+"""Statistical / time-series / layout gate queries (round 4).
+
+Four new operator families, each oracle-gated bit-exact:
+
+* ``regression_drift_events`` — per-key closed-form OLS via the JVM
+  ``regr_*`` aggregate family (operators/stats.py:regression_per_key).
+* ``gapfill_locf_events`` — regular-grid resampling with
+  last-observation-carried-forward (operators/stats.py:gap_fill_locf).
+* ``unpivot_daily_metrics`` — wide->long ``DataFrame.unpivot`` (melt),
+  the inverse of ``event_type_pivot``.
+* ``zorder_key_events`` — Morton-key computation for multi-dimensional
+  layout clustering (extensions/layout.py). The gate checks the pure
+  key arithmetic; the repartitionByRange re-layout around it is
+  covered by a unit test (file-level min/max tightness), since range
+  boundaries come from sampling and are not SQL-reproducible.
+
+Float contract: every order-dependent float aggregate goes through the
+float32 gate quantization on both engines (functions/numeric.py:
+gate_quantize); counts, keys, timestamps, and LOCF-copied values are
+engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extensions.layout import zorder_key_2d
+from ..functions.numeric import quantize_cols
+from ..operators.stats import gap_fill_locf, regression_per_key
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table
+
+# x origin for the drift regression: 2024-01-01T00:00:00Z in epoch µs.
+# Shifting x (slope/r2/corr are shift-invariant) keeps the moment sums
+# at O(hours³) instead of O(epoch³), where float64 cancellation would
+# swamp the float32 gate.
+X_ORIGIN_US = 1_704_067_200_000_000
+US_PER_HOUR = 3_600_000_000.0
+GAPFILL_STEP_S = 3600
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Per-key OLS drift
+# ---------------------------------------------------------------------------
+
+def q_regression_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user drift of ``value`` in units/hour since 2024-01-01:
+    slope, intercept, R², Pearson r, point count — one hash aggregate,
+    all moments map-side combined."""
+    ev = _events(spark, sf_dir).withColumn(
+        "_x_hours",
+        (F.unix_micros(F.col("ts")) - F.lit(X_ORIGIN_US)) / F.lit(US_PER_HOUR),
+    )
+    out = regression_per_key(ev, key="user_id", x="_x_hours", y="value")
+    return quantize_cols(out, "slope", "intercept", "r2", "pearson_r")
+
+
+ORACLE_REGRESSION_DRIFT_EVENTS = f"""
+SELECT user_id,
+  CAST(CAST(regr_slope(value, (epoch_us(ts) - {X_ORIGIN_US})/{US_PER_HOUR}) AS REAL) AS DOUBLE) AS slope,
+  CAST(CAST(regr_intercept(value, (epoch_us(ts) - {X_ORIGIN_US})/{US_PER_HOUR}) AS REAL) AS DOUBLE) AS intercept,
+  CAST(CAST(regr_r2(value, (epoch_us(ts) - {X_ORIGIN_US})/{US_PER_HOUR}) AS REAL) AS DOUBLE) AS r2,
+  CAST(CAST(corr(value, (epoch_us(ts) - {X_ORIGIN_US})/{US_PER_HOUR}) AS REAL) AS DOUBLE) AS pearson_r,
+  CAST(regr_count(value, (epoch_us(ts) - {X_ORIGIN_US})/{US_PER_HOUR}) AS BIGINT) AS n_points
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled LOCF resampling
+# ---------------------------------------------------------------------------
+
+def q_gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid over each user's own observed span, LOCF
+    interpolation, ``is_gap`` marking synthesized rows. Values are
+    copied, never recomputed — engine-exact, no quantization."""
+    return gap_fill_locf(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts="ts",
+        value="value",
+        step_seconds=GAPFILL_STEP_S,
+    )
+
+
+ORACLE_GAPFILL_LOCF_EVENTS = f"""
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) // {GAPFILL_STEP_S * 1_000_000}) * {GAPFILL_STEP_S}
+           AS bucket_ts,
+         ts, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, bucket_ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, bucket_ts
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM obs
+),
+per_bucket AS (
+  SELECT user_id, bucket_ts, value AS observed FROM ranked WHERE rn = 1
+),
+span AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(range(lo, hi + {GAPFILL_STEP_S}, {GAPFILL_STEP_S}))
+           AS bucket_ts
+  FROM span
+)
+SELECT g.user_id,
+       make_timestamp(g.bucket_ts * 1000000) AS bucket_time,
+       last_value(p.observed IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       p.observed IS NULL AS is_gap
+FROM grid g
+LEFT JOIN per_bucket p USING (user_id, bucket_ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt
+# ---------------------------------------------------------------------------
+
+def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-(user, day) metrics melted to long form with
+    ``DataFrame.unpivot`` — the tidy-data inverse of
+    ``event_type_pivot``. One aggregate shuffle; the melt itself is a
+    row-local 1:3 expand (Catalyst ``Expand``), no extra exchange."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.col("ts").cast("date").alias("date"))
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+        )
+    )
+    out = daily.unpivot(
+        ["user_id", "date"],
+        ["avg_value", "sum_value", "n_events"],
+        "metric",
+        "metric_value",
+    )
+    return quantize_cols(out, "metric_value")
+
+
+ORACLE_UNPIVOT_DAILY_METRICS = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         avg(value) AS avg_value, sum(value) AS sum_value,
+         CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, date, metric,
+       CAST(CAST(metric_value AS REAL) AS DOUBLE) AS metric_value
+FROM d UNPIVOT (metric_value FOR metric IN (avg_value, sum_value, n_events))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key
+# ---------------------------------------------------------------------------
+
+ZQ_BITS = 16
+ZQ_MAX = (1 << ZQ_BITS) - 1
+
+
+def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton key over (user_id, value): global min/max discovery via a
+    1-row broadcast, then pure-integer interleave — all codegen, no
+    Python, no extra shuffle beyond the scalar pre-pass."""
+    keyed = zorder_key_2d(
+        _events(spark, sf_dir), "user_id", "value", bits=ZQ_BITS
+    )
+    return keyed.select("event_id", "zorder_key")
+
+
+_Z_TERMS = " + ".join(
+    f"(((qa >> {i}) & 1) << {2 * i}) + (((qb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(ZQ_BITS)
+)
+
+ORACLE_ZORDER_KEY_EVENTS = f"""
+WITH b AS (
+  SELECT min(user_id) AS alo, max(user_id) AS ahi,
+         min(value) AS blo, max(value) AS bhi
+  FROM events
+),
+q AS (
+  SELECT event_id,
+    LEAST(CAST(CASE WHEN ahi > alo
+      THEN floor(((user_id - alo) / CAST(ahi - alo AS DOUBLE)) * {ZQ_MAX})
+      ELSE 0 END AS BIGINT), {ZQ_MAX}) AS qa,
+    LEAST(CAST(CASE WHEN bhi > blo
+      THEN floor(((value - blo) / (bhi - blo)) * {ZQ_MAX})
+      ELSE 0 END AS BIGINT), {ZQ_MAX}) AS qb
+  FROM events CROSS JOIN b
+)
+SELECT event_id, {_Z_TERMS} AS zorder_key FROM q
+"""
+
+
+QUERIES = {
+    "regression_drift_events": q_regression_drift_events,
+    "gapfill_locf_events": q_gapfill_locf_events,
+    "unpivot_daily_metrics": q_unpivot_daily_metrics,
+    "zorder_key_events": q_zorder_key_events,
+}
+
+ORACLES = {
+    "regression_drift_events": ORACLE_REGRESSION_DRIFT_EVENTS,
+    "gapfill_locf_events": ORACLE_GAPFILL_LOCF_EVENTS,
+    "unpivot_daily_metrics": ORACLE_UNPIVOT_DAILY_METRICS,
+    "zorder_key_events": ORACLE_ZORDER_KEY_EVENTS,
+}

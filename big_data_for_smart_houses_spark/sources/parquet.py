@@ -21,18 +21,33 @@ from pyspark.sql.types import StructType
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md): a single parquet file.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    default; read it as long nanos and truncate to µs timestamps —
-    the same ns->µs truncation DuckDB applies, so oracle comparisons
-    stay exact.
+    Timestamp normalization, robust to how the driver generated the
+    parquet:
+
+    - ``events.ts`` as parquet TIMESTAMP(NANOS) (rejected by Spark by
+      default): read as long nanos, truncate to µs — the same ns->µs
+      truncation DuckDB applies, so oracle comparisons stay exact.
+    - µs timestamps with ``isAdjustedToUTC=false`` (pyarrow's default
+      ``timestamp[us]``): Spark 4 infers TIMESTAMP_NTZ, which breaks
+      ``unix_micros``/``to_utc_timestamp`` call sites and diverges from
+      the TIMESTAMP the rest of the engine (and the DuckDB oracle under
+      a UTC session) expects. Cast every NTZ column to TIMESTAMP after
+      pinning the session to UTC, so the cast preserves the wall clock
+      and epoch arithmetic matches DuckDB's naive-timestamp arithmetic
+      bit-for-bit.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        )
+    return df
 
 
 def spread(df: DataFrame, spark: SparkSession) -> DataFrame:

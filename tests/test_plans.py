@@ -252,3 +252,26 @@ def test_shuffle_budgets_of_new_ops(spark):
         plan = _plan(spark, name)
         assert plan.count("Exchange hashpartitioning") == n, (
             name, plan.count("Exchange hashpartitioning"))
+
+
+def test_stats_gate_shuffle_budgets(spark):
+    """Round-4 ops: regression is ONE hash aggregate (all regr_*
+    moments partial-agg map-side); unpivot's melt is a row-local
+    Expand on top of one agg exchange; the Morton key never shuffles
+    (scalar bounds broadcast); gap-fill pays at most its three
+    key-partitioned exchanges (span agg, bucket agg, LOCF window)."""
+    assert (
+        _plan(spark, "regression_drift_events").count(
+            "Exchange hashpartitioning"
+        )
+        == 1
+    )
+    up = _plan(spark, "unpivot_daily_metrics")
+    assert up.count("Exchange hashpartitioning") == 1, up
+    assert "Expand" in up, up
+    zp = _plan(spark, "zorder_key_events")
+    assert zp.count("Exchange hashpartitioning") == 0, zp
+    assert "BroadcastExchange" in zp, zp
+    gp = _plan(spark, "gapfill_locf_events")
+    assert gp.count("Exchange hashpartitioning") <= 3, gp
+    assert "CartesianProduct" not in gp, gp
