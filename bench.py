@@ -77,6 +77,9 @@ HEADLINE = [
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
+    "weighted_sample_wor_documents",
+    "packed_sequence_offsets",
+    "cdc_crossdoc_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

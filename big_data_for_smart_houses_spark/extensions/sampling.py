@@ -431,3 +431,89 @@ def mix_manifest(
             "target_tokens", "epochs",
         )
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly-``k`` weighted sample WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row draws a deterministic
+    uniform u from the salted multiplicative hash of its id and is
+    ranked by ``ln(u) / w`` descending — the classic one-pass
+    reduction of weighted sampling to a top-K, which is exactly the
+    distributed-friendly shape (each partition ships its own top-K;
+    ``orderBy + limit`` plans as TakeOrderedAndProject, no global
+    sort). Inclusion probability rises with ``weight_col``; the same
+    id re-draws the same u every run (reproducible), and a salt picks
+    an independent sample (multiplier stride, like every sampler
+    here).
+
+    Determinism contract: ``ln`` is not correctly rounded, so the key
+    is float32-quantized before ranking and ties break on id — the
+    selected SET is then engine-exact (the gate-parity trick
+    quality_topk_per_lang uses for pow). Rows with non-positive
+    weights never qualify.
+    """
+    u = (
+        _salted_bucket(id_col, salt, SHUFFLE_BUCKETS).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(SHUFFLE_BUCKETS + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    quantized = key.cast("float").cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", quantized)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pack_with_offsets(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    allow_single_shard: bool = False,
+) -> DataFrame:
+    """:func:`pack_token_batches` plus the per-document position
+    INSIDE its batch: ``offset_in_batch`` is where the document's
+    tokens start in the packed sequence (exclusive running sum minus
+    the batch's base), which is what an actual packed-pretraining
+    loader needs to build attention-reset boundaries. Same single
+    shuffle — the offset is pure arithmetic on the running sum the
+    batch id already paid for. A boundary-straddling document stays in
+    the earlier batch (see pack_token_batches), so ``offset_in_batch +
+    tokens`` may overshoot ``budget`` by at most that one document."""
+    if shard_col is None and not allow_single_shard:
+        raise ValueError(
+            "pack_with_offsets with shard_col=None runs a global "
+            "unpartitioned window — the whole corpus on one reducer. "
+            "Pass shard_col, or allow_single_shard=True for small, "
+            "known-bounded inputs."
+        )
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl_sum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("_excl_tokens", excl_sum)
+        .withColumn(
+            "batch_id",
+            F.floor(F.col("_excl_tokens") / F.lit(budget)).cast("long"),
+        )
+        .withColumn(
+            "offset_in_batch",
+            (F.col("_excl_tokens") - F.col("batch_id") * F.lit(budget)).cast(
+                "long"
+            ),
+        )
+        .drop("_excl_tokens")
+    )

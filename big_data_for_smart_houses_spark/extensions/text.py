@@ -429,3 +429,59 @@ def cdc_chunk_documents(
             F.slice(F.col("_toks"), start, F.col("_end") - start + 1),
         ).alias("chunk_text"),
     )
+
+
+def cdc_crossdoc_stats(
+    df: DataFrame,
+    window: int = CDC_WINDOW,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document EXACT-substring dedup at CDC-chunk granularity:
+    chunk every document content-defined (:func:`cdc_chunk_documents`),
+    fingerprint each chunk, and report per document how much of it
+    also appears verbatim in other documents — ``n_chunks``,
+    ``n_shared_chunks`` (chunks whose fingerprint occurs in >= 2
+    distinct docs), and the drop-decision flag ``mostly_shared``
+    (> half the chunks are shared). Because CDC boundaries follow
+    content, a paragraph copied between two crawls re-chunks and
+    re-fingerprints identically wherever it lands — this is the
+    scalable stand-in for suffix-array substring dedup
+    (deduplicate-text-datasets) at chunk resolution.
+
+    Scale shape (the sentence-dedup template): per-doc chunking is
+    row-local; document frequency per fingerprint needs one
+    fingerprint-keyed aggregate — per-doc DISTINCT first
+    (groupBy(doc, fp), map-side combined) so the frequency agg is a
+    plain count, never a countDistinct rewrite; then one
+    fingerprint-keyed join back and one per-doc count. The chunk
+    vocabulary of a 100 TB corpus cannot broadcast, so the join back
+    is a shuffle — TF-IDF's exact shape. Fractions are exact-int
+    ratios of small counts; ``shared_frac`` is engine-exact (one
+    division of two exact ints, no accumulation).
+    """
+    chunks = cdc_chunk_documents(
+        df, window=window, id_col=id_col, text_col=text_col
+    ).select(
+        F.col(id_col), F.md5(F.col("chunk_text")).alias("_fp")
+    )
+    doc_fp = chunks.groupBy(id_col, "_fp").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    fp_df = doc_fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_docs"))
+    shared = F.col("_docs") >= 2
+    return (
+        doc_fp.join(fp_df, "_fp")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_occ").cast("long").alias("n_chunks"),
+            F.sum(F.when(shared, F.col("_occ")).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared_chunks") / F.col("n_chunks"),
+        )
+        .withColumn("mostly_shared", F.col("shared_frac") > 0.5)
+    )

@@ -19,6 +19,8 @@ entries, not just 50.
 from __future__ import annotations
 
 from .analytics_gate import ORACLES as _GATE_ORACLES
+from .assembly_gate import ORACLES as _ASM_ORACLES
+from .assembly_gate import QUERIES as _ASM_QUERIES
 from .analytics_gate import QUERIES as _GATE_QUERIES
 from .core import ORACLES as _CORE_ORACLES
 from .core import QUERIES as _CORE_QUERIES
@@ -41,6 +43,7 @@ _ALL_QUERIES = {
     **_LLM_QUERIES,
     **_CUR_QUERIES,
     **_STATS_QUERIES,
+    **_ASM_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -50,6 +53,7 @@ ORACLES = {
     **_LLM_ORACLES,
     **_CUR_ORACLES,
     **_STATS_ORACLES,
+    **_ASM_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [
@@ -59,6 +63,9 @@ _CERTIFICATION_FRONT = [
     "gapfill_locf_events",
     "unpivot_daily_metrics",
     "zorder_key_events",
+    "weighted_sample_wor_documents",
+    "packed_sequence_offsets",
+    "cdc_crossdoc_documents",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -109,9 +116,6 @@ _CERTIFICATION_FRONT = [
     "analytics_daily_energy_trend",
     "analytics_daily_cost_trend",
     "analytics_kpi_day",
-    "analytics_kpi_chain_gold",
-    "analytics_kpi_chain_silver",
-    "analytics_health_scatter",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

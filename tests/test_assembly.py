@@ -1,0 +1,132 @@
+"""Unit semantics for the round-4 assembly operators: weighted
+sampling without replacement, packed offsets, cross-doc CDC dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_for_smart_houses_spark.extensions.sampling import (
+    pack_with_offsets,
+    weighted_sample_wor,
+)
+from big_data_for_smart_houses_spark.extensions.text import (
+    cdc_crossdoc_stats,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 100 + 10).cast("long").alias("w"),
+    )
+
+
+def test_wor_exact_k_and_deterministic(spark):
+    d = _docs(spark)
+    a = weighted_sample_wor(d, "w", 50, id_col="doc_id")
+    b = weighted_sample_wor(d, "w", 50, id_col="doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert len(ids_a) == 50
+    assert ids_a == ids_b
+
+
+def test_wor_weight_monotone_inclusion(spark):
+    """Sampling 30% of rows where one weight class is 50x the other:
+    the heavy class must be over-represented relative to its share."""
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 500).otherwise(10).cast("long").alias("w"),
+    )
+    picked = weighted_sample_wor(d, "w", 300, id_col="doc_id").collect()
+    heavy = sum(1 for r in picked if r["doc_id"] % 2 == 0)
+    assert heavy > 200, heavy  # fair share would be 150
+
+
+def test_wor_salts_give_different_samples(spark):
+    d = _docs(spark)
+    s0 = {r["doc_id"] for r in weighted_sample_wor(d, "w", 50, salt=0).collect()}
+    s1 = {r["doc_id"] for r in weighted_sample_wor(d, "w", 50, salt=1).collect()}
+    assert s0 != s1
+    assert len(s0 & s1) < 50
+
+
+def test_wor_rejects_nonpositive_weights(spark):
+    d = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, w long"
+    )
+    picked = weighted_sample_wor(d, "w", 3).collect()
+    assert [r["doc_id"] for r in picked] == [3]
+
+
+def test_pack_offsets_bounded_and_consistent(spark):
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("shard"),
+        (F.col("id") % 50 + 1).cast("long").alias("n_tokens"),
+    )
+    out = pack_with_offsets(
+        d, "n_tokens", budget=100, shard_col="shard"
+    ).collect()
+    for r in out:
+        assert 0 <= r["offset_in_batch"] < 100
+    # within a (shard, batch), offsets are the exclusive running sums:
+    # sorted by doc_id they must strictly increase by n_tokens
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault((r["shard"], r["batch_id"]), []).append(r)
+    for rows in by_batch.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        run = rows[0]["offset_in_batch"]
+        for prev, cur in zip(rows, rows[1:]):
+            run += prev["n_tokens"]
+            # a boundary-straddling doc starts the NEXT batch at the
+            # wrapped position, so within one batch this is exact
+            assert cur["offset_in_batch"] == run
+
+
+def test_pack_offsets_requires_shard(spark):
+    d = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(10).cast("long").alias("n_tokens")
+    )
+    with pytest.raises(ValueError, match="shard_col"):
+        pack_with_offsets(d, "n_tokens", budget=100)
+    assert (
+        pack_with_offsets(
+            d, "n_tokens", budget=100, allow_single_shard=True
+        ).count()
+        == 5
+    )
+
+
+def test_cdc_crossdoc_planted_copies_fully_shared(spark):
+    """A doc duplicated verbatim shares every chunk with its copy;
+    a unique doc shares nothing."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    uniq = "one two three four five six seven eight nine ten " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in cdc_crossdoc_stats(df).collect()}
+    assert out[1]["shared_frac"] == 1.0 and out[1]["mostly_shared"]
+    assert out[2]["shared_frac"] == 1.0
+    assert out[3]["n_shared_chunks"] == 0 and not out[3]["mostly_shared"]
+    assert out[3]["n_chunks"] >= 1
+
+
+def test_cdc_crossdoc_partial_overlap(spark):
+    """A doc that embeds another doc's full text plus unique tail
+    shares some but not necessarily all chunks — counts stay
+    consistent (0 < shared <= total)."""
+    shared_part = "common words repeated across documents here now " * 10
+    df = spark.createDataFrame(
+        [
+            (1, shared_part),
+            (2, shared_part + " unique tail content entirely different " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cdc_crossdoc_stats(df).collect()}
+    assert out[1]["n_shared_chunks"] > 0
+    assert 0 < out[2]["n_shared_chunks"] <= out[2]["n_chunks"]

@@ -275,3 +275,18 @@ def test_stats_gate_shuffle_budgets(spark):
     gp = _plan(spark, "gapfill_locf_events")
     assert gp.count("Exchange hashpartitioning") <= 3, gp
     assert "CartesianProduct" not in gp, gp
+
+
+def test_assembly_gate_plan_shapes(spark):
+    """weighted WOR sampling must plan as TakeOrderedAndProject (per-
+    partition top-K, no global sort); cross-doc CDC dedup pays the
+    sentence-dedup budget (doc-fp agg, fp DF agg+join back, per-doc
+    agg) and never broadcasts the chunk vocabulary at scale."""
+    wp = _plan(spark, "weighted_sample_wor_documents")
+    assert "TakeOrderedAndProject" in wp, wp
+    assert wp.count("Exchange hashpartitioning") == 0, wp
+    cp = _plan(spark, "cdc_crossdoc_documents")
+    assert cp.count("Exchange hashpartitioning") <= 4, cp
+    assert "CartesianProduct" not in cp, cp
+    pp = _plan(spark, "packed_sequence_offsets")
+    assert pp.count("Exchange hashpartitioning") == 1, pp
