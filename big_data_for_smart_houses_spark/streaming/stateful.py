@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -197,6 +198,102 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
         _ewma_fn(alpha),
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+LOCF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("bucket_time", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("is_gap", BooleanType()),
+    ]
+)
+
+# open bucket accumulator: bucket epoch-seconds + the winning
+# observation inside it ((ts, value) max — same tie rule as the batch
+# operator)
+LOCF_STATE_SCHEMA = StructType(
+    [
+        StructField("bucket_s", LongType()),
+        StructField("obs_ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _locf_fn(step_seconds: int):
+    step_us = step_seconds * _US
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            bucket_s, obs_ts_us, value = state.get
+        else:
+            bucket_s = None
+        out: list[tuple[int, float, bool]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "value"])
+            for _, r in pdf.iterrows():
+                ts_us = int(pd.Timestamp(r["ts"]).value // 1000)
+                v = float(r["value"])
+                b = (ts_us // step_us) * step_seconds
+                if bucket_s is None:
+                    bucket_s, obs_ts_us, value = b, ts_us, v
+                elif b == bucket_s:
+                    if (ts_us, v) > (obs_ts_us, value):
+                        obs_ts_us, value = ts_us, v
+                elif b > bucket_s:
+                    out.append((bucket_s, value, False))
+                    for g in range(
+                        bucket_s + step_seconds, b, step_seconds
+                    ):
+                        out.append((g, value, True))
+                    bucket_s, obs_ts_us, value = b, ts_us, v
+                # b < bucket_s: late event below the open bucket —
+                # dropped; feed from a watermarked source upstream
+        if bucket_s is not None:
+            state.update((int(bucket_s), int(obs_ts_us), float(value)))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "bucket_time": [
+                        pd.Timestamp(b * _US * 1000) for b, _, _ in out
+                    ],
+                    "value": [v for _, v, _ in out],
+                    "is_gap": [bool(g) for _, _, g in out],
+                }
+            )
+
+    return fn
+
+
+def locf_stream(
+    stream: DataFrame, step_seconds: int = 3600
+) -> DataFrame:
+    """Streaming gap-filled LOCF resampling — the incremental form of
+    ``operators/stats.gap_fill_locf``: per key the state store holds
+    only the OPEN bucket (one row per key, O(keys) memory forever);
+    when an event lands in a later bucket, the open bucket CLOSES and
+    is emitted once — followed by carried-forward gap rows up to the
+    new bucket — so append mode is exact: every bucket row is final
+    the moment it is produced, no retractions ever needed. The
+    still-open bucket is withheld until a later event closes it
+    (batch parity: the batch operator's output minus each key's last
+    bucket). Within a bucket the latest (ts, value) observation wins,
+    the batch operator's exact tie rule.
+
+    Late events older than the open bucket are dropped, not folded —
+    feed from a watermarked source (the ewma_stream contract)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _locf_fn(step_seconds),
+        outputStructType=LOCF_OUTPUT_SCHEMA,
+        stateStructType=LOCF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

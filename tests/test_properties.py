@@ -281,3 +281,127 @@ def test_ewma_stays_inside_running_envelope(spark, values):
         # f32 gate quantization can nudge the output by one f32 ulp
         eps = 1e-4 * max(1.0, abs(lo), abs(hi))
         assert lo - eps <= r.ewma <= hi + eps
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=200_000),  # seconds offset
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_gapfill_grid_is_exact_and_locf_holds(spark, rows):
+    """For any input: per key the grid is every hour bucket from
+    floor(min/3600) to floor(max/3600) inclusive; non-gap rows carry
+    a real observation from that bucket; gap rows repeat the latest
+    earlier bucket's value (pure-Python replay)."""
+    from big_data_for_smart_houses_spark.operators.stats import gap_fill_locf
+
+    data = [
+        (k, T0 + dt.timedelta(seconds=off), float(v)) for k, off, v in rows
+    ]
+    df = spark.createDataFrame(data, "key string, ts timestamp, value double")
+    got = {
+        (r["key"], r["bucket_time"]): (r["value"], r["is_gap"])
+        for r in gap_fill_locf(df, "key", "ts", "value").collect()
+    }
+
+    # python reference
+    by_key: dict[str, dict[int, tuple]] = {}
+    epoch = dt.datetime(1970, 1, 1)
+    for k, ts, v in data:
+        b = int((ts - epoch).total_seconds()) // 3600
+        cur = by_key.setdefault(k, {})
+        # last obs in bucket wins; ties -> larger value
+        key_new = ((ts - epoch).total_seconds(), v)
+        if b not in cur or key_new > cur[b][0]:
+            cur[b] = (key_new, v)
+    want = {}
+    for k, buckets in by_key.items():
+        lo, hi = min(buckets), max(buckets)
+        carried = None
+        for b in range(lo, hi + 1):
+            if b in buckets:
+                carried = buckets[b][1]
+                want[(k, epoch + dt.timedelta(seconds=b * 3600))] = (
+                    carried,
+                    False,
+                )
+            else:
+                want[(k, epoch + dt.timedelta(seconds=b * 3600))] = (
+                    carried,
+                    True,
+                )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zorder_interleave_matches_python(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.extensions.layout import (
+        ZORDER_BITS,
+        interleave_bits,
+    )
+
+    def py_morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", interleave_bits(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["a"], r["b"])
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=50, max_value=400),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_offsets_match_python_running_sum(spark, tokens, budget):
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        pack_with_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    ).withColumn("shard", F.lit("s"))
+    got = {
+        r["doc_id"]: (r["batch_id"], r["offset_in_batch"])
+        for r in pack_with_offsets(
+            df, "n_tokens", budget=budget, shard_col="shard"
+        ).collect()
+    }
+    run = 0
+    for i, t in enumerate(tokens):
+        assert got[i] == (run // budget, run - (run // budget) * budget)
+        run += t

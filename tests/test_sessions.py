@@ -321,3 +321,126 @@ def test_streaming_ewma_matches_batch_across_restarts(spark):
     assert set(got) == set(expect)
     for eid, v in expect.items():
         assert abs(got[eid] - v) <= abs(float(np.float32(got[eid])) - got[eid]) + 1e-12
+
+
+def test_streaming_locf_matches_batch_closed_buckets(spark):
+    """locf_stream == batch gap_fill_locf minus each key's final
+    (still-open) bucket; the recurrence survives a checkpoint restart
+    and carries gap values across micro-batches."""
+    from big_data_for_smart_houses_spark.operators.stats import gap_fill_locf
+    from big_data_for_smart_houses_spark.streaming.stateful import locf_stream
+
+    tmp = tempfile.mkdtemp()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/staged")
+        q = (
+            locf_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(u, T0 + dt.timedelta(hours=h), float(v)) for u, h, v in rows],
+            schema,
+        )
+
+    # user 1: hours 0 and 3 -> closing bucket 0 emits gaps 1,2
+    batch1 = [(1, 0, 10.0), (1, 3, 40.0), (2, 0, 5.0)]
+    rows_df(batch1).write.mode("append").parquet(f"{tmp}/staged")
+    out1 = {(r.user_id, r.bucket_time): (r.value, r.is_gap) for r in run()}
+    h = lambda k: T0 + dt.timedelta(hours=k)
+    assert out1 == {
+        (1, h(0)): (10.0, False),
+        (1, h(1)): (10.0, True),
+        (1, h(2)): (10.0, True),
+    }
+
+    # restart: user 1's open bucket (hour 3) closes when hour 5
+    # arrives -> emits (3, obs) + (4, gap); user 2 still withheld
+    batch2 = [(1, 5, 50.0)]
+    rows_df(batch2).write.mode("append").parquet(f"{tmp}/staged")
+    out2 = {(r.user_id, r.bucket_time): (r.value, r.is_gap) for r in run()}
+    assert out2 == {
+        (1, h(3)): (40.0, False),
+        (1, h(4)): (40.0, True),
+    }
+
+    # batch parity: stream output == batch operator minus the final
+    # open bucket per key
+    batch_df = rows_df(batch1 + batch2)
+    full = {
+        (r["key"], r["bucket_time"]): (r["value"], r["is_gap"])
+        for r in gap_fill_locf(
+            batch_df.withColumnRenamed("user_id", "key"), "key", "ts", "value"
+        ).collect()
+    }
+    open_buckets = {(1, h(5)), (2, h(0))}
+    expect = {k: v for k, v in full.items() if k not in open_buckets}
+    assert {**out1, **out2} == expect
+
+
+def test_streaming_locf_in_bucket_last_wins(spark):
+    """Two observations in one bucket across micro-batches: the later
+    one is the value the closing emit carries."""
+    from big_data_for_smart_houses_spark.streaming.stateful import locf_stream
+
+    tmp = tempfile.mkdtemp()
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/staged")
+        q = (
+            locf_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _epoch: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    def stage(rows):
+        spark.createDataFrame(
+            [(u, T0 + dt.timedelta(minutes=m), float(v)) for u, m, v in rows],
+            schema,
+        ).write.mode("append").parquet(f"{tmp}/staged")
+
+    stage([(7, 0, 1.0), (7, 30, 2.0)])
+    assert run() == []
+    stage([(7, 40, 3.0), (7, 90, 9.0)])
+    out = run()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.bucket_time, r.value, r.is_gap) == (
+        7,
+        T0,
+        3.0,
+        False,
+    )
