@@ -80,6 +80,8 @@ HEADLINE = [
     "weighted_sample_wor_documents",
     "packed_sequence_offsets",
     "cdc_crossdoc_documents",
+    "merge_upsert_orders",
+    "incremental_energy_state",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

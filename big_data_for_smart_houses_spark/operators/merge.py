@@ -1,0 +1,102 @@
+"""Upsert (MERGE) and mergeable partial aggregates — the two
+incremental-maintenance primitives a parquet-only lake needs.
+
+The reference recomputes gold snapshots from scratch every cycle
+(reference consumer/silver_to_gold.py:277-312); at 100 TB a full
+recompute per batch is the thing you can never do. These two
+operators are the standard escape hatches:
+
+* ``merge_upsert`` — CDC batch application: new/changed rows replace
+  their key's previous version, everything else survives. The same
+  answer `MERGE INTO` gives on Delta/Iceberg, expressed on plain
+  parquet as union + keep-latest (one key-partitioned window). At
+  scale, pair with partition pruning: only partitions containing
+  touched keys need rewriting.
+* ``merge_partial_aggs`` — incremental rollup maintenance: aggregates
+  stored as their MERGEABLE partial form (sum, count — never avg) can
+  absorb a new batch with one tiny union+re-agg instead of a full
+  recompute. Finalization (avg = sum/count) happens at read time.
+  This is exactly Spark's own partial-aggregation contract (the
+  map-side combine shape) lifted to table state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Apply an upsert batch: for each key, the row with the highest
+    ``order_col`` wins; ties go to the UPDATES side (the MERGE
+    WHEN-MATCHED rule — an update with the same version stamp as the
+    base row must still replace it).
+
+    One key-partitioned window over base ∪ updates. Both sides must
+    share the schema (conform first — sources/conform.py). At scale
+    the union never materializes: it is a scan of two sources feeding
+    one exchange on the keys.
+    """
+    tagged = base.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def merge_partial_aggs(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Merge two partial-aggregate tables (same schema: keys +
+    per-measure sums + a row count) into one — the monoid append. Both
+    inputs are already aggregated, so this shuffles only |keys| rows,
+    never raw data; applying a day's delta to a year's state costs one
+    tiny exchange.
+    """
+    merged = state.unionByName(delta)
+    aggs = [F.sum(c).alias(c) for c in sum_cols] + [
+        F.sum(count_col).cast("long").alias(count_col)
+    ]
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def partial_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Reduce raw rows to the mergeable partial form: per-key sums of
+    each measure plus the row count. avg/rate finalization belongs at
+    READ time (``finalize_means``) — storing a mean would make the
+    state non-mergeable."""
+    aggs = [F.sum(c).alias(c) for c in measures] + [
+        F.count(F.lit(1)).alias(count_col)
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def finalize_means(
+    df: DataFrame, measures: list[str], count_col: str = "n"
+) -> DataFrame:
+    """Read-time finalization: attach ``avg_<m> = sum_m / n`` for each
+    measure. Row-local arithmetic, zero shuffle."""
+    for m in measures:
+        df = df.withColumn(f"avg_{m}", F.col(m) / F.col(count_col))
+    return df

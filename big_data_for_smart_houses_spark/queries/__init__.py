@@ -27,6 +27,8 @@ from .core import QUERIES as _CORE_QUERIES
 from .curation import ORACLES as _CUR_ORACLES
 from .curation import QUERIES as _CUR_QUERIES
 from .extensions import ORACLES as _EXT_ORACLES
+from .incremental_gate import ORACLES as _INC_ORACLES
+from .incremental_gate import QUERIES as _INC_QUERIES
 from .extensions import QUERIES as _EXT_QUERIES
 from .llm_ops import ORACLES as _LLM_ORACLES
 from .llm_ops import QUERIES as _LLM_QUERIES
@@ -44,6 +46,7 @@ _ALL_QUERIES = {
     **_CUR_QUERIES,
     **_STATS_QUERIES,
     **_ASM_QUERIES,
+    **_INC_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -54,6 +57,7 @@ ORACLES = {
     **_CUR_ORACLES,
     **_STATS_ORACLES,
     **_ASM_ORACLES,
+    **_INC_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [
@@ -66,6 +70,8 @@ _CERTIFICATION_FRONT = [
     "weighted_sample_wor_documents",
     "packed_sequence_offsets",
     "cdc_crossdoc_documents",
+    "merge_upsert_orders",
+    "incremental_energy_state",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -113,8 +119,6 @@ _CERTIFICATION_FRONT = [
     "gold_device_health_events",
     "gold_business_summary_events",
     "analytics_energy_by_type",
-    "analytics_daily_energy_trend",
-    "analytics_daily_cost_trend",
     "analytics_kpi_day",
 ]
 

@@ -1,0 +1,171 @@
+"""Incremental-maintenance gate queries (round 4, third batch):
+MERGE/upsert application and mergeable partial-aggregate rollups
+(operators/merge.py).
+
+Both queries are self-contained derivations over the driver tables so
+the oracle can replay them: the upsert batch is a deterministic
+transform of a key slice, and the incremental state/delta split is an
+event-time cut — the gate then proves (a) keep-latest-with-update-
+priority MERGE semantics row-for-row, and (b) state ⊕ delta equals
+the from-scratch aggregate bit-for-bit after quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import quantize_cols
+from ..operators.merge import (
+    finalize_means,
+    merge_partial_aggs,
+    merge_upsert,
+    partial_aggregate,
+)
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table
+
+INCR_SPLIT = "2024-01-15"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "orders")
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert
+# ---------------------------------------------------------------------------
+
+def _update_batch(orders: DataFrame) -> DataFrame:
+    """Deterministic CDC batch: every 10th order re-priced 10% up with
+    status 'U'. Every 20th keeps its ORIGINAL order date — those rows
+    tie with the base version on the merge order column, proving the
+    updates-win tie rule; the rest shift one day later and win on
+    recency alone."""
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0)
+    return upd.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.when(
+            F.col("o_orderkey") % 20 == 0, F.col("o_orderdate")
+        )
+        .otherwise(F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        .alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO on plain parquet (operators/merge.py:merge_upsert):
+    union + keep-latest window, updates winning ties — the Delta/
+    Iceberg upsert answer without a table format. One key shuffle."""
+    orders = _orders(spark, sf_dir)
+    merged = merge_upsert(
+        orders,
+        _update_batch(orders),
+        keys=["o_orderkey"],
+        order_col="o_orderdate",
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+ORACLE_MERGE_UPSERT_ORDERS = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         CASE WHEN o_orderkey % 20 = 0 THEN o_orderdate
+              ELSE o_orderdate + INTERVAL 1 DAY END AS o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+tagged AS (
+  SELECT *, 0 AS src FROM orders
+  UNION ALL
+  SELECT *, 1 AS src FROM updates
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, src DESC) AS rn
+  FROM tagged
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable partial aggregates (incremental rollup)
+# ---------------------------------------------------------------------------
+
+def q_incremental_energy_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental rollup maintenance (operators/merge.py): the first
+    half-month's per-(user, day) state absorbs the second half's delta
+    via the monoid merge, finalized to means at read time — and must
+    equal the from-scratch aggregate the oracle computes. Merging
+    shuffles only |keys| rows, never raw events."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("date").alias("date"),
+        "value",
+        "ts",
+    )
+    state = partial_aggregate(
+        ev.filter(F.col("ts") < F.lit(INCR_SPLIT).cast("timestamp")),
+        keys=["user_id", "date"],
+        measures=["value"],
+    )
+    delta = partial_aggregate(
+        ev.filter(F.col("ts") >= F.lit(INCR_SPLIT).cast("timestamp")),
+        keys=["user_id", "date"],
+        measures=["value"],
+    )
+    merged = merge_partial_aggs(
+        state, delta, keys=["user_id", "date"], sum_cols=["value"]
+    )
+    out = finalize_means(merged, ["value"]).select(
+        "user_id",
+        "date",
+        F.col("value").alias("sum_value"),
+        "n",
+        "avg_value",
+    )
+    return quantize_cols(out, "sum_value", "avg_value")
+
+
+ORACLE_INCREMENTAL_ENERGY_STATE = """
+SELECT user_id, CAST(ts AS DATE) AS date,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS sum_value,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(value) / count(*) AS REAL) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "merge_upsert_orders": q_merge_upsert_orders,
+    "incremental_energy_state": q_incremental_energy_state,
+}
+
+ORACLES = {
+    "merge_upsert_orders": ORACLE_MERGE_UPSERT_ORDERS,
+    "incremental_energy_state": ORACLE_INCREMENTAL_ENERGY_STATE,
+}

@@ -290,3 +290,16 @@ def test_assembly_gate_plan_shapes(spark):
     assert "CartesianProduct" not in cp, cp
     pp = _plan(spark, "packed_sequence_offsets")
     assert pp.count("Exchange hashpartitioning") == 1, pp
+
+
+def test_incremental_gate_plan_shapes(spark):
+    """MERGE/upsert is one key-partitioned window over the union (no
+    join at all); the partial-agg merge re-aggregates only pre-reduced
+    rows — every Exchange in the plan carries aggregated partials, and
+    the two half-scans each map-side combine before shuffling."""
+    mp = _plan(spark, "merge_upsert_orders")
+    assert mp.count("Exchange hashpartitioning") == 1, mp
+    assert "Join" not in mp, mp
+    ip = _plan(spark, "incremental_energy_state")
+    assert "HashAggregate" in ip, ip
+    assert "CartesianProduct" not in ip, ip
