@@ -82,6 +82,7 @@ HEADLINE = [
     "cdc_crossdoc_documents",
     "merge_upsert_orders",
     "incremental_energy_state",
+    "cms_token_counts",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -72,6 +72,7 @@ _CERTIFICATION_FRONT = [
     "cdc_crossdoc_documents",
     "merge_upsert_orders",
     "incremental_energy_state",
+    "cms_token_counts",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -113,7 +114,6 @@ _CERTIFICATION_FRONT = [
     "two_phase_agg_orders",
     "event_transition_counts",
     "rolling_time_window_events",
-    "user_event_type_sets",
     "gold_daily_energy_events",
     "catalog_enrichment_events",
     "gold_device_health_events",

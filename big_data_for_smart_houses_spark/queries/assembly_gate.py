@@ -196,3 +196,80 @@ ORACLES = {
     "packed_sequence_offsets": ORACLE_PACKED_SEQUENCE_OFFSETS,
     "cdc_crossdoc_documents": ORACLE_CDC_CROSSDOC_DOCUMENTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_TOP_K = 20
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream
+    (extensions/sketches.py): depth x width counters from md5-derived
+    buckets (engine-replayable — no overflow-prone mixing), then point
+    estimates for the top-20 exact heavy hitters next to their true
+    counts. The gate hash-checks the full sketch arithmetic: a single
+    mis-bucketed token shifts a counter and fails the hash. est >=
+    exact always (the CMS one-sided guarantee, unit-asserted)."""
+    from ..extensions.sketches import cms_build, cms_lookup
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("token")
+    ).limit(CMS_TOP_K)
+    sketch = cms_build(toks, "token")
+    return (
+        cms_lookup(sketch, top.select("token"), "token")
+        .join(top, "token")
+        .select("token", "exact_count", "est_count")
+    )
+
+
+from ..extensions.sketches import CMS_DEPTH, CMS_WIDTH  # noqa: E402
+
+ORACLE_CMS_TOKEN_COUNTS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+exact AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks GROUP BY 1
+),
+top AS (
+  SELECT token, exact_count FROM exact
+  ORDER BY exact_count DESC, token LIMIT {CMS_TOP_K}
+),
+hashes AS (
+  SELECT token,
+         r.i AS cms_row,
+         CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || token),
+                              1, 15)) AS BIGINT) % {CMS_WIDTH} AS cms_bucket
+  FROM toks CROSS JOIN range({CMS_DEPTH}) r(i)
+),
+counters AS (
+  SELECT cms_row, cms_bucket, CAST(count(*) AS BIGINT) AS counter
+  FROM hashes GROUP BY 1, 2
+),
+qh AS (
+  SELECT t.token, t.exact_count,
+         r.i AS cms_row,
+         CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.token),
+                              1, 15)) AS BIGINT) % {CMS_WIDTH} AS cms_bucket
+  FROM top t CROSS JOIN range({CMS_DEPTH}) r(i)
+)
+SELECT q.token, q.exact_count,
+       CAST(min(coalesce(c.counter, 0)) AS BIGINT) AS est_count
+FROM qh q LEFT JOIN counters c USING (cms_row, cms_bucket)
+GROUP BY q.token, q.exact_count
+"""
+
+QUERIES["cms_token_counts"] = q_cms_token_counts
+ORACLES["cms_token_counts"] = ORACLE_CMS_TOKEN_COUNTS

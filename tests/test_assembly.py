@@ -130,3 +130,65 @@ def test_cdc_crossdoc_partial_overlap(spark):
     out = {r["doc_id"]: r for r in cdc_crossdoc_stats(df).collect()}
     assert out[1]["n_shared_chunks"] > 0
     assert 0 < out[2]["n_shared_chunks"] <= out[2]["n_chunks"]
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS one-sided guarantee: estimate >= exact for every queried
+    value, and exact for values whose buckets have no collisions in
+    any row (checked implicitly: small vocab, wide sketch -> most
+    estimates exact)."""
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("tok"), (F.col("id") % 37).cast("string")).alias("v")
+    )
+    exact = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    sketch = cms_build(df, "v")
+    items = df.select("v").distinct()
+    est = {r["v"]: r["est_count"] for r in cms_lookup(sketch, items, "v").collect()}
+    assert set(est) == set(exact)
+    for v, c in exact.items():
+        assert est[v] >= c
+    # wide sketch, 37 values: collisions essentially impossible
+    assert sum(1 for v in exact if est[v] == exact[v]) >= 35
+
+
+def test_cms_merge_equals_union_build(spark):
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        cms_build,
+        cms_merge,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("w"), (F.col("id") % 23).cast("string")).alias("v")
+    )
+    merged = cms_merge(
+        cms_build(df.filter("id < 1000"), "v"),
+        cms_build(df.filter("id >= 1000"), "v"),
+    )
+    whole = cms_build(df, "v")
+    a = {(r["cms_row"], r["cms_bucket"]): r["counter"] for r in merged.collect()}
+    b = {(r["cms_row"], r["cms_bucket"]): r["counter"] for r in whole.collect()}
+    assert a == b
+
+
+def test_cms_unseen_value_estimates_small(spark):
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.range(500).select(
+        F.concat(F.lit("x"), (F.col("id") % 11).cast("string")).alias("v")
+    )
+    sketch = cms_build(df, "v")
+    items = spark.createDataFrame([("never-seen-token",)], "v string")
+    est = cms_lookup(sketch, items, "v").collect()[0]["est_count"]
+    assert est <= 500  # trivially
+    assert est >= 0
+    # with 11 hot buckets in 2048-wide rows, an unseen value's min
+    # across 4 rows is overwhelmingly 0
+    assert est == 0

@@ -303,3 +303,10 @@ def test_incremental_gate_plan_shapes(spark):
     ip = _plan(spark, "incremental_energy_state")
     assert "HashAggregate" in ip, ip
     assert "CartesianProduct" not in ip, ip
+
+
+def test_cms_lookup_broadcasts_sketch(spark):
+    """The CMS counter table is kilobytes — the lookup join must
+    broadcast it; the items side never shuffles for the join."""
+    plan = _plan(spark, "cms_token_counts")
+    assert "BroadcastHashJoin" in plan, plan
