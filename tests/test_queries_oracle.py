@@ -37,3 +37,16 @@ def test_query_matches_oracle(spark, name):
 def test_all_queries_have_callables():
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+NO_ORACLE_CASES = sorted(n for n in QUERIES if n not in ORACLES)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_CASES)
+def test_no_oracle_queries_still_run(spark, name):
+    """The driver's rows-only check still executes these — a crash
+    there is a red row (round 3's NTZ incident). Keep them running
+    end-to-end at smoke scale; their VALUE checks live in the gated
+    recall-invariant companions and unit tests."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
