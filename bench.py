@@ -83,6 +83,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "incremental_energy_state",
     "cms_token_counts",
+    "scd2_customer_orders",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

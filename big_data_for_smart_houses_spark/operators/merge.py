@@ -100,3 +100,34 @@ def finalize_means(
     for m in measures:
         df = df.withColumn(f"avg_{m}", F.col(m) / F.col(count_col))
     return df
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 history from a change
+    log: each change row becomes a version with
+    ``valid_from = effective_col`` and ``valid_to`` = the NEXT
+    change's effective time (open-ended null for the current
+    version, flagged ``is_current``). Point-in-time lookups then
+    join on ``valid_from <= t < valid_to`` — or use the as-of join
+    (operators/joins.py), which is the same question asked from the
+    fact side.
+
+    One key-partitioned window (lead) — the same single-shuffle
+    shape as every versioned-row operator here; ties on the
+    effective time are ordered by ``tiebreak_col`` so same-instant
+    changes produce a deterministic (zero-length) version chain
+    rather than an engine-dependent one."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(effective_col), F.col(tiebreak_col)
+    )
+    nxt = F.lead(effective_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(effective_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -73,6 +73,7 @@ _CERTIFICATION_FRONT = [
     "merge_upsert_orders",
     "incremental_energy_state",
     "cms_token_counts",
+    "scd2_customer_orders",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -100,7 +101,6 @@ _CERTIFICATION_FRONT = [
     "hourly_event_window",
     "top_orders_per_customer",
     "json_props_extract",
-    "event_type_pivot",
     "part_value_density",
     "sessionize_events",
     "customers_with_orders",

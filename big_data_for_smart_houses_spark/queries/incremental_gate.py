@@ -169,3 +169,49 @@ ORACLES = {
     "merge_upsert_orders": ORACLE_MERGE_UPSERT_ORDERS,
     "incremental_energy_state": ORACLE_INCREMENTAL_ENERGY_STATE,
 }
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+def q_scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators/merge.py:scd2_intervals): each
+    order versions its customer's order state — valid_from/valid_to
+    from the next change via one lead window, open-ended current
+    version flagged. The point-in-time complement of the as-of join
+    family."""
+    orders = _orders(spark, sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    from ..operators.merge import scd2_intervals
+
+    return scd2_intervals(
+        orders,
+        keys=["o_custkey"],
+        effective_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+ORACLE_SCD2_CUSTOMER_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM orders
+"""
+
+QUERIES["scd2_customer_orders"] = q_scd2_customer_orders
+ORACLES["scd2_customer_orders"] = ORACLE_SCD2_CUSTOMER_ORDERS

@@ -81,3 +81,40 @@ def test_partial_aggs_absorb_empty_delta(spark):
     assert sorted(r["n"] for r in merged.collect()) == sorted(
         r["n"] for r in state.collect()
     )
+
+
+def test_scd2_interval_chain(spark):
+    """Three versions of one key: contiguous [from, to) intervals,
+    exactly one open current version; a single-version key is current
+    immediately."""
+    from big_data_for_smart_houses_spark.operators.merge import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 101, 10, 5.0), (1, 102, 20, 6.0), (1, 103, 30, 7.0),
+         (2, 201, 15, 9.0)],
+        "k long, rid long, eff long, attr double",
+    )
+    out = scd2_intervals(df, ["k"], "eff", "rid").collect()
+    k1 = sorted(
+        ((r["valid_from"], r["valid_to"], r["is_current"])
+         for r in out if r["k"] == 1)
+    )
+    assert k1 == [(10, 20, False), (20, 30, False), (30, None, True)]
+    k2 = [(r["valid_from"], r["valid_to"], r["is_current"])
+          for r in out if r["k"] == 2]
+    assert k2 == [(15, None, True)]
+
+
+def test_scd2_same_instant_versions_deterministic(spark):
+    """Two changes with the same effective time: the tiebreak column
+    orders them — the earlier tiebreak gets a zero-length interval,
+    the later one carries forward."""
+    from big_data_for_smart_houses_spark.operators.merge import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 101, 10), (1, 102, 10)], "k long, rid long, eff long"
+    )
+    out = {r["rid"]: (r["valid_from"], r["valid_to"], r["is_current"])
+           for r in scd2_intervals(df, ["k"], "eff", "rid").collect()}
+    assert out[101] == (10, 10, False)
+    assert out[102] == (10, None, True)
