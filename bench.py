@@ -84,6 +84,7 @@ HEADLINE = [
     "incremental_energy_state",
     "cms_token_counts",
     "scd2_customer_orders",
+    "session_window_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -225,3 +225,62 @@ ORACLES = {
     "unpivot_daily_metrics": ORACLE_UNPIVOT_DAILY_METRICS,
     "zorder_key_events": ORACLE_ZORDER_KEY_EVENTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window aggregation
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 300
+
+
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session aggregation via Spark's BUILT-IN ``session_window``
+    (the brief's escalation order: prefer the built-in when it
+    expresses the semantics) — same 300 s gap rule as the custom
+    ``operators/sessions.py`` path (split strictly when the gap
+    EXCEEDS 300 s; an exactly-300 s step merges, probed empirically),
+    with the built-in's [first, last+gap) window bounds. One key
+    shuffle; also the streaming-native form (the same expression works
+    under readStream with a watermark)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_EVENTS = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, session_seq
+"""
+
+QUERIES["session_window_events"] = q_session_window_events
+ORACLES["session_window_events"] = ORACLE_SESSION_WINDOW_EVENTS

@@ -310,3 +310,10 @@ def test_cms_lookup_broadcasts_sketch(spark):
     broadcast it; the items side never shuffles for the join."""
     plan = _plan(spark, "cms_token_counts")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_session_window_single_exchange(spark):
+    """The built-in session_window aggregation pays one key exchange —
+    same budget as the custom sessionize path it parallels."""
+    plan = _plan(spark, "session_window_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
