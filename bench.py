@@ -85,6 +85,7 @@ HEADLINE = [
     "cms_token_counts",
     "scd2_customer_orders",
     "session_window_events",
+    "time_weighted_avg_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

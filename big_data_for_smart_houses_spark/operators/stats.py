@@ -133,3 +133,41 @@ def gap_fill_locf(
             F.col("_observed").isNull().alias("is_gap"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Per-key time-weighted average of an irregularly-sampled series:
+    the LOCF integral ``Σ vᵢ·(tᵢ₊₁-tᵢ) / (t_n - t₀)`` — each reading
+    holds until the next one, so a sensor that reports rarely while
+    steady is not under-weighted the way a plain ``avg`` under-weights
+    it (the classic IoT telemetry correction; a single-reading key
+    degenerates to that reading).
+
+    One key-partitioned window (lead) feeding one hash aggregate that
+    reuses the window's clustering — Catalyst plans a single exchange
+    (asserted in tests). Duplicate timestamps contribute zero-width
+    intervals and drop out of the integral naturally.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(value))
+    dt_us = (
+        F.unix_micros(F.lead(ts).over(w)) - F.unix_micros(F.col(ts))
+    ).cast("double")
+    weighted = df.withColumn("_w_us", dt_us)
+    span = F.sum("_w_us")
+    return (
+        weighted.groupBy(key)
+        .agg(
+            F.when(
+                span > 0,
+                F.sum(F.col(value) * F.col("_w_us")) / span,
+            )
+            .otherwise(F.max(value))
+            .alias("time_weighted_avg"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )

@@ -75,6 +75,7 @@ _CERTIFICATION_FRONT = [
     "cms_token_counts",
     "scd2_customer_orders",
     "session_window_events",
+    "time_weighted_avg_events",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -101,7 +102,6 @@ _CERTIFICATION_FRONT = [
     "supplier_health_scores",
     "hourly_event_window",
     "top_orders_per_customer",
-    "json_props_extract",
     "sessionize_events",
     "customers_with_orders",
     "customers_without_orders",

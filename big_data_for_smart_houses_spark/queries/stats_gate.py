@@ -284,3 +284,46 @@ GROUP BY user_id, session_seq
 
 QUERIES["session_window_events"] = q_session_window_events
 ORACLES["session_window_events"] = ORACLE_SESSION_WINDOW_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+def q_time_weighted_avg_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user time-weighted mean of ``value``
+    (operators/stats.py:time_weighted_avg): the LOCF integral over
+    each user's observed span — rarely-reporting-but-steady devices
+    weigh by holding time, not sample count. Weighted float sums are
+    order-dependent -> gate-quantized on both engines."""
+    from ..operators.stats import time_weighted_avg
+
+    out = time_weighted_avg(
+        _events(spark, sf_dir), key="user_id", ts="ts", value="value"
+    )
+    return quantize_cols(out, "time_weighted_avg")
+
+
+ORACLE_TIME_WEIGHTED_AVG_EVENTS = """
+WITH w AS (
+  SELECT user_id, value,
+         CAST(lead(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, value)
+              - epoch_us(ts) AS DOUBLE) AS w_us
+  FROM events
+)
+SELECT user_id,
+       CAST(CAST(
+         CASE WHEN sum(w_us) > 0
+              THEN sum(value * w_us) / sum(w_us)
+              ELSE max(value) END
+       AS REAL) AS DOUBLE) AS time_weighted_avg,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM w
+GROUP BY user_id
+"""
+
+QUERIES["time_weighted_avg_events"] = q_time_weighted_avg_events
+ORACLES["time_weighted_avg_events"] = ORACLE_TIME_WEIGHTED_AVG_EVENTS

@@ -317,3 +317,10 @@ def test_session_window_single_exchange(spark):
     same budget as the custom sessionize path it parallels."""
     plan = _plan(spark, "session_window_events")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """The TWA aggregate reuses the lead window's key clustering —
+    one exchange total."""
+    plan = _plan(spark, "time_weighted_avg_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -159,3 +159,29 @@ def test_cluster_by_zorder_writes_disjoint_key_ranges(spark):
             assert hi_prev <= lo_next
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_time_weighted_avg_holding_semantics(spark):
+    """A value held for 3 hours then changed for 1 hour: TWA weighs by
+    holding time (10*3 + 40*1)/4 = 17.5, while the naive avg would say
+    25. A single-sample key returns its sample."""
+    from big_data_for_smart_houses_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0), 10.0),
+            ("a", _ts(3), 40.0),
+            ("a", _ts(4), 99.0),  # terminal sample: weight 0
+            ("solo", _ts(1), 7.0),
+        ],
+        "key string, ts timestamp, value double",
+    )
+    out = {
+        r["key"]: (r["time_weighted_avg"], r["n_samples"])
+        for r in time_weighted_avg(df, "key", "ts", "value").collect()
+    }
+    assert out["a"][0] == pytest.approx((10.0 * 3 + 40.0 * 1) / 4, abs=1e-9)
+    assert out["a"][1] == 3
+    assert out["solo"] == (7.0, 1)
