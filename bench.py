@@ -86,6 +86,9 @@ HEADLINE = [
     "scd2_customer_orders",
     "session_window_events",
     "time_weighted_avg_events",
+    "rate_of_change_events",
+    "ratio_to_report_events",
+    "funnel_click_purchase",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -171,3 +171,51 @@ def time_weighted_avg(
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
+
+
+def rate_of_change(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    per_seconds: int = 3600,
+) -> DataFrame:
+    """Discrete derivative per key: ``(vᵢ - vᵢ₋₁) / (tᵢ - tᵢ₋₁)``
+    scaled to units per ``per_seconds`` — completing the time-series
+    calculus family (EWMA smooths, TWA integrates, this
+    differentiates). First sample per key has no predecessor -> null
+    rate. Duplicate timestamps would divide by zero: the rate is
+    nulled, not infinite (guarded division, the P9 idiom).
+
+    One key-partitioned window; everything else row-local.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(value))
+    dv = F.col(value) - F.lag(value).over(w)
+    dt_us = (
+        F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))
+    ).cast("double")
+    rate = F.when(
+        dt_us > 0, dv / (dt_us / F.lit(per_seconds * 1_000_000.0))
+    )
+    return df.withColumn("rate_per_period", rate)
+
+
+def ratio_to_report(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """Each row's share of its group total (the classic
+    ratio-to-report window): ``value / sum(value) over (group)``.
+    Zero-total groups yield null shares rather than dividing by zero.
+
+    One unordered group window — Spark evaluates it as a window
+    aggregate without a sort (no ORDER BY -> whole-partition frame);
+    at scale this is one exchange on the group key and a single pass.
+    """
+    w = Window.partitionBy(group)
+    total = F.sum(value).over(w)
+    return df.withColumn(
+        "share_of_group",
+        F.when(total != 0, F.col(value) / total),
+    )

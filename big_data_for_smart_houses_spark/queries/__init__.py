@@ -76,6 +76,9 @@ _CERTIFICATION_FRONT = [
     "scd2_customer_orders",
     "session_window_events",
     "time_weighted_avg_events",
+    "rate_of_change_events",
+    "ratio_to_report_events",
+    "funnel_click_purchase",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -90,14 +93,11 @@ _CERTIFICATION_FRONT = [
     "pricing_summary",
     "daily_user_rollup",
     "customer_enrichment",
-    "revenue_vs_global",
     "rolling_event_metrics",
     "dedup_events_keepfirst",
     "latest_events_topk",
     "latest_event_per_user",
     "event_quality_score",
-    "late_shipment_flag",
-    "union_dedup_orders",
     "orders_business_summary",
     "supplier_health_scores",
     "hourly_event_window",

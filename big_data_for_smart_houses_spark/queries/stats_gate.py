@@ -327,3 +327,138 @@ GROUP BY user_id
 
 QUERIES["time_weighted_avg_events"] = q_time_weighted_avg_events
 ORACLES["time_weighted_avg_events"] = ORACLE_TIME_WEIGHTED_AVG_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Rate of change (discrete derivative)
+# ---------------------------------------------------------------------------
+
+def q_rate_of_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user discrete derivative of ``value`` in units/hour
+    (operators/stats.py:rate_of_change) — EWMA smooths, TWA
+    integrates, this differentiates. The division is one float op on
+    exact integer micros -> quantized for the gate."""
+    from ..operators.stats import rate_of_change
+
+    out = rate_of_change(
+        _events(spark, sf_dir).select("event_id", "user_id", "ts", "value"),
+        key="user_id",
+        ts="ts",
+        value="value",
+    )
+    return quantize_cols(out, "rate_per_period")
+
+
+ORACLE_RATE_OF_CHANGE_EVENTS = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         value - lag(value) OVER (
+           PARTITION BY user_id ORDER BY ts, value) AS dv,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, value) AS DOUBLE) AS dt_us
+  FROM events
+)
+SELECT event_id, user_id, ts, value,
+       CAST(CAST(
+         CASE WHEN dt_us > 0 THEN dv / (dt_us / 3600000000.0) END
+       AS REAL) AS DOUBLE) AS rate_per_period
+FROM w
+"""
+
+QUERIES["rate_of_change_events"] = q_rate_of_change_events
+ORACLES["rate_of_change_events"] = ORACLE_RATE_OF_CHANGE_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Ratio to report
+# ---------------------------------------------------------------------------
+
+def q_ratio_to_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event's share of its event type's total value
+    (operators/stats.py:ratio_to_report) — the unordered whole-group
+    window frame, one exchange, no sort. The group totals are
+    order-dependent float sums -> the share is quantized."""
+    from ..operators.stats import ratio_to_report
+
+    out = ratio_to_report(
+        _events(spark, sf_dir).select("event_id", "event_type", "value"),
+        group="event_type",
+        value="value",
+    )
+    return quantize_cols(out, "share_of_group")
+
+
+ORACLE_RATIO_TO_REPORT_EVENTS = """
+SELECT event_id, event_type, value,
+       CAST(CAST(
+         CASE WHEN sum(value) OVER (PARTITION BY event_type) != 0
+              THEN value / sum(value) OVER (PARTITION BY event_type)
+         END
+       AS REAL) AS DOUBLE) AS share_of_group
+FROM events
+"""
+
+QUERIES["ratio_to_report_events"] = q_ratio_to_report_events
+ORACLES["ratio_to_report_events"] = ORACLE_RATIO_TO_REPORT_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (click -> purchase)
+# ---------------------------------------------------------------------------
+
+def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel per user: first click, then the first purchase
+    AT OR AFTER it — conversion flag + latency in hours (exact µs
+    arithmetic divided once, the F4 parity contract, no quantization).
+    Plan shape: two per-user aggregates; the click side is |users|
+    rows and broadcasts into the purchase scan, so the fact stream
+    shuffles once for its own aggregate and never for the join."""
+    ev = _events(spark, sf_dir)
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_click), "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    out = first_click.join(first_purchase, "user_id", "left")
+    return out.select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+        (
+            (
+                F.unix_micros("first_purchase")
+                - F.unix_micros("first_click")
+            )
+            / F.lit(3_600_000_000.0)
+        ).alias("latency_hours"),
+    )
+
+
+ORACLE_FUNNEL_CLICK_PURCHASE = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS first_click
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN first_click c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY 1
+)
+SELECT c.user_id, c.first_click, p.first_purchase,
+       p.first_purchase IS NOT NULL AS converted,
+       CAST(epoch_us(p.first_purchase) - epoch_us(c.first_click)
+            AS DOUBLE) / 3600000000.0 AS latency_hours
+FROM first_click c LEFT JOIN first_purchase p USING (user_id)
+"""
+
+QUERIES["funnel_click_purchase"] = q_funnel_click_purchase
+ORACLES["funnel_click_purchase"] = ORACLE_FUNNEL_CLICK_PURCHASE

@@ -324,3 +324,16 @@ def test_time_weighted_avg_single_exchange(spark):
     one exchange total."""
     plan = _plan(spark, "time_weighted_avg_events")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_timeseries_calculus_plan_shapes(spark):
+    """Derivative and ratio-to-report each pay exactly one key
+    exchange; the funnel broadcasts the |users|-row click side so the
+    purchase scan never shuffles for the join."""
+    rp = _plan(spark, "rate_of_change_events")
+    assert rp.count("Exchange hashpartitioning") == 1, rp
+    sp = _plan(spark, "ratio_to_report_events")
+    assert sp.count("Exchange hashpartitioning") == 1, sp
+    fp = _plan(spark, "funnel_click_purchase")
+    assert "BroadcastHashJoin" in fp, fp
+    assert "CartesianProduct" not in fp, fp
