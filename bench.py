@@ -89,6 +89,8 @@ HEADLINE = [
     "rate_of_change_events",
     "ratio_to_report_events",
     "funnel_click_purchase",
+    "cohort_retention_events",
+    "zorder3_key_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

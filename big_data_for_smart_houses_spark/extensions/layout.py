@@ -103,3 +103,50 @@ def cluster_by_zorder(
     return keyed.repartitionByRange(n_files, "zorder_key").sortWithinPartitions(
         "zorder_key"
     )
+
+
+def interleave_bits_nd(dims: list[Column], bits: int = ZORDER_BITS) -> Column:
+    """N-dimensional Morton interleave: bit i of dimension d lands at
+    position ``i * D + d`` — the 2-D form generalizes directly, and
+    ``D * bits`` must stay <= 62 to fit a signed long (asserted).
+    Still one constant-folded codegen expression of ``D * bits``
+    masked shifts."""
+    n = len(dims)
+    assert n >= 2, "need at least two dimensions"
+    assert n * bits <= 62, (
+        f"{n} dims x {bits} bits = {n * bits} interleaved bits "
+        "overflows a signed long; lower bits per dimension"
+    )
+    expr = F.lit(0).cast("long")
+    for d, col in enumerate(dims):
+        for i in range(bits):
+            expr = expr + F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + d
+            )
+    return expr
+
+
+def zorder_key_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Attach ``zorder_key`` over any number of dimensions: one 5-ish
+    value scalar aggregate discovers every dimension's bounds (single
+    pass, broadcast back), then the pure-integer N-way interleave.
+    3 dims x 16 bits is the practical sweet spot (48 bits used)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_{c}_lo"), F.max(c).alias(f"_{c}_hi")]
+    bounds = df.agg(*aggs)
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    qs = [
+        quantize_dim(
+            F.col(c), F.col(f"_{c}_lo"), F.col(f"_{c}_hi"), bits
+        )
+        for c in cols
+    ]
+    drop = [f"_{c}_{s}" for c in cols for s in ("lo", "hi")]
+    return with_bounds.withColumn(
+        "zorder_key", interleave_bits_nd(qs, bits)
+    ).drop(*drop)

@@ -79,6 +79,8 @@ _CERTIFICATION_FRONT = [
     "rate_of_change_events",
     "ratio_to_report_events",
     "funnel_click_purchase",
+    "cohort_retention_events",
+    "zorder3_key_events",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -97,10 +99,8 @@ _CERTIFICATION_FRONT = [
     "dedup_events_keepfirst",
     "latest_events_topk",
     "latest_event_per_user",
-    "event_quality_score",
     "orders_business_summary",
     "supplier_health_scores",
-    "hourly_event_window",
     "top_orders_per_customer",
     "sessionize_events",
     "customers_with_orders",

@@ -462,3 +462,119 @@ FROM first_click c LEFT JOIN first_purchase p USING (user_id)
 
 QUERIES["funnel_click_purchase"] = q_funnel_click_purchase
 ORACLES["funnel_click_purchase"] = ORACLE_FUNNEL_CLICK_PURCHASE
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-seen
+    date, counted as active per day-offset from their cohort date.
+    The |users|-row cohort table broadcasts onto the event scan (the
+    funnel shape); the (user, date) activity de-dup happens in the
+    same aggregate as the final count via a two-level groupBy —
+    distinct-user counts per cell are exact ints, no floats
+    anywhere."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("date")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("date").alias("cohort_date"))
+    active = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("date"), F.col("cohort_date")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_date", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+ORACLE_COHORT_RETENTION_EVENTS = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS date FROM events
+),
+cohorts AS (
+  SELECT user_id, min(date) AS cohort_date FROM ev GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT e.user_id, c.cohort_date,
+         date_diff('day', c.cohort_date, e.date) AS day_offset
+  FROM ev e JOIN cohorts c USING (user_id)
+)
+SELECT cohort_date, CAST(day_offset AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM active
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention_events"] = q_cohort_retention_events
+ORACLES["cohort_retention_events"] = ORACLE_COHORT_RETENTION_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# 3-D Z-order layout key
+# ---------------------------------------------------------------------------
+
+Z3_BITS = 16
+
+
+def q_zorder3_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional Morton key over (user_id, value, epoch-hour):
+    one sort order serving min/max pruning on THREE filter columns
+    (extensions/layout.py:zorder_key_nd) — 48 interleaved bits, all
+    codegen, one scalar-bounds broadcast."""
+    from ..extensions.layout import zorder_key_nd
+
+    ev = _events(spark, sf_dir).withColumn(
+        "epoch_hour", F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+    )
+    keyed = zorder_key_nd(
+        ev, ["user_id", "value", "epoch_hour"], bits=Z3_BITS
+    )
+    return keyed.select("event_id", "zorder_key")
+
+
+_Z3_MAX = (1 << Z3_BITS) - 1
+_Z3_TERMS = " + ".join(
+    f"(((q{d} >> {i}) & 1) << {i * 3 + d})"
+    for d in range(3)
+    for i in range(Z3_BITS)
+)
+
+ORACLE_ZORDER3_KEY_EVENTS = f"""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS epoch_hour
+  FROM events
+),
+b AS (
+  SELECT min(user_id) AS alo, max(user_id) AS ahi,
+         min(value) AS blo, max(value) AS bhi,
+         min(epoch_hour) AS clo, max(epoch_hour) AS chi
+  FROM e
+),
+q AS (
+  SELECT event_id,
+    LEAST(CAST(CASE WHEN ahi > alo
+      THEN floor(((user_id - alo) / CAST(ahi - alo AS DOUBLE)) * {_Z3_MAX})
+      ELSE 0 END AS BIGINT), {_Z3_MAX}) AS q0,
+    LEAST(CAST(CASE WHEN bhi > blo
+      THEN floor(((value - blo) / (bhi - blo)) * {_Z3_MAX})
+      ELSE 0 END AS BIGINT), {_Z3_MAX}) AS q1,
+    LEAST(CAST(CASE WHEN chi > clo
+      THEN floor(((epoch_hour - clo) / CAST(chi - clo AS DOUBLE)) * {_Z3_MAX})
+      ELSE 0 END AS BIGINT), {_Z3_MAX}) AS q2
+  FROM e CROSS JOIN b
+)
+SELECT event_id, {_Z3_TERMS} AS zorder_key FROM q
+"""
+
+QUERIES["zorder3_key_events"] = q_zorder3_key_events
+ORACLES["zorder3_key_events"] = ORACLE_ZORDER3_KEY_EVENTS

@@ -185,3 +185,35 @@ def test_time_weighted_avg_holding_semantics(spark):
     assert out["a"][0] == pytest.approx((10.0 * 3 + 40.0 * 1) / 4, abs=1e-9)
     assert out["a"][1] == 3
     assert out["solo"] == (7.0, 1)
+
+
+def test_interleave_nd_round_trip_three_dims(spark):
+    from big_data_for_smart_houses_spark.extensions.layout import (
+        interleave_bits_nd,
+    )
+
+    triples = [(0, 0, 0), (65535, 0, 65535), (41234, 5, 900), (1, 2, 3)]
+    df = spark.createDataFrame(triples, "a long, b long, c long").withColumn(
+        "z",
+        interleave_bits_nd([F.col("a"), F.col("b"), F.col("c")], 16),
+    )
+    def back(d):
+        return sum(
+            F.shiftleft(
+                F.shiftright(F.col("z"), 3 * i + d).bitwiseAND(F.lit(1)), i
+            )
+            for i in range(16)
+        )
+    for r in df.select("a", "b", "c",
+                       back(0).alias("ra"), back(1).alias("rb"),
+                       back(2).alias("rc")).collect():
+        assert (r["a"], r["b"], r["c"]) == (r["ra"], r["rb"], r["rc"])
+
+
+def test_interleave_nd_rejects_overflow(spark):
+    from big_data_for_smart_houses_spark.extensions.layout import (
+        interleave_bits_nd,
+    )
+
+    with pytest.raises(AssertionError, match="overflows"):
+        interleave_bits_nd([F.col("a")] * 4, 16)
