@@ -91,6 +91,8 @@ HEADLINE = [
     "funnel_click_purchase",
     "cohort_retention_events",
     "zorder3_key_events",
+    "hopping_window_events",
+    "grouping_sets_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -81,6 +81,8 @@ _CERTIFICATION_FRONT = [
     "funnel_click_purchase",
     "cohort_retention_events",
     "zorder3_key_events",
+    "hopping_window_events",
+    "grouping_sets_events",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -98,12 +100,10 @@ _CERTIFICATION_FRONT = [
     "rolling_event_metrics",
     "dedup_events_keepfirst",
     "latest_events_topk",
-    "latest_event_per_user",
     "orders_business_summary",
     "supplier_health_scores",
     "top_orders_per_customer",
     "sessionize_events",
-    "customers_with_orders",
     "customers_without_orders",
     "pricing_rollup",
     "purchase_asof_click",

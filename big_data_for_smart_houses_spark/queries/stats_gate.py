@@ -578,3 +578,88 @@ SELECT event_id, {_Z3_TERMS} AS zorder_key FROM q
 
 QUERIES["zorder3_key_events"] = q_zorder3_key_events
 ORACLES["zorder3_key_events"] = ORACLE_ZORDER3_KEY_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregation
+# ---------------------------------------------------------------------------
+
+def q_hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2 h windows hopping every 1 h via the built-in
+    ``F.window(ts, width, slide)`` — each event lands in width/slide
+    windows (the Expand fan-out is row-local), then one window-keyed
+    aggregate. The batch twin of the streaming hopping-window rollup;
+    sums are order-dependent -> quantized."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return quantize_cols(out, "sum_value")
+
+
+ORACLE_HOPPING_WINDOW_EVENTS = """
+WITH h AS (
+  SELECT ((epoch_us(ts) // 3600000000) - r.i) * 3600000000 AS start_us,
+         value
+  FROM events CROSS JOIN range(2) r(i)
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + 7200000000) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS sum_value
+FROM h
+GROUP BY 1, 2
+"""
+
+QUERIES["hopping_window_events"] = q_hopping_window_events
+ORACLES["hopping_window_events"] = ORACLE_HOPPING_WINDOW_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((type), (date), ()) with ``grouping_id`` — the
+    general form rollup and cube are sugar for (§2.4 completion);
+    Catalyst plans ONE Expand + one aggregate, not three scans. Both
+    engines use the same MSB-first grouping-bit convention (type-only
+    rows -> gid 1, date-only -> 2, grand total -> 3)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").cast("date").alias("date"), "value"
+    )
+    out = (
+        ev.groupingSets(
+            [["event_type"], ["date"], []], "event_type", "date"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select("event_type", "date", "gid", "n_events", "sum_value")
+    )
+    return quantize_cols(out, "sum_value")
+
+
+ORACLE_GROUPING_SETS_EVENTS = """
+SELECT event_type, CAST(ts AS DATE) AS date,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+"""
+
+QUERIES["grouping_sets_events"] = q_grouping_sets_events
+ORACLES["grouping_sets_events"] = ORACLE_GROUPING_SETS_EVENTS

@@ -337,3 +337,15 @@ def test_timeseries_calculus_plan_shapes(spark):
     fp = _plan(spark, "funnel_click_purchase")
     assert "BroadcastHashJoin" in fp, fp
     assert "CartesianProduct" not in fp, fp
+
+
+def test_hopping_and_grouping_sets_expand_once(spark):
+    """Both the hopping-window fan-out and GROUPING SETS are a single
+    row-local Expand feeding one aggregate — never one scan per
+    window/set."""
+    hp = _plan(spark, "hopping_window_events")
+    assert hp.count("Expand") == 1, hp
+    assert hp.count("Exchange hashpartitioning") == 1, hp
+    gp = _plan(spark, "grouping_sets_events")
+    assert gp.count("Expand") == 1, gp
+    assert gp.count("Exchange hashpartitioning") == 1, gp
