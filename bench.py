@@ -93,6 +93,8 @@ HEADLINE = [
     "zorder3_key_events",
     "hopping_window_events",
     "grouping_sets_events",
+    "trending_types_hourly",
+    "profile_drift_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

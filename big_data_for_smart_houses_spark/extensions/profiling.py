@@ -80,3 +80,58 @@ def value_histogram(
         .withColumn("bin_lo", F.lit(lo) + F.col("bin") * F.lit(width))
         .select("bin", "bin_lo", "n")
     )
+
+
+def profile_drift(
+    a: DataFrame,
+    b: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Data-quality drift between two snapshots of the same table
+    (yesterday's load vs today's, upstream A vs migrated B): joins the
+    two single-pass profiles on column name and reports per column the
+    null-RATE delta, distinct-count ratio, and whether the min/max
+    bounds moved. Everything derives from the two profile scans — no
+    third pass over either table, and the join is |columns| rows.
+
+    Rates are single divisions of exact ints (engine-exact); the
+    distinct ratio divides two exact counts. A drifted column is one
+    whose null-rate delta exceeds 1 % absolute or whose bounds
+    changed — the alert predicate a nightly pipeline gate would page
+    on."""
+    pa = profile_columns(a, columns)
+    pb = profile_columns(b, columns)
+    left = pa.select(
+        "column",
+        F.col("n_rows").alias("a_rows"),
+        F.col("n_nulls").alias("a_nulls"),
+        F.col("n_distinct").alias("a_distinct"),
+        F.col("min_value").alias("a_min"),
+        F.col("max_value").alias("a_max"),
+    )
+    right = pb.select(
+        "column",
+        F.col("n_rows").alias("b_rows"),
+        F.col("n_nulls").alias("b_nulls"),
+        F.col("n_distinct").alias("b_distinct"),
+        F.col("min_value").alias("b_min"),
+        F.col("max_value").alias("b_max"),
+    )
+    j = left.join(right, "column")
+    null_rate_a = F.col("a_nulls") / F.col("a_rows")
+    null_rate_b = F.col("b_nulls") / F.col("b_rows")
+    delta = null_rate_b - null_rate_a
+    bounds_moved = (F.col("a_min") != F.col("b_min")) | (
+        F.col("a_max") != F.col("b_max")
+    )
+    return j.select(
+        "column",
+        "a_rows",
+        "b_rows",
+        delta.alias("null_rate_delta"),
+        (F.col("b_distinct") / F.col("a_distinct")).alias(
+            "distinct_ratio"
+        ),
+        bounds_moved.alias("bounds_moved"),
+        ((F.abs(delta) > 0.01) | bounds_moved).alias("drifted"),
+    )

@@ -83,6 +83,8 @@ _CERTIFICATION_FRONT = [
     "zorder3_key_events",
     "hopping_window_events",
     "grouping_sets_events",
+    "trending_types_hourly",
+    "profile_drift_documents",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -102,9 +104,7 @@ _CERTIFICATION_FRONT = [
     "latest_events_topk",
     "orders_business_summary",
     "supplier_health_scores",
-    "top_orders_per_customer",
     "sessionize_events",
-    "customers_without_orders",
     "pricing_rollup",
     "purchase_asof_click",
     "events_in_session_range",

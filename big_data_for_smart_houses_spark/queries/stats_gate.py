@@ -663,3 +663,147 @@ GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 
 QUERIES["grouping_sets_events"] = q_grouping_sets_events
 ORACLES["grouping_sets_events"] = ORACLE_GROUPING_SETS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Trending top-k per time window
+# ---------------------------------------------------------------------------
+
+TRENDING_K = 3
+
+
+def q_trending_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour by count — the per-window rank
+    composition every live dashboard runs: one (window, type)
+    aggregate, then a rank window PARTITIONED BY the hour, so the
+    sort is per-hour over |types| rows, never global. Deterministic
+    tie-break on type."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("hour").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TRENDING_K)
+    )
+
+
+ORACLE_TRENDING_TYPES_HOURLY = f"""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY hour ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT hour, event_type, n_events, rank
+FROM ranked WHERE rank <= {TRENDING_K}
+"""
+
+QUERIES["trending_types_hourly"] = q_trending_types_hourly
+ORACLES["trending_types_hourly"] = ORACLE_TRENDING_TYPES_HOURLY
+
+
+# ---------------------------------------------------------------------------
+# Profile drift between snapshots
+# ---------------------------------------------------------------------------
+
+def q_profile_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift gate (extensions/profiling.py:profile_drift):
+    snapshot A = even doc_ids, snapshot B = odd doc_ids with planted
+    degradation (lang nulled on every 5th doc) — the nightly
+    before/after table diff. Null-rate deltas and distinct ratios are
+    single divisions of exact ints; one profile scan per side."""
+    from ..extensions.profiling import profile_drift
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    docs = _lt(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    out = profile_drift(a, b, ["lang", "source", "n_chars"])
+    return quantize_cols(out, "null_rate_delta", "distinct_ratio")
+
+
+ORACLE_PROFILE_DRIFT_DOCUMENTS = """
+WITH a AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+),
+pa AS (
+  SELECT col AS "column", n_rows, n_nulls, n_distinct, min_v, max_v FROM (
+    SELECT 'lang' AS col, count(*) AS n_rows,
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT lang) AS n_distinct,
+           min(CAST(lang AS VARCHAR)) AS min_v, max(CAST(lang AS VARCHAR)) AS max_v FROM a
+    UNION ALL
+    SELECT 'source', count(*),
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT source),
+           min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR)) FROM a
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT n_chars),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM a
+  )
+),
+pb AS (
+  SELECT col AS "column", n_rows, n_nulls, n_distinct, min_v, max_v FROM (
+    SELECT 'lang' AS col, count(*) AS n_rows,
+           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT lang) AS n_distinct,
+           min(CAST(lang AS VARCHAR)) AS min_v, max(CAST(lang AS VARCHAR)) AS max_v FROM b
+    UNION ALL
+    SELECT 'source', count(*),
+           sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT source),
+           min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR)) FROM b
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT n_chars),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM b
+  )
+)
+SELECT pa."column" AS "column",
+       CAST(pa.n_rows AS BIGINT) AS a_rows,
+       CAST(pb.n_rows AS BIGINT) AS b_rows,
+       CAST(CAST(
+         pb.n_nulls / CAST(pb.n_rows AS DOUBLE)
+         - pa.n_nulls / CAST(pa.n_rows AS DOUBLE) AS REAL) AS DOUBLE)
+         AS null_rate_delta,
+       CAST(CAST(pb.n_distinct / CAST(pa.n_distinct AS DOUBLE) AS REAL)
+            AS DOUBLE) AS distinct_ratio,
+       (pa.min_v != pb.min_v OR pa.max_v != pb.max_v) AS bounds_moved,
+       (abs(pb.n_nulls / CAST(pb.n_rows AS DOUBLE)
+            - pa.n_nulls / CAST(pa.n_rows AS DOUBLE)) > 0.01
+        OR pa.min_v != pb.min_v OR pa.max_v != pb.max_v) AS drifted
+FROM pa JOIN pb USING ("column")
+"""
+
+QUERIES["profile_drift_documents"] = q_profile_drift_documents
+ORACLES["profile_drift_documents"] = ORACLE_PROFILE_DRIFT_DOCUMENTS

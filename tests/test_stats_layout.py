@@ -217,3 +217,29 @@ def test_interleave_nd_rejects_overflow(spark):
 
     with pytest.raises(AssertionError, match="overflows"):
         interleave_bits_nd([F.col("a")] * 4, 16)
+
+
+def test_profile_drift_flags_planted_degradation(spark):
+    from big_data_for_smart_houses_spark.extensions.profiling import (
+        profile_drift,
+    )
+
+    a = spark.range(100).select(
+        F.col("id"), F.lit("x").alias("s"), (F.col("id") % 10).alias("v")
+    )
+    # b: 20% of s nulled, v range doubled
+    b = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.lit("x")).alias("s"),
+        (F.col("id") % 20).alias("v"),
+    )
+    out = {r["column"]: r for r in profile_drift(a, b, ["s", "v"]).collect()}
+    assert out["s"]["drifted"] and out["s"]["null_rate_delta"] == 0.2
+    # v doubled its distinct count but the STRING-ordered bounds ("0","9")
+    # are unchanged (profile_columns documents string min/max), so the
+    # null/bounds alert predicate stays quiet while the ratio reports it
+    assert out["v"]["distinct_ratio"] == 2.0
+    assert not out["v"]["bounds_moved"] and not out["v"]["drifted"]
+    # identical snapshots: nothing drifts
+    clean = {r["column"]: r for r in profile_drift(a, a, ["s", "v"]).collect()}
+    assert not clean["s"]["drifted"] and not clean["v"]["drifted"]
