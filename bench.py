@@ -95,6 +95,9 @@ HEADLINE = [
     "grouping_sets_events",
     "trending_types_hourly",
     "profile_drift_documents",
+    "daily_value_pop_change",
+    "session_paths",
+    "abc_customers",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

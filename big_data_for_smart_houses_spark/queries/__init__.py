@@ -85,6 +85,9 @@ _CERTIFICATION_FRONT = [
     "grouping_sets_events",
     "trending_types_hourly",
     "profile_drift_documents",
+    "daily_value_pop_change",
+    "session_paths",
+    "abc_customers",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -107,9 +110,6 @@ _CERTIFICATION_FRONT = [
     "sessionize_events",
     "pricing_rollup",
     "purchase_asof_click",
-    "events_in_session_range",
-    "events_cube",
-    "value_percentiles",
     "salted_join_orders",
     "two_phase_agg_orders",
     "event_transition_counts",

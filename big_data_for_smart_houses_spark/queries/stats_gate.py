@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extensions.layout import zorder_key_2d
-from ..functions.numeric import quantize_cols
+from ..functions.numeric import gate_quantize, quantize_cols
 from ..operators.stats import gap_fill_locf, regression_per_key
 from ..session import configure_for_oracle_parity
 from ..sources.parquet import load_table
@@ -43,6 +43,11 @@ GAPFILL_STEP_S = 3600
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle_parity(spark)
     return load_table(spark, sf_dir, "events")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle_parity(spark)
+    return load_table(spark, sf_dir, "orders")
 
 
 # ---------------------------------------------------------------------------
@@ -807,3 +812,182 @@ FROM pa JOIN pb USING ("column")
 
 QUERIES["profile_drift_documents"] = q_profile_drift_documents
 ORACLES["profile_drift_documents"] = ORACLE_PROFILE_DRIFT_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period change
+# ---------------------------------------------------------------------------
+
+def q_daily_value_pop_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change of total event value — one daily
+    aggregate plus a lag over the (tiny) per-day series; the global
+    date ordering window runs over |days| rows, never events. Sums
+    quantized; the pct change divides two already-quantized values, so
+    one more quantization makes the division engine-exact."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("date")).agg(
+        F.sum("value").alias("total_value")
+    )
+    daily = quantize_cols(daily, "total_value")
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("date")
+    prev = F.lag("total_value").over(w)
+    out = daily.select(
+        "date",
+        "total_value",
+        F.when(prev != 0, (F.col("total_value") - prev) / prev).alias(
+            "pct_change"
+        ),
+    )
+    return quantize_cols(out, "pct_change")
+
+
+ORACLE_DAILY_VALUE_POP_CHANGE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT date, total_value,
+       CAST(CAST(
+         CASE WHEN lag(total_value) OVER (ORDER BY date) != 0
+              THEN (total_value - lag(total_value) OVER (ORDER BY date))
+                   / lag(total_value) OVER (ORDER BY date)
+         END AS REAL) AS DOUBLE) AS pct_change
+FROM daily
+"""
+
+QUERIES["daily_value_pop_change"] = q_daily_value_pop_change
+ORACLES["daily_value_pop_change"] = ORACLE_DAILY_VALUE_POP_CHANGE
+
+
+# ---------------------------------------------------------------------------
+# Session path extraction
+# ---------------------------------------------------------------------------
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-type path per session (clickstream analysis):
+    sessions from the production sessionizer, the path rebuilt
+    row-locally from position-sorted struct collects (the
+    sentence-dedup ordering rule — never collection order). One
+    session per row with its '>'-joined path and length."""
+    from ..operators.sessions import with_session_seq
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = with_session_seq(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=300,
+        tiebreak_cols=("event_id",),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+ORACLE_SESSION_PATHS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id, event_type,
+         1 + sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM ordered
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM islands
+GROUP BY 1, 2
+"""
+
+QUERIES["session_paths"] = q_session_paths
+ORACLES["session_paths"] = ORACLE_SESSION_PATHS
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification
+# ---------------------------------------------------------------------------
+
+def q_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of customers by revenue: cumulative
+    share of total (exclusive running sum, so the first customer is
+    'A' regardless of concentration), class A < 0.8 <= B < 0.95 <= C.
+    Two tiny post-agg windows over |customers| rows; shares divide
+    quantized sums so the class cut is engine-exact."""
+    orders = _orders(spark, sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    per_cust = quantize_cols(per_cust, "revenue")
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_custkey")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    total = F.sum("revenue").over(
+        W.partitionBy()
+    )
+    cum_before = F.coalesce(F.sum("revenue").over(w), F.lit(0.0))
+    share_before = gate_quantize(cum_before / total)
+    out = per_cust.select(
+        "o_custkey",
+        "revenue",
+        share_before.alias("cum_share_before"),
+        F.when(share_before < 0.8, "A")
+        .when(share_before < 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return out
+
+
+ORACLE_ABC_CUSTOMERS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+),
+shares AS (
+  SELECT o_custkey, revenue,
+         CAST(CAST(
+           coalesce(sum(revenue) OVER (
+             ORDER BY revenue DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / sum(revenue) OVER () AS REAL) AS DOUBLE) AS cum_share_before
+  FROM per_cust
+)
+SELECT o_custkey, revenue, cum_share_before,
+       CASE WHEN cum_share_before < 0.8 THEN 'A'
+            WHEN cum_share_before < 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM shares
+"""
+
+QUERIES["abc_customers"] = q_abc_customers
+ORACLES["abc_customers"] = ORACLE_ABC_CUSTOMERS

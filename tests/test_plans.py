@@ -349,3 +349,12 @@ def test_hopping_and_grouping_sets_expand_once(spark):
     gp = _plan(spark, "grouping_sets_events")
     assert gp.count("Expand") == 1, gp
     assert gp.count("Exchange hashpartitioning") == 1, gp
+
+
+def test_session_paths_single_exchange(spark):
+    """Path rebuild shares the sessionizer's key exchange: the
+    per-session collect runs on the same clustering, one exchange
+    total."""
+    plan = _plan(spark, "session_paths")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
