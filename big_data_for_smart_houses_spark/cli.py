@@ -69,8 +69,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser(
         "dataprep",
         help="corpus ops over a (doc_id, text) parquet: dedup "
-        "(exact/minhash/simhash/sentence), split, shuffle, scrub-pii, "
-        "quality, decontam, profile, chunk-cdc, lm-score",
+        "(exact/minhash/simhash/sentence/cdc-crossdoc), split, shuffle, "
+        "scrub-pii, quality, decontam, profile, drift, chunk-cdc, "
+        "lm-score, sample-wor, pack-offsets, zorder",
     )
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--out", required=True, help="output parquet path")
@@ -90,11 +91,32 @@ def main(argv: list[str] | None = None) -> int:
             "profile",
             "chunk-cdc",
             "lm-score",
+            "dedup-cdc-crossdoc",
+            "sample-wor",
+            "pack-offsets",
+            "zorder",
+            "drift",
         ],
     )
     p.add_argument("--test-input", help="test-set parquet (decontam)")
+    p.add_argument("--b-input", help="second snapshot parquet (drift)")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--salt", type=int, default=0)
+    p.add_argument("--k", type=int, default=100, help="sample size (sample-wor)")
+    p.add_argument(
+        "--weight-col", default="n_chars", help="weight column (sample-wor)"
+    )
+    p.add_argument(
+        "--budget", type=int, default=2048, help="token budget (pack-offsets)"
+    )
+    p.add_argument(
+        "--shard-col", default="lang", help="shard column (pack-offsets)"
+    )
+    p.add_argument(
+        "--cols",
+        default="doc_id,n_chars",
+        help="comma-separated pair of layout columns (zorder)",
+    )
     _add_common(p)
 
     args = parser.parse_args(argv)
@@ -209,6 +231,42 @@ def main(argv: list[str] | None = None) -> int:
             from .extensions.ranking import bigram_lm_scores
 
             out = bigram_lm_scores(docs)
+        elif args.op == "dedup-cdc-crossdoc":
+            from .extensions.text import cdc_crossdoc_stats
+
+            stats = cdc_crossdoc_stats(docs).filter(~F_col("mostly_shared"))
+            out = docs.join(
+                stats.select("doc_id"), "doc_id", "left_semi"
+            )
+        elif args.op == "sample-wor":
+            from .extensions.sampling import weighted_sample_wor
+
+            out = weighted_sample_wor(
+                docs, args.weight_col, args.k, salt=args.salt
+            )
+        elif args.op == "pack-offsets":
+            from .extensions.sampling import pack_with_offsets
+            from .extensions.text import token_count
+
+            staged = docs.withColumn(
+                "n_tokens", token_count(F_col("text")).cast("long")
+            )
+            out = pack_with_offsets(
+                staged, "n_tokens", args.budget, shard_col=args.shard_col
+            )
+        elif args.op == "zorder":
+            from .extensions.layout import cluster_by_zorder
+
+            a, b = [c.strip() for c in args.cols.split(",")]
+            out = cluster_by_zorder(docs, a, b)
+        elif args.op == "drift":
+            if not args.b_input:
+                parser.error("--op drift requires --b-input")
+            from .extensions.profiling import profile_drift
+
+            b_snap = spark.read.parquet(args.b_input)
+            shared = [c for c in docs.columns if c in set(b_snap.columns)]
+            out = profile_drift(docs, b_snap, shared)
         else:  # decontam
             if not args.test_input:
                 parser.error("--op decontam requires --test-input")

@@ -100,3 +100,56 @@ def test_cli_sentence_dedup(spark, corpus):
     out = {r.doc_id: r for r in spark.read.parquet(f"{tmp}/out").collect()}
     assert out[0].cleaned_text == "unique body zero"
     assert out[1].cleaned_text == "unique body one"
+
+
+def test_cli_sample_pack_zorder(spark, corpus):
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp()
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 5).cast("string")).alias("lang"),
+        (F.col("id") % 9 + 1).alias("n_chars"),
+        F.lit("alpha beta gamma delta").alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp}/docs")
+
+    main(["dataprep", "--input", f"{tmp}/docs", "--out", f"{tmp}/wor",
+          "--op", "sample-wor", "--k", "10"])
+    assert spark.read.parquet(f"{tmp}/wor").count() == 10
+
+    main(["dataprep", "--input", f"{tmp}/docs", "--out", f"{tmp}/packed",
+          "--op", "pack-offsets", "--budget", "8"])
+    packed = spark.read.parquet(f"{tmp}/packed")
+    assert {"batch_id", "offset_in_batch"} <= set(packed.columns)
+    assert packed.count() == 50
+
+    main(["dataprep", "--input", f"{tmp}/docs", "--out", f"{tmp}/zo",
+          "--op", "zorder", "--cols", "doc_id,n_chars"])
+    zo = spark.read.parquet(f"{tmp}/zo")
+    assert "zorder_key" in zo.columns and zo.count() == 50
+
+
+def test_cli_crossdoc_and_drift(spark, corpus):
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    uniq = "one two three four five six seven eight nine ten " * 8
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, uniq)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{tmp}/docs")
+
+    main(["dataprep", "--input", f"{tmp}/docs", "--out", f"{tmp}/kept",
+          "--op", "dedup-cdc-crossdoc"])
+    kept = {r.doc_id for r in spark.read.parquet(f"{tmp}/kept").collect()}
+    assert kept == {3}  # both copies are mostly-shared, unique doc survives
+
+    spark.createDataFrame(
+        [(1, None), (2, base), (3, uniq)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{tmp}/docs_b")
+    main(["dataprep", "--input", f"{tmp}/docs", "--out", f"{tmp}/drift",
+          "--op", "drift", "--b-input", f"{tmp}/docs_b"])
+    drift = {r["column"]: r for r in
+             spark.read.parquet(f"{tmp}/drift").collect()}
+    assert drift["text"]["drifted"]
