@@ -98,6 +98,7 @@ HEADLINE = [
     "daily_value_pop_change",
     "session_paths",
     "abc_customers",
+    "conditional_aggs_by_type",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -88,6 +88,7 @@ _CERTIFICATION_FRONT = [
     "daily_value_pop_change",
     "session_paths",
     "abc_customers",
+    "conditional_aggs_by_type",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -108,7 +109,6 @@ _CERTIFICATION_FRONT = [
     "orders_business_summary",
     "supplier_health_scores",
     "sessionize_events",
-    "pricing_rollup",
     "purchase_asof_click",
     "salted_join_orders",
     "two_phase_agg_orders",

@@ -991,3 +991,56 @@ FROM shares
 
 QUERIES["abc_customers"] = q_abc_customers
 ORACLES["abc_customers"] = ORACLE_ABC_CUSTOMERS
+
+
+# ---------------------------------------------------------------------------
+# Conditional + spread aggregate family
+# ---------------------------------------------------------------------------
+
+def q_conditional_aggs_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The modern aggregate surface in one gate: count_if, bool_and /
+    bool_or, var/stddev (sample + population), and max_by / min_by.
+    max_by's by-key is value*1e6 + event_id — a scalar that is unique
+    (event ids are distinct) and computed by the identical IEEE ops on
+    both engines, so the arg selection is deterministic where a tied
+    raw value would be engine-arbitrary. Spread statistics quantized
+    (order-dependent moment sums)."""
+    ev = _events(spark, sf_dir)
+    bykey = F.col("value") * F.lit(1_000_000.0) + F.col("event_id").cast(
+        "double"
+    )
+    out = ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_hot"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 400).alias("any_extreme"),
+        F.var_samp("value").alias("var_s"),
+        F.stddev_samp("value").alias("sd_s"),
+        F.var_pop("value").alias("var_p"),
+        F.stddev_pop("value").alias("sd_p"),
+        F.max_by("event_id", bykey).alias("max_value_event"),
+        F.min_by("event_id", bykey).alias("min_value_event"),
+    )
+    return quantize_cols(out, "var_s", "sd_s", "var_p", "sd_p")
+
+
+ORACLE_CONDITIONAL_AGGS_BY_TYPE = """
+SELECT event_type,
+  CAST(count_if(value > 100) AS BIGINT) AS n_hot,
+  bool_and(value >= 0) AS all_nonneg,
+  bool_or(value > 400) AS any_extreme,
+  CAST(CAST(var_samp(value) AS REAL) AS DOUBLE) AS var_s,
+  CAST(CAST(stddev_samp(value) AS REAL) AS DOUBLE) AS sd_s,
+  CAST(CAST(var_pop(value) AS REAL) AS DOUBLE) AS var_p,
+  CAST(CAST(stddev_pop(value) AS REAL) AS DOUBLE) AS sd_p,
+  arg_max(event_id, value * 1000000.0 + CAST(event_id AS DOUBLE))
+    AS max_value_event,
+  arg_min(event_id, value * 1000000.0 + CAST(event_id AS DOUBLE))
+    AS min_value_event
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["conditional_aggs_by_type"] = q_conditional_aggs_by_type
+ORACLES["conditional_aggs_by_type"] = ORACLE_CONDITIONAL_AGGS_BY_TYPE
