@@ -99,6 +99,9 @@ HEADLINE = [
     "session_paths",
     "abc_customers",
     "conditional_aggs_by_type",
+    "string_functions_documents",
+    "date_functions_events",
+    "array_functions_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -89,6 +89,9 @@ _CERTIFICATION_FRONT = [
     "session_paths",
     "abc_customers",
     "conditional_aggs_by_type",
+    "string_functions_documents",
+    "date_functions_events",
+    "array_functions_documents",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -110,9 +113,6 @@ _CERTIFICATION_FRONT = [
     "supplier_health_scores",
     "sessionize_events",
     "purchase_asof_click",
-    "salted_join_orders",
-    "two_phase_agg_orders",
-    "event_transition_counts",
     "rolling_time_window_events",
     "gold_daily_energy_events",
     "catalog_enrichment_events",

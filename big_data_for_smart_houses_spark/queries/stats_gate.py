@@ -1044,3 +1044,137 @@ GROUP BY event_type
 
 QUERIES["conditional_aggs_by_type"] = q_conditional_aggs_by_type
 ORACLES["conditional_aggs_by_type"] = ORACLE_CONDITIONAL_AGGS_BY_TYPE
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.8 completion sweep)
+# ---------------------------------------------------------------------------
+
+def q_string_functions_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """String-function museum in one projection: case, padding,
+    reverse, translate, edit distance, split_part, repeat, md5
+    substring — all row-local JVM expressions with identical semantics
+    on both engines (Levenshtein is the textbook DP distance in
+    both)."""
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    d = _lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.lpad("lang", 5, "_").alias("lang_padded"),
+        F.reverse("source").alias("source_rev"),
+        F.translate("lang", "aeiou", "12345").alias("lang_translated"),
+        F.levenshtein("lang", "source").alias("edit_dist"),
+        F.split_part(F.col("source"), F.lit("_"), F.lit(1)).alias(
+            "source_head"
+        ),
+        F.repeat("lang", 2).alias("lang_doubled"),
+        F.substring(F.md5("lang"), 1, 6).alias("lang_hash6"),
+    )
+
+
+ORACLE_STRING_FUNCTIONS_DOCUMENTS = """
+SELECT doc_id,
+       upper(lang) AS lang_upper,
+       lpad(lang, 5, '_') AS lang_padded,
+       reverse(source) AS source_rev,
+       translate(lang, 'aeiou', '12345') AS lang_translated,
+       CAST(levenshtein(lang, source) AS INT) AS edit_dist,
+       split_part(source, '_', 1) AS source_head,
+       repeat(lang, 2) AS lang_doubled,
+       substr(md5(lang), 1, 6) AS lang_hash6
+FROM documents
+"""
+
+QUERIES["string_functions_documents"] = q_string_functions_documents
+ORACLES["string_functions_documents"] = ORACLE_STRING_FUNCTIONS_DOCUMENTS
+
+
+def q_date_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function sweep: year/quarter/month, ISO day-of-week
+    (Spark ``weekday``+1 == DuckDB ``isodow`` — the 1-based-Sunday
+    convention trap documented away), day-of-year, ISO week, last day
+    of month, date arithmetic. All row-local."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.quarter("ts").alias("q"),
+        F.month("ts").alias("m"),
+        (F.weekday("ts") + 1).alias("isodow"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.last_day("ts").alias("month_end"),
+        F.date_add(F.col("ts").cast("date"), 7).alias("plus_week"),
+    )
+
+
+ORACLE_DATE_FUNCTIONS_EVENTS = """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(quarter(ts) AS INT) AS q,
+       CAST(month(ts) AS INT) AS m,
+       CAST(isodow(ts) AS INT) AS isodow,
+       CAST(dayofyear(ts) AS INT) AS doy,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       last_day(ts) AS month_end,
+       CAST(ts AS DATE) + 7 AS plus_week
+FROM events
+"""
+
+QUERIES["date_functions_events"] = q_date_functions_events
+ORACLES["date_functions_events"] = ORACLE_DATE_FUNCTIONS_EVENTS
+
+
+def q_array_functions_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-function sweep over the token stream: slice, distinct,
+    sort, size, set ops vs a constant vocabulary — results
+    canonicalized (sorted, joined) because set-result ordering is
+    engine-arbitrary by definition."""
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    d = _lt(spark, sf_dir, "documents")
+    toks8 = F.slice(F.split(F.col("text"), " "), 1, 8)
+    stop = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+    return d.select(
+        "doc_id",
+        F.size(toks8).alias("n_head_tokens"),
+        F.array_join(F.array_sort(F.array_distinct(toks8)), ",").alias(
+            "head_sorted"
+        ),
+        F.array_join(
+            F.array_sort(F.array_intersect(toks8, stop)), ","
+        ).alias("head_stopwords"),
+        F.array_join(F.array_sort(F.array_except(toks8, stop)), ",").alias(
+            "head_content"
+        ),
+        F.element_at(F.array_sort(toks8), 1).alias("first_sorted_token"),
+    )
+
+
+ORACLE_ARRAY_FUNCTIONS_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ')[1:8] AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_head_tokens,
+       array_to_string(list_sort(list_distinct(toks)), ',') AS head_sorted,
+       array_to_string(list_sort(list_intersect(toks,
+         ['the', 'and', 'of'])), ',') AS head_stopwords,
+       array_to_string(list_sort(list_filter(list_distinct(toks),
+         x -> NOT list_contains(['the', 'and', 'of'], x))), ',')
+         AS head_content,
+       list_sort(toks)[1] AS first_sorted_token
+FROM t
+"""
+
+QUERIES["array_functions_documents"] = q_array_functions_documents
+ORACLES["array_functions_documents"] = ORACLE_ARRAY_FUNCTIONS_DOCUMENTS
