@@ -102,6 +102,7 @@ HEADLINE = [
     "string_functions_documents",
     "date_functions_events",
     "array_functions_documents",
+    "ranking_functions_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -92,6 +92,7 @@ _CERTIFICATION_FRONT = [
     "string_functions_documents",
     "date_functions_events",
     "array_functions_documents",
+    "ranking_functions_events",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -113,7 +114,6 @@ _CERTIFICATION_FRONT = [
     "supplier_health_scores",
     "sessionize_events",
     "purchase_asof_click",
-    "rolling_time_window_events",
     "gold_daily_energy_events",
     "catalog_enrichment_events",
     "gold_device_health_events",

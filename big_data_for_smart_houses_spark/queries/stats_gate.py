@@ -1178,3 +1178,50 @@ FROM t
 
 QUERIES["array_functions_documents"] = q_array_functions_documents
 ORACLES["array_functions_documents"] = ORACLE_ARRAY_FUNCTIONS_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# Ranking window-function family
+# ---------------------------------------------------------------------------
+
+def q_ranking_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ranking museum in one window: row_number, rank, dense_rank,
+    ntile(4), percent_rank, cume_dist over (type, value) — fully
+    tie-broken on event_id so every engine computes the identical
+    order (percent_rank/cume_dist are exact-int ratios, no floats to
+    quantize... but quantized anyway for the division). One key
+    exchange, per-type sorts."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    out = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return quantize_cols(out, "pr", "cd")
+
+
+ORACLE_RANKING_FUNCTIONS_EVENTS = """
+SELECT event_id, event_type, value,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(CAST(percent_rank() OVER w AS REAL) AS DOUBLE) AS pr,
+       CAST(CAST(cume_dist() OVER w AS REAL) AS DOUBLE) AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+QUERIES["ranking_functions_events"] = q_ranking_functions_events
+ORACLES["ranking_functions_events"] = ORACLE_RANKING_FUNCTIONS_EVENTS
