@@ -103,6 +103,7 @@ HEADLINE = [
     "date_functions_events",
     "array_functions_documents",
     "ranking_functions_events",
+    "json_null_functions_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -93,6 +93,7 @@ _CERTIFICATION_FRONT = [
     "date_functions_events",
     "array_functions_documents",
     "ranking_functions_events",
+    "json_null_functions_events",
     "click_asof_next_purchase",
     "hash_sample_per_lang",
     "quantile_normalize_events",
@@ -115,7 +116,6 @@ _CERTIFICATION_FRONT = [
     "sessionize_events",
     "purchase_asof_click",
     "gold_daily_energy_events",
-    "catalog_enrichment_events",
     "gold_device_health_events",
     "gold_business_summary_events",
     "analytics_energy_by_type",

@@ -1225,3 +1225,51 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 
 QUERIES["ranking_functions_events"] = q_ranking_functions_events
 ORACLES["ranking_functions_events"] = ORACLE_RANKING_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# JSON + null-handling scalar families
+# ---------------------------------------------------------------------------
+
+def q_json_null_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JSON extraction (present + missing path -> null) and the
+    null-calculus family: nullif, coalesce recovery chains,
+    greatest/least clamps, null-default substitution. All row-local
+    expressions with identical semantics on both engines."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.get_json_object(F.col("props"), "$.missing").alias("missing"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias(
+            "type_or_null"
+        ),
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")),
+            F.lit("was-error"),
+        ).alias("recovered"),
+        F.greatest(F.col("value"), F.lit(100.0)).alias("floor100"),
+        F.least(F.col("value"), F.lit(100.0)).alias("cap100"),
+        F.when(F.col("value").isNull(), F.lit(-1.0))
+        .otherwise(F.col("value"))
+        .alias("nvl_value"),
+    )
+
+
+ORACLE_JSON_NULL_FUNCTIONS_EVENTS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       json_extract_string(props, '$.missing') AS missing,
+       nullif(event_type, 'error') AS type_or_null,
+       coalesce(nullif(event_type, 'error'), 'was-error') AS recovered,
+       greatest(value, 100.0) AS floor100,
+       least(value, 100.0) AS cap100,
+       CASE WHEN value IS NULL THEN -1.0 ELSE value END AS nvl_value
+FROM events
+"""
+
+QUERIES["json_null_functions_events"] = q_json_null_functions_events
+ORACLES["json_null_functions_events"] = ORACLE_JSON_NULL_FUNCTIONS_EVENTS
