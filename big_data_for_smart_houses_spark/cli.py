@@ -255,10 +255,28 @@ def main(argv: list[str] | None = None) -> int:
                 staged, "n_tokens", args.budget, shard_col=args.shard_col
             )
         elif args.op == "zorder":
-            from .extensions.layout import cluster_by_zorder
+            from .extensions.layout import (
+                ZORDER_BITS,
+                cluster_by_zorder,
+                zorder_key_nd,
+            )
 
-            a, b = [c.strip() for c in args.cols.split(",")]
-            out = cluster_by_zorder(docs, a, b)
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            if len(cols) < 2:
+                parser.error(
+                    "--op zorder needs at least two comma-separated "
+                    f"columns in --cols (got {args.cols!r})"
+                )
+            if len(cols) == 2:
+                out = cluster_by_zorder(docs, cols[0], cols[1])
+            else:
+                # N-dim route: shrink bits so the interleave fits a long
+                bits = min(ZORDER_BITS, 62 // len(cols))
+                out = (
+                    zorder_key_nd(docs, cols, bits)
+                    .repartitionByRange(32, "zorder_key")
+                    .sortWithinPartitions("zorder_key")
+                )
         elif args.op == "drift":
             if not args.b_input:
                 parser.error("--op drift requires --b-input")

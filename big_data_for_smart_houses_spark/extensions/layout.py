@@ -28,10 +28,14 @@ ZORDER_BITS = 16
 def quantize_dim(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map ``col`` into an integer cell index in ``[0, 2**bits)`` given
     the dimension's min/max. Degenerate dimensions (lo == hi) map to
-    cell 0. Pure arithmetic — codegen-friendly, no Python."""
+    cell 0, and so does a NULL dimension value — made EXPLICIT here
+    because ``least(NULL, n)`` skips nulls and would otherwise send
+    null rows to the far corner cell (2**bits - 1) of the curve; cell 0
+    clusters them together at the origin instead, the conventional
+    nulls-first layout. Pure arithmetic — codegen-friendly, no Python."""
     n_cells = F.lit((1 << bits) - 1)
     span = hi - lo
-    scaled = F.when(
+    scaled = F.when(col.isNull(), F.lit(0)).when(
         span > 0,
         F.floor(((col - lo) / span) * n_cells),
     ).otherwise(F.lit(0))

@@ -121,17 +121,25 @@ def profile_drift(
     null_rate_a = F.col("a_nulls") / F.col("a_rows")
     null_rate_b = F.col("b_nulls") / F.col("b_rows")
     delta = null_rate_b - null_rate_a
-    bounds_moved = (F.col("a_min") != F.col("b_min")) | (
-        F.col("a_max") != F.col("b_max")
+    # null-SAFE comparison: an all-null column has NULL min/max, and
+    # plain != would make bounds_moved NULL so the alert predicate
+    # silently never fires — exactly the column most worth paging on.
+    bounds_moved = (~F.col("a_min").eqNullSafe(F.col("b_min"))) | (
+        ~F.col("a_max").eqNullSafe(F.col("b_max"))
+    )
+    # distinct ratio is undefined (NULL) when snapshot A had no
+    # non-null values — guarded so the engine-vs-oracle behavior is
+    # pinned rather than left to each engine's 0-division convention
+    distinct_ratio = F.when(
+        F.col("a_distinct") > 0,
+        F.col("b_distinct") / F.col("a_distinct"),
     )
     return j.select(
         "column",
         "a_rows",
         "b_rows",
         delta.alias("null_rate_delta"),
-        (F.col("b_distinct") / F.col("a_distinct")).alias(
-            "distinct_ratio"
-        ),
+        distinct_ratio.alias("distinct_ratio"),
         bounds_moved.alias("bounds_moved"),
         ((F.abs(delta) > 0.01) | bounds_moved).alias("drifted"),
     )

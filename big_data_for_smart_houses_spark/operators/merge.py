@@ -32,11 +32,19 @@ def merge_upsert(
     updates: DataFrame,
     keys: list[str],
     order_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Apply an upsert batch: for each key, the row with the highest
     ``order_col`` wins; ties go to the UPDATES side (the MERGE
     WHEN-MATCHED rule — an update with the same version stamp as the
     base row must still replace it).
+
+    Batch contract: the UPDATES side carries at most one row per key
+    per ``order_col`` value — the usual CDC shape. If a batch can
+    violate that (two same-key rows with equal ``order_col``), pass
+    ``tiebreak_cols`` (e.g. a CDC sequence id) to totalize the window
+    order; otherwise ``row_number`` would pick the intra-batch winner
+    arbitrarily.
 
     One key-partitioned window over base ∪ updates. Both sides must
     share the schema (conform first — sources/conform.py). At scale
@@ -46,9 +54,10 @@ def merge_upsert(
     tagged = base.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("_src").desc()
-    )
+    order = [F.col(order_col).desc(), F.col("_src").desc()]
+    if tiebreak_cols:
+        order += [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

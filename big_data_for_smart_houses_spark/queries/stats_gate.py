@@ -801,12 +801,16 @@ SELECT pa."column" AS "column",
          pb.n_nulls / CAST(pb.n_rows AS DOUBLE)
          - pa.n_nulls / CAST(pa.n_rows AS DOUBLE) AS REAL) AS DOUBLE)
          AS null_rate_delta,
-       CAST(CAST(pb.n_distinct / CAST(pa.n_distinct AS DOUBLE) AS REAL)
+       CAST(CAST(CASE WHEN pa.n_distinct > 0
+                      THEN pb.n_distinct / CAST(pa.n_distinct AS DOUBLE)
+                 END AS REAL)
             AS DOUBLE) AS distinct_ratio,
-       (pa.min_v != pb.min_v OR pa.max_v != pb.max_v) AS bounds_moved,
+       (pa.min_v IS DISTINCT FROM pb.min_v
+        OR pa.max_v IS DISTINCT FROM pb.max_v) AS bounds_moved,
        (abs(pb.n_nulls / CAST(pb.n_rows AS DOUBLE)
             - pa.n_nulls / CAST(pa.n_rows AS DOUBLE)) > 0.01
-        OR pa.min_v != pb.min_v OR pa.max_v != pb.max_v) AS drifted
+        OR pa.min_v IS DISTINCT FROM pb.min_v
+        OR pa.max_v IS DISTINCT FROM pb.max_v) AS drifted
 FROM pa JOIN pb USING ("column")
 """
 

@@ -156,9 +156,18 @@ def _ewma_fn(alpha: float):
         else:
             last = None
         rows: list[tuple[int, pd.Timestamp, float, float]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, r in pdf.iterrows():
+        # Arrow may deliver one key's micro-batch as SEVERAL chunks with
+        # no ordering guarantee across them — sorting each chunk alone
+        # would fold rows out of (ts, event_id) order whenever a key
+        # exceeds one Arrow batch (~10k rows). Materialize the whole
+        # group ONCE and sort globally; memory is O(per-key micro-batch),
+        # the price of a total order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for _, r in whole.iterrows():
                 v = float(r["value"])
                 last = v if last is None else alpha * v + beta * last
                 rows.append((int(r["event_id"]), r["ts"], v, last))
@@ -236,9 +245,16 @@ def _locf_fn(step_seconds: int):
         else:
             bucket_s = None
         out: list[tuple[int, float, bool]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "value"])
-            for _, r in pdf.iterrows():
+        # Same chunk hazard as _ewma_fn: Arrow chunk boundaries carry no
+        # order, and an out-of-order row here is silently DROPPED by the
+        # late-event branch below. Concat + one global sort restores the
+        # batch operator's total order for the whole micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "value"]
+            )
+            for _, r in whole.iterrows():
                 ts_us = int(pd.Timestamp(r["ts"]).value // 1000)
                 v = float(r["value"])
                 b = (ts_us // step_us) * step_seconds

@@ -444,3 +444,92 @@ def test_streaming_locf_in_bucket_last_wins(spark):
         3.0,
         False,
     )
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = tuple(value)
+
+
+def test_ewma_fold_order_across_arrow_chunks():
+    """Arrow may split one key's micro-batch into several chunks with
+    no cross-chunk ordering. The fold must sort the WHOLE group, not
+    each chunk: a later chunk carrying earlier timestamps used to fold
+    out of order (same hazard as _locf_fn's silent drop)."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import _ewma_fn
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": [e for e, _, _ in rows],
+                "ts": [T0 + dt.timedelta(seconds=s) for _, s, _ in rows],
+                "value": [float(v) for _, _, v in rows],
+            }
+        )
+
+    # chunk 2 holds the EARLIEST event: per-chunk sorting would fold
+    # 10.0 last instead of first
+    chunks = [
+        chunk([(101, 60, 20.0), (102, 120, 40.0)]),
+        chunk([(100, 0, 10.0)]),
+    ]
+    state = _FakeGroupState()
+    (out,) = list(_ewma_fn(0.25)((1,), iter(chunks), state))
+    got = dict(zip(out["event_id"], out["ewma"]))
+    e100 = 10.0
+    e101 = 0.25 * 20.0 + 0.75 * e100
+    e102 = 0.25 * 40.0 + 0.75 * e101
+    assert got == {100: e100, 101: e101, 102: e102}
+    assert state.get[0] == e102
+
+
+def test_locf_fold_no_drop_across_arrow_chunks():
+    """A later Arrow chunk with an earlier timestamp must NOT hit the
+    late-event drop branch — the group is sorted as one unit."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import _locf_fn
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "ts": [T0 + dt.timedelta(minutes=m) for m, _ in rows],
+                "value": [float(v) for _, v in rows],
+            }
+        )
+
+    # chunk 2's minute-10 row lands in the FIRST hour bucket; with
+    # per-chunk sorting the open bucket is already hour 2 and the row
+    # would be silently dropped, losing the in-bucket max tie-rule win
+    chunks = [
+        chunk([(0, 1.0), (130, 9.0)]),
+        chunk([(10, 5.0)]),
+    ]
+    state = _FakeGroupState()
+    (out,) = list(_locf_fn(3600)((1,), iter(chunks), state))
+    rows = list(
+        zip(out["bucket_time"], out["value"], out["is_gap"])
+    )
+    assert rows == [
+        (pd.Timestamp(T0), 5.0, False),
+        (pd.Timestamp(T0 + dt.timedelta(hours=1)), 5.0, True),
+    ]
+    # open bucket carries the minute-130 observation
+    assert state.get[2] == 9.0
