@@ -415,9 +415,13 @@ def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step funnel per user: first click, then the first purchase
     AT OR AFTER it — conversion flag + latency in hours (exact µs
     arithmetic divided once, the F4 parity contract, no quantization).
-    Plan shape: two per-user aggregates; the click side is |users|
-    rows and broadcasts into the purchase scan, so the fact stream
-    shuffles once for its own aggregate and never for the join."""
+    Plan shape: two per-user aggregates joined on user_id. The click
+    side is |users| rows — small at test SF but ~10⁸-10⁹ rows at
+    100 TB, so the join strategy is deliberately LEFT TO AQE: no
+    forced broadcast hint (a forced hint OOMs executors once the
+    user table outgrows the broadcast threshold; AQE broadcasts it
+    whenever its runtime size allows and falls back to a shuffled
+    hash join otherwise — asserted hint-free in test_plans.py)."""
     ev = _events(spark, sf_dir)
     first_click = (
         ev.filter(F.col("event_type") == "click")
@@ -426,7 +430,7 @@ def q_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_purchase = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(first_click), "user_id")
+        .join(first_click, "user_id")
         .filter(F.col("ts") >= F.col("first_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_purchase"))
@@ -476,8 +480,11 @@ ORACLES["funnel_click_purchase"] = ORACLE_FUNNEL_CLICK_PURCHASE
 def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort-retention matrix: users grouped by first-seen
     date, counted as active per day-offset from their cohort date.
-    The |users|-row cohort table broadcasts onto the event scan (the
-    funnel shape); the (user, date) activity de-dup happens in the
+    The |users|-row cohort table joins onto the event scan with NO
+    forced broadcast hint — user-keyed tables don't fit executor
+    memory at 100 TB, so AQE picks broadcast vs shuffled-hash from
+    the cohort table's runtime size (hint-free asserted in
+    test_plans.py). The (user, date) activity de-dup happens in the
     same aggregate as the final count via a two-level groupBy —
     distinct-user counts per cell are exact ints, no floats
     anywhere."""
@@ -486,7 +493,7 @@ def q_cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohorts = ev.groupBy("user_id").agg(F.min("date").alias("cohort_date"))
     active = (
-        ev.join(F.broadcast(cohorts), "user_id")
+        ev.join(cohorts, "user_id")
         .select(
             "user_id",
             "cohort_date",

@@ -358,3 +358,20 @@ def test_session_paths_single_exchange(spark):
     plan = _plan(spark, "session_paths")
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_user_keyed_joins_carry_no_broadcast_hint(spark):
+    """Funnel and cohort join |users|-row aggregates onto the fact
+    scan. A FORCED broadcast hint on a user-keyed table OOMs at 100 TB
+    (~10^8-10^9 users); the join strategy must be left to AQE, so the
+    optimized logical plan must contain no ResolvedHint — whatever
+    physical join Catalyst then picks at this SF is fine."""
+    for name in ("funnel_click_purchase", "cohort_retention_events"):
+        df = QUERIES[name](spark, SF_DIR)
+        optimized = (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "ResolvedHint" not in optimized, (name, optimized)
+        assert "hint" not in optimized.lower(), (name, optimized)
+        # and the query still executes end-to-end under AQE
+        assert df.count() > 0
