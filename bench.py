@@ -104,6 +104,10 @@ HEADLINE = [
     "array_functions_documents",
     "ranking_functions_events",
     "json_null_functions_events",
+    "map_functions_events",
+    "quality_topk_approx_pct",
+    "scd2_asof_lookup",
+    "locf_stream_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the
@@ -166,7 +170,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # The driver keeps only the TAIL of stdout (~2000 chars), which can
+    # orphan the first ~20 per-query timings from its artifact. Persist
+    # the complete JSON next to this script (committed per round) so
+    # round-over-round comparisons never depend on the tail window.
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+    with open(local, "w") as fh:
+        fh.write(payload + "\n")
+    print(payload)
     if not timings:
         sys.exit(1)
 

@@ -6,14 +6,14 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. `_CERTIFICATION_FRONT` leads with queries that have
-never had a green driver CORRECTNESS row, then the round-3 NTZ
-casualty, then rotates the core/gate spine (certified in rounds 1-2
-against the OLD testdata) back into the window so it re-certifies on
-the regenerated parquet. Everything past index 50 — the round-3-green
-LLM block — is re-verified every session by the local
-`SPARK_GRAFT_EXACT=1` mirror of the driver gate, which covers ALL
-entries, not just 50.
+insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the four
+new queries (never certified), then the 34 queries whose only driver
+rows predate the round-3 testdata regeneration (so the hard signal
+re-certifies them on the CURRENT parquet), then 12 r4-green sentinels
+chosen from the code paths this round touched. Everything past index
+50 — green in rounds 3-4 on current data — is re-verified every
+session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
+which covers ALL entries, not just 50.
 """
 
 from __future__ import annotations
@@ -36,6 +36,8 @@ from .pipeline import ORACLES as _PIPE_ORACLES
 from .pipeline import QUERIES as _PIPE_QUERIES
 from .stats_gate import ORACLES as _STATS_ORACLES
 from .stats_gate import QUERIES as _STATS_QUERIES
+from .streaming_gate import ORACLES as _STREAM_ORACLES
+from .streaming_gate import QUERIES as _STREAM_QUERIES
 
 _ALL_QUERIES = {
     **_CORE_QUERIES,
@@ -47,6 +49,7 @@ _ALL_QUERIES = {
     **_STATS_QUERIES,
     **_ASM_QUERIES,
     **_INC_QUERIES,
+    **_STREAM_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -58,68 +61,71 @@ ORACLES = {
     **_STATS_ORACLES,
     **_ASM_ORACLES,
     **_INC_ORACLES,
+    **_STREAM_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [
-    # --- never driver-certified (added after the round-3 window froze,
-    #     or new this round: stats/layout gate) ---
-    "regression_drift_events",
-    "gapfill_locf_events",
-    "unpivot_daily_metrics",
-    "zorder_key_events",
-    "weighted_sample_wor_documents",
-    "packed_sequence_offsets",
-    "cdc_crossdoc_documents",
-    "merge_upsert_orders",
-    "incremental_energy_state",
-    "cms_token_counts",
-    "scd2_customer_orders",
-    "session_window_events",
-    "time_weighted_avg_events",
-    "rate_of_change_events",
-    "ratio_to_report_events",
+    # --- new this round (never driver-certified): SCD2 read half,
+    #     approx-percentile scale variant, map/struct family, and the
+    #     first streaming-EXECUTED gate ---
+    "scd2_asof_lookup",
+    "quality_topk_approx_pct",
+    "map_functions_events",
+    "locf_stream_availablenow",
+    # --- the 34 queries whose only driver rows predate the round-3
+    #     testdata regeneration (certified r1/r2 on the OLD parquet;
+    #     all pass the local SPARK_GRAFT_EXACT sf0.01 mirror and the
+    #     round-4 judge's independent 32/32 run — this window makes
+    #     the hard driver signal say so on the CURRENT data) ---
+    "analytics_daily_cost_trend",
+    "analytics_daily_energy_trend",
+    "analytics_data_status",
+    "analytics_health_scatter",
+    "analytics_kpi_chain_gold",
+    "analytics_kpi_chain_silver",
+    "analytics_kpi_chain_summary",
+    "analytics_live_readings",
+    "business_summary_approx",
+    "catalog_enrichment_events",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_exact_documents",
+    "event_quality_score",
+    "event_transition_counts",
+    "event_type_pivot",
+    "events_cube",
+    "events_in_session_range",
+    "hourly_event_window",
+    "json_props_extract",
+    "late_shipment_flag",
+    "latest_event_per_user",
+    "ngram_jaccard_pairs",
+    "part_value_density",
+    "pricing_rollup",
+    "revenue_vs_global",
+    "rolling_time_window_events",
+    "salted_join_orders",
+    "top_orders_per_customer",
+    "two_phase_agg_orders",
+    "union_dedup_orders",
+    "user_event_type_sets",
+    "value_percentiles",
+    "value_percentiles_approx",
+    # --- r4-green sentinels: queries whose code paths round 5 touched
+    #     (de-forced broadcasts, null-safe drift, quantize null gate,
+    #     merge tiebreak param) plus the medallion spine ---
     "funnel_click_purchase",
     "cohort_retention_events",
-    "zorder3_key_events",
-    "hopping_window_events",
-    "grouping_sets_events",
-    "trending_types_hourly",
     "profile_drift_documents",
-    "daily_value_pop_change",
-    "session_paths",
-    "abc_customers",
-    "conditional_aggs_by_type",
-    "string_functions_documents",
-    "date_functions_events",
-    "array_functions_documents",
-    "ranking_functions_events",
-    "json_null_functions_events",
-    "click_asof_next_purchase",
-    "hash_sample_per_lang",
-    "quantile_normalize_events",
-    # --- failed in round 3 (TIMESTAMP_NTZ testdata regression, fixed in
-    #     sources/parquet.py: NTZ columns normalized to TIMESTAMP) ---
+    "zorder_key_events",
+    "zorder3_key_events",
+    "merge_upsert_orders",
+    "scd2_customer_orders",
     "silver_pipeline_events",
-    # --- core/gate spine: last driver-certified in rounds 1-2 AGAINST THE
-    #     OLD testdata; the driver regenerated the parquet (µs-NTZ now),
-    #     so these re-certify on the new data. The round-3 LLM block
-    #     (all green in CORRECTNESS_r03.json on the new data) rotates out
-    #     and stays covered by the local SPARK_GRAFT_EXACT gate. ---
-    "pricing_summary",
-    "daily_user_rollup",
-    "customer_enrichment",
-    "rolling_event_metrics",
-    "dedup_events_keepfirst",
-    "latest_events_topk",
-    "orders_business_summary",
-    "supplier_health_scores",
-    "sessionize_events",
-    "purchase_asof_click",
     "gold_daily_energy_events",
-    "gold_device_health_events",
-    "gold_business_summary_events",
-    "analytics_energy_by_type",
     "analytics_kpi_day",
+    "pricing_summary",
+    "customer_enrichment",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -215,3 +215,104 @@ FROM orders
 
 QUERIES["scd2_customer_orders"] = q_scd2_customer_orders
 ORACLES["scd2_customer_orders"] = ORACLE_SCD2_CUSTOMER_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup (the read half of the version chain)
+# ---------------------------------------------------------------------------
+
+ASOF_LAG_DAYS = 15
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ half of SCD2: facts joined to the dimension version
+    valid at their timestamp, composing scd2_intervals (the write
+    half, gated by ``scd2_customer_orders``) with the single-shuffle
+    as-of join (operators/joins.py:asof_join) instead of an interval
+    containment join — same answer, O(n+m) rows per key instead of
+    per-pair intermediates.
+
+    Facts are each order asking for its customer's state 15 days
+    later. Zero-length versions (two same-key changes at one instant:
+    all but the chain's last get valid_to == valid_from) are dropped
+    first, leaving exactly one LIVE version per (key, valid_from), so
+    the as-of's latest-version-at-or-before-t lookup is precisely
+    interval containment — which is what the DuckDB oracle runs."""
+    orders = _orders(spark, sf_dir).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    from ..operators.joins import asof_join
+    from ..operators.merge import scd2_intervals
+
+    versions = scd2_intervals(
+        orders,
+        keys=["o_custkey"],
+        effective_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+    live = versions.filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    dim = live.select(
+        "o_custkey",
+        "valid_from",
+        F.col("o_orderkey").alias("v_orderkey"),
+        F.col("o_totalprice").alias("v_totalprice"),
+    )
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate")
+        .cast("timestamp")
+        .alias("t"),
+    ).withColumn("t", F.col("t") + F.expr(f"INTERVAL {ASOF_LAG_DAYS} DAYS"))
+    out = asof_join(
+        facts,
+        dim,
+        on="o_custkey",
+        left_ts="t",
+        right_ts="valid_from",
+        right_cols=["v_orderkey", "v_totalprice"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "t",
+        "v_orderkey",
+        "v_totalprice",
+        "valid_from_asof",
+    )
+
+
+ORACLE_SCD2_ASOF_LOOKUP = f"""
+WITH versions AS (
+  SELECT o_custkey,
+         o_orderkey AS v_orderkey,
+         o_totalprice AS v_totalprice,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to
+  FROM orders
+),
+live AS (
+  SELECT * FROM versions
+  WHERE valid_to IS NULL OR valid_to > valid_from
+),
+facts AS (
+  SELECT o_orderkey, o_custkey,
+         o_orderdate + INTERVAL {ASOF_LAG_DAYS} DAY AS t
+  FROM orders
+)
+SELECT f.o_orderkey, f.o_custkey, f.t,
+       l.v_orderkey, l.v_totalprice,
+       l.valid_from AS valid_from_asof
+FROM facts f JOIN live l
+  ON f.o_custkey = l.o_custkey
+ AND l.valid_from <= f.t
+ AND (l.valid_to IS NULL OR f.t < l.valid_to)
+"""
+
+QUERIES["scd2_asof_lookup"] = q_scd2_asof_lookup
+ORACLES["scd2_asof_lookup"] = ORACLE_SCD2_ASOF_LOOKUP

@@ -509,6 +509,108 @@ SELECT doc_id, lang, text_quality, pr FROM (
 """
 
 
+QUALITY_APPROX_ACC = 10_000
+
+
+def q_quality_topk_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile SCALE variant promised by
+    ``quality_topk_per_lang``'s docstring, hash-gated by the
+    recall-invariant pattern: at 100 TB the per-lang top-quartile cut
+    runs as an ``approx_percentile`` threshold (one sketch aggregate —
+    no per-partition sort), and this gate proves the sketch-selected
+    set still covers a deterministic CORE of the exact selection.
+
+    Scored on the CONTINUOUS stopword ratio (the discrete penalty
+    score ties too coarsely for a percentile gate — its whole top
+    quartile shares one value). Invariant: per lang, rank docs by
+    (score desc, doc_id); cut = floor(0.25·n) is the last rank of the
+    exact selection; the GK sketch at accuracy A has rank error
+    <= n/A, so the approx threshold is the score at some desc-rank
+    within cut ± (n/A + 1). Guard rank = cut − (2 + ceil(n/A)) sits
+    strictly above every rank the sketch can return, hence
+    t_approx <= score@guard and every doc with score > score@guard
+    satisfies score >= t_approx. Spark returns core ∩ approx-selected;
+    the oracle returns the full core; one core doc lost to sketch
+    drift is a row mismatch."""
+    from pyspark.sql import Window
+
+    d = text.add_text_stats(_docs(spark, sf_dir))
+    scored = quantize_cols(
+        d.select(
+            "doc_id", "lang", F.col("stopword_ratio").alias("score")
+        ),
+        "score",
+    )
+    w_rn = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    w_n = Window.partitionBy("lang")
+    ranked = scored.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    guard_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.lit(QUALITY_KEEP_FRAC) * F.col("n")).cast("long")
+        - (
+            F.lit(2)
+            + F.ceil(F.col("n") / F.lit(float(QUALITY_APPROX_ACC)))
+        ).cast("long"),
+    )
+    t_guard = ranked.filter(F.col("rn") == guard_rank).select(
+        "lang", F.col("score").alias("t_guard")
+    )
+    core = scored.join(t_guard, "lang").filter(
+        F.col("score") > F.col("t_guard")
+    )
+    t_approx = scored.groupBy("lang").agg(
+        F.percentile_approx(
+            "score",
+            F.lit(1.0 - QUALITY_KEEP_FRAC),
+            F.lit(QUALITY_APPROX_ACC),
+        ).alias("t_approx")
+    )
+    approx_sel = scored.join(t_approx, "lang").filter(
+        F.col("score") >= F.col("t_approx")
+    )
+    return core.select("doc_id", "lang", "score").join(
+        approx_sel.select("doc_id"), "doc_id"
+    )
+
+
+ORACLE_QUALITY_TOPK_APPROX_PCT = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(CAST(
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ({_STOP7}))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS REAL) AS DOUBLE) AS score
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+),
+g AS (
+  SELECT lang,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor({QUALITY_KEEP_FRAC} * n) AS BIGINT)
+                  - (2 + CAST(ceil(n / {float(QUALITY_APPROX_ACC)})
+                              AS BIGINT))) AS guard_rank
+  FROM (SELECT DISTINCT lang, n FROM r)
+),
+t AS (
+  SELECT r.lang, r.score AS t_guard
+  FROM r JOIN g ON r.lang = g.lang AND r.rn = g.guard_rank
+)
+SELECT s.doc_id, s.lang, s.score
+FROM s JOIN t USING (lang)
+WHERE s.score > t.t_guard
+"""
+
+
 QUERIES = {
     "contamination_check_documents": q_contamination_check_documents,
     "decontaminated_train_docs": q_decontaminated_train_docs,
@@ -519,6 +621,7 @@ QUERIES = {
     "pii_scrub_documents": q_pii_scrub_documents,
     "gopher_quality_documents": q_gopher_quality_documents,
     "quality_topk_per_lang": q_quality_topk_per_lang,
+    "quality_topk_approx_pct": q_quality_topk_approx_pct,
     "chunk_documents": q_chunk_documents,
 }
 
@@ -532,5 +635,6 @@ ORACLES = {
     "pii_scrub_documents": ORACLE_PII_SCRUB_DOCUMENTS,
     "gopher_quality_documents": ORACLE_GOPHER_QUALITY_DOCUMENTS,
     "quality_topk_per_lang": ORACLE_QUALITY_TOPK_PER_LANG,
+    "quality_topk_approx_pct": ORACLE_QUALITY_TOPK_APPROX_PCT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
 }

@@ -1284,3 +1284,76 @@ FROM events
 
 QUERIES["json_null_functions_events"] = q_json_null_functions_events
 ORACLES["json_null_functions_events"] = ORACLE_JSON_NULL_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Map / struct scalar-function family
+# ---------------------------------------------------------------------------
+
+def q_map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct scalar-function sweep — the last built-in family
+    without a dedicated gate: map_from_entries, create_map,
+    map_concat, element_at, size, map_filter, transform_values,
+    map_entries, plus struct build + field access. Map ITERATION
+    order is engine-arbitrary, so every map-valued result is
+    canonicalized to a sorted ``k=v`` string before hashing (the
+    array-gate convention); lookups and sizes are scalar. All
+    row-local — zero shuffles."""
+    ev = _events(spark, sf_dir)
+    band = (
+        F.when(F.col("value") >= 50.0, F.lit("high"))
+        .otherwise(F.lit("low"))
+    )
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("type").alias("k"), F.col("event_type").alias("v")),
+            F.struct(F.lit("band").alias("k"), band.alias("v")),
+        )
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+    entry_strs = F.transform(
+        F.map_entries(merged),
+        lambda e: F.concat_ws("=", e["key"], e["value"]),
+    )
+    s = F.struct(
+        F.col("user_id").alias("uid"), F.col("event_type").alias("etype")
+    )
+    return ev.select(
+        "event_id",
+        F.size(merged).cast("int").alias("n_entries"),
+        F.array_join(F.array_sort(entry_strs), ",").alias("entries_sorted"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.element_at(merged, F.lit("src")).alias("src_val"),
+        F.size(F.map_filter(merged, lambda k, v: v != F.lit("low")))
+        .cast("int")
+        .alias("n_not_low"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), F.lit("type")
+        ).alias("type_upper"),
+        s["etype"].alias("struct_etype"),
+        (s["uid"] % 7).cast("long").alias("struct_uid_mod7"),
+    )
+
+
+ORACLE_MAP_FUNCTIONS_EVENTS = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS band
+  FROM events
+)
+SELECT event_id,
+       CAST(3 AS INT) AS n_entries,
+       array_to_string(list_sort(['type=' || event_type,
+                                  'band=' || band,
+                                  'src=events']), ',') AS entries_sorted,
+       event_type AS type_val,
+       'events' AS src_val,
+       CAST(CASE WHEN band = 'low' THEN 2 ELSE 3 END AS INT) AS n_not_low,
+       upper(event_type) AS type_upper,
+       event_type AS struct_etype,
+       CAST(user_id % 7 AS BIGINT) AS struct_uid_mod7
+FROM base
+"""
+
+QUERIES["map_functions_events"] = q_map_functions_events
+ORACLES["map_functions_events"] = ORACLE_MAP_FUNCTIONS_EVENTS

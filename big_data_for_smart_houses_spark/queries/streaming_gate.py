@@ -1,0 +1,121 @@
+"""Streaming-EXECUTED gate query (round 5): the first CORRECTNESS row
+produced by an actual Structured Streaming run, not a batch plan.
+
+``locf_stream_availablenow`` drives the stateful streaming LOCF
+operator (streaming/stateful.py:locf_stream — applyInPandasWithState,
+one open-bucket row of state per key) over the driver's events table
+via a file-source stream with ``trigger(availableNow=True)``, sinks to
+parquet, and returns the sink. The DuckDB oracle replays the BATCH
+gap-fill-LOCF semantics minus each key's final (still-open) bucket —
+the operator's documented append-mode contract — so the hash gate
+proves stream-vs-batch parity end to end through a real streaming
+execution: state store, Arrow chunking, micro-batch plumbing and all.
+
+Everything is staged under a fresh ``tempfile.mkdtemp()`` per call, so
+re-runs (the driver calls each query at least twice: rows, then
+values) always stream from a clean checkpoint and produce identical
+output.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_for_oracle_parity
+from ..sources.parquet import load_table
+from ..streaming.stateful import locf_stream
+
+LOCF_STEP_S = 3600
+_AWAIT_S = 300
+
+
+def q_locf_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run the streaming LOCF gap-fill over the events table as a real
+    availableNow stream and return the parquet sink's contents.
+
+    The input is staged as ONE file so the whole table arrives in one
+    micro-batch (the operator drops cross-batch late events by
+    contract — a watermark's job, not this gate's); within the batch
+    the fold sorts the entire per-key group, so Arrow chunk order is
+    irrelevant (the round-5 chunk fix, exercised here end to end)."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="locf_stream_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    q = (
+        locf_stream(stream, LOCF_STEP_S)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"locf_stream availableNow run exceeded {_AWAIT_S}s"
+        )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "bucket_time", "value", "is_gap"
+    )
+
+
+# Batch LOCF oracle (mirrors stats_gate.ORACLE_GAPFILL_LOCF_EVENTS)
+# with the grid stopping BEFORE each key's max bucket: range(lo, hi)
+# instead of range(lo, hi + step) — the stream withholds the open
+# bucket until a later event closes it, which never comes.
+ORACLE_LOCF_STREAM_AVAILABLENOW = f"""
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) // {LOCF_STEP_S * 1_000_000}) * {LOCF_STEP_S}
+           AS bucket_ts,
+         ts, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, bucket_ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, bucket_ts
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM obs
+),
+per_bucket AS (
+  SELECT user_id, bucket_ts, value AS observed FROM ranked WHERE rn = 1
+),
+span AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(range(lo, hi, {LOCF_STEP_S})) AS bucket_ts
+  FROM span
+)
+SELECT g.user_id,
+       make_timestamp(g.bucket_ts * 1000000) AS bucket_time,
+       last_value(p.observed IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       p.observed IS NULL AS is_gap
+FROM grid g
+LEFT JOIN per_bucket p USING (user_id, bucket_ts)
+"""
+
+QUERIES = {
+    "locf_stream_availablenow": q_locf_stream_availablenow,
+}
+
+ORACLES = {
+    "locf_stream_availablenow": ORACLE_LOCF_STREAM_AVAILABLENOW,
+}

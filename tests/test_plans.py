@@ -375,3 +375,19 @@ def test_user_keyed_joins_carry_no_broadcast_hint(spark):
         assert "hint" not in optimized.lower(), (name, optimized)
         # and the query still executes end-to-end under AQE
         assert df.count() > 0
+
+
+def test_round5_gate_plan_shapes(spark):
+    """map/struct family is row-local (zero exchanges); the SCD2 as-of
+    lookup runs on the single-shuffle union form — key exchanges only,
+    no pair-explosion join; the approx-percentile gate runs the sketch
+    as one aggregate (no per-partition global sort)."""
+    plan = _plan(spark, "map_functions_events")
+    assert "Exchange" not in plan, plan
+
+    plan = _plan(spark, "scd2_asof_lookup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(spark, "quality_topk_approx_pct")
+    assert "percentile_approx" in plan or "approx_percentile" in plan
