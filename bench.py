@@ -108,6 +108,9 @@ HEADLINE = [
     "quality_topk_approx_pct",
     "scd2_asof_lookup",
     "locf_stream_availablenow",
+    "ewma_stream_availablenow",
+    "generator_functions_documents",
+    "hof_functions_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

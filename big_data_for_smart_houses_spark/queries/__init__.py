@@ -6,10 +6,10 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the four
+insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the seven
 new queries (never certified), then the 34 queries whose only driver
 rows predate the round-3 testdata regeneration (so the hard signal
-re-certifies them on the CURRENT parquet), then 12 r4-green sentinels
+re-certifies them on the CURRENT parquet), then 9 r4-green sentinels
 chosen from the code paths this round touched. Everything past index
 50 — green in rounds 3-4 on current data — is re-verified every
 session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
@@ -66,12 +66,16 @@ ORACLES = {
 
 _CERTIFICATION_FRONT = [
     # --- new this round (never driver-certified): SCD2 read half,
-    #     approx-percentile scale variant, map/struct family, and the
-    #     first streaming-EXECUTED gate ---
+    #     approx-percentile scale variant, map/struct + generator +
+    #     higher-order-function families, and the first two
+    #     streaming-EXECUTED gates (LOCF and EWMA availableNow) ---
     "scd2_asof_lookup",
     "quality_topk_approx_pct",
     "map_functions_events",
     "locf_stream_availablenow",
+    "ewma_stream_availablenow",
+    "generator_functions_documents",
+    "hof_functions_documents",
     # --- the 34 queries whose only driver rows predate the round-3
     #     testdata regeneration (certified r1/r2 on the OLD parquet;
     #     all pass the local SPARK_GRAFT_EXACT sf0.01 mirror and the
@@ -123,9 +127,6 @@ _CERTIFICATION_FRONT = [
     "scd2_customer_orders",
     "silver_pipeline_events",
     "gold_daily_energy_events",
-    "analytics_kpi_day",
-    "pricing_summary",
-    "customer_enrichment",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

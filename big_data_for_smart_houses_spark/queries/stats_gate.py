@@ -1357,3 +1357,106 @@ FROM base
 
 QUERIES["map_functions_events"] = q_map_functions_events
 ORACLES["map_functions_events"] = ORACLE_MAP_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Generator (explode) and higher-order-function families
+# ---------------------------------------------------------------------------
+
+def q_generator_functions_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generator-function gate: ``posexplode`` fans each doc's first
+    five tokens into (pos, token) rows — the lateral-view surface that
+    backs every token-level pipeline op. Row-local expand (Catalyst
+    ``Generate``), zero shuffles; the oracle zips DuckDB's parallel
+    ``unnest`` with a 0-based range to match Spark's 0-based pos."""
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    d = _lt(spark, sf_dir, "documents")
+    toks5 = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return d.select(
+        "doc_id", F.posexplode(toks5).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+ORACLE_GENERATOR_FUNCTIONS_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ')[1:5] AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, len(toks))) AS INT) AS pos,
+       unnest(toks) AS token
+FROM t
+"""
+
+QUERIES["generator_functions_documents"] = q_generator_functions_documents
+ORACLES["generator_functions_documents"] = (
+    ORACLE_GENERATOR_FUNCTIONS_DOCUMENTS
+)
+
+
+def q_hof_functions_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Higher-order-function gate: exists / forall / aggregate (fold) /
+    zip_with / indexed transform over the token array — the lambda
+    surface the extension operators lean on (all evaluated inside
+    codegen, never Python). Array results canonicalized to joined
+    strings; the fold result is the whitespace character count, cross-
+    checked against DuckDB's list_sum."""
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    d = _lt(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: x == F.lit("the")).alias("has_the"),
+        F.forall(toks, lambda x: F.length(x) < F.lit(20)).alias(
+            "all_short"
+        ),
+        F.aggregate(
+            lens, F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("sum_token_len"),
+        F.array_join(
+            F.zip_with(
+                lens, F.reverse(lens), lambda a, b: (a + b).cast("string")
+            ),
+            ",",
+        ).alias("palindrome_lens"),
+        F.array_join(
+            F.transform(
+                F.slice(toks, 1, 3),
+                lambda x, i: F.concat_ws(":", i.cast("string"), x),
+            ),
+            ",",
+        ).alias("indexed_head"),
+    )
+
+
+ORACLE_HOF_FUNCTIONS_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         list_transform(string_split(text, ' '), x -> length(x)) AS lens
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+       len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short,
+       CAST(list_sum(lens) AS BIGINT) AS sum_token_len,
+       array_to_string(
+         list_transform(range(1, len(lens) + 1),
+                        i -> CAST(lens[i] + lens[len(lens) - i + 1]
+                                  AS VARCHAR)), ',') AS palindrome_lens,
+       array_to_string(
+         list_transform(range(1, least(3, len(toks)) + 1),
+                        i -> CAST(i - 1 AS VARCHAR) || ':' || toks[i]),
+         ',') AS indexed_head
+FROM t
+"""
+
+QUERIES["hof_functions_documents"] = q_hof_functions_documents
+ORACLES["hof_functions_documents"] = ORACLE_HOF_FUNCTIONS_DOCUMENTS

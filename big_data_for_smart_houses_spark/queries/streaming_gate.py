@@ -112,10 +112,73 @@ FROM grid g
 LEFT JOIN per_bucket p USING (user_id, bucket_ts)
 """
 
+def q_ewma_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming EWMA through a real availableNow run, hash-matched
+    against the batch recursive-CTE oracle (the ``ewma_events``
+    oracle verbatim): unlike LOCF the stream emits EVERY row, so
+    stream output == full batch answer with no open-bucket carve-out.
+    The fold's float64 recurrence (``0.25·v + 0.75·last``) is the
+    same IEEE expression the CTE evaluates, so after the float32
+    gate quantization the match is bit-exact."""
+    from ..functions.numeric import quantize_cols
+    from ..streaming.stateful import ewma_stream
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="ewma_stream_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"ewma_stream availableNow run exceeded {_AWAIT_S}s"
+        )
+    out = spark.read.parquet(out_dir).select(
+        "user_id", "ts", "event_id", "value", "ewma"
+    )
+    return quantize_cols(out, "ewma")
+
+
+ORACLE_EWMA_STREAM_AVAILABLENOW = """
+WITH RECURSIVE r AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+s(user_id, ts, event_id, value, rn, ewma) AS (
+  SELECT user_id, ts, event_id, value, rn, value FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.ts, r.event_id, r.value, r.rn,
+         0.25 * r.value + 0.75 * s.ewma
+  FROM r JOIN s ON r.user_id = s.user_id AND r.rn = s.rn + 1
+)
+SELECT user_id, ts, event_id, value,
+       CAST(CAST(ewma AS REAL) AS DOUBLE) AS ewma
+FROM s
+"""
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
+    "ewma_stream_availablenow": q_ewma_stream_availablenow,
 }
 
 ORACLES = {
     "locf_stream_availablenow": ORACLE_LOCF_STREAM_AVAILABLENOW,
+    "ewma_stream_availablenow": ORACLE_EWMA_STREAM_AVAILABLENOW,
 }

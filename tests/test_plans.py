@@ -391,3 +391,12 @@ def test_round5_gate_plan_shapes(spark):
 
     plan = _plan(spark, "quality_topk_approx_pct")
     assert "percentile_approx" in plan or "approx_percentile" in plan
+
+    # generator + HOF families are row-local: Generate / codegen
+    # lambdas, zero exchanges, no Python evaluation
+    plan = _plan(spark, "generator_functions_documents")
+    assert "Generate" in plan, plan
+    assert "Exchange" not in plan, plan
+    plan = _plan(spark, "hof_functions_documents")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
