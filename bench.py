@@ -111,6 +111,7 @@ HEADLINE = [
     "ewma_stream_availablenow",
     "generator_functions_documents",
     "hof_functions_documents",
+    "bloom_probe_customers",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -96,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
             "pack-offsets",
             "zorder",
             "drift",
+            "bloom-probe",
         ],
     )
     p.add_argument("--test-input", help="test-set parquet (decontam)")
@@ -277,6 +278,37 @@ def main(argv: list[str] | None = None) -> int:
                     .repartitionByRange(32, "zorder_key")
                     .sortWithinPartitions("zorder_key")
                 )
+        elif args.op == "bloom-probe":
+            # membership filter: keys from --input, probe --b-input;
+            # output = probe rows that MIGHT be members (no false
+            # negatives; survivors feed an exact semi-join)
+            if not args.b_input:
+                parser.error("--op bloom-probe requires --b-input")
+            from .extensions.sketches import (
+                bloom_build,
+                bloom_might_contain,
+            )
+
+            key_col = args.cols.split(",")[0].strip()
+            if not key_col:
+                parser.error("--op bloom-probe needs a key column in --cols")
+            members = docs.select(
+                F_col(key_col).cast("string").alias("_bf_key")
+            ).distinct()
+            probe = spark.read.parquet(args.b_input)
+            keyed = probe.withColumn(
+                "_bf_key", F_col(key_col).cast("string")
+            )
+            verdicts = bloom_might_contain(
+                bloom_build(members, "_bf_key"),
+                keyed.select("_bf_key").distinct(),
+                "_bf_key",
+            )
+            out = (
+                keyed.join(verdicts, "_bf_key")
+                .filter(F_col("might_contain"))
+                .drop("_bf_key", "might_contain")
+            )
         elif args.op == "drift":
             if not args.b_input:
                 parser.error("--op drift requires --b-input")

@@ -121,3 +121,114 @@ def cms_lookup(
             .alias("est_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set membership with no false negatives
+# ---------------------------------------------------------------------------
+
+# 63 usable bits per 64-bit word keeps every shift strictly below the
+# sign bit, so the word values stay non-negative and the bit arithmetic
+# is identical in Spark and DuckDB (no two's-complement edge to argue
+# about). 1024 words ≈ 64 K bits ≈ 8 KB per filter.
+BLOOM_WORD_BITS = 63
+BLOOM_WORDS = 1024
+BLOOM_M_BITS = BLOOM_WORD_BITS * BLOOM_WORDS
+BLOOM_K = 3
+
+
+def _bloom_pos(col: Column, i: int, m_bits: int) -> Column:
+    """Hash ``i``'s bit position for a value: the CMS md5 trick with a
+    ``b<i>:`` domain prefix — overflow-free, replayable in SQL."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"b{i}:"), col)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Build a Bloom filter as a (word index, word bits) table of at
+    most ``m_bits / 63`` rows — kilobytes, the broadcastable pre-join
+    filter: probe a 100 TB fact stream for membership in a keyset
+    without shuffling either side (the semi-join bypass Delta/Iceberg
+    expose as dataSkippingStats / bloom indexes).
+
+    Build shape: row-local k-way hash explode + ONE map-side-combined
+    ``bit_or`` aggregate. Merging filters from disjoint shards is the
+    same word-wise ``bit_or`` (the Bloom monoid)."""
+    positions = F.array(
+        *[_bloom_pos(F.col(value_col), i, m_bits) for i in range(k)]
+    )
+    p = F.col("_p")
+    w = BLOOM_WORD_BITS
+    return (
+        df.select(F.explode(positions).alias("_p"))
+        .select(
+            F.floor(p / F.lit(w)).cast("long").alias("bloom_word"),
+            # SQL expr: the Python shiftleft() binding only takes a
+            # literal shift amount, the SQL function takes a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, {w}) AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("bloom_word")
+        .agg(F.bit_or("_bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Membership probe: ``might_contain`` is true iff ALL k bit
+    positions are set. No false negatives ever (structural); false
+    positives bounded by (k·n/m)^k. The filter table broadcasts; the
+    items side never shuffles for the probe itself (one aggregate
+    restores one row per item)."""
+    positions = F.array(
+        *[_bloom_pos(F.col(value_col), i, m_bits) for i in range(k)]
+    )
+    p = F.col("_p")
+    w = BLOOM_WORD_BITS
+    exploded = items.select(
+        F.col(value_col), F.explode(positions).alias("_p")
+    ).select(
+        value_col,
+        F.floor(p / F.lit(w)).cast("long").alias("bloom_word"),
+        F.pmod(p, F.lit(w)).cast("int").alias("_bit"),
+    )
+    hit = (
+        F.expr(
+            "shiftright(CAST(coalesce(bits, 0) AS BIGINT), _bit) & CAST(1 AS BIGINT)"
+        )
+        == 1
+    )
+    return (
+        exploded.join(F.broadcast(bloom), "bloom_word", "left")
+        .groupBy(value_col)
+        .agg(F.bool_and(hit).alias("might_contain"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Word-wise OR — filters built on disjoint shards merge into the
+    filter of the union (the Bloom monoid; unit-asserted equal to a
+    from-scratch build). |words|-row shuffle, same contract as
+    cms_merge."""
+    return (
+        a.unionByName(b)
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

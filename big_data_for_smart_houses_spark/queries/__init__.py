@@ -6,10 +6,10 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the seven
+insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the eight
 new queries (never certified), then the 34 queries whose only driver
 rows predate the round-3 testdata regeneration (so the hard signal
-re-certifies them on the CURRENT parquet), then 9 r4-green sentinels
+re-certifies them on the CURRENT parquet), then 8 r4-green sentinels
 chosen from the code paths this round touched. Everything past index
 50 — green in rounds 3-4 on current data — is re-verified every
 session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
@@ -76,6 +76,7 @@ _CERTIFICATION_FRONT = [
     "ewma_stream_availablenow",
     "generator_functions_documents",
     "hof_functions_documents",
+    "bloom_probe_customers",
     # --- the 34 queries whose only driver rows predate the round-3
     #     testdata regeneration (certified r1/r2 on the OLD parquet;
     #     all pass the local SPARK_GRAFT_EXACT sf0.01 mirror and the
@@ -126,7 +127,6 @@ _CERTIFICATION_FRONT = [
     "merge_upsert_orders",
     "scd2_customer_orders",
     "silver_pipeline_events",
-    "gold_daily_energy_events",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -273,3 +273,100 @@ GROUP BY q.token, q.exact_count
 
 QUERIES["cms_token_counts"] = q_cms_token_counts
 ORACLES["cms_token_counts"] = ORACLE_CMS_TOKEN_COUNTS
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (the pre-join pruning sketch)
+# ---------------------------------------------------------------------------
+
+def q_bloom_probe_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter gate (extensions/sketches.py:bloom_build /
+    bloom_might_contain): build an 8 KB filter over the distinct
+    custkeys that placed orders, probe EVERY customer, and return the
+    probe verdict beside exact membership. The hash checks the full
+    bit arithmetic (one mis-set bit flips a verdict) and the
+    no-false-negatives guarantee is structural: a member's k bits are
+    all set by construction, so is_member = true forces
+    might_contain = true — the oracle replays bit-for-bit and any
+    false NEGATIVE would already be a hash mismatch.
+
+    Scale shape: this is the semi-join bypass — at 100 TB the 8 KB
+    filter broadcasts into the probe scan and discards ~all
+    non-members without shuffling either table; the exact semi-join
+    then runs only on survivors."""
+    from ..extensions.sketches import bloom_build, bloom_might_contain
+
+    configure_for_oracle_parity(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    members = orders.select(
+        F.col("o_custkey").cast("string").alias("key")
+    ).distinct()
+    bloom = bloom_build(members, "key")
+    probe = customer.select(
+        "c_custkey", F.col("c_custkey").cast("string").alias("key")
+    )
+    verdicts = bloom_might_contain(bloom, probe.select("key"), "key")
+    exact = orders.select("o_custkey").distinct()
+    return (
+        probe.join(verdicts, "key")
+        .join(
+            exact.withColumn("_m", F.lit(True)),
+            probe.c_custkey == exact.o_custkey,
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "might_contain",
+            F.coalesce(F.col("_m"), F.lit(False)).alias("is_member"),
+        )
+    )
+
+
+from ..extensions.sketches import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M_BITS,
+    BLOOM_WORD_BITS,
+)
+
+ORACLE_BLOOM_PROBE_CUSTOMERS = f"""
+WITH members AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+),
+mpos AS (
+  SELECT CAST(('0x' || substr(md5('b' || r.i || ':' || key), 1, 15))
+              AS BIGINT) % {BLOOM_M_BITS} AS p
+  FROM members CROSS JOIN range({BLOOM_K}) r(i)
+),
+words AS (
+  SELECT p // {BLOOM_WORD_BITS} AS bloom_word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD_BITS} AS INT))
+           AS bits
+  FROM mpos GROUP BY 1
+),
+probe AS (
+  SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS key FROM customer
+),
+ppos AS (
+  SELECT c_custkey, key,
+         CAST(('0x' || substr(md5('b' || r.i || ':' || key), 1, 15))
+              AS BIGINT) % {BLOOM_M_BITS} AS p
+  FROM probe CROSS JOIN range({BLOOM_K}) r(i)
+),
+verdicts AS (
+  SELECT c_custkey,
+         bool_and(
+           (coalesce(w.bits, 0) >> CAST(p % {BLOOM_WORD_BITS} AS INT))
+           & 1 = 1) AS might_contain
+  FROM ppos LEFT JOIN words w ON p // {BLOOM_WORD_BITS} = w.bloom_word
+  GROUP BY 1
+)
+SELECT v.c_custkey, v.might_contain,
+       m.o_custkey IS NOT NULL AS is_member
+FROM verdicts v
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) m
+  ON v.c_custkey = m.o_custkey
+"""
+
+QUERIES["bloom_probe_customers"] = q_bloom_probe_customers
+ORACLES["bloom_probe_customers"] = ORACLE_BLOOM_PROBE_CUSTOMERS

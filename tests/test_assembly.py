@@ -192,3 +192,52 @@ def test_cms_unseen_value_estimates_small(spark):
     # with 11 hot buckets in 2048-wide rows, an unseen value's min
     # across 4 rows is overwhelmingly 0
     assert est == 0
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted key must probe true (structural — its k bits are
+    set by construction); unseen keys are overwhelmingly false at this
+    fill factor; and filters built on disjoint shards merged word-wise
+    equal the filter of the union (the Bloom monoid)."""
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    bloom = bloom_build(keys, "key")
+    hits = {
+        r["key"]: r["might_contain"]
+        for r in bloom_might_contain(bloom, keys, "key").collect()
+    }
+    assert all(hits.values()) and len(hits) == 500
+
+    probe = spark.range(500, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    fp = [
+        r["key"]
+        for r in bloom_might_contain(bloom, probe, "key").collect()
+        if r["might_contain"]
+    ]
+    # (k*n/m)^k ≈ (3*500/64512)^3 ≈ 1.3e-5 per probe → expect 0, allow
+    # a couple before calling the arithmetic wrong
+    assert len(fp) <= 3, fp
+
+    # monoid: shard filters OR-merged == union filter, word for word
+    a = bloom_build(keys.filter(F.col("key") < "k25"), "key")
+    b = bloom_build(keys.filter(F.col("key") >= "k25"), "key")
+    merged = (
+        a.unionByName(b)
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = bloom_build(keys, "key")
+    diff = merged.alias("m").join(
+        whole.alias("w"), "bloom_word", "full"
+    ).filter(
+        ~F.col("m.bits").eqNullSafe(F.col("w.bits"))
+    )
+    assert diff.count() == 0

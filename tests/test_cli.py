@@ -153,3 +153,21 @@ def test_cli_crossdoc_and_drift(spark, corpus):
     drift = {r["column"]: r for r in
              spark.read.parquet(f"{tmp}/drift").collect()}
     assert drift["text"]["drifted"]
+
+
+def test_cli_bloom_probe(spark, corpus):
+    """bloom-probe keeps every probe row whose key is in the member
+    set (no false negatives) and — at this fill factor — drops the
+    rest."""
+    probe_rows = [(0, "x"), (2, "y"), (99, "z"), (7, "w")]
+    spark.createDataFrame(
+        probe_rows, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{corpus}/probe")
+    main(["dataprep", "--input", f"{corpus}/docs", "--out",
+          f"{corpus}/bloomed", "--op", "bloom-probe",
+          "--b-input", f"{corpus}/probe", "--cols", "doc_id"])
+    out = spark.read.parquet(f"{corpus}/bloomed")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert set(ids) >= {0, 2}          # members always survive
+    assert set(ids) <= {0, 2, 7, 99}   # schema preserved, no dupes
+    assert out.columns == ["doc_id", "text"]

@@ -118,3 +118,21 @@ def test_scd2_same_instant_versions_deterministic(spark):
            for r in scd2_intervals(df, ["k"], "eff", "rid").collect()}
     assert out[101] == (10, 10, False)
     assert out[102] == (10, None, True)
+
+
+def test_upsert_tiebreak_cols_totalize_batch_order(spark):
+    """Two same-key update rows with equal order_col: without a
+    tiebreak the winner is arbitrary; with tiebreak_cols the highest
+    sequence id wins deterministically."""
+    base = spark.createDataFrame(
+        [(1, "old", 10, 0)], "k long, v string, ver long, seq long"
+    )
+    updates = spark.createDataFrame(
+        [(1, "u-first", 20, 1), (1, "u-second", 20, 2)],
+        "k long, v string, ver long, seq long",
+    )
+    out = merge_upsert(
+        base, updates, ["k"], "ver", tiebreak_cols=["seq"]
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["v"], out[0]["seq"]) == ("u-second", 2)

@@ -400,3 +400,7 @@ def test_round5_gate_plan_shapes(spark):
     plan = _plan(spark, "hof_functions_documents")
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+    # the 8 KB Bloom word-table must broadcast into the probe side
+    plan = _plan(spark, "bloom_probe_customers")
+    assert "BroadcastHashJoin" in plan, plan
