@@ -112,6 +112,7 @@ HEADLINE = [
     "generator_functions_documents",
     "hof_functions_documents",
     "bloom_probe_customers",
+    "editdist_recall_planted",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

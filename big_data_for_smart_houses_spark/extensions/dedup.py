@@ -437,3 +437,76 @@ def simhash_neardup_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup: prefix/suffix blocking + exact levenshtein
+# ---------------------------------------------------------------------------
+
+EDITDIST_BLOCK_CHARS = 8
+
+
+def editdist_blocked_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+    block_chars: int = EDITDIST_BLOCK_CHARS,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs — the dedup modality between
+    exact (md5 fingerprint) and token-set (MinHash) similarity:
+    catches single-character typos / OCR noise that flip the
+    fingerprint but barely move the text, which shingle-level Jaccard
+    is blind to.
+
+    Recall guarantee (the gate invariant): an equal-length pair one
+    SUBSTITUTION apart agrees on the full ``block_chars`` prefix or
+    the full suffix (one edit cannot sit in both ends of a text
+    >= 2*block_chars), so every such pair collides in at least one
+    block — recall 1.0 structurally, same contract as the
+    MinHash/SimHash recall gates.
+
+    Never all-pairs: candidates come only from (block key, length)
+    buckets (capped at MAX_BUCKET_SIZE like the LSH paths — a
+    degenerate shared prefix cannot quadratically explode); texts
+    join back BY ID so buckets carry ids, not documents, and the
+    exact ``levenshtein`` runs per candidate pair only.
+    """
+    t = F.col(text_col)
+    keyed = df.select(
+        F.col(id_col),
+        F.concat_ws(
+            "\x1f",
+            F.lit("p"),
+            F.substring(t, 1, block_chars),
+            F.length(t).cast("string"),
+        ).alias("_pre"),
+        F.concat_ws(
+            "\x1f",
+            F.lit("s"),
+            F.substring(t, -block_chars, block_chars),
+            F.length(t).cast("string"),
+        ).alias("_suf"),
+    )
+    blocks = keyed.select(
+        id_col, F.explode(F.array("_pre", "_suf")).alias("_blk")
+    )
+    cand = (
+        blocks.groupBy("_blk")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
+        .distinct()
+    )
+    t1 = df.select(F.col(id_col).alias("id1"), t.alias("_t1"))
+    t2 = df.select(F.col(id_col).alias("id2"), t.alias("_t2"))
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn(
+            "edit_dist", F.levenshtein("_t1", "_t2").cast("int")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id1", "id2", "edit_dist")
+    )

@@ -981,3 +981,65 @@ ORACLES = {
     "length_bucketed_packing": ORACLE_LENGTH_BUCKETED_PACKING,
     "boilerplate_ngram_documents": ORACLE_BOILERPLATE_NGRAM_DOCUMENTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup recall gate (typo-planted)
+# ---------------------------------------------------------------------------
+
+TYPO_MARK = "~"
+
+
+def _docs_with_planted_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each of the first PLANT_N docs gains a copy (shifted id) with
+    ONE character substituted at a doc_id-derived position — the
+    corpus contains no '~' (asserted at testdata generation sizes), so
+    every planted pair is at edit distance exactly 1 and equal
+    length."""
+    d = _docs(spark, sf_dir)
+    typos = (
+        d.filter(F.col("doc_id") < PLANT_N)
+        .withColumn("_p", (F.pmod(F.col("doc_id"), F.lit(40)) + 1).cast("int"))
+        .withColumn(
+            "text",
+            F.expr(
+                f"concat(substring(text, 1, _p - 1), '{TYPO_MARK}', "
+                "substring(text, _p + 1, length(text)))"
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
+        .drop("_p")
+    )
+    return d.unionByName(typos)
+
+
+def q_editdist_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup recall gate
+    (extensions/dedup.py:editdist_blocked_pairs): every planted
+    one-substitution pair MUST surface through the prefix/suffix
+    blocking — a single edit cannot corrupt both the 8-char prefix and
+    the 8-char suffix of a >= 44-char text, so each planted pair
+    collides in at least one block (structural recall 1.0, the
+    MinHash-gate contract). Spark returns truth ∩ candidates with the
+    computed distance; the oracle enumerates the planted pairs at
+    their known distance 1; one missed pair fails the row gate."""
+    d = _docs_with_planted_typos(spark, sf_dir)
+    pairs = dedup.editdist_blocked_pairs(d, max_dist=1)
+    truth = d.filter(F.col("doc_id") < PLANT_N).select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("id2"),
+    )
+    return truth.join(pairs, ["id1", "id2"]).select(
+        "id1", "id2", "edit_dist"
+    )
+
+
+ORACLE_EDITDIST_RECALL_PLANTED = f"""
+SELECT doc_id AS id1,
+       doc_id + {PLANT_OFFSET} AS id2,
+       CAST(1 AS INT) AS edit_dist
+FROM documents WHERE doc_id < {PLANT_N}
+"""
+
+QUERIES["editdist_recall_planted"] = q_editdist_recall_planted
+ORACLES["editdist_recall_planted"] = ORACLE_EDITDIST_RECALL_PLANTED
