@@ -113,6 +113,7 @@ HEADLINE = [
     "hof_functions_documents",
     "bloom_probe_customers",
     "editdist_recall_planted",
+    "session_stream_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -173,12 +173,100 @@ SELECT user_id, ts, event_id, value,
 FROM s
 """
 
+SESSION_GAP_S = 300
+SESSION_WM_S = 600
+
+
+def q_session_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Built-in ``session_window`` aggregation executed as a WATERMARKED
+    stream — the gate that puts Spark's event-time watermark machinery
+    itself on the hash path. availableNow processes the staged file,
+    then the no-data micro-batch advances the watermark to
+    ``max(ts) - 600 s`` and append mode emits exactly the sessions
+    whose end <= watermark (inclusive — probed empirically with a
+    boundary-exact session; the final session(s) of the stream's most
+    recent users stay withheld in state). The DuckDB oracle replays
+    the batch session-islands computation filtered by that same
+    closure predicate."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="session_stream_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = (
+        stream.withWatermark("ts", f"{SESSION_WM_S} seconds")
+        .groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"session_window availableNow run exceeded {_AWAIT_S}s"
+        )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+ORACLE_SESSION_STREAM_AVAILABLENOW = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM islands
+  GROUP BY user_id, session_seq
+),
+wm AS (
+  SELECT max(ts) - INTERVAL {SESSION_WM_S} SECOND AS w FROM events
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events
+FROM sessions s CROSS JOIN wm
+WHERE s.session_end <= wm.w
+"""
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
     "ewma_stream_availablenow": q_ewma_stream_availablenow,
+    "session_stream_availablenow": q_session_stream_availablenow,
 }
 
 ORACLES = {
     "locf_stream_availablenow": ORACLE_LOCF_STREAM_AVAILABLENOW,
     "ewma_stream_availablenow": ORACLE_EWMA_STREAM_AVAILABLENOW,
+    "session_stream_availablenow": ORACLE_SESSION_STREAM_AVAILABLENOW,
 }
