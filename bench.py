@@ -114,6 +114,7 @@ HEADLINE = [
     "bloom_probe_customers",
     "editdist_recall_planted",
     "session_stream_availablenow",
+    "setops_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

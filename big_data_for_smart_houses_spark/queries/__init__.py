@@ -6,11 +6,11 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the ten
-new queries (never certified), then the 34 queries whose only driver
-rows predate the round-3 testdata regeneration (so the hard signal
-re-certifies them on the CURRENT parquet), then 6 r4-green sentinels
-chosen from the code paths this round touched. Everything past index
+insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the
+eleven new queries (never certified), then the 34 queries whose only
+driver rows predate the round-3 testdata regeneration (so the hard
+signal re-certifies them on the CURRENT parquet), then 5 r4-green
+sentinels chosen from the code paths this round touched. Everything past index
 50 — green in rounds 3-4 on current data — is re-verified every
 session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
 which covers ALL entries, not just 50.
@@ -79,6 +79,7 @@ _CERTIFICATION_FRONT = [
     "bloom_probe_customers",
     "editdist_recall_planted",
     "session_stream_availablenow",
+    "setops_events",
     # --- the 34 queries whose only driver rows predate the round-3
     #     testdata regeneration (certified r1/r2 on the OLD parquet;
     #     all pass the local SPARK_GRAFT_EXACT sf0.01 mirror and the
@@ -125,7 +126,6 @@ _CERTIFICATION_FRONT = [
     "cohort_retention_events",
     "profile_drift_documents",
     "zorder_key_events",
-    "zorder3_key_events",
     "silver_pipeline_events",
 ]
 

@@ -1460,3 +1460,66 @@ FROM t
 
 QUERIES["hof_functions_documents"] = q_hof_functions_documents
 ORACLES["hof_functions_documents"] = ORACLE_HOF_FUNCTIONS_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# Set-operation family (INTERSECT / EXCEPT, distinct and ALL forms)
+# ---------------------------------------------------------------------------
+
+def q_setops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation sweep over (user, day) activity multisets:
+    click-days vs purchase-days through ``intersectAll`` /
+    ``exceptAll`` (bag semantics — duplicates survive by
+    multiplicity) and ``intersect`` / ``subtract`` (distinct
+    semantics), each tagged and unioned into one relation. Completes
+    §2.7 beyond union+dedup: Catalyst plans these as
+    aggregate-wrapped joins, one key exchange per branch."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("date").alias("date"),
+        "event_type",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "date"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "date"
+    )
+    tagged = [
+        clicks.intersectAll(purchases).withColumn(
+            "op", F.lit("intersect_all")
+        ),
+        clicks.exceptAll(purchases).withColumn("op", F.lit("except_all")),
+        clicks.intersect(purchases).withColumn("op", F.lit("intersect")),
+        clicks.subtract(purchases).withColumn("op", F.lit("except")),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.select("op", "user_id", "date")
+
+
+ORACLE_SETOPS_EVENTS = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS DATE) AS date FROM events
+  WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(ts AS DATE) AS date FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT 'intersect_all' AS op, user_id, date
+FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM p)
+UNION ALL
+SELECT 'except_all', user_id, date
+FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM p)
+UNION ALL
+SELECT 'intersect', user_id, date
+FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT 'except', user_id, date
+FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+"""
+
+QUERIES["setops_events"] = q_setops_events
+ORACLES["setops_events"] = ORACLE_SETOPS_EVENTS
