@@ -115,6 +115,9 @@ HEADLINE = [
     "editdist_recall_planted",
     "session_stream_availablenow",
     "setops_events",
+    "stream_join_availablenow",
+    "stream_dedup_availablenow",
+    "stream_tumbling_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

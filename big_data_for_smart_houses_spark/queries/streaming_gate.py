@@ -259,14 +259,236 @@ FROM sessions s CROSS JOIN wm
 WHERE s.session_end <= wm.w
 """
 
+STREAM_JOIN_LOOKBACK_S = 6 * 3600
+
+
+def q_stream_join_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join (streaming/joins.py:
+    stream_interval_join) executed as a real availableNow run: each
+    purchase joined to the same user's clicks from the preceding six
+    hours, both sides read as independent file-source streams over the
+    staged events table. The two-sided event-time bound plus the
+    watermarks is what lets Spark GC both state buffers at scale
+    (state ~ key-rate x lookback, independent of stream length); an
+    inner join emits matches as soon as both rows are in state, so
+    with both sides arriving in one micro-batch the streamed answer
+    equals the batch range join the DuckDB oracle runs."""
+    configure_for_oracle_parity(spark)
+    from ..streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_join_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+
+    def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .parquet(staged)
+            .filter(F.col("event_type") == kind)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    joined = stream_interval_join(
+        _side("purchase", "purchase_id", "purchase_ts"),
+        _side("click", "click_id", "click_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback_seconds=STREAM_JOIN_LOOKBACK_S,
+        watermark_delay="6 hours",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"stream interval join availableNow run exceeded {_AWAIT_S}s"
+        )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
+ORACLE_STREAM_JOIN_AVAILABLENOW = f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+def q_stream_dedup_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T6's at-least-once -> effectively-once dedup
+    (streaming/ingest.py:dedup_stream_within_watermark,
+    ``dropDuplicatesWithinWatermark``) on the hash path: the events
+    table is staged TWICE and consumed one file per micro-batch, so
+    every row is redelivered in a later batch and must be dropped by
+    the state store ACROSS batches — the exact Kafka-redelivery shape.
+    The 35-day horizon covers the table's 30-day span, so no row is
+    late; duplicate payloads are byte-identical, so whichever copy
+    wins, the emitted set equals the original table (the DuckDB
+    oracle). State is O(keys per horizon), never O(stream)."""
+    configure_for_oracle_parity(spark)
+    from ..streaming.ingest import dedup_stream_within_watermark
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=1")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=2")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    deduped = dedup_stream_within_watermark(
+        stream, keys=["event_id"], ts_col="ts", watermark_delay="35 days"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"stream dedup availableNow run exceeded {_AWAIT_S}s"
+        )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+ORACLE_STREAM_DEDUP_AVAILABLENOW = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+TUMBLE_WM_S = 3600
+
+
+def q_stream_tumbling_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The canonical Structured Streaming shape — watermark + tumbling
+    event-time window + append-mode aggregation (T4 executed as a
+    stream, not a batch plan): hourly count/sum/max per event type.
+    After the staged file's micro-batch, availableNow's no-data batch
+    advances the watermark to ``max(ts) - 1 h`` and append mode emits
+    exactly the windows whose end <= watermark (the same inclusive
+    closure probed by the session gate); the most recent hour stays
+    withheld in state. The DuckDB oracle replays the batch hourly
+    rollup under that closure predicate. The double sum is
+    order-sensitive, so it ships through the float32 gate quantization
+    like every other summed gate column."""
+    configure_for_oracle_parity(spark)
+    from ..functions.numeric import quantize_cols
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_tumble_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = (
+        stream.withWatermark("ts", f"{TUMBLE_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "value_max",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"tumbling window availableNow run exceeded {_AWAIT_S}s"
+        )
+    return quantize_cols(
+        spark.read.parquet(out_dir).select(
+            "window_start", "event_type", "n_events", "value_sum", "value_max"
+        ),
+        "value_sum",
+    )
+
+
+ORACLE_STREAM_TUMBLING_AVAILABLENOW = f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum,
+         max(value) AS value_max
+  FROM events
+  GROUP BY 1, 2
+),
+wm AS (SELECT max(ts) - INTERVAL {TUMBLE_WM_S} SECOND AS w FROM events)
+SELECT a.window_start, a.event_type, a.n_events, a.value_sum, a.value_max
+FROM agg a CROSS JOIN wm
+WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
     "ewma_stream_availablenow": q_ewma_stream_availablenow,
     "session_stream_availablenow": q_session_stream_availablenow,
+    "stream_join_availablenow": q_stream_join_availablenow,
+    "stream_dedup_availablenow": q_stream_dedup_availablenow,
+    "stream_tumbling_availablenow": q_stream_tumbling_availablenow,
 }
 
 ORACLES = {
     "locf_stream_availablenow": ORACLE_LOCF_STREAM_AVAILABLENOW,
     "ewma_stream_availablenow": ORACLE_EWMA_STREAM_AVAILABLENOW,
     "session_stream_availablenow": ORACLE_SESSION_STREAM_AVAILABLENOW,
+    "stream_join_availablenow": ORACLE_STREAM_JOIN_AVAILABLENOW,
+    "stream_dedup_availablenow": ORACLE_STREAM_DEDUP_AVAILABLENOW,
+    "stream_tumbling_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
 }
