@@ -118,6 +118,8 @@ HEADLINE = [
     "stream_join_availablenow",
     "stream_dedup_availablenow",
     "stream_tumbling_availablenow",
+    "bpe_pair_counts_documents",
+    "inverted_index_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1,0 +1,111 @@
+"""Vocabulary induction and the inverted index (SURVEY.md §7.4).
+
+Two classic corpus-construction primitives for a training-data
+pipeline:
+
+- ``bpe_pair_counts``: count adjacent token pairs across the corpus —
+  one full round of byte-pair-encoding merge-candidate selection
+  (Sennrich et al. 2016: at each BPE step the most frequent adjacent
+  pair becomes the next merge rule). Running this on the raw corpus
+  yields the first merge table; iterating it off-engine over the
+  heavy-hitter tail is how production tokenizers are trained.
+- ``inverted_index``: token -> (document frequency, total term
+  frequency, posting list) — the backbone of decontamination lookup,
+  BM25 retrieval, and corpus search.
+
+Plan shape at 100 TB:
+- pair extraction is row-local (zip the token array against itself
+  shifted by one — no self-join, no window): explode then ONE
+  count aggregation keyed (a, b) with map-side combine. Candidate
+  selection is a TakeOrderedAndProject top-k, never a full sort.
+- the inverted index is explode + ONE groupBy(token) aggregation.
+  Posting lists are bounded to ``max_postings`` per token BEFORE
+  leaving the aggregate (slice after sort_array), so a stopword's
+  posting list can never blow an executor; full lists belong in a
+  posting-store sink keyed by (token, shard), not in one row.
+- everything is built-in expressions (split/slice/arrays_zip/
+  explode/sort_array) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WS_RE = r"\s+"
+
+
+def _ws_tokens(text_col: str):
+    """Whitespace tokens of lower(text), empties dropped (leading
+    whitespace would otherwise inject '' tokens)."""
+    toks = F.split(F.lower(F.col(text_col)), WS_RE)
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-wide adjacent-pair counts ``(a, b, n_pairs)`` — the BPE
+    merge-candidate table. ``top_k`` keeps the k most frequent pairs
+    (ties broken by (a, b) so the cut is deterministic); None returns
+    the full table.
+
+    The pair stream is built row-locally by zipping the token array
+    with its one-shifted self (``slice(t,1,|t|-1) zip slice(t,2,|t|-1)``),
+    so the only exchange is the final count aggregation.
+    """
+    t = _ws_tokens(text_col)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("a"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("b"),
+    )
+    out = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    if top_k is not None:
+        # orderBy + limit compiles to TakeOrderedAndProject: each task
+        # keeps k rows, the driver merges — no global sort at scale.
+        out = out.orderBy(
+            F.col("n_pairs").desc(), F.col("a"), F.col("b")
+        ).limit(top_k)
+    return out
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Token-keyed inverted index: ``(token, df, tf, postings_head)``
+    where ``df`` counts distinct documents, ``tf`` total occurrences,
+    and ``postings_head`` is the first ``max_postings`` doc ids in
+    ascending order, canonicalized to a comma-joined string (stable
+    across engines and safe to hash-compare).
+
+    One explode over per-doc (token, count) pairs and ONE token-keyed
+    aggregation; the per-doc pre-count collapses each document's
+    repeated tokens map-side, so the exchange carries |vocab x docs|
+    rows, not |corpus tokens|.
+    """
+    t = _ws_tokens(text_col)
+    per_doc = (
+        df.select(F.col(id_col), F.explode(t).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf_doc"))
+    )
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf_doc").alias("tf"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_postings
+            ),
+        ).alias("postings_head"),
+    )

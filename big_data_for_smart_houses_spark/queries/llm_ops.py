@@ -611,6 +611,79 @@ WHERE s.score > t.t_guard
 """
 
 
+BPE_TOP_K = 200
+INDEX_MAX_POSTINGS = 20
+
+
+def q_bpe_pair_counts_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One round of BPE merge-candidate selection
+    (extensions/vocab.py:bpe_pair_counts): the corpus's top-200
+    adjacent token pairs by frequency. Pair extraction is row-local
+    (shifted-zip, no self-join); the only exchange is the count
+    aggregation, and the top-k cut is TakeOrderedAndProject with a
+    deterministic (n desc, a, b) tiebreak."""
+    from ..extensions.vocab import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=BPE_TOP_K)
+
+
+ORACLE_BPE_PAIR_COUNTS_DOCUMENTS = rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT p[1] AS a, p[2] AS b
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM toks WHERE len(t) >= 2)
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY a, b
+ORDER BY n_pairs DESC, a, b
+LIMIT {BPE_TOP_K}
+"""
+
+
+def q_inverted_index_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted index (extensions/vocab.py:inverted_index): token ->
+    document frequency, total term frequency, and the first 20 doc ids
+    of the posting list (ascending, comma-joined so the driver's hash
+    compares a canonical string). Per-doc token counts collapse
+    map-side before the single token-keyed exchange."""
+    from ..extensions.vocab import inverted_index
+
+    return inverted_index(
+        _docs(spark, sf_dir), max_postings=INDEX_MAX_POSTINGS
+    )
+
+
+ORACLE_INVERTED_INDEX_DOCUMENTS = rf"""
+WITH per_doc AS (
+  SELECT tok AS token, doc_id, CAST(count(*) AS BIGINT) AS tf_doc
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY tok, doc_id
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf_doc) AS BIGINT) AS tf,
+       array_to_string(
+         list_sort(list(doc_id))[1:{INDEX_MAX_POSTINGS}], ','
+       ) AS postings_head
+FROM per_doc
+GROUP BY token
+"""
+
+
 QUERIES = {
     "contamination_check_documents": q_contamination_check_documents,
     "decontaminated_train_docs": q_decontaminated_train_docs,
@@ -623,6 +696,8 @@ QUERIES = {
     "quality_topk_per_lang": q_quality_topk_per_lang,
     "quality_topk_approx_pct": q_quality_topk_approx_pct,
     "chunk_documents": q_chunk_documents,
+    "bpe_pair_counts_documents": q_bpe_pair_counts_documents,
+    "inverted_index_documents": q_inverted_index_documents,
 }
 
 ORACLES = {
@@ -637,4 +712,6 @@ ORACLES = {
     "quality_topk_per_lang": ORACLE_QUALITY_TOPK_PER_LANG,
     "quality_topk_approx_pct": ORACLE_QUALITY_TOPK_APPROX_PCT,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "bpe_pair_counts_documents": ORACLE_BPE_PAIR_COUNTS_DOCUMENTS,
+    "inverted_index_documents": ORACLE_INVERTED_INDEX_DOCUMENTS,
 }

@@ -339,3 +339,39 @@ def test_boilerplate_ngram_stats_flags_shared_trigrams(spark):
     assert rows[2].n_boilerplate == 3
     assert not rows[2].is_boilerplate
     assert rows[3].n_boilerplate == 0 and not rows[3].is_boilerplate
+
+
+def test_bpe_pair_counts_shifted_zip(spark):
+    from big_data_for_smart_houses_spark.extensions.vocab import bpe_pair_counts
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b a b c"),   # pairs: (a,b) (b,a) (a,b) (b,c)
+            (1, "  a b  "),     # leading/double whitespace: no '' tokens
+            (2, "solo"),        # 1 token -> no pairs
+            (3, "A B"),         # lowercased -> (a,b)
+        ],
+    )
+    got = {
+        (r.a, r.b): r.n_pairs
+        for r in bpe_pair_counts(docs).collect()
+    }
+    assert got == {("a", "b"): 4, ("b", "a"): 1, ("b", "c"): 1}
+    # top_k cut is deterministic: n desc then (a, b)
+    top = bpe_pair_counts(docs, top_k=2).collect()
+    assert [(r.a, r.b) for r in top] == [("a", "b"), ("b", "a")]
+
+
+def test_inverted_index_df_tf_and_bounded_postings(spark):
+    from big_data_for_smart_houses_spark.extensions.vocab import inverted_index
+
+    docs = _docs(
+        spark,
+        [(i, "common word" if i % 2 else "common") for i in range(6)],
+    )
+    rows = {r.token: r for r in inverted_index(docs, max_postings=2).collect()}
+    assert rows["common"].df == 6 and rows["common"].tf == 6
+    # posting head is the 2 SMALLEST doc ids, ascending, comma-joined
+    assert rows["common"].postings_head == "0,1"
+    assert rows["word"].df == 3 and rows["word"].postings_head == "1,3"
