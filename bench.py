@@ -120,6 +120,7 @@ HEADLINE = [
     "stream_tumbling_availablenow",
     "bpe_pair_counts_documents",
     "inverted_index_documents",
+    "pagerank_user_transitions",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

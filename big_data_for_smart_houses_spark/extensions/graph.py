@@ -1,0 +1,111 @@
+"""Link-graph analysis: PageRank (SURVEY.md §7.4).
+
+Web-crawl curation ranks pages by link structure before quality
+filtering (the original PageRank use case: Page et al. 1999; modern
+pipelines use link centrality as a quality prior for crawl corpora).
+This module gives the engine that primitive over an arbitrary edge
+DataFrame — the same iterative join+aggregate idiom as
+``dedup.dedup_groups`` (min-label connected components), with the
+same lineage hygiene.
+
+Plan shape at 100 TB:
+- each iteration is ONE edge-keyed shuffle join (ranks into edges on
+  src) and ONE dst-keyed sum — identical cost profile to a GraphX
+  Pregel superstep expressed in DataFrames. Nothing per-iteration
+  touches the driver except two scalar aggregates (the dangling mass
+  and, implicitly, the node count computed once up front).
+- ``localCheckpoint`` after every iteration cuts the growing lineage,
+  so iteration N never replays iterations 1..N-1 (measured 1.7x on
+  the CC gate; PageRank runs a fixed iteration count so the effect
+  compounds).
+- the edge list is checkpointed ONCE and re-joined every round;
+  out-degree normalization is precomputed and carried ON the edge
+  row, so iterations never re-aggregate degrees.
+- dangling nodes (no out-edges) redistribute their mass uniformly —
+  the standard stochastic-matrix completion — via a 1-row aggregate
+  broadcast back (the J2 scalar-cross-join shape), not a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution over an
+    edge DataFrame; returns ``(id, rank)`` for every node that appears
+    as a source or destination. Ranks sum to 1 (a probability
+    distribution over nodes).
+
+    ``weight`` (optional) is a per-edge positive weight column:
+    a source's rank is split across its out-edges proportional to
+    weight (uniformly when None). ``iterations`` is a fixed count —
+    PageRank converges geometrically at rate ``damping``, and a fixed
+    count keeps the result deterministic and oracle-checkable.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank needs iterations >= 1")
+    if not (0.0 < damping < 1.0):
+        raise ValueError("pagerank needs 0 < damping < 1")
+    w: Column = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        w.cast("double").alias("w"),
+    )
+    # normalize out-weights once, onto the edge row; checkpointed so
+    # every iteration re-joins a materialized edge list instead of
+    # replaying the upstream edge derivation
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    sources = e.select("src").distinct()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        # mass of dangling nodes this round: 1-row scalar, broadcast
+        dangling = (
+            ranks.join(sources, ranks["id"] == sources["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(
+                contribs.withColumnRenamed("dst", "id"), "id", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1043,3 +1043,115 @@ FROM documents WHERE doc_id < {PLANT_N}
 
 QUERIES["editdist_recall_planted"] = q_editdist_recall_planted
 ORACLES["editdist_recall_planted"] = ORACLE_EDITDIST_RECALL_PLANTED
+
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def q_pagerank_user_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PageRank (extensions/graph.py:pagerank) over the user-transition
+    graph: an edge u->v for each consecutive event pair within a day
+    where the acting user changes, weighted by transition count (the
+    link-centrality quality prior a crawl-curation pipeline computes
+    over its link graph). Edge derivation is a DAY-partitioned window
+    — never an unpartitioned global sort — then 5 fixed iterations of
+    the join+aggregate superstep; ranks are a probability distribution
+    and ship through the float32 gate quantization."""
+    from pyspark.sql import Window
+
+    from ..extensions.graph import pagerank
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "user_id", F.lag("user_id").over(w).alias("prev_user")
+        )
+        .filter(
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") != F.col("user_id"))
+        )
+        .groupBy(
+            F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(
+        edges, weight="w", iterations=PR_ITERS, damping=PR_DAMPING
+    )
+    return quantize_cols(
+        ranks.select(F.col("id").alias("user_id"), "rank"), "rank"
+    )
+
+
+def _pagerank_oracle_sql(iters: int, d: float) -> str:
+    """Unrolled fixed-iteration PageRank in ANSI SQL: one
+    (dangling-mass, contribution, rank) CTE triple per iteration —
+    the oracle mirror of the operator's superstep loop."""
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT user_id,
+         lag(user_id) OVER (
+           PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+         ) AS prev_user
+  FROM events
+),
+edges0 AS (
+  SELECT prev_user AS src, user_id AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS out_w FROM edges0 GROUP BY src),
+edges AS (
+  SELECT e.src, e.dst, e.w / o.out_w AS frac
+  FROM edges0 e JOIN outw o ON e.src = o.src
+),
+nodes AS (SELECT src AS id FROM edges0 UNION SELECT dst FROM edges0),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+srcs AS (SELECT DISTINCT src FROM edges0),
+r0 AS (SELECT id, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM r{i} r LEFT JOIN srcs s ON r.id = s.src
+  WHERE s.src IS NULL
+),
+c{i} AS (
+  SELECT e.dst AS id, sum(r.rank * e.frac) AS contrib
+  FROM edges e JOIN r{i} r ON e.src = r.id
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT n.id,
+         (1.0 - {d}) / cnt.n
+           + {d} * (coalesce(c.contrib, 0.0) + dg.dm / cnt.n) AS rank
+  FROM nodes n
+  CROSS JOIN cnt
+  CROSS JOIN d{i} dg
+  LEFT JOIN c{i} c ON n.id = c.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS user_id, CAST(CAST(rank AS REAL) AS DOUBLE) AS rank
+FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_PAGERANK_USER_TRANSITIONS = _pagerank_oracle_sql(
+    PR_ITERS, PR_DAMPING
+)
+
+QUERIES["pagerank_user_transitions"] = q_pagerank_user_transitions
+ORACLES["pagerank_user_transitions"] = ORACLE_PAGERANK_USER_TRANSITIONS

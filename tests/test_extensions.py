@@ -267,3 +267,53 @@ def test_neardup_bucket_stats_counts_overcap(spark):
         assert r.n_overcap_buckets == 1
         assert r.n_overcap_vectors == n
         assert r.max_bucket_size == n
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """5-node weighted graph with a dangling node (id 4 has no
+    out-edges): the distributed superstep must match a dense
+    power-iteration reference including dangling-mass
+    redistribution, and ranks must stay a probability distribution."""
+    import numpy as np
+
+    from big_data_for_smart_houses_spark.extensions.graph import pagerank
+
+    edge_rows = [
+        (0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0),
+        (2, 0, 1.0), (3, 2, 1.0), (0, 4, 1.0),
+    ]
+    edges = spark.createDataFrame(
+        edge_rows, "src long, dst long, w double"
+    )
+    got = {
+        r.id: r.rank
+        for r in pagerank(edges, weight="w", iterations=5).collect()
+    }
+
+    n, d = 5, 0.85
+    out_w = {0: 4.0, 1: 1.0, 2: 1.0, 3: 1.0}
+    rank = {i: 1.0 / n for i in range(n)}
+    for _ in range(5):
+        dm = sum(rank[i] for i in range(n) if i not in out_w)
+        contrib = {i: 0.0 for i in range(n)}
+        for s, t, w in edge_rows:
+            contrib[t] += rank[s] * (w / out_w[s])
+        rank = {
+            i: (1 - d) / n + d * (contrib[i] + dm / n) for i in range(n)
+        }
+    assert set(got) == set(rank)
+    for i in rank:
+        assert abs(got[i] - rank[i]) < 1e-12, (i, got[i], rank[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_validates_args(spark):
+    import pytest
+
+    from big_data_for_smart_houses_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
