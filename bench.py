@@ -121,6 +121,8 @@ HEADLINE = [
     "bpe_pair_counts_documents",
     "inverted_index_documents",
     "pagerank_user_transitions",
+    "regexp_functions_documents",
+    "math_functions_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

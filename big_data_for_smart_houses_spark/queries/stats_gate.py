@@ -1523,3 +1523,104 @@ FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
 
 QUERIES["setops_events"] = q_setops_events
 ORACLES["setops_events"] = ORACLE_SETOPS_EVENTS
+
+
+def q_regexp_functions_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Regular-expression function family in one projection: first
+    capture-group extract, match counting via extract_all, global
+    replace (Spark replaces every match by default — the DuckDB oracle
+    needs the explicit 'g' flag), rlike, and regexp_count. Patterns
+    stay in the character-class subset where Java and RE2 regex
+    dialects agree exactly. All row-local JVM expressions."""
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    d = _lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), F.lit(0))).alias(
+            "n_numbers"
+        ),
+        F.regexp_replace("source", r"[0-9]+", "#").alias("source_masked"),
+        F.col("text").rlike("scan").alias("mentions_scan"),
+        F.regexp_count("text", F.lit(r"\bjoin\b")).alias("n_join"),
+        F.regexp_extract("source", r"^([a-z]+)", 1).alias("source_kind"),
+    )
+
+
+ORACLE_REGEXP_FUNCTIONS_DOCUMENTS = r"""
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       regexp_replace(source, '[0-9]+', '#', 'g') AS source_masked,
+       regexp_matches(text, 'scan') AS mentions_scan,
+       CAST(len(regexp_extract_all(text, '\bjoin\b')) AS INT) AS n_join,
+       regexp_extract(source, '^([a-z]+)', 1) AS source_kind
+FROM documents
+"""
+
+QUERIES["regexp_functions_documents"] = q_regexp_functions_documents
+ORACLES["regexp_functions_documents"] = ORACLE_REGEXP_FUNCTIONS_DOCUMENTS
+
+
+def q_math_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math and bitwise scalar family: abs/sign/floor/ceil, IEEE
+    correctly-rounded sqrt (bit-exact across engines by spec), pmod,
+    bitwise and/xor/shift, hex, factorial, greatest — plus exp/ln/pow,
+    which are only ulp-accurate in each engine's libm, so those three
+    ship through the float32 gate quantization like every
+    order-sensitive sum."""
+    from ..functions.numeric import quantize_cols
+
+    ev = _events(spark, sf_dir)
+    out = ev.select(
+        "event_id",
+        F.abs(F.col("value") - 10.0).alias("abs_dev"),
+        F.signum(F.col("value") - 10.0).alias("dev_sign"),
+        F.floor("value").cast("long").alias("value_floor"),
+        F.ceil("value").cast("long").alias("value_ceil"),
+        F.sqrt("value").alias("value_sqrt"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("id_mod7"),
+        (F.col("event_id").bitwiseAND(F.lit(255))).alias("id_and255"),
+        (F.col("user_id").bitwiseXOR(F.col("event_id"))).alias("uid_xor_id"),
+        F.shiftleft(F.col("user_id"), 2).alias("uid_shl2"),
+        F.shiftright(F.col("event_id"), 3).alias("id_shr3"),
+        F.hex(F.col("event_id")).alias("id_hex"),
+        F.factorial(F.pmod(F.col("event_id"), F.lit(10)).cast("int")).alias(
+            "mod_factorial"
+        ),
+        F.greatest(F.col("value"), F.lit(10.0)).alias("value_hi"),
+        F.exp(-F.col("value") / 100.0).alias("decay"),
+        F.log(F.col("value") + 1.0).alias("log_value"),
+        F.pow(F.col("value"), 2.0).alias("value_sq"),
+    )
+    return quantize_cols(out, "decay", "log_value", "value_sq")
+
+
+ORACLE_MATH_FUNCTIONS_EVENTS = """
+SELECT event_id,
+       abs(value - 10.0) AS abs_dev,
+       CAST(sign(value - 10.0) AS DOUBLE) AS dev_sign,
+       CAST(floor(value) AS BIGINT) AS value_floor,
+       CAST(ceil(value) AS BIGINT) AS value_ceil,
+       sqrt(value) AS value_sqrt,
+       CAST(mod(event_id, 7) AS BIGINT) AS id_mod7,
+       CAST(event_id & 255 AS BIGINT) AS id_and255,
+       CAST(xor(user_id, event_id) AS BIGINT) AS uid_xor_id,
+       CAST(user_id << 2 AS BIGINT) AS uid_shl2,
+       CAST(event_id >> 3 AS BIGINT) AS id_shr3,
+       hex(event_id) AS id_hex,
+       CAST(factorial(CAST(mod(event_id, 10) AS INT)) AS BIGINT)
+         AS mod_factorial,
+       greatest(value, 10.0) AS value_hi,
+       CAST(CAST(exp(-value / 100.0) AS REAL) AS DOUBLE) AS decay,
+       CAST(CAST(ln(value + 1.0) AS REAL) AS DOUBLE) AS log_value,
+       CAST(CAST(power(value, 2.0) AS REAL) AS DOUBLE) AS value_sq
+FROM events
+"""
+
+QUERIES["math_functions_events"] = q_math_functions_events
+ORACLES["math_functions_events"] = ORACLE_MATH_FUNCTIONS_EVENTS
