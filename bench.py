@@ -123,6 +123,7 @@ HEADLINE = [
     "pagerank_user_transitions",
     "regexp_functions_documents",
     "math_functions_events",
+    "stream_merge_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

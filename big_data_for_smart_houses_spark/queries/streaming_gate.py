@@ -475,6 +475,90 @@ WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def q_stream_merge_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental maintenance: ``foreachBatch`` applies
+    each micro-batch of CDC updates to a keyed parquet table through
+    the batch MERGE operator (operators/merge.py:merge_upsert) — the
+    no-table-format Delta answer executed as an actual stream. Two
+    update batches (price revisions stamped _version 2 and 3 for every
+    3rd and 5th order key) arrive one file per trigger; each batch
+    does a read-merge-write into the next versioned state directory
+    (never overwriting a directory being read). Version-ordered MERGE
+    is commutative across distinct versions, so the final state is
+    independent of file arrival order; the DuckDB oracle states it in
+    closed form. State I/O per batch is |table|, the expected cost of
+    a partition-rewriting MERGE without a table format."""
+    configure_for_oracle_parity(spark)
+    from ..operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_merge_gate_")
+    base = orders.withColumn("_version", F.lit(1))
+    base.write.mode("overwrite").parquet(f"{tmp}/state/v0")
+    for ver, mod, mult in ((2, 3, 1.1), (3, 5, 1.2)):
+        (
+            orders.filter(F.col("o_orderkey") % mod == 0)
+            .select(
+                "o_orderkey",
+                (F.col("o_totalprice") * mult).alias("o_totalprice"),
+                F.lit(ver).alias("_version"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/updates/b{ver}")
+        )
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{tmp}/updates")
+    )
+    cursor = {"v": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(f"{tmp}/state/v{cursor['v']}")
+        merged = merge_upsert(
+            cur, batch_df, keys=["o_orderkey"], order_col="_version"
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{tmp}/state/v{cursor['v'] + 1}"
+        )
+        cursor["v"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"foreachBatch merge availableNow run exceeded {_AWAIT_S}s"
+        )
+    return spark.read.parquet(f"{tmp}/state/v{cursor['v']}").select(
+        "o_orderkey", "o_totalprice", "_version"
+    )
+
+
+ORACLE_STREAM_MERGE_AVAILABLENOW = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.2
+            WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+            ELSE o_totalprice END AS o_totalprice,
+       CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3
+                 WHEN o_orderkey % 3 = 0 THEN 2
+                 ELSE 1 END AS INT) AS _version
+FROM orders
+"""
+
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
     "ewma_stream_availablenow": q_ewma_stream_availablenow,
@@ -482,6 +566,7 @@ QUERIES = {
     "stream_join_availablenow": q_stream_join_availablenow,
     "stream_dedup_availablenow": q_stream_dedup_availablenow,
     "stream_tumbling_availablenow": q_stream_tumbling_availablenow,
+    "stream_merge_availablenow": q_stream_merge_availablenow,
 }
 
 ORACLES = {
@@ -491,4 +576,5 @@ ORACLES = {
     "stream_join_availablenow": ORACLE_STREAM_JOIN_AVAILABLENOW,
     "stream_dedup_availablenow": ORACLE_STREAM_DEDUP_AVAILABLENOW,
     "stream_tumbling_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
+    "stream_merge_availablenow": ORACLE_STREAM_MERGE_AVAILABLENOW,
 }
