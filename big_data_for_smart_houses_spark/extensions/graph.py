@@ -80,32 +80,44 @@ def pagerank(
     sources = e.select("src").distinct()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):
-        # mass of dangling nodes this round: 1-row scalar, broadcast
-        dangling = (
-            ranks.join(sources, ranks["id"] == sources["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-        )
-        contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
-        )
-        ranks = (
-            nodes.join(
-                contribs.withColumnRenamed("dst", "id"), "id", "left"
-            )
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        ranks = _superstep(
+            e, nodes, sources, ranks, n, damping
+        ).localCheckpoint()
     return ranks
+
+
+def _superstep(
+    e: DataFrame,
+    nodes: DataFrame,
+    sources: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+) -> DataFrame:
+    """One PageRank iteration, un-checkpointed (separated so plan
+    tests can assert its physical shape: one edge join, one dst-keyed
+    sum, and the dangling mass folded in as a 1-row broadcast scalar,
+    never a key join)."""
+    dangling = ranks.join(
+        sources, ranks["id"] == sources["src"], "left_anti"
+    ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+    contribs = (
+        e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+    )
+    return (
+        nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dm") / F.lit(float(n))
+                )
+            ).alias("rank"),
+        )
+    )

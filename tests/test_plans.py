@@ -404,3 +404,43 @@ def test_round5_gate_plan_shapes(spark):
     # the 8 KB Bloom word-table must broadcast into the probe side
     plan = _plan(spark, "bloom_probe_customers")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_ops_shuffle_budgets(spark):
+    """BPE pair counting: pair extraction is row-local (shifted zip,
+    no self-join), so the plan is one count Exchange feeding
+    TakeOrderedAndProject — never a global sort. Inverted index: two
+    hash Exchanges, (token, doc) pre-count then token, and the per-doc
+    pre-count must aggregate partially map-side."""
+    bp = _plan(spark, "bpe_pair_counts_documents")
+    assert bp.count("Exchange hashpartitioning") == 1, bp
+    assert "TakeOrderedAndProject" in bp, bp
+    assert "Join" not in bp, bp
+    ip = _plan(spark, "inverted_index_documents")
+    assert ip.count("Exchange hashpartitioning") == 2, ip
+    assert "partial_count" in ip, ip
+
+
+def test_pagerank_superstep_plan_shape(spark):
+    """Each PageRank superstep folds the dangling mass in via a 1-row
+    broadcast cross join (the J2 scalar shape) and carries exactly the
+    documented exchanges: the src-keyed contribution join+sum and the
+    final id-keyed left join — no cartesian product. Asserted on the
+    un-checkpointed superstep (the gate query's final plan is a
+    checkpoint scan by design)."""
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.extensions.graph import _superstep
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 2, 1.0)],
+        "src long, dst long, frac double",
+    )
+    nodes = spark.range(3).withColumnRenamed("id", "id")
+    sources = e.select("src").distinct()
+    ranks = nodes.select("id", F.lit(1.0 / 3).alias("rank"))
+    step = _superstep(e, nodes, sources, ranks, 3, 0.85)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
