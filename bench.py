@@ -124,6 +124,7 @@ HEADLINE = [
     "regexp_functions_documents",
     "math_functions_events",
     "stream_merge_availablenow",
+    "snapshot_diff_orders",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

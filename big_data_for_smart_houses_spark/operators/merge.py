@@ -140,3 +140,63 @@ def scd2_intervals(
         .withColumn("valid_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data capture between two table snapshots: each key is
+    classified ``insert`` (only in B), ``delete`` (only in A), or
+    ``update`` (in both with any compared column differing,
+    NULL-safely — NULL->value and value->NULL are updates, NULL->NULL
+    is not). The read-side complement of ``merge_upsert``: diff two
+    snapshots to recover the CDC batch that transforms one into the
+    other, audit a pipeline re-run, or feed a downstream incremental
+    consumer that only wants deltas.
+
+    Output: keys + change_type + ``<col>_old`` / ``<col>_new`` for
+    every compared column.
+
+    Scale shape: ONE key-partitioned full outer join — both sides
+    shuffle on the diff keys (or co-locate for free if the snapshots
+    are bucketed by them, sources/parquet.py bucketing). The
+    classification is row-local expression work on the joined row.
+    ``include_unchanged=False`` drops identical keys EARLY, so the
+    result is |delta|-sized, not |table|-sized.
+    """
+    ka = a.select(
+        *[F.col(k).alias(f"_ka_{k}") for k in keys],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+    )
+    kb = b.select(
+        *[F.col(k).alias(f"_kb_{k}") for k in keys],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+    )
+    cond = [ka[f"_ka_{k}"] == kb[f"_kb_{k}"] for k in keys]
+    j = ka.join(kb, cond, "full_outer")
+    in_a = F.col(f"_ka_{keys[0]}").isNotNull()
+    in_b = F.col(f"_kb_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+        changed = ne if changed is None else (changed | ne)
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"_ka_{k}"), F.col(f"_kb_{k}")).alias(k)
+            for k in keys
+        ],
+        F.when(~in_a, F.lit("insert"))
+        .when(~in_b, F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        *[F.col(f"{c}_old") for c in compare_cols],
+        *[F.col(f"{c}_new") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

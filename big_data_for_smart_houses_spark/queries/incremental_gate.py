@@ -316,3 +316,75 @@ FROM facts f JOIN live l
 
 QUERIES["scd2_asof_lookup"] = q_scd2_asof_lookup
 ORACLES["scd2_asof_lookup"] = ORACLE_SCD2_ASOF_LOOKUP
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshots (operators/merge.py:snapshot_diff): B is
+    A with every 7th key deleted, every 3rd surviving key's price
+    revised, every 3rd's status NULLed alternately (exercising the
+    null-safe comparison in both directions), and a block of new keys
+    inserted. One full-outer key join; the oracle classifies the same
+    deltas in closed form. Unchanged keys never leave the plan."""
+    configure_for_oracle_parity(spark)
+    from ..operators.merge import snapshot_diff
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    surviving = a.filter(F.col("o_orderkey") % 7 != 0)
+    b = surviving.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.05
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    ).unionByName(
+        a.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(
+        a, b, keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
+ORACLE_SNAPSHOT_DIFF_ORDERS = """
+WITH a AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.05
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 6 = 0 THEN NULL
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM a WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM a WHERE o_orderkey % 11 = 0
+),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+              WHEN b.o_orderkey IS NULL THEN 'delete'
+              WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+              THEN 'update' ELSE 'unchanged' END AS change_type,
+         a.o_totalprice AS o_totalprice_old,
+         a.o_orderstatus AS o_orderstatus_old,
+         b.o_totalprice AS o_totalprice_new,
+         b.o_orderstatus AS o_orderstatus_new
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT * FROM j WHERE change_type <> 'unchanged'
+"""
+
+QUERIES["snapshot_diff_orders"] = q_snapshot_diff_orders
+ORACLES["snapshot_diff_orders"] = ORACLE_SNAPSHOT_DIFF_ORDERS

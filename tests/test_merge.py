@@ -136,3 +136,37 @@ def test_upsert_tiebreak_cols_totalize_batch_order(spark):
     ).collect()
     assert len(out) == 1
     assert (out[0]["v"], out[0]["seq"]) == ("u-second", 2)
+
+
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    from big_data_for_smart_houses_spark.operators.merge import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C"), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),      # unchanged
+            (2, 20.0, "B"),      # NULL -> value: update
+            (3, 30.0, None),     # value -> NULL: update
+            (5, 50.0, "E"),      # insert
+        ],                        # 4 missing: delete
+        "k long, price double, status string",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(
+            a, b, keys=["k"], compare_cols=["price", "status"]
+        ).collect()
+    }
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+    full = snapshot_diff(
+        a, b, keys=["k"], compare_cols=["price", "status"],
+        include_unchanged=True,
+    )
+    assert {r.k: r.change_type for r in full.collect()}[1] == "unchanged"
+    # delete rows carry the old image, inserts the new one
+    rows = {r.k: r for r in full.collect()}
+    assert rows[4].price_old == 40.0 and rows[4].price_new is None
+    assert rows[5].price_new == 50.0 and rows[5].price_old is None
