@@ -125,6 +125,8 @@ HEADLINE = [
     "math_functions_events",
     "stream_merge_availablenow",
     "snapshot_diff_orders",
+    "rolling_median_events",
+    "stream_enrich_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

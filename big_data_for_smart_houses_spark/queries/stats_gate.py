@@ -1624,3 +1624,43 @@ FROM events
 
 QUERIES["math_functions_events"] = q_math_functions_events
 ORACLES["math_functions_events"] = ORACLE_MATH_FUNCTIONS_EVENTS
+
+
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median — an ordered-set aggregate AS a window
+    function (the family W1/W2's mean/sum rollers don't touch): the
+    60-row trailing median of each user's readings. Spark's exact
+    ``percentile(…, 0.5)`` and DuckDB's ``median`` both average the
+    two middle elements on even counts, but via different IEEE
+    expressions (lerp vs midpoint), so the column ships through the
+    float32 gate quantization. One user-keyed exchange; the frame is
+    row-bounded so state per open window is 60 values."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-59, W.currentRow)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"),
+    )
+    return quantize_cols(out, "rolling_median")
+
+
+ORACLE_ROLLING_MEDIAN_EVENTS = """
+SELECT event_id, user_id, ts, value,
+       CAST(CAST(median(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 59 PRECEDING AND CURRENT ROW
+       ) AS REAL) AS DOUBLE) AS rolling_median
+FROM events
+"""
+
+QUERIES["rolling_median_events"] = q_rolling_median_events
+ORACLES["rolling_median_events"] = ORACLE_ROLLING_MEDIAN_EVENTS

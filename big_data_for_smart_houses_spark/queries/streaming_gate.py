@@ -559,6 +559,60 @@ FROM orders
 """
 
 
+def q_stream_enrich_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the fourth canonical
+    Structured Streaming shape after windowed agg, stream-stream join,
+    and stateful ops: a streaming fact (events) joined to a STATIC
+    dimension (customer) inside a real availableNow run. Stream-static
+    joins are stateless — the dimension is just re-planned per
+    micro-batch, and a broadcast hint keeps it a map-side hash join on
+    every batch, so enrichment costs zero shuffles of the stream at
+    any scale (J1's contract, held under streaming execution)."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "value", "segment", "acctbal"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"stream-static enrichment availableNow run exceeded {_AWAIT_S}s"
+        )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", "value", "segment", "acctbal"
+    )
+
+
+ORACLE_STREAM_ENRICH_AVAILABLENOW = """
+SELECT e.event_id, e.user_id, e.value,
+       c.c_mktsegment AS segment,
+       c.c_acctbal AS acctbal
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
     "ewma_stream_availablenow": q_ewma_stream_availablenow,
@@ -567,6 +621,7 @@ QUERIES = {
     "stream_dedup_availablenow": q_stream_dedup_availablenow,
     "stream_tumbling_availablenow": q_stream_tumbling_availablenow,
     "stream_merge_availablenow": q_stream_merge_availablenow,
+    "stream_enrich_availablenow": q_stream_enrich_availablenow,
 }
 
 ORACLES = {
@@ -577,4 +632,5 @@ ORACLES = {
     "stream_dedup_availablenow": ORACLE_STREAM_DEDUP_AVAILABLENOW,
     "stream_tumbling_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
     "stream_merge_availablenow": ORACLE_STREAM_MERGE_AVAILABLENOW,
+    "stream_enrich_availablenow": ORACLE_STREAM_ENRICH_AVAILABLENOW,
 }
