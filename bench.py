@@ -127,6 +127,8 @@ HEADLINE = [
     "snapshot_diff_orders",
     "rolling_median_events",
     "stream_enrich_availablenow",
+    "source_kl_documents",
+    "label_centroids_embeddings",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -143,3 +143,50 @@ def profile_drift(
         bounds_moved.alias("bounds_moved"),
         ((F.abs(delta) > 0.01) | bounds_moved).alias("drifted"),
     )
+
+
+def token_kl_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift diagnostic for corpus mixing: per group (a
+    source, a shard, a time slice), the KL divergence of its token
+    distribution from the whole corpus's — KL(p_group ‖ p_corpus) =
+    Σ_t p·ln(p/q). Near-zero means the slice looks like the mix;
+    spikes flag a source whose token statistics drifted (scraper
+    broke, new domain, template flood) BEFORE it pollutes a training
+    run. The corpus is the superset of every group, so q > 0 wherever
+    p > 0 and the sum is always finite.
+
+    One explode feeds two count aggregations — (group, token) and
+    (token) — joined back token-keyed (the vocabulary is multi-GB at
+    100 TB, so a shuffle join, NOT a broadcast; same reasoning as
+    TF-IDF's DF join), then one group-keyed sum. Group totals ride
+    the (group, token) counts via a group-keyed window, reusing the
+    final aggregation's exchange.
+    """
+    from .vocab import _ws_tokens
+
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(_ws_tokens(text_col)).alias("token")
+    )
+    gt = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n_gt"))
+    from pyspark.sql.window import Window
+
+    gt = gt.withColumn(
+        "n_g", F.sum("n_gt").over(Window.partitionBy("grp"))
+    )
+    t = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    # corpus total: 1-row aggregate over the token counts, folded in
+    # via broadcast cross join (J2 scalar shape) — no extra pass over
+    # the exploded tokens and no driver-side action in the plan build
+    total = t.agg(F.sum("n_t").cast("double").alias("n_total"))
+    joined = gt.join(t, "token").crossJoin(F.broadcast(total))
+    p = F.col("n_gt") / F.col("n_g")
+    q = F.col("n_t") / F.col("n_total")
+    return (
+        joined.groupBy("grp")
+        .agg(F.sum(p * F.log(p / q)).alias("kl"))
+        .select(F.col("grp").alias(group_col), "kl")
+    )

@@ -541,3 +541,32 @@ def semantic_dedup(
     return groups.withColumn(
         "is_keeper", F.col(id_col) == F.col("group_id")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids, fully distributed: one
+    ``posexplode`` turns vectors into (group, dim, value) rows, one
+    (group, dim)-keyed mean reduces them — the vector-aggregation
+    primitive behind k-means/IVF centroid updates, class prototypes,
+    and per-source embedding drift. Unlike ``train_ivf_centroids``
+    (bounded-sample FAISS-style training, capped collect), this path
+    never touches the driver and scales to any corpus: the shuffle
+    carries |groups| × dim partial sums after map-side combine.
+
+    Output is flat (group, dim, centroid) — the join-ready layout for
+    assignment scoring; ``collect_list`` it back into vectors only at
+    a bounded consumer.
+    """
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.posexplode(as_double(F.col(vec_col))).alias("dim", "v"),
+        )
+        .groupBy("grp", "dim")
+        .agg(F.avg("v").alias("centroid"))
+        .select(F.col("grp").alias(group_col), "dim", "centroid")
+    )

@@ -1155,3 +1155,36 @@ ORACLE_PAGERANK_USER_TRANSITIONS = _pagerank_oracle_sql(
 
 QUERIES["pagerank_user_transitions"] = q_pagerank_user_transitions
 ORACLES["pagerank_user_transitions"] = ORACLE_PAGERANK_USER_TRANSITIONS
+
+
+EMB_DIM = 64
+
+
+def q_label_centroids_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed per-class embedding centroids
+    (extensions/similarity.py:group_centroids): posexplode to
+    (label, dim, value), one keyed mean — the k-means/IVF centroid
+    update that never touches the driver, vs train_ivf_centroids'
+    bounded-sample training path. Flat (label, dim, centroid) rows;
+    the order-sensitive mean ships through float32 quantization."""
+    configure_for_oracle_parity(spark)
+    from ..extensions.similarity import group_centroids
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
+    return quantize_cols(group_centroids(emb), "centroid")
+
+
+ORACLE_LABEL_CENTROIDS_EMBEDDINGS = f"""
+SELECT label,
+       CAST(i - 1 AS INT) AS dim,
+       CAST(CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS DOUBLE)
+         AS centroid
+FROM embeddings,
+     (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) dims
+GROUP BY label, i
+"""
+
+QUERIES["label_centroids_embeddings"] = q_label_centroids_embeddings
+ORACLES["label_centroids_embeddings"] = ORACLE_LABEL_CENTROIDS_EMBEDDINGS

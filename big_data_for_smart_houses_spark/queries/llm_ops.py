@@ -715,3 +715,49 @@ ORACLES = {
     "bpe_pair_counts_documents": ORACLE_BPE_PAIR_COUNTS_DOCUMENTS,
     "inverted_index_documents": ORACLE_INVERTED_INDEX_DOCUMENTS,
 }
+
+
+def q_source_kl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix drift diagnostic
+    (extensions/profiling.py:token_kl_by_group): KL divergence of each
+    source's token distribution from the whole corpus's. The vocab
+    join is token-keyed (never broadcast — multi-GB at 100 TB, the
+    TF-IDF DF-join reasoning); the corpus total folds in as a 1-row
+    broadcast scalar. ln() is libm-ulp accurate, so the summed KL
+    ships through float32 quantization."""
+    from ..extensions.profiling import token_kl_by_group
+    from ..functions.numeric import quantize_cols
+
+    return quantize_cols(
+        token_kl_by_group(_docs(spark, sf_dir), group_col="source"), "kl"
+    )
+
+
+ORACLE_SOURCE_KL_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+gt AS (
+  SELECT grp, token, CAST(count(*) AS BIGINT) AS n_gt
+  FROM toks GROUP BY 1, 2
+),
+g AS (SELECT grp, CAST(sum(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+t AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_t FROM toks GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n_total FROM t)
+SELECT gt.grp AS source,
+       CAST(CAST(sum((n_gt / n_g) * ln((n_gt / n_g) / (n_t / n_total)))
+                 AS REAL) AS DOUBLE) AS kl
+FROM gt
+JOIN g USING (grp)
+JOIN t USING (token)
+CROSS JOIN tot
+GROUP BY gt.grp
+"""
+
+QUERIES["source_kl_documents"] = q_source_kl_documents
+ORACLES["source_kl_documents"] = ORACLE_SOURCE_KL_DOCUMENTS

@@ -375,3 +375,46 @@ def test_inverted_index_df_tf_and_bounded_postings(spark):
     # posting head is the 2 SMALLEST doc ids, ascending, comma-joined
     assert rows["common"].postings_head == "0,1"
     assert rows["word"].df == 3 and rows["word"].postings_head == "1,3"
+
+
+def test_token_kl_zero_for_identical_groups(spark):
+    """Two groups with identical token statistics → KL exactly 0 for
+    both (p == q term-wise, ln(1) == 0); a skewed third group > 0."""
+    from big_data_for_smart_houses_spark.extensions.profiling import (
+        token_kl_by_group,
+    )
+
+    same = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.kl for r in token_kl_by_group(same).collect()}
+    assert abs(got["s1"]) < 1e-12 and abs(got["s2"]) < 1e-12
+    skewed = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a a a a a a", "s3")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.kl for r in token_kl_by_group(skewed).collect()}
+    # both slices diverge from the pooled corpus, the skewed one more
+    assert got["s3"] > 0.1 and got["s1"] > 0.1
+
+
+def test_group_centroids_match_numpy(spark):
+    import numpy as np
+
+    from big_data_for_smart_houses_spark.extensions.similarity import (
+        group_centroids,
+    )
+
+    vecs = [(i, i % 2, [float(i), float(2 * i), -1.0]) for i in range(6)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, label int, embedding array<double>"
+    )
+    got = {
+        (r.label, r.dim): r.centroid for r in group_centroids(df).collect()
+    }
+    arr = np.array([v[2] for v in vecs])
+    for lbl in (0, 1):
+        ref = arr[[v[1] == lbl for v in vecs]].mean(axis=0)
+        for d in range(3):
+            assert abs(got[(lbl, d)] - ref[d]) < 1e-12
