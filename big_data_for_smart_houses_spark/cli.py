@@ -71,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus ops over a (doc_id, text) parquet: dedup "
         "(exact/minhash/simhash/sentence/cdc-crossdoc), split, shuffle, "
         "scrub-pii, quality, decontam, profile, drift, chunk-cdc, "
-        "lm-score, sample-wor, pack-offsets, zorder",
+        "lm-score, sample-wor, pack-offsets, zorder, vocab-bpe, "
+        "invindex, kl, pagerank, snapshot-diff",
     )
     p.add_argument("--input", required=True, help="input parquet path")
     p.add_argument("--out", required=True, help="output parquet path")
@@ -97,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
             "zorder",
             "drift",
             "bloom-probe",
+            "vocab-bpe",
+            "invindex",
+            "kl",
+            "pagerank",
+            "snapshot-diff",
         ],
     )
     p.add_argument("--test-input", help="test-set parquet (decontam)")
@@ -309,6 +315,58 @@ def main(argv: list[str] | None = None) -> int:
                 .filter(F_col("might_contain"))
                 .drop("_bf_key", "might_contain")
             )
+        elif args.op == "vocab-bpe":
+            from .extensions.vocab import bpe_pair_counts
+
+            out = bpe_pair_counts(docs, top_k=args.k)
+        elif args.op == "invindex":
+            from .extensions.vocab import inverted_index
+
+            out = inverted_index(docs, max_postings=args.k)
+        elif args.op == "kl":
+            # group column = first --cols entry (default doc_id makes
+            # no sense for KL; pass e.g. --cols source)
+            from .extensions.profiling import token_kl_by_group
+
+            grp = args.cols.split(",")[0].strip()
+            if not grp:
+                parser.error("--op kl needs a group column in --cols")
+            out = token_kl_by_group(docs, group_col=grp)
+        elif args.op == "pagerank":
+            # --cols src,dst[,weight] over an EDGE-LIST parquet
+            from .extensions.graph import pagerank
+
+            pr_cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            if len(pr_cols) not in (2, 3):
+                parser.error(
+                    "--op pagerank needs --cols src,dst[,weight] "
+                    f"(got {args.cols!r})"
+                )
+            out = pagerank(
+                docs,
+                src=pr_cols[0],
+                dst=pr_cols[1],
+                weight=pr_cols[2] if len(pr_cols) == 3 else None,
+            )
+        elif args.op == "snapshot-diff":
+            # keys = --cols; every other shared column is compared
+            if not args.b_input:
+                parser.error("--op snapshot-diff requires --b-input")
+            from .operators.merge import snapshot_diff
+
+            keys = [c.strip() for c in args.cols.split(",") if c.strip()]
+            b_snap = spark.read.parquet(args.b_input)
+            shared = [
+                c
+                for c in docs.columns
+                if c in set(b_snap.columns) and c not in keys
+            ]
+            if not keys or not shared:
+                parser.error(
+                    "--op snapshot-diff needs key columns in --cols and "
+                    "at least one shared non-key column to compare"
+                )
+            out = snapshot_diff(docs, b_snap, keys=keys, compare_cols=shared)
         elif args.op == "drift":
             if not args.b_input:
                 parser.error("--op drift requires --b-input")

@@ -171,3 +171,48 @@ def test_cli_bloom_probe(spark, corpus):
     assert set(ids) >= {0, 2}          # members always survive
     assert set(ids) <= {0, 2, 7, 99}   # schema preserved, no dupes
     assert out.columns == ["doc_id", "text"]
+
+
+def test_cli_vocab_kl_pagerank_snapshot_diff(spark, corpus):
+    main(["dataprep", "--input", f"{corpus}/docs", "--out",
+          f"{corpus}/bpe", "--op", "vocab-bpe", "--k", "5"])
+    bpe = spark.read.parquet(f"{corpus}/bpe")
+    assert set(bpe.columns) == {"a", "b", "n_pairs"} and bpe.count() == 5
+
+    main(["dataprep", "--input", f"{corpus}/docs", "--out",
+          f"{corpus}/inv", "--op", "invindex"])
+    inv = {r.token: r for r in spark.read.parquet(f"{corpus}/inv").collect()}
+    assert inv["the"].df == 3 and inv["the"].postings_head == "0,1,3"
+
+    # kl over a source-labelled copy
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{corpus}/docs").withColumn(
+        "source",
+        F.expr("CASE WHEN doc_id < 2 THEN 's1' ELSE 's2' END"),
+    )
+    docs.write.mode("overwrite").parquet(f"{corpus}/docs_src")
+    main(["dataprep", "--input", f"{corpus}/docs_src", "--out",
+          f"{corpus}/kl", "--op", "kl", "--cols", "source"])
+    kl = {r.source: r.kl for r in spark.read.parquet(f"{corpus}/kl").collect()}
+    assert set(kl) == {"s1", "s2"} and all(v >= 0 for v in kl.values())
+
+    # pagerank over an edge list
+    spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 0)], "src long, dst long"
+    ).write.mode("overwrite").parquet(f"{corpus}/edges")
+    main(["dataprep", "--input", f"{corpus}/edges", "--out",
+          f"{corpus}/pr", "--op", "pagerank", "--cols", "src,dst"])
+    pr = spark.read.parquet(f"{corpus}/pr")
+    assert abs(sum(r.rank for r in pr.collect()) - 1.0) < 1e-9
+
+    # snapshot-diff of the corpus against a mutated copy
+    spark.read.parquet(f"{corpus}/docs").filter("doc_id <> 1").write.mode(
+        "overwrite"
+    ).parquet(f"{corpus}/docs_b")
+    main(["dataprep", "--input", f"{corpus}/docs", "--out",
+          f"{corpus}/diff", "--op", "snapshot-diff", "--b-input",
+          f"{corpus}/docs_b", "--cols", "doc_id"])
+    diff = {r.doc_id: r.change_type
+            for r in spark.read.parquet(f"{corpus}/diff").collect()}
+    assert diff == {1: "delete"}
