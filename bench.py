@@ -129,6 +129,7 @@ HEADLINE = [
     "stream_enrich_availablenow",
     "source_kl_documents",
     "label_centroids_embeddings",
+    "stats_moments_lineitem",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1664,3 +1664,70 @@ FROM events
 
 QUERIES["rolling_median_events"] = q_rolling_median_events
 ORACLES["rolling_median_events"] = ORACLE_ROLLING_MEDIAN_EVENTS
+
+
+def q_stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate family: Pearson correlation, sample and
+    population covariance, skewness, kurtosis per return flag.
+    CONVENTION TRAP documented by the oracle: Spark's skewness/
+    kurtosis are the POPULATION moments (g1, excess g2); DuckDB's
+    built-ins apply the sample correction, so the oracle computes the
+    central moments itself (two-pass CTE — group means joined back —
+    avoiding raw-moment cancellation). All order-sensitive doubles
+    ship through float32 quantization; one keyed exchange."""
+    from ..sources.parquet import load_table as _lt
+
+    configure_for_oracle_parity(spark)
+    li = _lt(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covs_qty_price"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("covp_qty_price"),
+        F.skewness("l_quantity").alias("skew_qty"),
+        F.kurtosis("l_quantity").alias("kurt_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return quantize_cols(
+        out,
+        "corr_qty_price",
+        "covs_qty_price",
+        "covp_qty_price",
+        "skew_qty",
+        "kurt_qty",
+    )
+
+
+ORACLE_STATS_MOMENTS_LINEITEM = """
+WITH m AS (
+  SELECT l_returnflag, avg(l_quantity) AS mu,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT l.l_returnflag,
+         avg(pow(l.l_quantity - m.mu, 2)) AS m2,
+         avg(pow(l.l_quantity - m.mu, 3)) AS m3,
+         avg(pow(l.l_quantity - m.mu, 4)) AS m4
+  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+  GROUP BY 1
+),
+agg AS (
+  SELECT l_returnflag,
+         corr(l_quantity, l_extendedprice) AS corr_qty_price,
+         covar_samp(l_quantity, l_extendedprice) AS covs_qty_price,
+         covar_pop(l_quantity, l_extendedprice) AS covp_qty_price
+  FROM lineitem GROUP BY 1
+)
+SELECT a.l_returnflag,
+       CAST(CAST(a.corr_qty_price AS REAL) AS DOUBLE) AS corr_qty_price,
+       CAST(CAST(a.covs_qty_price AS REAL) AS DOUBLE) AS covs_qty_price,
+       CAST(CAST(a.covp_qty_price AS REAL) AS DOUBLE) AS covp_qty_price,
+       CAST(CAST(c.m3 / pow(c.m2, 1.5) AS REAL) AS DOUBLE) AS skew_qty,
+       CAST(CAST(c.m4 / pow(c.m2, 2) - 3.0 AS REAL) AS DOUBLE) AS kurt_qty,
+       m.n
+FROM agg a JOIN c ON a.l_returnflag = c.l_returnflag
+JOIN m ON a.l_returnflag = m.l_returnflag
+"""
+
+QUERIES["stats_moments_lineitem"] = q_stats_moments_lineitem
+ORACLES["stats_moments_lineitem"] = ORACLE_STATS_MOMENTS_LINEITEM
