@@ -130,6 +130,7 @@ HEADLINE = [
     "source_kl_documents",
     "label_centroids_embeddings",
     "stats_moments_lineitem",
+    "navigation_functions_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1731,3 +1731,47 @@ JOIN m ON a.l_returnflag = m.l_returnflag
 
 QUERIES["stats_moments_lineitem"] = q_stats_moments_lineitem
 ORACLES["stats_moments_lineitem"] = ORACLE_STATS_MOMENTS_LINEITEM
+
+
+def q_navigation_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window navigation family — the §2.5 members the ranking and
+    rolling gates don't touch: lag with an explicit default, multi-row
+    lead, first_value, last_value over a bounded FORWARD frame, and
+    nth_value under the default running frame (NULL until the nth row
+    enters — identical frame semantics in both engines, probed). Fully
+    tie-broken ordering; one user-keyed exchange."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fwd = w.rowsBetween(W.currentRow, 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("value", 2).over(w).alias("next2_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.last("value").over(fwd).alias("last_in_next3"),
+        F.nth_value("value", 3).over(w).alias("third_value"),
+    )
+
+
+ORACLE_NAVIGATION_FUNCTIONS_EVENTS = """
+SELECT event_id, user_id, value,
+       lag(value, 1, -1.0) OVER w AS prev_value,
+       lead(value, 2) OVER w AS next2_value,
+       first_value(value) OVER w AS first_value,
+       last_value(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+       ) AS last_in_next3,
+       nth_value(value, 3) OVER w AS third_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["navigation_functions_events"] = q_navigation_functions_events
+ORACLES["navigation_functions_events"] = ORACLE_NAVIGATION_FUNCTIONS_EVENTS
