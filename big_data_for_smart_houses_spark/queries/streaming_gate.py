@@ -282,21 +282,21 @@ def q_stream_join_availablenow(
         "event_id", "ts", "user_id", "event_type"
     )
     tmp = tempfile.mkdtemp(prefix="stream_join_gate_")
-    staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
 
     def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        return (
-            spark.readStream.schema(ev.schema)
-            .parquet(staged)
-            .filter(F.col("event_type") == kind)
-            .select(
-                "user_id",
-                F.col("event_id").alias(id_alias),
-                F.col("ts").alias(ts_alias),
-            )
+        # each side staged pre-filtered and pre-projected: the stream
+        # scans only its own rows/columns (filter pushdown BEFORE the
+        # state store, the shape that matters when each side is a
+        # distinct Kafka topic at scale)
+        side = ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
         )
+        path = f"{tmp}/staged_{kind}"
+        side.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.readStream.schema(side.schema).parquet(path)
 
     joined = stream_interval_join(
         _side("purchase", "purchase_id", "purchase_ts"),
