@@ -131,6 +131,7 @@ HEADLINE = [
     "label_centroids_embeddings",
     "stats_moments_lineitem",
     "navigation_functions_events",
+    "hll_reach_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

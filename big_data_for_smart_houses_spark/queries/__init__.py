@@ -14,6 +14,13 @@ sentinels chosen from the code paths this round touched. Everything past index
 50 — green in rounds 3-4 on current data — is re-verified every
 session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
 which covers ALL entries, not just 50.
+
+Round 6 rotation note: the round-5 second wave (streaming join/dedup/
+tumbling/enrich/merge gates, vocab + inverted index, PageRank,
+snapshot diff, KL, centroids, moments, regexp/math/navigation
+families, rolling median) sits past index 50 this round — the window
+is spent on the stale-row re-certification above. Lead round 6's
+front with those never-certified entries.
 """
 
 from __future__ import annotations

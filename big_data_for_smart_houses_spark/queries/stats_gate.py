@@ -1775,3 +1775,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 QUERIES["navigation_functions_events"] = q_navigation_functions_events
 ORACLES["navigation_functions_events"] = ORACLE_NAVIGATION_FUNCTIONS_EVENTS
+
+
+# DataSketches HLL, default lgK = 12: relative standard error
+# 1.04 / sqrt(2^12) ≈ 1.63 %; gate at 3 sigma.
+HLL_BOUND = 3 * 1.04 / (2 ** 12) ** 0.5
+
+
+def q_hll_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in DataSketches HLL family
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) under the
+    sketch-invariant gate pattern (CMS and Bloom are bit-exact gates;
+    HLL's estimate is not SQL-replayable, so the gate hashes the
+    INVARIANTS): per event type, the exact user reach plus booleans
+    asserting both the directly-built sketch and the daily-sketch
+    union land within 3x the lgK=12 RSE of exact. Direct and merged
+    estimates legitimately DIFFER beyond exact mode — a fresh sketch
+    answers with the HIP estimator, a union only with the composite
+    estimator — which is why the gate bounds each, not their equality.
+    Shape at 100 TB: daily (type, day) sketches are KB-scale mergeable
+    state (the CMS partial-agg story), union per type is a rollup over
+    sketch blobs, never a re-scan."""
+    ev = _events(spark, sf_dir)
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_d"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m"))
+    )
+    rel = lambda est: F.abs(est / F.col("n_exact") - 1.0)  # noqa: E731
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (rel(F.col("est_d")) <= HLL_BOUND).alias("direct_in_bound"),
+        (rel(F.col("est_m")) <= HLL_BOUND).alias("merged_in_bound"),
+    )
+
+
+ORACLE_HLL_REACH_EVENTS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       true AS direct_in_bound,
+       true AS merged_in_bound
+FROM events GROUP BY event_type
+"""
+
+QUERIES["hll_reach_events"] = q_hll_reach_events
+ORACLES["hll_reach_events"] = ORACLE_HLL_REACH_EVENTS

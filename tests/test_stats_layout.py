@@ -243,3 +243,36 @@ def test_profile_drift_flags_planted_degradation(spark):
     # identical snapshots: nothing drifts
     clean = {r["column"]: r for r in profile_drift(a, a, ["s", "v"]).collect()}
     assert not clean["s"]["drifted"] and not clean["v"]["drifted"]
+
+
+def test_hll_exact_mode_and_union_bound(spark):
+    """Below the sparse-mode threshold the DataSketches HLL estimate
+    is EXACT; beyond it the union must stay within the 3-sigma RSE
+    bound even though the composite estimator (post-union) differs
+    from the HIP estimator (fresh sketch)."""
+    from pyspark.sql import functions as F
+
+    small = spark.range(100).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("u")
+    )
+    est = small.groupBy("g").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est"),
+        F.countDistinct("u").alias("exact"),
+    )
+    for r in est.collect():
+        assert r.est == r.exact  # exact (list) mode: no error at all
+
+    big = spark.range(200_000).select(
+        F.lit(0).alias("g"),
+        (F.col("id") % 50_000).alias("u"),
+        (F.col("id") % 7).alias("shard"),
+    )
+    merged = (
+        big.groupBy("g", "shard")
+        .agg(F.hll_sketch_agg("u").alias("sk"))
+        .groupBy("g")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert abs(merged / 50_000 - 1.0) <= 3 * 1.04 / (2**12) ** 0.5
