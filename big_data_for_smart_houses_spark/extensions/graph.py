@@ -77,6 +77,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty edge list")
     sources = e.select("src").distinct()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     for _ in range(iterations):

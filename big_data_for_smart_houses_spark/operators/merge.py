@@ -168,6 +168,10 @@ def snapshot_diff(
     ``include_unchanged=False`` drops identical keys EARLY, so the
     result is |delta|-sized, not |table|-sized.
     """
+    if not keys or not compare_cols:
+        raise ValueError(
+            "snapshot_diff needs at least one key and one compare column"
+        )
     ka = a.select(
         *[F.col(k).alias(f"_ka_{k}") for k in keys],
         *[F.col(c).alias(f"{c}_old") for c in compare_cols],

@@ -317,3 +317,13 @@ def test_pagerank_validates_args(spark):
         pagerank(edges, iterations=0)
     with pytest.raises(ValueError):
         pagerank(edges, damping=1.0)
+
+
+def test_pagerank_rejects_empty_edges(spark):
+    import pytest
+
+    from big_data_for_smart_houses_spark.extensions.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(empty)

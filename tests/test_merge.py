@@ -170,3 +170,15 @@ def test_snapshot_diff_classifies_and_is_null_safe(spark):
     rows = {r.k: r for r in full.collect()}
     assert rows[4].price_old == 40.0 and rows[4].price_new is None
     assert rows[5].price_new == 50.0 and rows[5].price_old is None
+
+
+def test_snapshot_diff_rejects_empty_specs(spark):
+    import pytest
+
+    from big_data_for_smart_houses_spark.operators.merge import snapshot_diff
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, keys=[], compare_cols=["v"])
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, keys=["k"], compare_cols=[])
