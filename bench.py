@@ -132,6 +132,8 @@ HEADLINE = [
     "stats_moments_lineitem",
     "navigation_functions_events",
     "hll_reach_events",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

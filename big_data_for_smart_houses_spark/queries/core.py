@@ -1164,3 +1164,141 @@ ORACLES = {
     "rolling_time_window_events": ORACLE_ROLLING_TIME_WINDOW_EVENTS,
     "user_event_type_sets": ORACLE_USER_EVENT_TYPE_SETS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Classic multi-join analytics: TPC-H Q3 / Q5 shapes on the driver
+# schema (o_orderpriority stands in for Q3's o_shippriority; the
+# driver tables carry no comment/phone columns — scan stays pruned)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-30"
+Q3_TOPK = 10
+
+
+def q_tpch_q3_shipping_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q3 shape: revenue of unshipped orders for one market
+    segment — selective dimension filter (customer) broadcast into
+    the orders ⋈ lineitem fact join, one (orderkey, date, priority)
+    aggregation, top-10 by revenue. Revenue is quantized BEFORE the
+    rank so a 1-ulp cross-engine sum difference cannot flip the
+    cut; ties break by order key. The only big exchange is the
+    fact-fact join on orderkey; customer reaches it as a broadcast."""
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_DATE
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_DATE
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            gate_quantize(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+    ).limit(Q3_TOPK)
+
+
+ORACLE_TPCH_Q3_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+Q5_REGION = "ASIA"
+Q5_YEAR = 1997
+
+
+def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region-year, the
+    6-table join with the local-supplier condition (customer and
+    supplier in the SAME nation). region→nation→supplier is a
+    broadcast chain pruning the fact side; the customer⋈orders⋈
+    lineitem spine shuffles on its keys once each. Revenue quantized."""
+    from pyspark.sql import functions as F
+
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == Q5_YEAR
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            gate_quantize(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue")
+        )
+        .select("n_name", "revenue")
+    )
+
+
+ORACLE_TPCH_Q5_REGION_VOLUME = f"""
+SELECT n_name,
+       CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+             AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND year(o_orderdate) = {Q5_YEAR}
+GROUP BY n_name
+"""
+
+QUERIES["tpch_q3_shipping_priority"] = q_tpch_q3_shipping_priority
+QUERIES["tpch_q5_region_volume"] = q_tpch_q5_region_volume
+ORACLES["tpch_q3_shipping_priority"] = ORACLE_TPCH_Q3_SHIPPING_PRIORITY
+ORACLES["tpch_q5_region_volume"] = ORACLE_TPCH_Q5_REGION_VOLUME

@@ -444,3 +444,16 @@ def test_pagerank_superstep_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_tpch_q3_q5_join_strategies(spark):
+    """Q3: the filtered customer dimension must broadcast into the
+    fact-fact join (one shuffled join on orderkey, TakeOrdered for the
+    top-10, never a global sort). Q5: the region→nation→supplier chain
+    must reach the spine as broadcasts."""
+    q3 = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in q3, q3
+    assert "TakeOrderedAndProject" in q3, q3
+    q5 = _plan(spark, "tpch_q5_region_volume")
+    assert q5.count("BroadcastHashJoin") >= 3, q5
+    assert "CartesianProduct" not in q5, q5
