@@ -457,3 +457,21 @@ def test_tpch_q3_q5_join_strategies(spark):
     q5 = _plan(spark, "tpch_q5_region_volume")
     assert q5.count("BroadcastHashJoin") >= 3, q5
     assert "CartesianProduct" not in q5, q5
+
+
+def test_round5_gate_shuffle_budgets(spark):
+    """Shuffle budgets of the second-wave gates: the moment and
+    navigation families are single-exchange (one keyed agg / one
+    keyed window); the KL diagnostic carries at most 4 keyed
+    exchanges — two count aggregations, the token-keyed vocab join,
+    the final per-group sum — with the corpus total folded in as a
+    broadcast scalar, never a fifth exchange."""
+    for name, budget in (
+        ("stats_moments_lineitem", 1),
+        ("navigation_functions_events", 1),
+        ("rolling_median_events", 1),
+        ("source_kl_documents", 4),
+    ):
+        p = _plan(spark, name)
+        assert p.count("Exchange hashpartitioning") <= budget, (name, p)
+        assert "CartesianProduct" not in p, name
