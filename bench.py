@@ -194,6 +194,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # The reference's published baseline is consumer THROUGHPUT
+    # (300+ events/s, reference README.md:265); report the silver
+    # pipeline's end-to-end equivalent in the same unit so the
+    # comparison never needs hand arithmetic.
+    silver_t = timings.get("silver_pipeline_events")
+    if silver_t:
+        n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        out["silver_throughput_events_per_s"] = round(n_events / silver_t)
     if errors:
         out["errors"] = errors
     payload = json.dumps(out)
