@@ -134,6 +134,7 @@ HEADLINE = [
     "hll_reach_events",
     "tpch_q3_shipping_priority",
     "tpch_q5_region_volume",
+    "ab_lift_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1826,3 +1826,85 @@ FROM events GROUP BY event_type
 
 QUERIES["hll_reach_events"] = q_hll_reach_events
 ORACLES["hll_reach_events"] = ORACLE_HLL_REACH_EVENTS
+
+
+AB_SALT = 77
+
+
+def q_ab_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-analysis shape: users deterministically hash-split
+    into control/treatment (md5 hex-digit parity — the same RNG-free
+    assignment discipline as the corpus splits), then per event type:
+    group means, the lift, and Welch's t-statistic from the
+    per-group (n, mean, variance) — experimentation analysis as ONE
+    keyed aggregation with conditional aggregates, no self-join of
+    the fact table. All derived floats are order-sensitive sums, so
+    they ship through the float32 gate quantization."""
+    ev = _events(spark, sf_dir)
+    bucket_char = F.substring(
+        F.md5(F.concat_ws("|", F.col("user_id"), F.lit(AB_SALT))), 1, 1
+    )
+    assigned = ev.withColumn(
+        "grp",
+        F.when(
+            F.instr(F.lit("0123456789abcdef"), bucket_char) % 2 == 1,
+            F.lit("control"),
+        ).otherwise(F.lit("treatment")),
+    )
+    c = F.col("grp") == "control"
+    t = F.col("grp") == "treatment"
+    agg = assigned.groupBy("event_type").agg(
+        F.count(F.when(c, 1)).alias("n_c"),
+        F.avg(F.when(c, F.col("value"))).alias("mean_c"),
+        F.var_samp(F.when(c, F.col("value"))).alias("var_c"),
+        F.count(F.when(t, 1)).alias("n_t"),
+        F.avg(F.when(t, F.col("value"))).alias("mean_t"),
+        F.var_samp(F.when(t, F.col("value"))).alias("var_t"),
+    )
+    lift = F.col("mean_t") - F.col("mean_c")
+    se = F.sqrt(
+        F.col("var_t") / F.col("n_t") + F.col("var_c") / F.col("n_c")
+    )
+    out = agg.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        "mean_c",
+        "mean_t",
+        lift.alias("lift"),
+        (lift / se).alias("t_stat"),
+    )
+    return quantize_cols(out, "mean_c", "mean_t", "lift", "t_stat")
+
+
+ORACLE_AB_LIFT_EVENTS = f"""
+WITH a AS (
+  SELECT event_type, value,
+         CASE WHEN instr('0123456789abcdef',
+                         substring(md5(concat(user_id, '|', {AB_SALT})),
+                                   1, 1)) % 2 = 1
+              THEN 'control' ELSE 'treatment' END AS grp
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (grp = 'control') AS BIGINT) AS n_c,
+         avg(value) FILTER (grp = 'control') AS mean_c,
+         var_samp(value) FILTER (grp = 'control') AS var_c,
+         CAST(count(*) FILTER (grp = 'treatment') AS BIGINT) AS n_t,
+         avg(value) FILTER (grp = 'treatment') AS mean_t,
+         var_samp(value) FILTER (grp = 'treatment') AS var_t
+  FROM a GROUP BY event_type
+)
+SELECT event_type, n_c, n_t,
+       CAST(CAST(mean_c AS REAL) AS DOUBLE) AS mean_c,
+       CAST(CAST(mean_t AS REAL) AS DOUBLE) AS mean_t,
+       CAST(CAST(mean_t - mean_c AS REAL) AS DOUBLE) AS lift,
+       CAST(CAST((mean_t - mean_c)
+                 / sqrt(var_t / n_t + var_c / n_c) AS REAL) AS DOUBLE)
+         AS t_stat
+FROM agg
+"""
+
+QUERIES["ab_lift_events"] = q_ab_lift_events
+ORACLES["ab_lift_events"] = ORACLE_AB_LIFT_EVENTS
