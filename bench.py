@@ -135,6 +135,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_region_volume",
     "ab_lift_events",
+    "json_schema_profile_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1908,3 +1908,49 @@ FROM agg
 
 QUERIES["ab_lift_events"] = q_ab_lift_events
 ORACLES["ab_lift_events"] = ORACLE_AB_LIFT_EVENTS
+
+
+def q_json_schema_profile_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-structured schema profiling — the discovery step BEFORE
+    the fixed-path JSON family gate: enumerate every key appearing in
+    the props payload (from_json to map<string,string> + explode, so
+    keys and values surface in one row-local pass) and per key report
+    presence count, value cardinality, and numeric min/max. At 100 TB
+    this is how a pipeline learns what schema to conform
+    semi-structured telemetry INTO; one keyed exchange after the
+    map-side explode."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.types import MapType, StringType
+
+    kv = ev.select(
+        F.explode(
+            F.from_json("props", MapType(StringType(), StringType()))
+        ).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("v").alias("n_values"),
+        F.min(F.col("v").cast("long")).alias("v_min"),
+        F.max(F.col("v").cast("long")).alias("v_max"),
+    )
+
+
+ORACLE_JSON_SCHEMA_PROFILE_EVENTS = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS k, props FROM events
+)
+SELECT k,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT json_extract_string(props, '$.' || k))
+            AS BIGINT) AS n_values,
+       min(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+         AS v_min,
+       max(CAST(json_extract_string(props, '$.' || k) AS BIGINT))
+         AS v_max
+FROM kv GROUP BY k
+"""
+
+QUERIES["json_schema_profile_events"] = q_json_schema_profile_events
+ORACLES["json_schema_profile_events"] = ORACLE_JSON_SCHEMA_PROFILE_EVENTS
