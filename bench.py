@@ -136,6 +136,7 @@ HEADLINE = [
     "tpch_q5_region_volume",
     "ab_lift_events",
     "json_schema_profile_events",
+    "contrastive_triplets_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

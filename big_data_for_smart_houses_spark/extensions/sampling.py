@@ -517,3 +517,69 @@ def pack_with_offsets(
         )
         .drop("_excl_tokens")
     )
+
+
+CONTRASTIVE_BUCKETS = 256
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = CONTRASTIVE_BUCKETS,
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    embedding objectives: positives come from any near-dup pair
+    generator (jaccard / MinHash / LSH — the dedup family's output),
+    negatives are drawn RNG-free by the module's multiplicative-hash
+    discipline — each pair hashes to a bucket, and the negative is
+    that bucket's minimum-id document. A corpus-random negative is
+    overwhelmingly a true negative (the in-batch-negatives assumption
+    of SimCLR/CLIP-style training); the rare accidental collision
+    with the pair's own ids is filtered deterministically.
+
+    Scale shape: ONE |buckets|-row aggregate over the corpus, a
+    broadcast join of that candidate table into the pair stream, zero
+    shuffles of the corpus itself. Negatives repeat across pairs by
+    design (buckets << pairs) — vary ``buckets`` per epoch for fresh
+    negatives, exactly like re-salting the shuffle.
+    """
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(buckets)).alias("b"),
+    )
+    # rank the NON-EMPTY buckets densely and hash pairs modulo their
+    # count, so a pair can never land in an empty bucket and silently
+    # lose its triplet (matters when corpus << buckets, e.g. tests /
+    # per-shard runs). The rank window is over <= ``buckets`` rows —
+    # bounded by construction, fine unpartitioned.
+    from pyspark.sql.window import Window
+
+    cand = (
+        bucketed.groupBy("b")
+        .agg(F.min(id_col).alias("negative"))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy("b")) - F.lit(1)
+        )
+    )
+    m = cand.agg(F.count(F.lit(1)).alias("m"))
+    pair_b = pairs.crossJoin(F.broadcast(m)).withColumn(
+        "r",
+        F.pmod(
+            F.col("id1") * F.lit(KNUTH) + F.col("id2") * F.lit(SALT_STRIDE),
+            F.col("m"),
+        ),
+    )
+    return (
+        pair_b.join(F.broadcast(cand), "r")
+        .filter(
+            (F.col("negative") != F.col("id1"))
+            & (F.col("negative") != F.col("id2"))
+        )
+        .select(
+            F.col("id1").alias("anchor"),
+            F.col("id2").alias("positive"),
+            "negative",
+            "jaccard",
+        )
+    )

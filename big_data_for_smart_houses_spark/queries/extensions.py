@@ -1188,3 +1188,50 @@ GROUP BY label, i
 
 QUERIES["label_centroids_embeddings"] = q_label_centroids_embeddings
 ORACLES["label_centroids_embeddings"] = ORACLE_LABEL_CENTROIDS_EMBEDDINGS
+
+
+def q_contrastive_triplets_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive training triplets
+    (extensions/sampling.py:contrastive_triplets): positives from the
+    exact-jaccard near-dup pairs over the planted corpus, negatives
+    hash-drawn from 256 corpus buckets (one tiny aggregate +
+    broadcast; the corpus never shuffles). The oracle replays the
+    jaccard chain and the multiplicative-hash draw verbatim."""
+    from ..extensions.sampling import contrastive_triplets
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_THRESHOLD)
+    return contrastive_triplets(d, pairs)
+
+
+from ..extensions.sampling import (  # noqa: E402
+    CONTRASTIVE_BUCKETS as _CB,
+    KNUTH as _KN,
+    SALT_STRIDE as _SS,
+)
+
+ORACLE_CONTRASTIVE_TRIPLETS_DOCUMENTS = f"""
+WITH {_JACCARD_CTES},
+bk AS (
+  SELECT doc_id, (doc_id * {_KN}) % {_CB} AS b FROM docs2
+),
+cand AS (
+  SELECT b, min(doc_id) AS negative,
+         row_number() OVER (ORDER BY b) - 1 AS r
+  FROM bk GROUP BY b
+),
+m AS (SELECT count(*) AS m FROM cand)
+SELECT j.id1 AS anchor, j.id2 AS positive, c.negative, j.jaccard
+FROM jac j
+CROSS JOIN m
+JOIN cand c
+  ON c.r = (j.id1 * {_KN} + j.id2 * {_SS}) % m.m
+WHERE c.negative <> j.id1 AND c.negative <> j.id2
+"""
+
+QUERIES["contrastive_triplets_documents"] = q_contrastive_triplets_documents
+ORACLES["contrastive_triplets_documents"] = (
+    ORACLE_CONTRASTIVE_TRIPLETS_DOCUMENTS
+)

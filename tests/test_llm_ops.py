@@ -418,3 +418,25 @@ def test_group_centroids_match_numpy(spark):
         ref = arr[[v[1] == lbl for v in vecs]].mean(axis=0)
         for d in range(3):
             assert abs(got[(lbl, d)] - ref[d]) < 1e-12
+
+
+def test_contrastive_triplets_are_deterministic_true_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        contrastive_triplets,
+    )
+
+    corpus = _docs(spark, [(i, f"doc {i}") for i in range(40)])
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8), (5, 6, 0.7)],
+        "id1 long, id2 long, jaccard double",
+    )
+    t1 = contrastive_triplets(corpus, pairs).collect()
+    t2 = contrastive_triplets(corpus, pairs).collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))  # RNG-free
+    for r in t1:
+        assert r.negative not in (r.anchor, r.positive)
+        assert 0 <= r.negative < 40  # drawn from the corpus
+    # every pair yields a triplet here (no accidental collisions)
+    assert len(t1) == 3
