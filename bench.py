@@ -137,6 +137,7 @@ HEADLINE = [
     "ab_lift_events",
     "json_schema_profile_events",
     "contrastive_triplets_documents",
+    "incremental_join_view_orders",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -204,3 +204,34 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view under INSERTS to
+    both sides: the new matches created by the deltas are exactly
+
+        dJ = (da ⋈ b_old) ∪ (a_old ⋈ db) ∪ (da ⋈ db)
+
+    so the maintained view is J_old ∪ dJ — no recomputation of
+    a_old ⋈ b_old, the term that dominates at 100 TB. This is the
+    classic counting-free delta rule for insert-only streams (deletes
+    need the counting algorithm or snapshot_diff + anti-join, which
+    composes with this).
+
+    Scale shape: three joins, each with at least one DELTA input —
+    deltas are typically partition-sized, so each join is
+    |delta| x matching keys, and AQE broadcasts the delta side when
+    it is small. Shuffles never touch more than one full-table side
+    per term.
+    """
+    return (
+        da.join(b_old, on)
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(db, on))
+    )

@@ -388,3 +388,45 @@ SELECT * FROM j WHERE change_type <> 'unchanged'
 
 QUERIES["snapshot_diff_orders"] = q_snapshot_diff_orders
 ORACLES["snapshot_diff_orders"] = ORACLE_SNAPSHOT_DIFF_ORDERS
+
+
+def q_incremental_join_view_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (operators/merge.py:incremental_join_delta): the orders ⋈ customer
+    enrichment view maintained under inserts to BOTH sides (every 4th
+    order and every 5th customer arrive as deltas) — the old view plus
+    the three delta-join terms, never re-running a_old ⋈ b_old. The
+    oracle simply joins the COMPLETE tables: maintained == recomputed
+    is the IVM correctness statement."""
+    configure_for_oracle_parity(spark)
+    from ..operators.merge import incremental_join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 4 != 0)
+    da = orders.filter(F.col("o_orderkey") % 4 == 0)
+    b_old = cust.filter(F.col("custkey") % 5 != 0)
+    db = cust.filter(F.col("custkey") % 5 == 0)
+    view_old = a_old.join(b_old, "custkey")
+    dj = incremental_join_delta(a_old, da, b_old, db, on=["custkey"])
+    return view_old.unionByName(dj).select(
+        "o_orderkey", "custkey", "o_totalprice", "c_mktsegment", "c_acctbal"
+    )
+
+
+ORACLE_INCREMENTAL_JOIN_VIEW_ORDERS = """
+SELECT o_orderkey, o_custkey AS custkey, o_totalprice,
+       c_mktsegment, c_acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+QUERIES["incremental_join_view_orders"] = q_incremental_join_view_orders
+ORACLES["incremental_join_view_orders"] = (
+    ORACLE_INCREMENTAL_JOIN_VIEW_ORDERS
+)

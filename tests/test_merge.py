@@ -182,3 +182,24 @@ def test_snapshot_diff_rejects_empty_specs(spark):
         snapshot_diff(df, df, keys=[], compare_cols=["v"])
     with pytest.raises(ValueError):
         snapshot_diff(df, df, keys=["k"], compare_cols=[])
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    from big_data_for_smart_houses_spark.operators.merge import (
+        incremental_join_delta,
+    )
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+    da = spark.createDataFrame([(2, "a3"), (3, "a4")], "k long, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b2")], "k long, bv string")
+    db = spark.createDataFrame([(2, "b3")], "k long, bv string")
+
+    maintained = (
+        a_old.join(b_old, "k")
+        .unionByName(incremental_join_delta(a_old, da, b_old, db, on=["k"]))
+        .collect()
+    )
+    recomputed = (
+        a_old.unionByName(da).join(b_old.unionByName(db), "k").collect()
+    )
+    assert sorted(map(tuple, maintained)) == sorted(map(tuple, recomputed))
