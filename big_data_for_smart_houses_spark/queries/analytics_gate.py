@@ -99,6 +99,7 @@ health AS (
 # ---------------------------------------------------------------------------
 
 def q_gold_device_health_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 gold device-health aggregation (operators/gold.py:device_health_summary)."""
     # health/failure chains of window-avg outputs carry ulp-level
     # cross-engine jitter — gate-quantized both sides (gate_quantize)
     return quantize_cols(
@@ -121,6 +122,7 @@ FROM health
 # ---------------------------------------------------------------------------
 
 def q_gold_business_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 gold business summary (operators/gold.py:business_summary)."""
     daily = _daily(spark, sf_dir)
     health = _health(spark, sf_dir)
     return quantize_cols(
@@ -182,6 +184,7 @@ FROM summary CROSS JOIN hs
 # ---------------------------------------------------------------------------
 
 def q_analytics_energy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-by-type chart aggregation (operators/analytics.py:energy_by_type)."""
     return quantize_cols(
         analytics.energy_by_device_type(_daily(spark, sf_dir)), "energy_kwh"
     )
@@ -195,6 +198,7 @@ FROM agg GROUP BY 1
 
 
 def q_analytics_daily_energy_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily energy trend chart series (operators/analytics.py:daily_energy_trend)."""
     return quantize_cols(
         analytics.daily_energy_trend(_daily(spark, sf_dir)), "energy_kwh"
     )
@@ -207,6 +211,7 @@ SELECT date, CAST(CAST(sum(s_energy) / 1000.0 AS REAL) AS DOUBLE) AS energy_kwh 
 
 
 def q_analytics_daily_cost_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cost trend chart series (operators/analytics.py:daily_cost_trend)."""
     return quantize_cols(
         analytics.daily_cost_trend(_daily(spark, sf_dir)), "cost"
     )
@@ -220,6 +225,7 @@ FROM agg GROUP BY 1
 
 
 def q_analytics_kpi_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard KPI tiles for the latest day (operators/analytics.py:kpi_day)."""
     return quantize_cols(
         analytics.kpi_today(_daily(spark, sf_dir), KPI_DATE),
         "total_energy_kwh",
@@ -346,6 +352,7 @@ ORACLE_ANALYTICS_KPI_CHAIN_SUMMARY = _oracle_kpi_chain(KPI_MISS_DATE, KPI_DEAD_N
 
 
 def q_analytics_health_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Device-health scatter source (operators/analytics.py)."""
     return quantize_cols(
         analytics.health_scatter(_health(spark, sf_dir)),
         "health_score",

@@ -61,6 +61,7 @@ docs2 AS (
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keepers via text-hash groupBy (extensions/dedup.py:exact_dedup)."""
     return dedup.exact_dedup(_docs_with_planted_dups(spark, sf_dir))
 
 
@@ -78,6 +79,7 @@ FROM docs2 GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (extensions/dedup.py:ngram_jaccard_pairs)."""
     return dedup.ngram_jaccard_pairs(
         _docs_with_planted_dups(spark, sf_dir), threshold=JACCARD_THRESHOLD
     )
@@ -168,6 +170,7 @@ def q_minhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, rows-only (extensions/dedup.py:simhash_fingerprints; hash-seeded, no SQL oracle)."""
     return dedup.simhash_neardup_pairs(_docs_with_planted_dups(spark, sf_dir))
 
 
@@ -385,6 +388,7 @@ FROM per_doc
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local text statistics (extensions/text.py:add_text_stats)."""
     d = text.add_text_stats(_docs(spark, sf_dir))
     return d.select(
         "doc_id",
@@ -417,6 +421,7 @@ FROM t
 
 
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (extensions/text.py:add_quality_score)."""
     d = text.add_quality_score(_docs(spark, sf_dir))
     # text_quality gate-quantized: DuckDB evaluates the 0.3/0.2 penalty
     # literals in exact DECIMAL arithmetic, Spark in double — ulp diffs
@@ -452,6 +457,7 @@ FROM q
 
 
 def q_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language ID (extensions/text.py:add_language_guess)."""
     d = text.add_language_guess(_docs(spark, sf_dir))
     return d.select(
         "doc_id",
@@ -488,6 +494,7 @@ SELECT doc_id, lang, lang_guess, lang = lang_guess AS is_match FROM g
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (extensions/text.py:fingerprint)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -505,6 +512,7 @@ FROM documents
 
 
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics rollup (extensions/text.py)."""
     d = text.add_text_stats(_docs(spark, sf_dir))
     return d.groupBy("lang").agg(
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
@@ -537,6 +545,7 @@ FROM t GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k baseline (extensions/similarity.py:brute_force_topk)."""
     configure_for_oracle_parity(spark)
     emb = spread(load_table(spark, sf_dir, "embeddings"), spark)
     queries = emb.filter(F.col("vec_id") < TOPK_QUERY_MAX_ID)
@@ -642,6 +651,7 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction via Arrow-batched mapInPandas (extensions/multimodal.py)."""
     assets = multimodal.attach_payloads(_docs(spark, sf_dir))
     return multimodal.extract_features(assets)
 

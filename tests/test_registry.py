@@ -1,0 +1,57 @@
+"""Registry hygiene: every driver-facing query is documented, every
+oracle points at a registered query, and the bench HEADLINE stays a
+subset of the registry (a renamed query must fail HERE, not in the
+driver's round artifact)."""
+
+from __future__ import annotations
+
+from big_data_for_smart_houses_spark.queries import ORACLES, QUERIES
+
+TABLES = {
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+}
+
+
+def test_every_oracle_has_a_query():
+    orphans = set(ORACLES) - set(QUERIES)
+    assert not orphans, orphans
+
+
+def test_every_query_is_documented():
+    undocumented = [
+        n for n, fn in QUERIES.items()
+        if not (fn.__doc__ or "").strip()
+    ]
+    assert not undocumented, undocumented
+
+
+def test_every_oracle_reads_known_tables():
+    bad = [
+        n for n, sql in ORACLES.items()
+        if not any(t in sql for t in TABLES)
+    ]
+    assert not bad, bad
+
+
+def test_bench_headline_is_registered():
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_rows_only_queries_are_the_documented_sketch_set():
+    """Queries WITHOUT an oracle must stay the closed list of
+    genuinely non-SQL-expressible ops (hash-seeded sketches); adding
+    a new oracle-less query is a deliberate act, acknowledged here."""
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    assert rows_only == [
+        "business_summary_approx",
+        "embedding_ann_ivf",
+        "embedding_ann_lsh",
+        "minhash_dedup_documents",
+        "simhash_dedup_documents",
+        "value_percentiles_approx",
+    ], rows_only
