@@ -138,6 +138,7 @@ HEADLINE = [
     "json_schema_profile_events",
     "contrastive_triplets_documents",
     "incremental_join_view_orders",
+    "tpch_q10_returned_items",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1302,3 +1302,80 @@ QUERIES["tpch_q3_shipping_priority"] = q_tpch_q3_shipping_priority
 QUERIES["tpch_q5_region_volume"] = q_tpch_q5_region_volume
 ORACLES["tpch_q3_shipping_priority"] = ORACLE_TPCH_Q3_SHIPPING_PRIORITY
 ORACLES["tpch_q5_region_volume"] = ORACLE_TPCH_Q5_REGION_VOLUME
+
+
+Q10_START = "1997-01-01"
+Q10_END = "1997-07-01"
+Q10_TOPK = 20
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    half-year window — lineitem filtered to returnflag 'R', joined to
+    the date-windowed orders, grouped by customer, top-20, then the
+    customer and nation dimensions joined AFTER the cut so the
+    dimension join touches 20 rows, not |customers| (the
+    aggregate-then-enrich ordering that matters at scale). Revenue
+    quantized before the rank; ties break by custkey."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_START)
+        & (F.col("o_orderdate") < Q10_END)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    top = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            gate_quantize(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(Q10_TOPK)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        top.join(
+            F.broadcast(cust), top["o_custkey"] == cust["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            "revenue",
+        )
+    )
+
+
+ORACLE_TPCH_Q10_RETURNED_ITEMS = f"""
+WITH top AS (
+  SELECT o_custkey,
+         CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{Q10_START}'
+    AND o_orderdate < TIMESTAMP '{Q10_END}'
+  GROUP BY o_custkey
+  ORDER BY revenue DESC, o_custkey
+  LIMIT {Q10_TOPK}
+)
+SELECT o_custkey AS c_custkey, c_name, n_name, c_acctbal, revenue
+FROM top
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+QUERIES["tpch_q10_returned_items"] = q_tpch_q10_returned_items
+ORACLES["tpch_q10_returned_items"] = ORACLE_TPCH_Q10_RETURNED_ITEMS
