@@ -139,6 +139,7 @@ HEADLINE = [
     "contrastive_triplets_documents",
     "incremental_join_view_orders",
     "tpch_q10_returned_items",
+    "span_masks_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

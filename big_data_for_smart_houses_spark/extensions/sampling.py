@@ -583,3 +583,50 @@ def contrastive_triplets(
             "jaccard",
         )
     )
+
+
+SPAN_MASKS_PER_DOC = 3
+SPAN_MEAN_LEN = 3
+
+
+def span_corruption_masks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_spans: int = SPAN_MASKS_PER_DOC,
+    span_len: int = SPAN_MEAN_LEN,
+) -> DataFrame:
+    """T5/UL2-style span-corruption mask positions, RNG-free: for each
+    document, ``n_spans`` fixed-length token spans whose starts derive
+    from the module's salted multiplicative hash of (doc id, span
+    index) modulo the usable token range — the denoising-objective
+    data-prep step (Raffel et al. 2020 §3.1.4) with the same
+    determinism contract as the split/shuffle/sample family (same doc
+    => same masks, any run, any partitioning).
+
+    Output: (id, span_idx, start, length) token offsets, one row per
+    span; docs shorter than ``span_len`` tokens emit no spans.
+    Everything is row-local expression work on an exploded
+    ``sequence(0, n_spans-1)`` — zero shuffles, zero Python.
+    """
+    from .text import token_count
+
+    n_tok = token_count(F.col(text_col))
+    spans = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_spans - 1))).alias(
+            "span_idx"
+        ),
+    ).filter(F.col("n_tokens") >= span_len)
+    start = F.pmod(
+        (F.col(id_col) * F.lit(KNUTH))
+        + (F.col("span_idx") * F.lit(SALT_STRIDE)),
+        F.col("n_tokens") - F.lit(span_len) + F.lit(1),
+    )
+    return spans.select(
+        id_col,
+        "span_idx",
+        start.alias("start"),
+        F.lit(span_len).alias("length"),
+    )

@@ -761,3 +761,40 @@ GROUP BY gt.grp
 
 QUERIES["source_kl_documents"] = q_source_kl_documents
 ORACLES["source_kl_documents"] = ORACLE_SOURCE_KL_DOCUMENTS
+
+
+def q_span_masks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption mask table
+    (extensions/sampling.py:span_corruption_masks): 3 deterministic
+    3-token spans per document from the salted multiplicative hash —
+    row-local, zero shuffles; the oracle replays the arithmetic."""
+    from ..extensions.sampling import span_corruption_masks
+
+    return span_corruption_masks(_docs(spark, sf_dir))
+
+
+from ..extensions.sampling import (  # noqa: E402
+    SPAN_MASKS_PER_DOC as _NSPANS,
+    SPAN_MEAN_LEN as _SPANLEN,
+)
+from ..extensions.sampling import KNUTH as _KN2  # noqa: E402
+from ..extensions.sampling import SALT_STRIDE as _SS2  # noqa: E402
+
+ORACLE_SPAN_MASKS_DOCUMENTS = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, unnest(range(0, {_NSPANS})) AS span_idx
+  FROM d WHERE n_tokens >= {_SPANLEN}
+)
+SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+       CAST((doc_id * {_KN2} + span_idx * {_SS2})
+            % (n_tokens - {_SPANLEN} + 1) AS BIGINT) AS start,
+       CAST({_SPANLEN} AS INT) AS length
+FROM s
+"""
+
+QUERIES["span_masks_documents"] = q_span_masks_documents
+ORACLES["span_masks_documents"] = ORACLE_SPAN_MASKS_DOCUMENTS

@@ -440,3 +440,28 @@ def test_contrastive_triplets_are_deterministic_true_negatives(spark):
         assert 0 <= r.negative < 40  # drawn from the corpus
     # every pair yields a triplet here (no accidental collisions)
     assert len(t1) == 3
+
+
+def test_span_masks_deterministic_and_in_bounds(spark):
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        span_corruption_masks,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c d e f g h"),   # 8 tokens
+            (1, "x y"),               # shorter than the span: no masks
+            (2, "one two three"),     # exactly 3: start must be 0
+        ],
+    )
+    rows = span_corruption_masks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert 0 <= r.start <= 8 - r.length
+    assert 1 not in by_doc               # too short -> dropped
+    assert len(by_doc[0]) == 3 and len(by_doc[2]) == 3
+    assert all(r.start == 0 for r in by_doc[2])  # only legal start
+    again = span_corruption_masks(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
