@@ -140,6 +140,8 @@ HEADLINE = [
     "incremental_join_view_orders",
     "tpch_q10_returned_items",
     "span_masks_documents",
+    "tpch_q7_volume_shipping",
+    "tpch_q18_large_orders",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1172,6 +1172,29 @@ ORACLES = {
 # driver tables carry no comment/phone columns — scan stays pruned)
 # ---------------------------------------------------------------------------
 
+
+# Revenue sums add thousands of double products per group; quantizing
+# the SUM still risks a float32 boundary straddle (observed once at
+# sf0.01 on the Q7 shape: 1-ulp double difference, adjacent float32
+# cells). Decimal arithmetic removes the order-dependence instead of
+# hiding it: the 2-decimal factors cast exactly, the 4-decimal product
+# and its sum are exact in scaled decimal on BOTH engines, and the
+# final cast back to double is lossless at these magnitudes.
+def _exact_revenue():
+    from pyspark.sql import functions as F
+
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return F.sum(price * (one - disc)).cast("double")
+
+
+_SQL_EXACT_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+    " AS DOUBLE)"
+)
+
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1998-06-30"
 Q3_TOPK = 10
@@ -1205,11 +1228,7 @@ def q_tpch_q3_shipping_priority(
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            gate_quantize(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                )
-            ).alias("revenue")
+            _exact_revenue().alias("revenue")
         )
     )
     return rev.orderBy(
@@ -1219,8 +1238,7 @@ def q_tpch_q3_shipping_priority(
 
 ORACLE_TPCH_Q3_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)
-            AS DOUBLE) AS revenue
+       {_SQL_EXACT_REVENUE} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1272,11 +1290,7 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("n_name")
         .agg(
-            gate_quantize(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                )
-            ).alias("revenue")
+            _exact_revenue().alias("revenue")
         )
         .select("n_name", "revenue")
     )
@@ -1284,8 +1298,7 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q5_REGION_VOLUME = f"""
 SELECT n_name,
-       CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)
-            AS DOUBLE) AS revenue
+       {_SQL_EXACT_REVENUE} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1328,11 +1341,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
-            gate_quantize(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                )
-            ).alias("revenue")
+            _exact_revenue().alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
         .limit(Q10_TOPK)
@@ -1360,8 +1369,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TPCH_Q10_RETURNED_ITEMS = f"""
 WITH top AS (
   SELECT o_custkey,
-         CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL)
-              AS DOUBLE) AS revenue
+         {_SQL_EXACT_REVENUE} AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
@@ -1379,3 +1387,119 @@ JOIN nation ON c_nationkey = n_nationkey
 
 QUERIES["tpch_q10_returned_items"] = q_tpch_q10_returned_items
 ORACLES["tpch_q10_returned_items"] = ORACLE_TPCH_Q10_RETURNED_ITEMS
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade — revenue shipped between
+    DIFFERENT nations by year, where the nation dimension joins the
+    fact spine TWICE (once through supplier, once through customer;
+    the classic query restricts to one nation pair, but the driver's
+    small SFs concentrate suppliers in one nation, so the gate keeps
+    every cross-border pair — the join shape is identical). Both
+    nation sides broadcast; the only large exchanges are the
+    lineitem⋈orders and ⋈customer key joins."""
+    from pyspark.sql import functions as F
+
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _exact_revenue().alias("revenue")
+        )
+    )
+
+
+ORACLE_TPCH_Q7_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_SQL_EXACT_REVENUE} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — a HAVING aggregate over
+    lineitem selects the heavy order keys, which then SEMI-join back
+    into the orders⋈customer spine (the keys table is tiny after the
+    threshold, so it broadcasts; the fact table is never scanned
+    twice for the filter). Total quantity is an exact double sum of
+    integral quantities — no quantization needed."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(heavy),
+            orders["o_orderkey"] == heavy["l_orderkey"],
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+ORACLE_TPCH_Q18_LARGE_ORDERS = f"""
+WITH heavy AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity) > {Q18_QTY_THRESHOLD}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM heavy
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+QUERIES["tpch_q7_volume_shipping"] = q_tpch_q7_volume_shipping
+QUERIES["tpch_q18_large_orders"] = q_tpch_q18_large_orders
+ORACLES["tpch_q7_volume_shipping"] = ORACLE_TPCH_Q7_VOLUME_SHIPPING
+ORACLES["tpch_q18_large_orders"] = ORACLE_TPCH_Q18_LARGE_ORDERS
