@@ -142,6 +142,7 @@ HEADLINE = [
     "span_masks_documents",
     "tpch_q7_volume_shipping",
     "tpch_q18_large_orders",
+    "conform_union_sources",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -430,3 +430,71 @@ QUERIES["incremental_join_view_orders"] = q_incremental_join_view_orders
 ORACLES["incremental_join_view_orders"] = (
     ORACLE_INCREMENTAL_JOIN_VIEW_ORDERS
 )
+
+
+def q_conform_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift conformance on the hash path
+    (sources/conform.py:conform_to_schema): two deliberately drifted
+    projections of the orders table — one missing the status column
+    and carrying the price as a STRING (with every 13th value
+    corrupted to a non-numeric token), one with an extra column the
+    target drops — are conformed onto one target schema and unioned.
+    try_cast nulls the corrupted prices instead of failing the stage;
+    the oracle replays the drift and the coercion. Pure projection:
+    zero shuffles."""
+    configure_for_oracle_parity(spark)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.conform import conform_to_schema
+
+    target = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("src", StringType()),
+        ]
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    # source A: price arrives as a string, sometimes garbage; no status
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+        F.lit("a").alias("src"),
+    )
+    # source B: extra column the target schema drops
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.lit("b").alias("src"),
+        F.lit(1).alias("debug_flag"),
+    )
+    return conform_to_schema(a, target).unionByName(
+        conform_to_schema(b, target)
+    )
+
+
+ORACLE_CONFORM_UNION_SOURCES = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 13 = 0 THEN NULL
+            ELSE TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)
+       END AS o_totalprice,
+       NULL AS o_orderstatus,
+       'a' AS src
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus, 'b' AS src
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+QUERIES["conform_union_sources"] = q_conform_union_sources
+ORACLES["conform_union_sources"] = ORACLE_CONFORM_UNION_SOURCES
