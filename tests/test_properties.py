@@ -405,3 +405,48 @@ def test_pack_offsets_match_python_running_sum(spark, tokens, budget):
     for i, t in enumerate(tokens):
         assert got[i] == (run // budget, run - (run // budget) * budget)
         run += t
+
+
+# --- snapshot_diff roundtrip: A + diff(A,B) reconstructs B exactly ---
+
+_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=20),
+    st.tuples(
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(a_rows=_snapshot, b_rows=_snapshot)
+def test_snapshot_diff_roundtrips_to_b(spark, a_rows, b_rows):
+    """Applying snapshot_diff's output to A (delete the deletes, upsert
+    the inserts+updates with the _new images) must reconstruct B
+    exactly, for ANY pair of snapshots including null flips — the CDC
+    recovery contract stated as a property."""
+    from big_data_for_smart_houses_spark.operators.merge import snapshot_diff
+
+    schema = "k long, price double, status string"
+    a = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in a_rows.items()], schema
+    )
+    b = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in b_rows.items()], schema
+    )
+    diff = snapshot_diff(
+        a, b, keys=["k"], compare_cols=["price", "status"]
+    ).collect()
+    state = {k: v for k, v in a_rows.items()}
+    for r in diff:
+        if r.change_type == "delete":
+            state.pop(r.k)
+        else:
+            state[r.k] = (r.price_new, r.status_new)
+    # float32-width floats survive the DataFrame roundtrip bit-exactly
+    want = {
+        k: (v[0], v[1]) for k, v in b_rows.items()
+    }
+    assert state == want
