@@ -450,3 +450,66 @@ def test_snapshot_diff_roundtrips_to_b(spark, a_rows, b_rows):
         k: (v[0], v[1]) for k, v in b_rows.items()
     }
     assert state == want
+
+
+# --- PageRank invariants on arbitrary graphs ---
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=_edges)
+def test_pagerank_is_a_distribution_with_floor(spark, edges):
+    """For ANY edge list (self-loops, dangling nodes, disconnected
+    components): ranks sum to 1 and every node keeps at least the
+    teleport floor (1-d)/n — the stochastic-matrix invariants that
+    hold iff dangling mass is redistributed correctly."""
+    from big_data_for_smart_houses_spark.extensions.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = pagerank(df, iterations=3).collect()
+    n = len(ranks)
+    total = sum(r.rank for r in ranks)
+    assert abs(total - 1.0) < 1e-9, total
+    floor = (1.0 - 0.85) / n
+    assert all(r.rank >= floor - 1e-12 for r in ranks)
+
+
+# --- incremental join maintenance == recompute, any deltas ---
+
+_side = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=99),
+    ),
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(a_old=_side, da=_side, b_old=_side, db=_side)
+def test_incremental_join_matches_recompute(spark, a_old, da, b_old, db):
+    from big_data_for_smart_houses_spark.operators.merge import (
+        incremental_join_delta,
+    )
+
+    mk = lambda rows, v: spark.createDataFrame(  # noqa: E731
+        [(k, x) for k, x in rows], f"k long, {v} long"
+    )
+    A, dA = mk(a_old, "av"), mk(da, "av")
+    B, dB = mk(b_old, "bv"), mk(db, "bv")
+    maintained = (
+        A.join(B, "k")
+        .unionByName(incremental_join_delta(A, dA, B, dB, on=["k"]))
+        .collect()
+    )
+    recomputed = A.unionByName(dA).join(B.unionByName(dB), "k").collect()
+    assert sorted(map(tuple, maintained)) == sorted(map(tuple, recomputed))
