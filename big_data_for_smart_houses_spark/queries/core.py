@@ -1223,9 +1223,7 @@ def q_tpch_q3_shipping_priority(
     )
     rev = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(
-            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             _exact_revenue().alias("revenue")
@@ -1282,7 +1280,7 @@ def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -1349,9 +1347,7 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     return (
-        top.join(
-            F.broadcast(cust), top["o_custkey"] == cust["c_custkey"]
-        )
+        top.join(cust, top["o_custkey"] == cust["c_custkey"])
         .join(
             F.broadcast(nation),
             cust["c_nationkey"] == nation["n_nationkey"],
@@ -1418,7 +1414,7 @@ def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     j = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
@@ -1471,10 +1467,9 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return (
         orders.join(
-            F.broadcast(heavy),
-            orders["o_orderkey"] == heavy["l_orderkey"],
+            heavy, orders["o_orderkey"] == heavy["l_orderkey"]
         )
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_custkey",
             "c_name",

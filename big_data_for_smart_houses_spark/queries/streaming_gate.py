@@ -584,7 +584,10 @@ def q_stream_enrich_availablenow(
     out_dir = f"{tmp}/out"
     ev.coalesce(1).write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+    # no forced broadcast: the dimension is |customers|-scaled, the
+    # round-4-verdict class of hint that OOMs executors at 100 TB; the
+    # static planner broadcasts it when its stats say it fits
+    enriched = stream.join(dim, "user_id", "left").select(
         "event_id", "user_id", "value", "segment", "acctbal"
     )
     q = (
