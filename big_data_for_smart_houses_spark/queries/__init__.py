@@ -15,12 +15,18 @@ sentinels chosen from the code paths this round touched. Everything past index
 session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
 which covers ALL entries, not just 50.
 
-Round 6 rotation note: the round-5 second wave (streaming join/dedup/
-tumbling/enrich/merge gates, vocab + inverted index, PageRank,
-snapshot diff, KL, centroids, moments, regexp/math/navigation
-families, rolling median) sits past index 50 this round — the window
-is spent on the stale-row re-certification above. Lead round 6's
-front with those never-certified entries.
+Round 6 rotation note: the round-5 second wave sits past index 50
+this round (the window is spent on the stale-row re-certification
+above) — lead round 6's front with these never-certified entries:
+stream_{join,dedup,tumbling,enrich,merge}_availablenow,
+bpe_pair_counts_documents, inverted_index_documents,
+pagerank_user_transitions, snapshot_diff_orders, source_kl_documents,
+label_centroids_embeddings, stats_moments_lineitem,
+{regexp,math,navigation}_functions_*, rolling_median_events,
+hll_reach_events, tpch_q{3,5,7,10,18}_*, ab_lift_events,
+json_schema_profile_events, contrastive_triplets_documents,
+incremental_join_view_orders, conform_union_sources,
+span_masks_documents.
 """
 
 from __future__ import annotations
