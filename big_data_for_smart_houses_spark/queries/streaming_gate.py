@@ -307,19 +307,31 @@ def q_stream_join_availablenow(
         lookback_seconds=STREAM_JOIN_LOOKBACK_S,
         watermark_delay="6 hours",
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"stream interval join availableNow run exceeded {_AWAIT_S}s"
+    # Streaming state cost scales with the PARTITION count, not the
+    # data: a stream-stream join materializes one state store per
+    # shuffle partition per side per micro-batch. Size it to the key
+    # rate (150 users here) instead of inheriting the batch-oriented
+    # session default — the same lever a production job sets per
+    # stream. The checkpoint is fresh per call, so the partition count
+    # binds cleanly; the conf is restored either way.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"stream interval join availableNow run exceeded {_AWAIT_S}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir).select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
     )
