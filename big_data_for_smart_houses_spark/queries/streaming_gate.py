@@ -20,6 +20,7 @@ output.
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +31,27 @@ from ..streaming.stateful import locf_stream
 
 LOCF_STEP_S = 3600
 _AWAIT_S = 300
+
+# Streaming state cost scales with the PARTITION count, not the data:
+# every stateful operator materializes one state store per shuffle
+# partition (per side, for joins) per micro-batch. The gates size the
+# partition count to their key rate (150 users) instead of inheriting
+# the batch-oriented session default — the same lever a production
+# job sets per stream. Checkpoints are fresh per call, so the count
+# binds cleanly; the conf is restored either way.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def q_locf_stream_availablenow(
@@ -52,20 +74,21 @@ def q_locf_stream_availablenow(
     out_dir = f"{tmp}/out"
     ev.coalesce(1).write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    q = (
-        locf_stream(stream, LOCF_STEP_S)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"locf_stream availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            locf_stream(stream, LOCF_STEP_S)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"locf_stream availableNow run exceeded {_AWAIT_S}s"
+            )
     return spark.read.parquet(out_dir).select(
         "user_id", "bucket_time", "value", "is_gap"
     )
@@ -134,20 +157,21 @@ def q_ewma_stream_availablenow(
     out_dir = f"{tmp}/out"
     ev.coalesce(1).write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    q = (
-        ewma_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"ewma_stream availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"ewma_stream availableNow run exceeded {_AWAIT_S}s"
+            )
     out = spark.read.parquet(out_dir).select(
         "user_id", "ts", "event_id", "value", "ewma"
     )
@@ -210,19 +234,20 @@ def q_session_stream_availablenow(
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"session_window availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"session_window availableNow run exceeded {_AWAIT_S}s"
+            )
     return spark.read.parquet(out_dir).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -307,16 +332,7 @@ def q_stream_join_availablenow(
         lookback_seconds=STREAM_JOIN_LOOKBACK_S,
         watermark_delay="6 hours",
     )
-    # Streaming state cost scales with the PARTITION count, not the
-    # data: a stream-stream join materializes one state store per
-    # shuffle partition per side per micro-batch. Size it to the key
-    # rate (150 users here) instead of inheriting the batch-oriented
-    # session default — the same lever a production job sets per
-    # stream. The checkpoint is fresh per call, so the partition count
-    # binds cleanly; the conf is restored either way.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_state_partitions(spark):
         q = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)
@@ -330,8 +346,6 @@ def q_stream_join_availablenow(
             raise TimeoutError(
                 f"stream interval join availableNow run exceeded {_AWAIT_S}s"
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir).select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
     )
@@ -383,19 +397,20 @@ def q_stream_dedup_availablenow(
     deduped = dedup_stream_within_watermark(
         stream, keys=["event_id"], ts_col="ts", watermark_delay="35 days"
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"stream dedup availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"stream dedup availableNow run exceeded {_AWAIT_S}s"
+            )
     return spark.read.parquet(out_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -449,19 +464,20 @@ def q_stream_tumbling_availablenow(
             "value_max",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"tumbling window availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"tumbling window availableNow run exceeded {_AWAIT_S}s"
+            )
     return quantize_cols(
         spark.read.parquet(out_dir).select(
             "window_start", "event_type", "n_events", "value_sum", "value_max"
@@ -543,17 +559,18 @@ def q_stream_merge_availablenow(
         )
         cursor["v"] += 1
 
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"foreachBatch merge availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"foreachBatch merge availableNow run exceeded {_AWAIT_S}s"
+            )
     return spark.read.parquet(f"{tmp}/state/v{cursor['v']}").select(
         "o_orderkey", "o_totalprice", "_version"
     )
@@ -602,19 +619,20 @@ def q_stream_enrich_availablenow(
     enriched = stream.join(dim, "user_id", "left").select(
         "event_id", "user_id", "value", "segment", "acctbal"
     )
-    q = (
-        enriched.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(_AWAIT_S):
-        q.stop()
-        raise TimeoutError(
-            f"stream-static enrichment availableNow run exceeded {_AWAIT_S}s"
+    with _stream_state_partitions(spark):
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"stream-static enrichment availableNow run exceeded {_AWAIT_S}s"
+            )
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", "value", "segment", "acctbal"
     )
