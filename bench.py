@@ -143,6 +143,7 @@ HEADLINE = [
     "tpch_q7_volume_shipping",
     "tpch_q18_large_orders",
     "conform_union_sources",
+    "synthetic_source_telemetry",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

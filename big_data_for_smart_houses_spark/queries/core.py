@@ -1498,3 +1498,44 @@ QUERIES["tpch_q7_volume_shipping"] = q_tpch_q7_volume_shipping
 QUERIES["tpch_q18_large_orders"] = q_tpch_q18_large_orders
 ORACLES["tpch_q7_volume_shipping"] = ORACLE_TPCH_Q7_VOLUME_SHIPPING
 ORACLES["tpch_q18_large_orders"] = ORACLE_TPCH_Q18_LARGE_ORDERS
+
+
+SYNTH_N = 5000
+
+
+def q_synthetic_source_telemetry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom Python Data Source (sources/synthetic.py) on the
+    hash path: 5000 rows of RNG-free telemetry generated by the
+    partitioned `synthetic_telemetry` format — Spark 4's
+    `pyspark.sql.datasource` API carrying the reference producer's
+    generator as a planned, parallel scan. The DuckDB oracle replays
+    the row arithmetic over generate_series verbatim, proving the
+    source is deterministic under any partitioning (sf_dir is unused:
+    the source IS the data)."""
+    from ..sources.synthetic import register
+
+    configure_for_oracle_parity(spark)
+    register(spark)
+    return (
+        spark.read.format("synthetic_telemetry")
+        .option("n", str(SYNTH_N))
+        .option("partitions", "8")
+        .load()
+    )
+
+
+ORACLE_SYNTHETIC_SOURCE_TELEMETRY = f"""
+SELECT i AS row_id,
+       printf('device_%03d', i % 10) AS device_id,
+       ['thermostat','smart_bulb','smart_plug','security_camera',
+        'motion_sensor'][(i % 10) % 5 + 1] AS device_type,
+       printf('user_%03d', (i % 10) % 2) AS user_id,
+       make_timestamp(1704067200000000 + i * 1000000) AS ts,
+       CAST((i * 2654435761) % 1000 AS DOUBLE) / 10.0 AS power_usage
+FROM (SELECT unnest(generate_series(0, {SYNTH_N - 1})) AS i)
+"""
+
+QUERIES["synthetic_source_telemetry"] = q_synthetic_source_telemetry
+ORACLES["synthetic_source_telemetry"] = ORACLE_SYNTHETIC_SOURCE_TELEMETRY

@@ -81,3 +81,33 @@ def test_conform_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_synthetic_source_partition_invariant(spark):
+    """The custom Python data source must yield the SAME rows under
+    any partition count — the determinism that makes speculative
+    retries safe (no shared RNG state to diverge)."""
+    from big_data_for_smart_houses_spark.sources.synthetic import register
+
+    register(spark)
+
+    def rows(parts):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("synthetic_telemetry")
+                .option("n", "200")
+                .option("partitions", str(parts))
+                .load()
+                .collect(),
+            )
+        )
+
+    assert rows(1) == rows(7)
+    df = (
+        spark.read.format("synthetic_telemetry")
+        .option("n", "100")
+        .option("partitions", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5

@@ -26,10 +26,16 @@ def test_every_query_is_documented():
     assert not undocumented, undocumented
 
 
+# Oracles that generate their input instead of reading the driver
+# tables (the query side is a custom data source / generator).
+GENERATOR_ORACLES = {"synthetic_source_telemetry"}
+
+
 def test_every_oracle_reads_known_tables():
     bad = [
         n for n, sql in ORACLES.items()
-        if not any(t in sql for t in TABLES)
+        if n not in GENERATOR_ORACLES
+        and not any(t in sql for t in TABLES)
     ]
     assert not bad, bad
 
