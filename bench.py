@@ -144,6 +144,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "conform_union_sources",
     "synthetic_source_telemetry",
+    "readability_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -485,3 +485,33 @@ def cdc_crossdoc_stats(
         )
         .withColumn("mostly_shared", F.col("shared_frac") > 0.5)
     )
+
+
+def add_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; a standard
+    corpus-quality prior alongside the Gopher rules): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated as vowel GROUPS per word (the usual regex-only
+    estimator) and sentences as [.!?]+ runs, floored at 1 so
+    fragment-only documents stay finite. Pure row-local regexp
+    counting — zero shuffles, codegen-friendly, and every regex stays
+    in the dialect-identical character-class subset."""
+    t = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(t, F.lit("[a-z]+"), 0))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    syllables = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / F.greatest(words, F.lit(1)))
+    )
+    return df.withColumns(
+        {
+            "n_words": words.cast("long"),
+            "n_sentences": sentences.cast("long"),
+            "n_syllables": syllables.cast("long"),
+            "flesch": F.when(words > 0, flesch),
+        }
+    )

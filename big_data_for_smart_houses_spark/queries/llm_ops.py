@@ -798,3 +798,43 @@ FROM s
 
 QUERIES["span_masks_documents"] = q_span_masks_documents
 ORACLES["span_masks_documents"] = ORACLE_SPAN_MASKS_DOCUMENTS
+
+
+def q_readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (extensions/text.py:add_readability)
+    over the corpus — word/sentence/vowel-group counts and the score,
+    all row-local regexp arithmetic; the division chain is replayed
+    identically by the oracle and the score ships through float32
+    quantization (two divisions + multiplies are order-free, but the
+    quantize keeps the gate convention uniform)."""
+    from ..extensions.text import add_readability
+    from ..functions.numeric import quantize_cols
+
+    out = add_readability(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch"
+    )
+    return quantize_cols(out, "flesch")
+
+
+ORACLE_READABILITY_DOCUMENTS = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN
+         CAST(CAST(206.835 - 1.015 * (n_words / n_sentences)
+                   - 84.6 * (n_syllables / greatest(n_words, 1))
+              AS REAL) AS DOUBLE)
+       END AS flesch
+FROM c
+"""
+
+QUERIES["readability_documents"] = q_readability_documents
+ORACLES["readability_documents"] = ORACLE_READABILITY_DOCUMENTS

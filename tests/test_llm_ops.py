@@ -465,3 +465,25 @@ def test_span_masks_deterministic_and_in_bounds(spark):
     assert all(r.start == 0 for r in by_doc[2])  # only legal start
     again = span_corruption_masks(docs).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_readability_flesch_hand_computed(spark):
+    from big_data_for_smart_houses_spark.extensions.text import (
+        add_readability,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "The cat sat. The dog ran!"),  # 6 words, 2 sentences
+            (1, "..."),                        # no words -> NULL score
+        ],
+    )
+    rows = {r.doc_id: r for r in add_readability(docs).collect()}
+    r0 = rows[0]
+    assert (r0.n_words, r0.n_sentences) == (6, 2)
+    # vowel groups: e,a,a,e,o,a = 6
+    assert r0.n_syllables == 6
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r0.flesch - expect) < 1e-9
+    assert rows[1].flesch is None and rows[1].n_sentences == 1
