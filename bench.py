@@ -145,6 +145,7 @@ HEADLINE = [
     "conform_union_sources",
     "synthetic_source_telemetry",
     "readability_documents",
+    "zipf_slope_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

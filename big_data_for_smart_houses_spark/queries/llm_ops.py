@@ -838,3 +838,69 @@ FROM c
 
 QUERIES["readability_documents"] = q_readability_documents
 ORACLES["readability_documents"] = ORACLE_READABILITY_DOCUMENTS
+
+
+ZIPF_TOP_K = 100
+
+
+def q_zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: the Zipf rank-frequency slope — OLS
+    of ln(freq) on ln(rank) over the top-100 tokens (natural language
+    sits near −1; template floods and synthetic spam flatten or
+    steepen it). One token count aggregation, one bounded top-k rank
+    window, then the JVM ``regr_slope``/``regr_r2`` moments — the
+    same regression machinery as the drift detector, pointed at the
+    corpus itself. Slope and fit ship through float32 quantization."""
+    from pyspark.sql.window import Window
+
+    from ..extensions.vocab import _ws_tokens
+    from ..functions.numeric import quantize_cols
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(_ws_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # bounded: rank over the count table, keep top-k. The window is
+    # unpartitioned but its input is |vocab| rows AFTER aggregation,
+    # and the rank cut keeps k — at 100 TB pre-filter the tail with a
+    # frequency threshold before ranking (heavy-hitters shape).
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("token"))
+        ),
+    ).filter(F.col("rank") <= ZIPF_TOP_K)
+    out = ranked.agg(
+        F.expr("regr_slope(ln(freq), ln(rank))").alias("zipf_slope"),
+        F.expr("regr_r2(ln(freq), ln(rank))").alias("fit_r2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return quantize_cols(out, "zipf_slope", "fit_r2")
+
+
+ORACLE_ZIPF_SLOPE_DOCUMENTS = rf"""
+WITH counts AS (
+  SELECT tok AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM counts
+)
+SELECT CAST(CAST(regr_slope(ln(freq), ln(rank)) AS REAL) AS DOUBLE)
+         AS zipf_slope,
+       CAST(CAST(regr_r2(ln(freq), ln(rank)) AS REAL) AS DOUBLE)
+         AS fit_r2,
+       CAST(count(*) AS BIGINT) AS k
+FROM ranked WHERE rank <= {ZIPF_TOP_K}
+"""
+
+QUERIES["zipf_slope_documents"] = q_zipf_slope_documents
+ORACLES["zipf_slope_documents"] = ORACLE_ZIPF_SLOPE_DOCUMENTS
