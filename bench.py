@@ -146,6 +146,7 @@ HEADLINE = [
     "synthetic_source_telemetry",
     "readability_documents",
     "zipf_slope_documents",
+    "curation_funnel_report",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -904,3 +904,86 @@ FROM ranked WHERE rank <= {ZIPF_TOP_K}
 
 QUERIES["zipf_slope_documents"] = q_zipf_slope_documents
 ORACLES["zipf_slope_documents"] = ORACLE_ZIPF_SLOPE_DOCUMENTS
+
+
+FUNNEL_MIN_CHARS = 150
+
+
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE composed report: per source, how
+    many documents survive each stage — length floor, exact dedup
+    (min-id keeper per normalized text), decontamination against the
+    planted test slice (the _train_test fixture's leak clones MUST
+    die here). The operator-level gates prove each stage alone; this
+    gate proves the COMPOSITION (counts are stage-cumulative, so an
+    ordering bug between stages is a hash mismatch). Three
+    aggregations over one scan lineage; the test side broadcasts."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(F.lower("text"), r"\s+", " ")
+    test_texts = (
+        d.filter(F.col("doc_id") % TEST_MOD == 0)
+        .select(norm.alias("_norm"))
+        .distinct()
+    )
+    staged = (
+        d.withColumn("_norm", norm)
+        .withColumn("len_ok", F.length("text") >= FUNNEL_MIN_CHARS)
+        .withColumn(
+            "keeper",
+            F.row_number().over(
+                Window.partitionBy("_norm").orderBy("doc_id")
+            )
+            == 1,
+        )
+        .join(
+            F.broadcast(test_texts.withColumn("_leak", F.lit(True))),
+            "_norm",
+            "left",
+        )
+        .withColumn("clean", F.col("_leak").isNull())
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("len_ok"), 1)).alias("n_len_ok"),
+        F.count(F.when(F.col("len_ok") & F.col("keeper"), 1)).alias(
+            "n_after_dedup"
+        ),
+        F.count(
+            F.when(
+                F.col("len_ok") & F.col("keeper") & F.col("clean"), 1
+            )
+        ).alias("n_after_decontam"),
+    )
+
+
+ORACLE_CURATION_FUNNEL_REPORT = rf"""
+WITH d AS (
+  SELECT doc_id, source, text,
+         regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
+         length(text) >= {FUNNEL_MIN_CHARS} AS len_ok
+  FROM documents
+),
+k AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+           AS keeper,
+         norm IN (
+           SELECT regexp_replace(lower(text), '\s+', ' ', 'g')
+           FROM documents WHERE doc_id % {TEST_MOD} = 0
+         ) AS leaked
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(*) FILTER (len_ok) AS BIGINT) AS n_len_ok,
+       CAST(count(*) FILTER (len_ok AND keeper) AS BIGINT)
+         AS n_after_dedup,
+       CAST(count(*) FILTER (len_ok AND keeper AND NOT leaked)
+            AS BIGINT) AS n_after_decontam
+FROM k GROUP BY source
+"""
+
+QUERIES["curation_funnel_report"] = q_curation_funnel_report
+ORACLES["curation_funnel_report"] = ORACLE_CURATION_FUNNEL_REPORT
