@@ -464,7 +464,9 @@ def q_supplier_health_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1.0 - F.col("avg_discount") * 10.0) * 0.3
         + F.least(F.lit(1.0), F.col("avg_quantity") / 50.0) * 0.2
     )
-    joined = agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey, "left")
+    # supplier scales with SF (10k x SF rows) — no forced broadcast;
+    # AQE picks BHJ while it fits and degrades to SMJ at scale.
+    joined = agg.join(s, agg.l_suppkey == s.s_suppkey, "left")
     # return_rate is a mean of 0/1 (exact); avg_discount and the score
     # chain built on it are order-sensitive double aggs -> quantized
     return joined.select(
@@ -630,11 +632,12 @@ FROM events GROUP BY 1
 
 def q_part_value_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/F7 (reference consumer/bronze_to_silver.py:258-262): guarded
-    division after a broadcast join — price per size unit, 0 when
-    size is 0/null-ish."""
+    division after an equi-join — price per size unit, 0 when
+    size is 0/null-ish. part scales with SF (200k x SF rows), so the
+    join is left to AQE rather than a forced broadcast hint."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     return j.groupBy("p_brand").agg(
         gate_quantize(
             F.avg(

@@ -862,16 +862,19 @@ def q_zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # bounded: rank over the count table, keep top-k. The window is
-    # unpartitioned but its input is |vocab| rows AFTER aggregation,
-    # and the rank cut keeps k — at 100 TB pre-filter the tail with a
-    # frequency threshold before ranking (heavy-hitters shape).
-    ranked = counts.withColumn(
+    # The top-k cut happens BEFORE the rank window: orderBy+limit
+    # compiles to TakeOrderedAndProject — each task keeps k rows, the
+    # driver merges k — so the unpartitioned row_number only ever
+    # sees k rows, not the (multi-billion at 100 TB) full vocab.
+    topk = counts.orderBy(
+        F.col("freq").desc(), F.col("token")
+    ).limit(ZIPF_TOP_K)
+    ranked = topk.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("freq").desc(), F.col("token"))
         ),
-    ).filter(F.col("rank") <= ZIPF_TOP_K)
+    )
     out = ranked.agg(
         F.expr("regr_slope(ln(freq), ln(rank))").alias("zipf_slope"),
         F.expr("regr_r2(ln(freq), ln(rank))").alias("fit_r2"),

@@ -366,7 +366,14 @@ def test_user_keyed_joins_carry_no_broadcast_hint(spark):
     (~10^8-10^9 users); the join strategy must be left to AQE, so the
     optimized logical plan must contain no ResolvedHint — whatever
     physical join Catalyst then picks at this SF is fine."""
-    for name in ("funnel_click_purchase", "cohort_retention_events"):
+    for name in (
+        "funnel_click_purchase",
+        "cohort_retention_events",
+        # round 6: supplier (10k x SF) and part (200k x SF) are
+        # data-scaled too — their joins must also be hint-free
+        "supplier_health_scores",
+        "part_value_density",
+    ):
         df = QUERIES[name](spark, SF_DIR)
         optimized = (
             df._jdf.queryExecution().optimizedPlan().toString()
