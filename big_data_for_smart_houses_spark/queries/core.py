@@ -731,6 +731,66 @@ def q_business_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_CD_RSD = 0.02
+APPROX_CD_BOUND_SIGMAS = 3.0
+APPROX_CD_ABS_SLACK = 2
+
+
+def q_business_summary_approx_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-checkable invariant companion to
+    ``business_summary_approx`` (the hll_reach_events pattern): the
+    HLL++ estimate itself is not SQL-replayable, so the gate hashes
+    the exact per-date distinct-customer count PLUS a boolean
+    asserting the ``approx_count_distinct(rsd=0.02)`` estimate lands
+    within max(3·rsd·exact, 2) of exact — generous for the sparse
+    (exact-mode) regime at gate SF and still a real 3σ bound at 100 TB
+    cardinalities. One lost date or an out-of-bound sketch is a row /
+    hash mismatch. The revenue sum rides along through the float32
+    quantization like every summed gate column."""
+    from ..functions.numeric import quantize_cols
+
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum("o_totalprice").alias("revenue"),
+        F.approx_count_distinct("o_custkey", rsd=APPROX_CD_RSD).alias(
+            "approx_customers"
+        ),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bound = F.greatest(
+        F.lit(APPROX_CD_BOUND_SIGMAS * APPROX_CD_RSD)
+        * F.col("exact_customers"),
+        F.lit(float(APPROX_CD_ABS_SLACK)),
+    )
+    out = agg.select(
+        "order_date",
+        "revenue",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(
+                F.col("approx_customers").cast("double")
+                - F.col("exact_customers").cast("double")
+            )
+            <= bound
+        ).alias("approx_in_bound"),
+    )
+    return quantize_cols(out, "revenue")
+
+
+ORACLE_BUSINESS_SUMMARY_APPROX_GATE = """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS revenue,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       count(*) AS n_orders,
+       true AS approx_in_bound
+FROM orders GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Join surface beyond the reference (SURVEY.md §2.3: semi/anti/as-of
 # absent there; the engine exposes them as first-class)
@@ -1119,6 +1179,7 @@ QUERIES = {
     "part_value_density": q_part_value_density,
     "sessionize_events": q_sessionize_events,
     "business_summary_approx": q_business_summary_approx,
+    "business_summary_approx_gate": q_business_summary_approx_gate,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_orders": q_customers_without_orders,
     "pricing_rollup": q_pricing_rollup,
@@ -1154,6 +1215,7 @@ ORACLES = {
     "event_type_pivot": ORACLE_EVENT_TYPE_PIVOT,
     "part_value_density": ORACLE_PART_VALUE_DENSITY,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "business_summary_approx_gate": ORACLE_BUSINESS_SUMMARY_APPROX_GATE,
     "customers_with_orders": ORACLE_CUSTOMERS_WITH_ORDERS,
     "customers_without_orders": ORACLE_CUSTOMERS_WITHOUT_ORDERS,
     "pricing_rollup": ORACLE_PRICING_ROLLUP,

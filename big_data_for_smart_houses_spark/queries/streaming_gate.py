@@ -646,6 +646,131 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+RESTART_WM_S = 3600
+
+
+def q_stream_restart_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once RESTART RECOVERY on the hash path: the tumbling
+    hourly aggregation runs as a real availableNow stream whose first
+    attempt is crashed by an injected ``foreachBatch`` failure on
+    micro-batch 1 — AFTER batch 0 committed offsets and state — and a
+    second ``start()`` on the same checkpoint must recover the state
+    store and source offsets, re-run the failed batch, and drain.
+
+    The input is split into two files by a row hash (each hour's
+    events straddle both files), consumed one file per trigger, so
+    every window's count/sum mixes state recovered from the
+    checkpoint with rows ingested after the restart: lose the state
+    store and the counts are wrong; replay batch 0 and they double —
+    either way the hash gate fails. The crash fires BEFORE the batch
+    writes output and each batch lands in its own overwritten
+    ``batch=<id>`` directory, so the retry is idempotent. The DuckDB
+    oracle replays the batch rollup under append-mode's watermark
+    closure (windows with end <= max(ts) - 1 h), exactly the tumbling
+    gate's contract — the restart must be semantically invisible."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    configure_for_oracle_parity(spark)
+    from ..functions.numeric import quantize_cols
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_restart_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    marker = f"{tmp}/crashed_once"
+    halved = ev.withColumn(
+        "_half", F.pmod(F.hash("ts", "event_type", "value"), F.lit(2))
+    )
+    for h in (0, 1):
+        halved.filter(F.col("_half") == h).drop("_half").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{staged}/half={h}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{RESTART_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_id == 1 and not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("crashed before batch 1 output\n")
+            raise RuntimeError("injected crash: batch 1, first attempt")
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    def _start():
+        return (
+            agg.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _stream_state_partitions(spark):
+        first = _start()
+        try:
+            first.awaitTermination(_AWAIT_S)
+            raise AssertionError(
+                "injected crash never fired — restart not exercised"
+            )
+        except StreamingQueryException:
+            pass  # the intended mid-stream death
+        if not os.path.exists(marker):
+            raise AssertionError("query failed before the injected crash")
+        second = _start()
+        if not second.awaitTermination(_AWAIT_S):
+            second.stop()
+            raise TimeoutError(
+                f"restarted availableNow run exceeded {_AWAIT_S}s"
+            )
+    return quantize_cols(
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("window_start", "event_type", "n_events", "value_sum"),
+        "value_sum",
+    )
+
+
+ORACLE_STREAM_RESTART_AVAILABLENOW = f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum
+  FROM events
+  GROUP BY 1, 2
+),
+wm AS (SELECT max(ts) - INTERVAL {RESTART_WM_S} SECOND AS w FROM events)
+SELECT a.window_start, a.event_type, a.n_events, a.value_sum
+FROM agg a CROSS JOIN wm
+WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
     "ewma_stream_availablenow": q_ewma_stream_availablenow,
@@ -655,6 +780,7 @@ QUERIES = {
     "stream_tumbling_availablenow": q_stream_tumbling_availablenow,
     "stream_merge_availablenow": q_stream_merge_availablenow,
     "stream_enrich_availablenow": q_stream_enrich_availablenow,
+    "stream_restart_availablenow": q_stream_restart_availablenow,
 }
 
 ORACLES = {
@@ -666,4 +792,5 @@ ORACLES = {
     "stream_tumbling_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
     "stream_merge_availablenow": ORACLE_STREAM_MERGE_AVAILABLENOW,
     "stream_enrich_availablenow": ORACLE_STREAM_ENRICH_AVAILABLENOW,
+    "stream_restart_availablenow": ORACLE_STREAM_RESTART_AVAILABLENOW,
 }
