@@ -124,6 +124,111 @@ def test_bronze_sink_event_date_partitioning(spark):
     assert spark.read.parquet(f"{tmp}/bronze").count() == 2
 
 
+def test_kafka_wire_format_parity(spark):
+    """S1/S2 integration minus only the broker PROCESS: records are
+    built byte-identically to the reference producer's wire format —
+    value = ``json.dumps(payload, default=str).encode("utf-8")``,
+    key = utf-8 device_id (reference producer/telemetry_sim.py:72-75,
+    147-152) — and carried in a STREAMING DataFrame with the Kafka
+    source's exact 7-column record schema (key/value binary, topic,
+    partition, offset, timestamp, timestampType). The stream runs the
+    SAME parse→validate→bronze-sink chain the Kafka path wires up
+    (parse_telemetry_json → write_bronze_stream), and the landed
+    bronze rows must equal the batch file-source path's rows. What
+    this cannot prove is only the subscribe→poll→commit loop inside
+    the connector JAR — the wire format, schema contract, validation,
+    and sink semantics are all exercised for real."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    tmp = tempfile.mkdtemp()
+    # producer-faithful payloads: same dict key order as
+    # telemetry_sim.generate_telemetry_data, same serializer
+    payloads = []
+    for i, ts in enumerate(
+        ["2025-07-20T10:00:00+00:00", "2025-07-20T11:30:00+00:00"]
+    ):
+        payloads.append(
+            {
+                "device_id": f"device_{i:03d}",
+                "device_type": "thermostat",
+                "user_id": "user_001",
+                "timestamp": ts,
+                "temperature": 22.5,
+                "power_usage": 2000.0,
+                "energy_consumption_wh": 33.3,
+                "status": "online",
+                "alert": "none",
+                "location": "living_room",
+                "manufacturer": "Nest",
+                "model": "T100",
+            }
+        )
+    bad = {"device_id": "device_999"}  # fails required-field validation
+    kafka_schema = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    records = [
+        (
+            p["device_id"].encode("utf-8"),
+            json.dumps(p, default=str).encode("utf-8"),
+            "smart_home.telemetry",
+            i % 2,
+            i,
+            dt.datetime(2025, 7, 20, 12, 0, i),
+            0,
+        )
+        for i, p in enumerate(payloads + [bad])
+    ]
+    raw_batch = spark.createDataFrame(records, kafka_schema)
+    raw_batch.write.mode("overwrite").parquet(f"{tmp}/wire")
+
+    # the Kafka-shaped STREAM: identical schema and bytes, file transport
+    raw_stream = spark.readStream.schema(kafka_schema).parquet(f"{tmp}/wire")
+    assert raw_stream.isStreaming
+    assert [f.name for f in raw_stream.schema.fields] == [
+        f.name for f in kafka_schema.fields
+    ]
+    q = write_bronze_stream(
+        parse_telemetry_json(raw_stream),
+        f"{tmp}/bronze",
+        f"{tmp}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    bronze = spark.read.parquet(f"{tmp}/bronze")
+    # the invalid record is dropped; both valid producer messages land
+    assert bronze.count() == 2
+    # field-level parity with the batch parse of the same bytes
+    expect = {
+        (r.device_id, r.timestamp, r.temperature)
+        for r in parse_telemetry_json(raw_batch).collect()
+    }
+    got = {
+        (r.device_id, r.timestamp, r.temperature) for r in bronze.collect()
+    }
+    assert got == expect
+    assert {str(r.event_date) for r in bronze.collect()} == {"2025-07-20"}
+
+
 def test_streaming_file_source_incremental(spark, telemetry_fixture):
     tmp = tempfile.mkdtemp()
     telemetry_fixture.write.mode("overwrite").parquet(f"{tmp}/bronze_flat")
