@@ -167,6 +167,54 @@ if _only:
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _bench_skew(spark) -> dict[str, float]:
+    """Time the same skewed shuffle join plain vs salted. The fact is
+    the events table with every user_id % 5 == 0 collapsed onto key 0
+    (one key = ~20% of rows); plain hashes that key into ONE shuffle
+    partition, salted spreads it over 16. Reported as min over
+    N_RUNS, same estimator as the headline entries."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    fact = ev.select(
+        F.when((F.col("user_id") % 5) == 0, 0)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+        "ts",
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_skew_dim_")
+    try:
+        fact.select("k").distinct().withColumn(
+            "attr", F.md5(F.col("k").cast("string"))
+        ).write.mode("overwrite").parquet(tmp)
+        dim = spark.read.parquet(tmp)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            results: dict[str, float] = {}
+            for _ in range(N_RUNS):
+                for name, df in (
+                    ("skew_join_plain", fact.join(dim, "k")),
+                    ("skew_join_salted", salted_join(fact, dim, on="k")),
+                ):
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").format("noop").save()
+                    t = round(time.perf_counter() - t0, 3)
+                    results[name] = min(results.get(name, t), t)
+            return results
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     from big_data_for_smart_houses_spark.queries import QUERIES
     from big_data_for_smart_houses_spark.session import get_spark
@@ -198,6 +246,20 @@ def main() -> None:
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             print(f"  [{run}] {name}: {t:.3f}s", file=sys.stderr)
+
+    # Skew microbenchmark (performance signal for the salting path —
+    # correctness is gated separately by salted_join_orders): one key
+    # owns 20% of the fact rows; the dim is written out first so its
+    # construction isn't billed, and broadcast is disabled so the join
+    # actually shuffles (at 100 TB the dim wouldn't broadcast — this
+    # measures the shape that exists at scale). AQE skew-split stays ON
+    # for the plain side: the delta reported is salting vs what AQE
+    # alone does at this partition size.
+    try:
+        skew_t = _bench_skew(spark)
+        timings.update(skew_t)
+    except Exception as exc:  # noqa: BLE001
+        errors["skew_bench"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
