@@ -6,27 +6,22 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. Round 5's `_CERTIFICATION_FRONT` leads with the
-eleven new queries (never certified), then the 34 queries whose only
-driver rows predate the round-3 testdata regeneration (so the hard
-signal re-certifies them on the CURRENT parquet), then 5 r4-green
-sentinels chosen from the code paths this round touched. Everything past index
-50 — green in rounds 3-4 on current data — is re-verified every
-session by the local `SPARK_GRAFT_EXACT=1` mirror of the driver gate,
-which covers ALL entries, not just 50.
-
-Round 6 rotation note: the round-5 second wave sits past index 50
-this round (the window is spent on the stale-row re-certification
-above) — lead round 6's front with these never-certified entries:
-stream_{join,dedup,tumbling,enrich,merge}_availablenow,
-bpe_pair_counts_documents, inverted_index_documents,
-pagerank_user_transitions, snapshot_diff_orders, source_kl_documents,
-label_centroids_embeddings, stats_moments_lineitem,
-{regexp,math,navigation}_functions_*, rolling_median_events,
-hll_reach_events, tpch_q{3,5,7,10,18}_*, ab_lift_events,
-json_schema_profile_events, contrastive_triplets_documents,
-incremental_join_view_orders, conform_union_sources,
-span_masks_documents.
+insertion order. Round 6's `_CERTIFICATION_FRONT` leads with the two
+new round-6 gates (restart recovery, approx-count-distinct
+invariant), then the full 32-query oracle-backed round-5 second wave
+(never driver-certified; all pass the local `SPARK_GRAFT_EXACT=1`
+sf0.01 mirror), then the two queries whose joins round 6 de-forced
+(supplier_health_scores, part_value_density — the front proves the
+hint removal changed no value), then 14 green sentinels covering the
+medallion spine and one query per subsystem this round touched.
+Everything past index 50 — green in rounds 3-5 on current data — is
+re-verified every session by the local exact mirror, which covers
+ALL entries, not just 50. The two pure-`no_oracle` rows
+(business_summary_approx, value_percentiles_approx) are deliberately
+OUT of the front: they can only ever report rows-only and would
+waste window slots (round-5 verdict instruction); their invariant
+companions (business_summary_approx_gate, quality_topk_approx_pct)
+carry the hash signal instead.
 """
 
 from __future__ import annotations
@@ -78,68 +73,69 @@ ORACLES = {
 }
 
 _CERTIFICATION_FRONT = [
-    # --- new this round (never driver-certified): SCD2 read half,
-    #     approx-percentile scale variant, map/struct + generator +
-    #     higher-order-function families, and the first two
-    #     streaming-EXECUTED gates (LOCF and EWMA availableNow) ---
-    "scd2_asof_lookup",
-    "quality_topk_approx_pct",
-    "map_functions_events",
-    "locf_stream_availablenow",
-    "ewma_stream_availablenow",
-    "generator_functions_documents",
-    "hof_functions_documents",
-    "bloom_probe_customers",
-    "editdist_recall_planted",
-    "session_stream_availablenow",
-    "setops_events",
-    # --- the 34 queries whose only driver rows predate the round-3
-    #     testdata regeneration (certified r1/r2 on the OLD parquet;
-    #     all pass the local SPARK_GRAFT_EXACT sf0.01 mirror and the
-    #     round-4 judge's independent 32/32 run — this window makes
-    #     the hard driver signal say so on the CURRENT data) ---
-    "analytics_daily_cost_trend",
-    "analytics_daily_energy_trend",
-    "analytics_data_status",
-    "analytics_health_scatter",
-    "analytics_kpi_chain_gold",
-    "analytics_kpi_chain_silver",
-    "analytics_kpi_chain_summary",
-    "analytics_live_readings",
-    "business_summary_approx",
-    "catalog_enrichment_events",
-    "customers_with_orders",
-    "customers_without_orders",
-    "dedup_exact_documents",
-    "event_quality_score",
-    "event_transition_counts",
-    "event_type_pivot",
-    "events_cube",
-    "events_in_session_range",
-    "hourly_event_window",
-    "json_props_extract",
-    "late_shipment_flag",
-    "latest_event_per_user",
-    "ngram_jaccard_pairs",
+    # --- new this round (never driver-certified): exactly-once
+    #     restart recovery on the hash path, and the HLL++
+    #     approx_count_distinct invariant companion ---
+    "stream_restart_availablenow",
+    "business_summary_approx_gate",
+    # --- the full round-5 second wave (32 oracle-backed queries,
+    #     never driver-certified; all pass the local
+    #     SPARK_GRAFT_EXACT sf0.01 exact mirror and the round-5
+    #     judge's independent 177/177 run) ---
+    "stream_join_availablenow",
+    "stream_dedup_availablenow",
+    "stream_tumbling_availablenow",
+    "stream_merge_availablenow",
+    "stream_enrich_availablenow",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "synthetic_source_telemetry",
+    "pagerank_user_transitions",
+    "label_centroids_embeddings",
+    "contrastive_triplets_documents",
+    "bpe_pair_counts_documents",
+    "inverted_index_documents",
+    "source_kl_documents",
+    "span_masks_documents",
+    "readability_documents",
+    "zipf_slope_documents",
+    "curation_funnel_report",
+    "regexp_functions_documents",
+    "math_functions_events",
+    "rolling_median_events",
+    "stats_moments_lineitem",
+    "navigation_functions_events",
+    "hll_reach_events",
+    "ab_lift_events",
+    "json_schema_profile_events",
+    "snapshot_diff_orders",
+    "incremental_join_view_orders",
+    "conform_union_sources",
+    # --- round-6 touched paths: the two joins whose forced
+    #     broadcasts were removed (the front proves the de-forcing
+    #     changed no value) ---
+    "supplier_health_scores",
     "part_value_density",
-    "pricing_rollup",
-    "revenue_vs_global",
-    "rolling_time_window_events",
+    # --- green sentinels: medallion spine + one per subsystem
+    #     round 6 touched (skew/salting bench, approx family, merge,
+    #     analytics, dedup, streaming-stateful, hint-free class) ---
+    "silver_pipeline_events",
+    "gold_daily_energy_events",
+    "pricing_summary",
+    "customer_enrichment",
     "salted_join_orders",
-    "top_orders_per_customer",
     "two_phase_agg_orders",
-    "union_dedup_orders",
-    "user_event_type_sets",
-    "value_percentiles",
-    "value_percentiles_approx",
-    # --- r4-green sentinels: queries whose code paths round 5 touched
-    #     (de-forced broadcasts, null-safe drift, quantize null gate,
-    #     merge tiebreak param) plus the medallion spine ---
+    "locf_stream_availablenow",
+    "dedup_exact_documents",
+    "semantic_dedup_embeddings",
+    "quality_topk_approx_pct",
+    "scd2_asof_lookup",
     "funnel_click_purchase",
     "cohort_retention_events",
-    "profile_drift_documents",
-    "zorder_key_events",
-    "silver_pipeline_events",
+    "analytics_kpi_chain_gold",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
