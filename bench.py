@@ -147,6 +147,13 @@ HEADLINE = [
     "readability_documents",
     "zipf_slope_documents",
     "curation_funnel_report",
+    "stream_restart_availablenow",
+    "business_summary_approx_gate",
+    "variant_functions_events",
+    "try_functions_events",
+    "xml_functions_events",
+    "lateral_topk_orders",
+    "sliding_chunks_documents",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -40,6 +40,8 @@ from .incremental_gate import QUERIES as _INC_QUERIES
 from .extensions import QUERIES as _EXT_QUERIES
 from .llm_ops import ORACLES as _LLM_ORACLES
 from .llm_ops import QUERIES as _LLM_QUERIES
+from .modern_gate import ORACLES as _MODERN_ORACLES
+from .modern_gate import QUERIES as _MODERN_QUERIES
 from .pipeline import ORACLES as _PIPE_ORACLES
 from .pipeline import QUERIES as _PIPE_QUERIES
 from .stats_gate import ORACLES as _STATS_ORACLES
@@ -58,6 +60,7 @@ _ALL_QUERIES = {
     **_ASM_QUERIES,
     **_INC_QUERIES,
     **_STREAM_QUERIES,
+    **_MODERN_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -70,6 +73,7 @@ ORACLES = {
     **_ASM_ORACLES,
     **_INC_ORACLES,
     **_STREAM_ORACLES,
+    **_MODERN_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [
