@@ -154,6 +154,9 @@ HEADLINE = [
     "xml_functions_events",
     "lateral_topk_orders",
     "sliding_chunks_documents",
+    "observe_metrics_orders",
+    "compaction_roundtrip_events",
+    "stream_fanout_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

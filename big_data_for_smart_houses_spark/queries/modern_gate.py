@@ -342,3 +342,205 @@ WHERE start = 0 OR start < n_tokens
 
 QUERIES["sliding_chunks_documents"] = q_sliding_chunks_documents
 ORACLES["sliding_chunks_documents"] = ORACLE_SLIDING_CHUNKS_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# Observation API: single-pass pipeline metrics
+# ---------------------------------------------------------------------------
+
+def q_observe_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe` — accumulator-backed pipeline metrics
+    computed DURING a pass the job was already making (here a noop
+    sink), not by a second scan. This is how a 100 TB ETL job reports
+    row counts / sums / bounds for free; the reference recomputes its
+    "data status" numbers with separate pandas passes
+    (dashboard/app.py KPI reads). The observed metrics come back as
+    driver scalars by design (that is the API's contract — metrics,
+    not data), and the gate re-emits them as a 1-row DataFrame whose
+    hash the oracle must match. The accumulator sum is
+    order-insensitive only through the float32 gate quantization."""
+    import numpy as np
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("gate_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    schema = StructType(
+        [
+            StructField("n_orders", LongType()),
+            StructField("revenue", DoubleType()),
+            StructField("min_price", DoubleType()),
+            StructField("max_price", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_orders"]),
+                float(np.float32(m["revenue"])),
+                float(m["min_price"]),
+                float(m["max_price"]),
+            )
+        ],
+        schema,
+    )
+
+
+ORACLE_OBSERVE_METRICS_ORDERS = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS revenue,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+"""
+
+QUERIES["observe_metrics_orders"] = q_observe_metrics_orders
+ORACLES["observe_metrics_orders"] = ORACLE_OBSERVE_METRICS_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction roundtrip
+# ---------------------------------------------------------------------------
+
+COMPACT_INPUT_FILES = 64
+
+
+def q_compaction_roundtrip_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE-style small-file compaction
+    (sources/parquet.py:compact_files) on the hash path: the events
+    table is staged as 64 small files (the reference's one-file-per-
+    flush bronze layout), compacted to ~target-size files via one
+    round-robin rewrite, and the compacted directory's CONTENT is
+    returned — byte-identical rows or the gate fails, and the gate
+    itself raises if compaction didn't actually shrink the file
+    count. Target bytes are set so gate SF lands at a handful of
+    files; at 100 TB the same arithmetic yields 128 MB files."""
+    import glob
+    import tempfile
+
+    from ..sources.parquet import compact_files
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="compact_gate_")
+    small = f"{tmp}/small"
+    out = f"{tmp}/compacted"
+    ev.repartition(COMPACT_INPUT_FILES).write.mode("overwrite").parquet(small)
+    n_in = len(glob.glob(f"{small}/part-*.parquet"))
+    compact_files(spark, small, out, target_file_bytes=4 * 1024 * 1024)
+    n_out = len(glob.glob(f"{out}/part-*.parquet"))
+    if not (n_out < n_in):
+        raise AssertionError(
+            f"compaction did not reduce files: {n_in} -> {n_out}"
+        )
+    return spark.read.parquet(out)
+
+
+ORACLE_COMPACTION_ROUNDTRIP_EVENTS = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+QUERIES["compaction_roundtrip_events"] = q_compaction_roundtrip_events
+ORACLES["compaction_roundtrip_events"] = ORACLE_COMPACTION_ROUNDTRIP_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Streaming multi-sink fanout (foreachBatch)
+# ---------------------------------------------------------------------------
+
+def q_stream_fanout_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-sink fanout — the production pattern a single
+    `writeStream` cannot express: each micro-batch lands in TWO sinks
+    (raw rows + per-type partial counts) inside one `foreachBatch`,
+    sharing one source read via `persist`. The gate returns the
+    per-type totals computed from BOTH sinks side by side; they must
+    agree with each other and with the batch oracle, so a batch that
+    landed in one sink but not the other — the failure mode fanout
+    invites — is a hash mismatch. Each sink writes per-batch
+    directories (idempotent on retry), the stream runs one file per
+    trigger, and partial counts roll up by sum (mergeable-monoid
+    discipline, the CMS/partial-agg story)."""
+    import tempfile
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_fanout_gate_")
+    staged = f"{tmp}/staged"
+    raw_dir = f"{tmp}/raw"
+    agg_dir = f"{tmp}/agg"
+    half = F.pmod(F.hash("event_id"), F.lit(2))
+    for h in (0, 1):
+        ev.filter(half == h).coalesce(1).write.mode("overwrite").parquet(
+            f"{staged}/half={h}"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+
+    def _fanout(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(
+                f"{raw_dir}/batch={batch_id}"
+            )
+            batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("partial_n")
+            ).write.mode("overwrite").parquet(f"{agg_dir}/batch={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_fanout)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("fanout availableNow run exceeded 300s")
+    raw_counts = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(raw_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    agg_counts = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(agg_dir)
+        .groupBy("event_type")
+        .agg(F.sum("partial_n").alias("n_agg"))
+    )
+    return raw_counts.join(agg_counts, "event_type")
+
+
+ORACLE_STREAM_FANOUT_AVAILABLENOW = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(*) AS BIGINT) AS n_agg
+FROM events GROUP BY 1
+"""
+
+QUERIES["stream_fanout_availablenow"] = q_stream_fanout_availablenow
+ORACLES["stream_fanout_availablenow"] = ORACLE_STREAM_FANOUT_AVAILABLENOW

@@ -148,3 +148,37 @@ def write_snapshot(df: DataFrame, path: str) -> None:
     consumer/silver_to_gold.py:277-312 writes timestamped snapshot files;
     overwrite of one logical table is the Spark-native equivalent)."""
     df.write.mode("overwrite").parquet(path)
+
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Small-file compaction — the OPTIMIZE half of a table format,
+    expressed on plain parquet directories (the reference's per-flush
+    writer, consumer/ingest_bronze.py:120-147, produces one file per
+    30 s flush per date: ~2,880 files/day/partition, a classic
+    100 TB-scale NameNode/S3-listing killer).
+
+    File count is sized from the directory's actual on-disk bytes
+    (Hadoop ContentSummary — no data scan), then one
+    ``repartition(n)`` round-robin rewrite produces even ~target-size
+    files. Round-robin (not coalesce) so a skewed input layout cannot
+    produce skewed output files; the shuffle IS the point — one pass
+    of the data, each output file written by one task. Returns the
+    file count written."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
