@@ -123,23 +123,26 @@ _CERTIFICATION_FRONT = [
     #     changed no value) ---
     "supplier_health_scores",
     "part_value_density",
+    # --- round-6 modern-surface gates (never driver-certified):
+    #     VARIANT, try_-family, XML, lateral join, sliding chunks,
+    #     observe metrics, small-file compaction, streaming fanout ---
+    "variant_functions_events",
+    "try_functions_events",
+    "xml_functions_events",
+    "lateral_topk_orders",
+    "sliding_chunks_documents",
+    "observe_metrics_orders",
+    "compaction_roundtrip_events",
+    "stream_fanout_availablenow",
     # --- green sentinels: medallion spine + one per subsystem
-    #     round 6 touched (skew/salting bench, approx family, merge,
-    #     analytics, dedup, streaming-stateful, hint-free class) ---
+    #     round 6 touched (skew/salting bench, approx family,
+    #     streaming-stateful, hint-free join class) ---
     "silver_pipeline_events",
     "gold_daily_energy_events",
-    "pricing_summary",
-    "customer_enrichment",
     "salted_join_orders",
-    "two_phase_agg_orders",
     "locf_stream_availablenow",
-    "dedup_exact_documents",
-    "semantic_dedup_embeddings",
     "quality_topk_approx_pct",
-    "scd2_asof_lookup",
     "funnel_click_purchase",
-    "cohort_retention_events",
-    "analytics_kpi_chain_gold",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
