@@ -482,3 +482,28 @@ def test_round5_gate_shuffle_budgets(spark):
         p = _plan(spark, name)
         assert p.count("Exchange hashpartitioning") <= budget, (name, p)
         assert "CartesianProduct" not in p, name
+
+
+def test_round6_gate_plan_shapes(spark):
+    """Round-6 surfaces: the VARIANT, try_, XML, and sliding-chunk
+    families are pure row-local codegen (zero exchanges, no Python
+    evaluation — variant shredding and XML formatting run JVM-side);
+    the correlated LATERAL subquery must DECORRELATE into a ranked
+    join (WindowGroupLimit + one join), never a per-row subquery or
+    cartesian product — the difference between one keyed exchange and
+    |customers| subquery executions at 100 TB."""
+    for name in (
+        "variant_functions_events",
+        "try_functions_events",
+        "xml_functions_events",
+        "sliding_chunks_documents",
+    ):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, (name, p)
+        assert "BatchEvalPython" not in p, (name, p)
+        assert "ArrowEvalPython" not in p, (name, p)
+
+    p = _plan(spark, "lateral_topk_orders")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
