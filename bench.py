@@ -157,6 +157,8 @@ HEADLINE = [
     "observe_metrics_orders",
     "compaction_roundtrip_events",
     "stream_fanout_availablenow",
+    "stream_rocksdb_availablenow",
+    "collation_group_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

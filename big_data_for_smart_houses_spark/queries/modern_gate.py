@@ -544,3 +544,59 @@ FROM events GROUP BY 1
 
 QUERIES["stream_fanout_availablenow"] = q_stream_fanout_availablenow
 ORACLES["stream_fanout_availablenow"] = ORACLE_STREAM_FANOUT_AVAILABLENOW
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware string semantics
+# ---------------------------------------------------------------------------
+
+def q_collation_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: a case-mangled copy of event_type
+    (every even event_id upper-cased) is grouped under the
+    ``UTF8_LCASE`` collation — case variants must land in ONE group
+    with no `lower()` rewrite of the data — plus collated equality
+    and prefix predicates. Collated groupBy keeps an ARBITRARY case
+    representative per group, so the gate emits ``lower(key)`` (a
+    deterministic projection of that representative), the count, and
+    the predicate tallies. At 100 TB collation-aware grouping hashes
+    the collation key directly — same shuffle as any groupBy, no
+    expression rewrite, and the optimizer keeps pushdown on the
+    collated column."""
+    ev = _t(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    lcase = F.collate(mangled, "UTF8_LCASE")
+    return (
+        ev.select(
+            lcase.alias("k"),
+            (lcase == F.lit("CLICK")).alias("is_click_ci"),
+            F.startswith(lcase, F.lit("P")).alias("p_prefix_ci"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_click_ci").cast("bigint")).alias("n_click_ci"),
+            F.sum(F.col("p_prefix_ci").cast("bigint")).alias("n_p_prefix"),
+        )
+        .select(
+            F.lower(F.col("k")).alias("etype"),
+            "n",
+            "n_click_ci",
+            "n_p_prefix",
+        )
+    )
+
+
+ORACLE_COLLATION_GROUP_EVENTS = """
+SELECT lower(event_type) AS etype,
+       count(*) AS n,
+       CAST(sum(CASE WHEN lower(event_type) = 'click'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_click_ci,
+       CAST(sum(CASE WHEN lower(event_type) LIKE 'p%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_p_prefix
+FROM events GROUP BY 1
+"""
+
+QUERIES["collation_group_events"] = q_collation_group_events
+ORACLES["collation_group_events"] = ORACLE_COLLATION_GROUP_EVENTS

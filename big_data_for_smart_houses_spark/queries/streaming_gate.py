@@ -771,6 +771,82 @@ WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
 """
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def q_stream_rocksdb_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tumbling-window aggregation executed on the **RocksDB
+    state store provider** — the production state backend once
+    streaming state outgrows the default in-memory HDFS-backed store
+    (at 100 TB key rates, state must spill to disk and snapshot
+    incrementally; RocksDB is Spark's answer, and an engine claiming
+    streaming-at-scale has to run on it, not just default-store
+    unit tests). Same watermark-closure contract and oracle as
+    `stream_tumbling_availablenow`, so the gate proves provider
+    SWAP-equivalence: identical hash through a different state
+    engine. The provider conf binds at stream start and is restored
+    after; the checkpoint is fresh per call so the binding is
+    clean."""
+    configure_for_oracle_parity(spark)
+    from ..functions.numeric import quantize_cols
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rocksdb_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = (
+        stream.withWatermark("ts", f"{TUMBLE_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+            "value_max",
+        )
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(_AWAIT_S):
+                q.stop()
+                raise TimeoutError(
+                    f"RocksDB availableNow run exceeded {_AWAIT_S}s"
+                )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return quantize_cols(
+        spark.read.parquet(out_dir).select(
+            "window_start", "event_type", "n_events", "value_sum", "value_max"
+        ),
+        "value_sum",
+    )
+
+
 QUERIES = {
     "locf_stream_availablenow": q_locf_stream_availablenow,
     "ewma_stream_availablenow": q_ewma_stream_availablenow,
@@ -781,6 +857,7 @@ QUERIES = {
     "stream_merge_availablenow": q_stream_merge_availablenow,
     "stream_enrich_availablenow": q_stream_enrich_availablenow,
     "stream_restart_availablenow": q_stream_restart_availablenow,
+    "stream_rocksdb_availablenow": q_stream_rocksdb_availablenow,
 }
 
 ORACLES = {
@@ -793,4 +870,6 @@ ORACLES = {
     "stream_merge_availablenow": ORACLE_STREAM_MERGE_AVAILABLENOW,
     "stream_enrich_availablenow": ORACLE_STREAM_ENRICH_AVAILABLENOW,
     "stream_restart_availablenow": ORACLE_STREAM_RESTART_AVAILABLENOW,
+    # provider swap must be value-invariant: same oracle as tumbling
+    "stream_rocksdb_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
 }
