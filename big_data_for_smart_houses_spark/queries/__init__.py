@@ -134,15 +134,15 @@ _CERTIFICATION_FRONT = [
     "observe_metrics_orders",
     "compaction_roundtrip_events",
     "stream_fanout_availablenow",
+    "stream_rocksdb_availablenow",
+    "collation_group_events",
     # --- green sentinels: medallion spine + one per subsystem
     #     round 6 touched (skew/salting bench, approx family,
-    #     streaming-stateful, hint-free join class) ---
+    #     streaming-stateful) ---
     "silver_pipeline_events",
-    "gold_daily_energy_events",
     "salted_join_orders",
     "locf_stream_availablenow",
     "quality_topk_approx_pct",
-    "funnel_click_purchase",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
