@@ -159,6 +159,10 @@ HEADLINE = [
     "stream_fanout_availablenow",
     "stream_rocksdb_availablenow",
     "collation_group_events",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_global_balance",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1604,3 +1604,212 @@ FROM (SELECT unnest(generate_series(0, {SYNTH_N - 1})) AS i)
 
 QUERIES["synthetic_source_telemetry"] = q_synthetic_source_telemetry
 ORACLES["synthetic_source_telemetry"] = ORACLE_SYNTHETIC_SOURCE_TELEMETRY
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 6: Q4 (EXISTS-driven agg), Q14 (conditional
+# ratio), Q19 (disjunctive multi-branch pushdown), Q22 (scalar
+# subquery + anti join). Adapted to the driver tables' reduced
+# columns (no commitdate/receiptdate/shipmode/phone), preserving each
+# query's defining OPERATOR shape.
+# ---------------------------------------------------------------------------
+
+Q4_YEAR = 1997
+Q4_QUARTER = 3
+
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for one quarter where a
+    correlated EXISTS holds (here: some line shipped AFTER the order
+    date — the reduced schema's analog of commit<receipt). The EXISTS
+    compiles to a LEFT SEMI join whose condition spans both sides;
+    at scale the semi join shuffles only the orderkey + the two
+    compared columns and never duplicates orders (the reason Q4 is
+    the canonical semi-join benchmark)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == Q4_YEAR)
+        & (F.quarter("o_orderdate") == Q4_QUARTER)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sel = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_TPCH_Q4_ORDER_PRIORITY = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE year(o_orderdate) = {Q4_YEAR}
+  AND quarter(o_orderdate) = {Q4_QUARTER}
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+Q14_YEAR = 1998
+Q14_MONTH = 3
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share for one month — a
+    conditional aggregate RATIO over a fact⋈part join. Both numerator
+    and denominator come out of ONE pass (no second scan, no
+    self-join); revenue stays decimal-exact to the division, and only
+    the final ratio (one divide) ships as double. The date filter
+    prunes the fact scan; part is joined for its type flag only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == Q14_YEAR)
+        & (F.month("l_shipdate") == Q14_MONTH)
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = price * (one - disc)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev))
+    total = F.sum(rev)
+    out = j.agg(
+        promo.alias("_promo"), total.alias("_total")
+    ).select(
+        (
+            F.lit(100.0)
+            * F.coalesce(F.col("_promo"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_pct"),
+        F.col("_total").cast("double").alias("total_revenue"),
+    )
+    return out
+
+
+ORACLE_TPCH_Q14_PROMO_REVENUE = f"""
+SELECT 100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2))) END),
+               0) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_pct,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = {Q14_YEAR} AND month(l_shipdate) = {Q14_MONTH}
+"""
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size
+    range, quantity range) conjunctions — the disjunctive-predicate
+    benchmark. The brand/size branches bind to part and the quantity
+    bounds to lineitem, so the optimizer must push the COMMON
+    envelope of each side's disjuncts into the scans and evaluate
+    the cross-table residual on the joined row; a naive engine
+    evaluates nothing until after the join. Revenue decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 15))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 25))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 35))
+    )
+    return j.filter(cond).agg(
+        _exact_revenue().alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_TPCH_Q19_DISJUNCTIVE = f"""
+SELECT {_SQL_EXACT_REVENUE} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_tpch_q22_global_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: customers whose balance exceeds the global
+    positive-balance average AND who have no large order (every
+    synthetic customer has SOME order, so the anti-join predicate is
+    "no order above the big-order threshold" — the same adaptation
+    customers_without_orders documents) — scalar subquery + anti join
+    + aggregate. The average is compared in EXACT decimal arithmetic
+    rearranged as ``bal * n > total`` (no double division anywhere
+    near the threshold), so a borderline customer can never flip
+    between engines; the 1-row aggregate broadcasts (J2 shape), the
+    price filter pushes into the orders scan, and the anti join
+    shuffles only the key column."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > BIG_ORDER_THRESHOLD
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(
+            bal * F.col("_n").cast("decimal(18,0)")
+            > F.col("_total").cast("decimal(38,2)")
+        )
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(bal).cast("double").alias("total_acctbal"),
+    )
+
+
+ORACLE_TPCH_Q22_GLOBAL_BALANCE = """
+WITH stats AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_acctbal
+FROM customer c CROSS JOIN stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {thr})
+GROUP BY c_mktsegment
+""".format(thr=BIG_ORDER_THRESHOLD)
+
+
+QUERIES["tpch_q4_order_priority"] = q_tpch_q4_order_priority
+QUERIES["tpch_q14_promo_revenue"] = q_tpch_q14_promo_revenue
+QUERIES["tpch_q19_disjunctive"] = q_tpch_q19_disjunctive
+QUERIES["tpch_q22_global_balance"] = q_tpch_q22_global_balance
+ORACLES["tpch_q4_order_priority"] = ORACLE_TPCH_Q4_ORDER_PRIORITY
+ORACLES["tpch_q14_promo_revenue"] = ORACLE_TPCH_Q14_PROMO_REVENUE
+ORACLES["tpch_q19_disjunctive"] = ORACLE_TPCH_Q19_DISJUNCTIVE
+ORACLES["tpch_q22_global_balance"] = ORACLE_TPCH_Q22_GLOBAL_BALANCE
