@@ -12,11 +12,13 @@ invariant), then the full 32-query oracle-backed round-5 second wave
 (never driver-certified; all pass the local `SPARK_GRAFT_EXACT=1`
 sf0.01 mirror), then the two queries whose joins round 6 de-forced
 (supplier_health_scores, part_value_density — the front proves the
-hint removal changed no value), then 14 green sentinels covering the
-medallion spine and one query per subsystem this round touched.
-Everything past index 50 — green in rounds 3-5 on current data — is
-re-verified every session by the local exact mirror, which covers
-ALL entries, not just 50. The two pure-`no_oracle` rows
+hint removal changed no value), then the 14 new round-6 gates
+(VARIANT / try_ / XML / lateral / sliding chunks / observe /
+compaction / fanout / RocksDB / collation / TPC-H Q4+Q14+Q19+Q22).
+Every slot is a never-certified or round-6-touched row — no
+sentinels this round, because everything past index 50 (green in
+rounds 3-5 on current data) is re-verified every session by the
+local exact mirror, which covers ALL entries, not just 50. The two pure-`no_oracle` rows
 (business_summary_approx, value_percentiles_approx) are deliberately
 OUT of the front: they can only ever report rows-only and would
 waste window slots (round-5 verdict instruction); their invariant
@@ -136,13 +138,10 @@ _CERTIFICATION_FRONT = [
     "stream_fanout_availablenow",
     "stream_rocksdb_availablenow",
     "collation_group_events",
-    # --- green sentinels: medallion spine + one per subsystem
-    #     round 6 touched (skew/salting bench, approx family,
-    #     streaming-stateful) ---
-    "silver_pipeline_events",
-    "salted_join_orders",
-    "locf_stream_availablenow",
-    "quality_topk_approx_pct",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_global_balance",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
