@@ -163,6 +163,7 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive",
     "tpch_q22_global_balance",
+    "bucketed_join_orders",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the
@@ -181,6 +182,39 @@ if _only:
 # per-query times so round-over-round numbers remain comparable.
 # n=3: with min-of-2, a single noisy run still sets half the floor.
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _bench_stream_boot(spark) -> float:
+    """Time a minimal availableNow stream (1-row parquet in, parquet
+    out) — the fixed startup cost shared by every streaming gate.
+    Min over N_RUNS, fresh checkpoint each run (matching how the
+    gates themselves execute)."""
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.mkdtemp(prefix="bench_stream_boot_")
+    try:
+        spark.range(1).write.mode("overwrite").parquet(f"{root}/in")
+        schema = spark.read.parquet(f"{root}/in").schema
+        best = None
+        for i in range(N_RUNS):
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(f"{root}/in")
+                .writeStream.format("parquet")
+                .option("path", f"{root}/out{i}")
+                .option("checkpointLocation", f"{root}/ckpt{i}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            t = round(time.perf_counter() - t0, 3)
+            best = t if best is None else min(best, t)
+        return best
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _bench_skew(spark) -> dict[str, float]:
@@ -263,6 +297,17 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
             print(f"  [{run}] {name}: {t:.3f}s", file=sys.stderr)
 
+    # Stream-boot baseline: the fixed cost every `*_availablenow`
+    # gate pays before its first row (query start + checkpoint init +
+    # one empty-ish micro-batch). Recorded so round-over-round
+    # streaming-gate deltas can be read net of boot noise — a gate
+    # that moved by ~stream_boot_s moved by NOTHING.
+    try:
+        out_boot = _bench_stream_boot(spark)
+    except Exception as exc:  # noqa: BLE001
+        errors["stream_boot"] = f"{type(exc).__name__}: {exc}"[:300]
+        out_boot = None
+
     # Skew microbenchmark (performance signal for the salting path —
     # correctness is gated separately by salted_join_orders): one key
     # owns 20% of the fact rows; the dim is written out first so its
@@ -289,6 +334,8 @@ def main() -> None:
     # (300+ events/s, reference README.md:265); report the silver
     # pipeline's end-to-end equivalent in the same unit so the
     # comparison never needs hand arithmetic.
+    if out_boot is not None:
+        out["stream_boot_s"] = out_boot
     silver_t = timings.get("silver_pipeline_events")
     if silver_t:
         n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()

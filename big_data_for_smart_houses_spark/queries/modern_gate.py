@@ -600,3 +600,77 @@ FROM events GROUP BY 1
 
 QUERIES["collation_group_events"] = q_collation_group_events
 ORACLES["collation_group_events"] = ORACLE_COLLATION_GROUP_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join on the hash path
+# ---------------------------------------------------------------------------
+
+BUCKETS = 8
+
+
+def q_bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located fact-fact join (sources/bucketing.py) executed
+    on the hash path: both sides are written as catalog tables
+    bucketed+sorted on the join key, and the join must plan with
+    ZERO exchanges — each task sort-merge joins matching bucket
+    files locally. The gate disables broadcast (at 100 TB neither
+    fact side broadcasts anyway), RAISES if any Exchange appears in
+    the physical plan (the plan guarantee rides the hash gate, not
+    just test_bucketing.py), and returns the joined rows for value
+    verification. Write once, join shuffle-free forever — the
+    amortization story for every repeated spine join."""
+    import tempfile
+
+    from ..sources.bucketing import read_bucketed, write_bucketed
+
+    configure_for_oracle_parity(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="bucket_gate_")
+    for name, df in (("_gate_li_bkt", li), ("_gate_o_bkt", o)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{tmp}/{name}")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "_gate_li_bkt").join(
+            read_bucketed(spark, "_gate_o_bkt"), "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                f"bucketed join shuffled — co-location lost:\n{plan}"
+            )
+        return joined.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+ORACLE_BUCKETED_JOIN_ORDERS = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       o_totalprice, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+QUERIES["bucketed_join_orders"] = q_bucketed_join_orders
+ORACLES["bucketed_join_orders"] = ORACLE_BUCKETED_JOIN_ORDERS
