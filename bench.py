@@ -164,6 +164,7 @@ HEADLINE = [
     "tpch_q19_disjunctive",
     "tpch_q22_global_balance",
     "bucketed_join_orders",
+    "recursive_cte_hierarchy",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -674,3 +674,60 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 
 QUERIES["bucketed_join_orders"] = q_bucketed_join_orders
 ORACLES["bucketed_join_orders"] = ORACLE_BUCKETED_JOIN_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (iterative SQL surface)
+# ---------------------------------------------------------------------------
+
+def q_recursive_cte_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WITH RECURSIVE — the iterative SQL surface (Spark 4): walk the
+    implicit binary-tree hierarchy parent(c) = c DIV 2 over the
+    customer table from the roots down, then profile each depth.
+    Every recursion step is ONE equi-join of the frontier against the
+    base table and the depth is log2(|customers|), so the plan is a
+    bounded Pregel loop in pure SQL — the declarative sibling of the
+    DataFrame PageRank loop (extensions/graph.py), with Catalyst
+    handling the per-step plans. Counts/min/max only: everything
+    hash-exact."""
+    configure_for_oracle_parity(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, depth) AS (
+          SELECT c_custkey, 0 FROM _rec_customer WHERE c_custkey <= 1
+          UNION ALL
+          SELECT c.c_custkey, a.depth + 1
+          FROM _rec_customer c JOIN anc a ON c.c_custkey DIV 2 = a.custkey
+          WHERE c.c_custkey > 1
+        )
+        SELECT depth,
+               COUNT(*) AS n_nodes,
+               MIN(custkey) AS min_key,
+               MAX(custkey) AS max_key
+        FROM anc GROUP BY depth
+        """
+    )
+
+
+ORACLE_RECURSIVE_CTE_HIERARCHY = """
+WITH RECURSIVE anc(custkey, depth) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey <= 1
+  UNION ALL
+  SELECT c.c_custkey, a.depth + 1
+  FROM customer c JOIN anc a ON c.c_custkey // 2 = a.custkey
+  WHERE c.c_custkey > 1
+)
+SELECT depth,
+       count(*) AS n_nodes,
+       CAST(min(custkey) AS BIGINT) AS min_key,
+       CAST(max(custkey) AS BIGINT) AS max_key
+FROM anc GROUP BY depth
+"""
+
+QUERIES["recursive_cte_hierarchy"] = q_recursive_cte_hierarchy
+ORACLES["recursive_cte_hierarchy"] = ORACLE_RECURSIVE_CTE_HIERARCHY
