@@ -165,6 +165,7 @@ HEADLINE = [
     "tpch_q22_global_balance",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
+    "listagg_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -731,3 +731,47 @@ FROM anc GROUP BY depth
 
 QUERIES["recursive_cte_hierarchy"] = q_recursive_cte_hierarchy
 ORACLES["recursive_cte_hierarchy"] = ORACLE_RECURSIVE_CTE_HIERARCHY
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg WITHIN GROUP)
+# ---------------------------------------------------------------------------
+
+def q_listagg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`listagg ... WITHIN GROUP (ORDER BY ...)` (Spark 4): the
+    ordered string aggregation every report/export pipeline wants —
+    per user, the event-type sequence in (ts, event_id) order plus a
+    de-duplicated sorted type list. The within-group sort happens
+    inside the aggregate on each user's rows (no global sort); at
+    100 TB this is one keyed exchange like any groupBy, with per-key
+    payload bounded by the concatenated string. The deterministic
+    ORDER BY is what makes the result hashable — bare listagg order
+    is engine-arbitrary and would never gate."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_la_events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               listagg(event_type, '>')
+                 WITHIN GROUP (ORDER BY ts, event_id) AS journey,
+               listagg(DISTINCT event_type, ',')
+                 WITHIN GROUP (ORDER BY event_type) AS type_set,
+               COUNT(*) AS n_events
+        FROM _la_events
+        GROUP BY user_id
+        """
+    )
+
+
+ORACLE_LISTAGG_EVENTS = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+         AS type_set,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["listagg_events"] = q_listagg_events
+ORACLES["listagg_events"] = ORACLE_LISTAGG_EVENTS
