@@ -166,6 +166,7 @@ HEADLINE = [
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",
+    "stream_outer_join_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -366,6 +366,98 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q_stream_outer_join_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantics the
+    inner gate can't prove: an unmatched purchase must emit
+    NULL-padded, but only once the watermark makes "no click will
+    ever match" FINAL (l_ts < watermark). availableNow's closing
+    no-data batch advances the global watermark to
+    min(max purchase_ts, max click_ts) − delay, so the emitted set is
+    exactly: all matches, plus null rows for unmatched purchases
+    strictly below that bound — which is what the DuckDB oracle
+    states in closed form. Purchases newer than the bound stay in
+    state, withheld (the correct streaming answer, not a gate
+    artifact). State cost is identical to the inner join: key-rate ×
+    lookback per side, watermark-GC'd."""
+    configure_for_oracle_parity(spark)
+    from ..streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ojoin_gate_")
+    out_dir = f"{tmp}/out"
+
+    def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        side = ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+        path = f"{tmp}/staged_{kind}"
+        side.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.readStream.schema(side.schema).parquet(path)
+
+    joined = stream_interval_join(
+        _side("purchase", "purchase_id", "purchase_ts"),
+        _side("click", "click_id", "click_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback_seconds=STREAM_JOIN_LOOKBACK_S,
+        watermark_delay="6 hours",
+        how="left_outer",
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"outer stream join availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
+ORACLE_STREAM_OUTER_JOIN_AVAILABLENOW = f"""
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL 6 HOUR AS w),
+matched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         c.event_id AS click_id, c.ts AS click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+   AND c.ts <= p.ts
+)
+SELECT * FROM matched
+UNION ALL
+SELECT p.user_id, p.event_id, p.ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM p CROSS JOIN wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+      AND c.ts <= p.ts)
+"""
+
+
 def q_stream_dedup_availablenow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -858,6 +950,7 @@ QUERIES = {
     "stream_enrich_availablenow": q_stream_enrich_availablenow,
     "stream_restart_availablenow": q_stream_restart_availablenow,
     "stream_rocksdb_availablenow": q_stream_rocksdb_availablenow,
+    "stream_outer_join_availablenow": q_stream_outer_join_availablenow,
 }
 
 ORACLES = {
@@ -872,4 +965,5 @@ ORACLES = {
     "stream_restart_availablenow": ORACLE_STREAM_RESTART_AVAILABLENOW,
     # provider swap must be value-invariant: same oracle as tumbling
     "stream_rocksdb_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
+    "stream_outer_join_availablenow": ORACLE_STREAM_OUTER_JOIN_AVAILABLENOW,
 }

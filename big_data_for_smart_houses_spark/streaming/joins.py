@@ -26,15 +26,25 @@ def stream_interval_join(
     right_ts: str,
     lookback_seconds: int,
     watermark_delay: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on a key, keeping right rows whose event
+    """Join two streams on a key, keeping right rows whose event
     time falls within ``[left_ts - lookback, left_ts]`` — the streaming
     analog of the batch as-of/range join family (operators/joins.py),
     e.g. "each purchase with the clicks of the preceding hour".
 
+    ``how='left_outer'`` additionally emits each unmatched left row
+    null-padded — but only once the watermark proves no future right
+    row can match (l_ts < watermark), which is why outer results
+    trail the watermark rather than the data. Spark requires the
+    watermark + time-bound for outer stream-stream joins precisely so
+    this decision is ever final.
+
     Both inputs must be streaming DataFrames with distinct column
     names apart from ``on``. The two-sided time bound plus the
     watermarks is what lets Spark GC join state."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream join type: {how}")
     l = left.withWatermark(left_ts, watermark_delay)
     r = right.withWatermark(right_ts, watermark_delay)
     cond = (
@@ -42,4 +52,4 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
         & (r[right_ts] <= l[left_ts])
     )
-    return l.join(r, cond, "inner").drop(r[on])
+    return l.join(r, cond, how).drop(r[on])
