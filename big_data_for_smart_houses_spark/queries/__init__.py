@@ -18,7 +18,13 @@ compaction / fanout / RocksDB / collation / TPC-H Q4+Q14+Q19+Q22).
 Every slot is a never-certified or round-6-touched row — no
 sentinels this round, because everything past index 50 (green in
 rounds 3-5 on current data) is re-verified every session by the
-local exact mirror, which covers ALL entries, not just 50. The two pure-`no_oracle` rows
+local exact mirror, which covers ALL entries, not just 50.
+
+Round 7 rotation note: four round-6 gates landed after the front
+filled — lead round 7 with `bucketed_join_orders`,
+`recursive_cte_hierarchy`, `listagg_events`,
+`stream_outer_join_availablenow` (all pass the sf0.01 exact mirror),
+then re-seat sentinels (medallion spine + touched subsystems). The two pure-`no_oracle` rows
 (business_summary_approx, value_percentiles_approx) are deliberately
 OUT of the front: they can only ever report rows-only and would
 waste window slots (round-5 verdict instruction); their invariant
