@@ -167,6 +167,7 @@ HEADLINE = [
     "recursive_cte_hierarchy",
     "listagg_events",
     "stream_outer_join_availablenow",
+    "dynamic_session_window_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -775,3 +775,86 @@ GROUP BY user_id
 
 QUERIES["listagg_events"] = q_listagg_events
 ORACLES["listagg_events"] = ORACLE_LISTAGG_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows
+# ---------------------------------------------------------------------------
+
+PURCHASE_GAP_S = 7200
+DEFAULT_GAP_S = 1800
+
+
+def q_dynamic_session_window_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`session_window` with a PER-EVENT gap expression (purchases
+    hold a session open 2 h, everything else 30 min) — the
+    activity-aware sessionization the fixed-gap operator
+    (session_window_events) can't express. Each event contributes
+    the half-open range [ts, ts+gap); overlapping ranges merge, and
+    an event at exactly a session's end starts a NEW session. The
+    DuckDB oracle replays that contract with a running max of
+    lagged range-ends per user (pure integer microsecond
+    comparisons — no float anywhere). One keyed exchange at scale,
+    like any sessionizer."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit(f"{PURCHASE_GAP_S} seconds")
+    ).otherwise(F.lit(f"{DEFAULT_GAP_S} seconds"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("bigint")).alias(
+                "n_purchases"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "n_purchases",
+        )
+    )
+
+
+ORACLE_DYNAMIC_SESSION_WINDOW_EVENTS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         ts + to_microseconds(CAST(CASE WHEN event_type = 'purchase'
+                                        THEN {PURCHASE_GAP_S}
+                                        ELSE {DEFAULT_GAP_S}
+                                   END AS BIGINT) * 1000000) AS range_end
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_type, range_end,
+         CASE WHEN max(range_end) OVER (
+                PARTITION BY user_id ORDER BY ts, range_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              > ts THEN 0 ELSE 1 END AS is_new
+  FROM e
+),
+sessions AS (
+  SELECT user_id, ts, event_type, range_end,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, range_end
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(range_end) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+QUERIES["dynamic_session_window_events"] = q_dynamic_session_window_events
+ORACLES["dynamic_session_window_events"] = (
+    ORACLE_DYNAMIC_SESSION_WINDOW_EVENTS
+)
