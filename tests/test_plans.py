@@ -507,3 +507,24 @@ def test_round6_gate_plan_shapes(spark):
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_round6_tpch_shapes(spark):
+    """Q19's disjunctive envelope must push into BOTH scans (the
+    quantity OR-bounds reach lineitem, the brand/size OR-bounds reach
+    part) — the defining property of the query; Q4's EXISTS must plan
+    as a semi join (orders never duplicated); Q22's only nested-loop
+    join is the broadcast of the 1-row stats aggregate."""
+    p = _plan(spark, "tpch_q19_disjunctive")
+    li_scan = next(s for s in p.splitlines() if "lineitem.parquet" in s)
+    part_scan = next(s for s in p.splitlines() if "part.parquet" in s)
+    assert "Or(" in li_scan and "l_quantity" in li_scan, li_scan
+    assert "Or(" in part_scan and "p_brand" in part_scan, part_scan
+
+    p = _plan(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = _plan(spark, "tpch_q22_global_balance")
+    assert "CartesianProduct" not in p, p
+    assert "LeftAnti" in p, p
