@@ -168,6 +168,7 @@ HEADLINE = [
     "listagg_events",
     "stream_outer_join_availablenow",
     "dynamic_session_window_events",
+    "logreg_quality_planted",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1,0 +1,141 @@
+"""Distributed quality-classifier training (logistic regression on
+hashed bag-of-words) — the data-filtering model the GPT-3/LLaMA/CCNet
+pipelines train to score web documents against a curated reference
+(cf. Brown et al. 2020 §A; Touvron et al. 2023 data section), run
+entirely as DataFrame aggregates.
+
+Shape at 100 TB:
+
+- Features are HASHED token indices (`xxhash64 % dim`) — no vocab
+  build, no fit pass, the fastText/feature-hashing trick.
+- The model is a (idx, weight) table of at most ``dim`` rows (KBs),
+  broadcast into each scoring/gradient pass.
+- One gradient-descent iteration = one explode→broadcast-join→keyed
+  agg to compute per-row margins, one more keyed agg for the
+  per-index gradient, and a ≤``dim``-row collect to update the model
+  (the IVF-trainer bounded-collect pattern: model state is driver
+  data, corpus never is).
+- Scoring is the same join+agg without the gradient — embarrassingly
+  parallel, one keyed exchange.
+
+Everything is float64 DataFrame arithmetic; no Python UDFs, no MLlib.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_DIM = 1024
+MAX_MODEL_ROWS = 1_000_000  # hard cap on the per-iteration collect
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    out_col: str = "f_idx",
+) -> DataFrame:
+    """Distinct hashed token indices per row (binary bag-of-words in
+    [0, dim)). Row-local codegen: split → hash → pmod → distinct."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    idxs = F.array_distinct(
+        F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+    )
+    return df.withColumn(out_col, idxs)
+
+
+def _margins(
+    feats: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    features_col: str,
+    bias: float,
+) -> DataFrame:
+    """Per-row raw margin z = b + Σ w[idx] via explode → broadcast
+    model join → keyed sum. Rows with no known feature still score
+    (left join + coalesce)."""
+    exploded = feats.select(
+        id_col, F.explode_outer(features_col).alias("idx")
+    )
+    scored = exploded.join(F.broadcast(weights), "idx", "left")
+    return scored.groupBy(id_col).agg(
+        (F.sum(F.coalesce(F.col("w"), F.lit(0.0))) + F.lit(bias)).alias("z")
+    )
+
+
+def train_logreg_hashed(
+    feats: DataFrame,
+    id_col: str,
+    features_col: str,
+    label_col: str,
+    iters: int = 8,
+    lr: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """Batch-gradient-descent logistic regression over hashed
+    features. Returns the (idx, w) model DataFrame and the bias.
+
+    Per iteration the driver sees only the ≤|active indices| gradient
+    rows (capped at MAX_MODEL_ROWS — raises beyond it, the documented
+    bounded-collect contract) and one bias scalar; the corpus itself
+    never leaves the executors. ``localCheckpoint`` is unnecessary:
+    each iteration's lineage is one join+agg over the cached feature
+    table, not a recursive plan."""
+    spark = feats.sparkSession
+    feats = feats.select(
+        id_col, features_col, F.col(label_col).cast("double").alias("_y")
+    )
+    feats.persist()
+    try:
+        weights = spark.createDataFrame([], "idx long, w double")
+        bias = 0.0
+        n = feats.count()
+        for _ in range(iters):
+            m = _margins(feats, weights, id_col, features_col, bias)
+            err = feats.join(m, id_col).select(
+                id_col,
+                features_col,
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("_y"))
+                .alias("_err"),
+            )
+            grad = (
+                err.select(F.explode(features_col).alias("idx"), "_err")
+                .groupBy("idx")
+                .agg(F.sum("_err").alias("g"))
+            )
+            n_active = grad.count()
+            if n_active > MAX_MODEL_ROWS:
+                raise ValueError(
+                    f"model too large to collect: {n_active} active "
+                    f"indices > {MAX_MODEL_ROWS}; lower dim or shard "
+                    "the model"
+                )
+            g_rows = {r.idx: r.g for r in grad.collect()}
+            b_grad = err.agg(F.sum("_err")).collect()[0][0] or 0.0
+            w_now = {r.idx: r.w for r in weights.collect()}
+            for idx, g in g_rows.items():
+                w_now[idx] = w_now.get(idx, 0.0) - lr * g / n
+            bias -= lr * b_grad / n
+            weights = spark.createDataFrame(
+                [(int(k), float(v)) for k, v in w_now.items()],
+                "idx long, w double",
+            )
+        return weights, bias
+    finally:
+        feats.unpersist()
+
+
+def predict_logreg(
+    feats: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    features_col: str,
+    bias: float,
+) -> DataFrame:
+    """Score rows with the trained model: returns (id, z, y_pred)."""
+    m = _margins(feats, weights, id_col, features_col, bias)
+    return m.select(
+        id_col, "z", (F.col("z") > 0.0).cast("int").alias("y_pred")
+    )

@@ -858,3 +858,71 @@ QUERIES["dynamic_session_window_events"] = q_dynamic_session_window_events
 ORACLES["dynamic_session_window_events"] = (
     ORACLE_DYNAMIC_SESSION_WINDOW_EVENTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier training (planted-recovery gate)
+# ---------------------------------------------------------------------------
+
+LOGREG_DIM = 256
+LOGREG_ITERS = 8
+LOGREG_LR = 0.5
+LOGREG_MIN_MARGIN = 0.05
+
+
+def q_logreg_quality_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier training (extensions/classifier.py —
+    hashed-bag logistic regression, the GPT-3/CCNet data-filter
+    model) under the planted-recovery gate pattern: documents get a
+    deterministic label (doc_id % 3 == 0) plus a reserved indicator
+    feature index outside the hash range, making the corpus linearly
+    separable BY CONSTRUCTION. Eight distributed GD iterations must
+    recover a model that classifies every document correctly with a
+    raw margin well clear of float-sum noise (empirically ≈0.43 at
+    gate SF; the gate pins |z| > 0.05) — so the hash row proves the
+    whole training loop: feature hashing, broadcast-model scoring,
+    gradient aggregation, bounded model collect-update. One flipped
+    prediction or collapsed margin is a value mismatch."""
+    from ..extensions.classifier import (
+        hashed_token_features,
+        predict_logreg,
+        train_logreg_hashed,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(d, dim=LOGREG_DIM)
+    y = (F.col("doc_id") % 3 == 0).cast("int")
+    feats = feats.withColumn("y", y).withColumn(
+        "f_idx",
+        F.concat(
+            F.col("f_idx"),
+            F.array(
+                F.when(F.col("y") == 1, F.lit(LOGREG_DIM))
+                .otherwise(F.lit(LOGREG_DIM + 1))
+                .cast("long")
+            ),
+        ),
+    )
+    w, b = train_logreg_hashed(
+        feats, "doc_id", "f_idx", "y",
+        iters=LOGREG_ITERS, lr=LOGREG_LR,
+    )
+    pred = predict_logreg(feats, w, "doc_id", "f_idx", b)
+    return pred.select(
+        "doc_id",
+        "y_pred",
+        (F.abs(F.col("z")) > LOGREG_MIN_MARGIN).alias("margin_ok"),
+    )
+
+
+ORACLE_LOGREG_QUALITY_PLANTED = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS y_pred,
+       true AS margin_ok
+FROM documents
+"""
+
+QUERIES["logreg_quality_planted"] = q_logreg_quality_planted
+ORACLES["logreg_quality_planted"] = ORACLE_LOGREG_QUALITY_PLANTED
