@@ -169,6 +169,7 @@ HEADLINE = [
     "stream_outer_join_availablenow",
     "dynamic_session_window_events",
     "logreg_quality_planted",
+    "embedding_int8_quantize",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -926,3 +926,96 @@ FROM documents
 
 QUERIES["logreg_quality_planted"] = q_logreg_quality_planted
 ORACLES["logreg_quality_planted"] = ORACLE_LOGREG_QUALITY_PLANTED
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (ANN memory-compression path)
+# ---------------------------------------------------------------------------
+
+INT8_COS_BOUND = 0.999
+
+
+def q_embedding_int8_quantize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4×
+    memory compression every large ANN index applies before search
+    (FAISS SQ8): per-DIMENSION min/max ranges (one 64-row aggregate,
+    broadcast back), each value rounded to its 0-255 code, then
+    dequantized and compared to the original by cosine. The gate
+    hashes the exact integer CODE SUM per vector (quantization is
+    deterministic integer arithmetic) plus the invariant that
+    reconstruction cosine stays above 0.999 — the bound that makes
+    SQ8 shortlists safe to re-rank exactly. All per-element math is
+    row-local; the only exchanges are the 64-row stats aggregate and
+    the per-vector re-aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = ex.groupBy("pos").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    q = (
+        ex.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "code",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.round(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 255.0
+                )
+            )
+            .cast("int"),
+        )
+        .withColumn(
+            "xq",
+            F.col("lo")
+            + F.col("code").cast("double")
+            / 255.0
+            * (F.col("hi") - F.col("lo")),
+        )
+    )
+    per_vec = q.groupBy("vec_id").agg(
+        F.sum("code").cast("bigint").alias("code_sum"),
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+        F.sum(F.col("x") * F.col("xq")).alias("_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("_xx"),
+        F.sum(F.col("xq") * F.col("xq")).alias("_qq"),
+    )
+    cos = F.col("_xy") / F.sqrt(F.col("_xx") * F.col("_qq"))
+    return per_vec.select(
+        "vec_id",
+        "code_sum",
+        "n_dims",
+        (cos > INT8_COS_BOUND).alias("cos_ok"),
+    )
+
+
+ORACLE_EMBEDDING_INT8_QUANTIZE = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+stats AS (
+  SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+),
+q AS (
+  SELECT e.vec_id,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE CAST(round((e.x - s.lo) / (s.hi - s.lo) * 255.0)
+                        AS INT) END AS code
+  FROM ex e JOIN stats s USING (pos)
+)
+SELECT vec_id,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(count(*) AS INT) AS n_dims,
+       true AS cos_ok
+FROM q GROUP BY vec_id
+"""
+
+QUERIES["embedding_int8_quantize"] = q_embedding_int8_quantize
+ORACLES["embedding_int8_quantize"] = ORACLE_EMBEDDING_INT8_QUANTIZE
