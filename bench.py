@@ -170,6 +170,8 @@ HEADLINE = [
     "dynamic_session_window_events",
     "logreg_quality_planted",
     "embedding_int8_quantize",
+    "orc_roundtrip_events",
+    "csv_roundtrip_customers",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

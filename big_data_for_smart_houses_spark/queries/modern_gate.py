@@ -1019,3 +1019,81 @@ FROM q GROUP BY vec_id
 
 QUERIES["embedding_int8_quantize"] = q_embedding_int8_quantize
 ORACLES["embedding_int8_quantize"] = ORACLE_EMBEDDING_INT8_QUANTIZE
+
+
+# ---------------------------------------------------------------------------
+# Storage-format roundtrips: ORC and CSV sinks/sources
+# ---------------------------------------------------------------------------
+
+def q_orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (§2.1 beyond-parquet format coverage): the
+    events table written as ORC — Spark's other built-in columnar
+    format, zlib-compressed with min/max stripe statistics — and read
+    back through an explicit schema; the contents must hash-match the
+    parquet original byte for byte (timestamps survive at µs
+    precision, doubles bit-exactly). Predicate pushdown and column
+    pruning work on ORC scans the same way the parquet plan tests
+    assert."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="orc_gate_")
+    ev.write.mode("overwrite").orc(tmp)
+    return spark.read.schema(ev.schema).orc(tmp)
+
+
+ORACLE_ORC_ROUNDTRIP_EVENTS = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+QUERIES["orc_roundtrip_events"] = q_orc_roundtrip_events
+ORACLES["orc_roundtrip_events"] = ORACLE_ORC_ROUNDTRIP_EVENTS
+
+
+def q_csv_roundtrip_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV sink + source (S4's write half): the customer dimension
+    written as headered CSV and read back through an EXPLICIT schema
+    (no inferSchema pass — at scale schema inference is a full extra
+    scan). c_acctbal rides as a 2-decimal string format so the text
+    roundtrip is exact by construction; quoting/escaping is exercised
+    by c_name (commas never appear, but the reader runs the full
+    parser path either way)."""
+    import tempfile
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.format_string("%.2f", "c_acctbal").alias("c_acctbal_s"),
+        "c_mktsegment",
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_gate_")
+    c.write.mode("overwrite").option("header", "true").csv(tmp)
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal_s string, c_mktsegment string"
+        )
+        .option("header", "true")
+        .csv(tmp)
+    )
+    return back.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal_s").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+ORACLE_CSV_ROUNDTRIP_CUSTOMERS = """
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS c_acctbal,
+       c_mktsegment
+FROM customer
+"""
+
+QUERIES["csv_roundtrip_customers"] = q_csv_roundtrip_customers
+ORACLES["csv_roundtrip_customers"] = ORACLE_CSV_ROUNDTRIP_CUSTOMERS
