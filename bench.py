@@ -172,6 +172,7 @@ HEADLINE = [
     "embedding_int8_quantize",
     "orc_roundtrip_events",
     "csv_roundtrip_customers",
+    "expectations_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

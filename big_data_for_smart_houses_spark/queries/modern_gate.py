@@ -1097,3 +1097,83 @@ FROM customer
 
 QUERIES["csv_roundtrip_customers"] = q_csv_roundtrip_customers
 ORACLES["csv_roundtrip_customers"] = ORACLE_CSV_ROUNDTRIP_CUSTOMERS
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations
+# ---------------------------------------------------------------------------
+
+EXPECT_VALUE_MAX = 400.0
+
+
+def q_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations (operators/expectations.py — the
+    DLT/dbt-test analog of the reference's hand-rolled per-field
+    validator): three rules over events, one of which trips on real
+    rows (value <= 400) and one of which exercises the null-is-a-
+    violation contract. The gate returns the quarantined rows with
+    their sorted violation lists PLUS the per-rule report joined as
+    extra columns — so the row-annotation path, the split, and the
+    single-pass report must all agree with the oracle's closed
+    form."""
+    from ..operators.expectations import (
+        expectations_report,
+        split_on_expectations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rules = {
+        "value_in_range": (F.col("value") >= 0)
+        & (F.col("value") <= EXPECT_VALUE_MAX),
+        "known_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "ts_present": F.col("ts").isNotNull(),
+    }
+    _clean, bad = split_on_expectations(ev, rules)
+    report = expectations_report(ev, rules)
+    out = bad.select(
+        "event_id",
+        "value",
+        F.array_join(F.array_sort("_violations"), ",").alias("violated"),
+    ).crossJoin(
+        F.broadcast(
+            report.groupBy().pivot("rule").sum("n_violations")
+        )
+    )
+    # value is a raw scanned column (no arithmetic) — no quantization
+    return out
+
+
+ORACLE_EXPECTATIONS_EVENTS = f"""
+WITH v AS (
+  SELECT event_id, value,
+         (value < 0 OR value > {EXPECT_VALUE_MAX}) AS v_range,
+         event_type NOT IN
+           ('click','view','purchase','signup','error') AS v_type,
+         ts IS NULL AS v_ts
+  FROM events
+),
+counts AS (
+  SELECT CAST(sum(CASE WHEN v_type THEN 1 ELSE 0 END) AS BIGINT)
+           AS known_type,
+         CAST(sum(CASE WHEN v_ts THEN 1 ELSE 0 END) AS BIGINT)
+           AS ts_present,
+         CAST(sum(CASE WHEN v_range THEN 1 ELSE 0 END) AS BIGINT)
+           AS value_in_range
+  FROM v
+)
+SELECT event_id, value,
+       array_to_string(list_sort(
+         list_filter([
+           CASE WHEN v_range THEN 'value_in_range' END,
+           CASE WHEN v_type THEN 'known_type' END,
+           CASE WHEN v_ts THEN 'ts_present' END
+         ], x -> x IS NOT NULL)), ',') AS violated,
+       counts.known_type, counts.ts_present, counts.value_in_range
+FROM v CROSS JOIN counts
+WHERE v_range OR v_type OR v_ts
+"""
+
+QUERIES["expectations_events"] = q_expectations_events
+ORACLES["expectations_events"] = ORACLE_EXPECTATIONS_EVENTS
