@@ -1129,6 +1129,9 @@ def q_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click", "view", "purchase", "signup", "error"
         ),
         "ts_present": F.col("ts").isNotNull(),
+        # deterministic tripwire so the quarantine is non-empty at
+        # every SF (the range rule only fires above sf0.001)
+        "id_not_97_multiple": F.col("event_id") % 97 != 0,
     }
     _clean, bad = split_on_expectations(ev, rules)
     report = expectations_report(ev, rules)
@@ -1151,11 +1154,14 @@ WITH v AS (
          (value < 0 OR value > {EXPECT_VALUE_MAX}) AS v_range,
          event_type NOT IN
            ('click','view','purchase','signup','error') AS v_type,
-         ts IS NULL AS v_ts
+         ts IS NULL AS v_ts,
+         event_id % 97 = 0 AS v_id
   FROM events
 ),
 counts AS (
-  SELECT CAST(sum(CASE WHEN v_type THEN 1 ELSE 0 END) AS BIGINT)
+  SELECT CAST(sum(CASE WHEN v_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS id_not_97_multiple,
+         CAST(sum(CASE WHEN v_type THEN 1 ELSE 0 END) AS BIGINT)
            AS known_type,
          CAST(sum(CASE WHEN v_ts THEN 1 ELSE 0 END) AS BIGINT)
            AS ts_present,
@@ -1168,11 +1174,13 @@ SELECT event_id, value,
          list_filter([
            CASE WHEN v_range THEN 'value_in_range' END,
            CASE WHEN v_type THEN 'known_type' END,
-           CASE WHEN v_ts THEN 'ts_present' END
+           CASE WHEN v_ts THEN 'ts_present' END,
+           CASE WHEN v_id THEN 'id_not_97_multiple' END
          ], x -> x IS NOT NULL)), ',') AS violated,
-       counts.known_type, counts.ts_present, counts.value_in_range
+       counts.id_not_97_multiple, counts.known_type,
+       counts.ts_present, counts.value_in_range
 FROM v CROSS JOIN counts
-WHERE v_range OR v_type OR v_ts
+WHERE v_range OR v_type OR v_ts OR v_id
 """
 
 QUERIES["expectations_events"] = q_expectations_events
