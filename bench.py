@@ -173,6 +173,7 @@ HEADLINE = [
     "orc_roundtrip_events",
     "csv_roundtrip_customers",
     "expectations_events",
+    "synthetic_stream_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -967,3 +967,76 @@ ORACLES = {
     "stream_rocksdb_availablenow": ORACLE_STREAM_TUMBLING_AVAILABLENOW,
     "stream_outer_join_availablenow": ORACLE_STREAM_OUTER_JOIN_AVAILABLENOW,
 }
+
+
+SYNTH_STREAM_N = 2000
+SYNTH_STREAM_BATCH = 512
+
+
+def q_synthetic_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom Python Data Source's STREAMING half
+    (sources/synthetic.py:SyntheticTelemetryStreamReader — Spark 4's
+    ``SimpleDataSourceStreamReader``): row-index offsets, prefetched
+    micro-batches of the same RNG-free row function the batch reader
+    plans, generation stopping at ``n``. The run is a real
+    multi-batch processingTime stream (4 batches of 512; availableNow
+    on this API drains only the first prefetch, so the gate polls the
+    sink to the KNOWN deterministic end and stops). Append-only
+    disjoint offset ranges mean the sink holds exactly rows [0, n)
+    whenever generation has drained — the same generate_series oracle
+    as the batch gate, at stream n. sf_dir is unused: the source IS
+    the data."""
+    import time
+
+    from ..sources.synthetic import register
+
+    configure_for_oracle_parity(spark)
+    register(spark)
+    tmp = tempfile.mkdtemp(prefix="synth_stream_gate_")
+    out_dir = f"{tmp}/out"
+    q = (
+        spark.readStream.format("synthetic_telemetry")
+        .option("n", str(SYNTH_STREAM_N))
+        .option("batch", str(SYNTH_STREAM_BATCH))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + _AWAIT_S
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out_dir).count() >= SYNTH_STREAM_N:
+                    break
+            except Exception:  # noqa: BLE001 - sink not created yet
+                pass
+            time.sleep(1)
+        else:
+            raise TimeoutError(
+                f"synthetic stream never drained {SYNTH_STREAM_N} rows"
+            )
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+ORACLE_SYNTHETIC_STREAM_AVAILABLENOW = f"""
+SELECT i AS row_id,
+       printf('device_%03d', i % 10) AS device_id,
+       ['thermostat','smart_bulb','smart_plug','security_camera',
+        'motion_sensor'][(i % 10) % 5 + 1] AS device_type,
+       printf('user_%03d', (i % 10) % 2) AS user_id,
+       make_timestamp(1704067200000000 + i * 1000000) AS ts,
+       CAST((i * 2654435761) % 1000 AS DOUBLE) / 10.0 AS power_usage
+FROM (SELECT unnest(generate_series(0, {SYNTH_STREAM_N - 1})) AS i)
+"""
+
+QUERIES["synthetic_stream_availablenow"] = q_synthetic_stream_availablenow
+ORACLES["synthetic_stream_availablenow"] = (
+    ORACLE_SYNTHETIC_STREAM_AVAILABLENOW
+)

@@ -65,6 +65,13 @@ class SyntheticTelemetryDataSource(DataSource):
     def reader(self, schema: StructType) -> "SyntheticTelemetryReader":
         return SyntheticTelemetryReader(self.options)
 
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "SyntheticTelemetryStreamReader":
+        # same format name serves spark.readStream (micro-batched
+        # offsets over the identical deterministic row function)
+        return SyntheticTelemetryStreamReader(self.options)
+
 
 class _Slice(InputPartition):
     def __init__(self, start: int, end: int, n_devices: int):
@@ -112,3 +119,43 @@ class SyntheticTelemetryReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(SyntheticTelemetryDataSource)
+
+
+class SyntheticTelemetryStreamReader:
+    """Streaming half of the source (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are plain row indices,
+    each micro-batch serves ``batch`` rows of the SAME deterministic
+    row function the batch reader uses, and generation stops at ``n``
+    — so an availableNow run drains exactly rows [0, n) and a restart
+    replays any offset range byte-identically
+    (``readBetweenOffsets`` is the same arithmetic — the property
+    that makes checkpoint recovery safe for a custom source)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.n_devices = int(options.get("n_devices", "10"))
+        self.batch = int(options.get("batch", "500"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        part = _Slice(start, end, self.n_devices)
+        # materialized (not a generator): the engine prefetches and
+        # pickles the batch so a restarted query can replay it
+        return list(
+            SyntheticTelemetryReader(
+                {"n": str(self.n), "n_devices": str(self.n_devices)}
+            ).read(part)
+        )
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.batch, self.n)
+        return (self._rows(lo, hi), {"i": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["i"], end["i"])
+
+    def commit(self, end):
+        pass
