@@ -174,6 +174,7 @@ HEADLINE = [
     "csv_roundtrip_customers",
     "expectations_events",
     "synthetic_stream_availablenow",
+    "gapfill_linear_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

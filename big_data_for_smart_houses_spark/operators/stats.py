@@ -219,3 +219,78 @@ def ratio_to_report(
         "share_of_group",
         F.when(total != 0, F.col(value) / total),
     )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Linear-interpolation resampling — :func:`gap_fill_locf`'s
+    smooth sibling for continuous signals (temperature, power draw):
+    empty buckets take ``v_prev + (v_next − v_prev) · frac`` between
+    the nearest observed buckets on each side. The per-key grid spans
+    [min, max] OBSERVED buckets, so every interior gap has both
+    neighbors by construction and no edge extrapolation ever happens.
+
+    Same plan shape as LOCF plus one more window pass (the
+    forward-looking neighbor): three key-partitioned exchanges, grid
+    generated row-locally with ``sequence``."""
+    step = F.lit(step_seconds).cast("long")
+    bucket = (F.unix_timestamp(F.col(ts)).cast("long") / step).cast(
+        "long"
+    ) * step
+    per_bucket = (
+        df.select(
+            F.col(key),
+            bucket.alias("bucket_ts"),
+            F.struct(
+                F.col(ts).alias("_ts"), F.col(value).alias("_v")
+            ).alias("_obs"),
+        )
+        .groupBy(key, "bucket_ts")
+        .agg(F.max("_obs").alias("_obs"))
+        .select(key, "bucket_ts", F.col("_obs._v").alias("_observed"))
+    )
+    grid = (
+        df.groupBy(key)
+        .agg(F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi"))
+        .select(
+            F.col(key),
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(step_seconds).cast("long"))
+            ).alias("bucket_ts"),
+        )
+    )
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(
+        F.col("_observed").isNotNull(), F.col("bucket_ts")
+    )
+    joined = grid.join(per_bucket, [key, "bucket_ts"], "left")
+    prev_v = F.last("_observed", ignorenulls=True).over(w_back)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
+    next_v = F.first("_observed", ignorenulls=True).over(w_fwd)
+    next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+    frac = (F.col("bucket_ts") - prev_t).cast("double") / (
+        (next_t - prev_t).cast("double")
+    )
+    interp = F.when(F.col("_observed").isNotNull(), F.col("_observed")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.select(
+        F.col(key),
+        F.timestamp_seconds(F.col("bucket_ts")).alias("bucket_time"),
+        interp.alias(value),
+        F.col("_observed").isNull().alias("is_gap"),
+    )

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from ..extensions.layout import zorder_key_2d
 from ..functions.numeric import gate_quantize, quantize_cols
-from ..operators.stats import gap_fill_locf, regression_per_key
+from ..operators.stats import (
+    gap_fill_linear,
+    gap_fill_locf,
+    regression_per_key,
+)
 from ..session import configure_for_oracle_parity
 from ..sources.parquet import load_table
 
@@ -1954,3 +1958,86 @@ FROM kv GROUP BY k
 
 QUERIES["json_schema_profile_events"] = q_json_schema_profile_events
 ORACLES["json_schema_profile_events"] = ORACLE_JSON_SCHEMA_PROFILE_EVENTS
+
+
+def q_gapfill_linear_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear-interpolation resampling (operators/stats.py:
+    gap_fill_linear) — gapfill_locf_events' smooth sibling: empty
+    hourly buckets take ``prev + (next − prev) · frac`` between the
+    nearest observed neighbors (both exist by construction: the grid
+    spans observed buckets). The interpolation arithmetic is written
+    IDENTICALLY in the oracle and the value ships through the float32
+    gate quantization; observed buckets copy their value exactly."""
+    out = gap_fill_linear(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts="ts",
+        value="value",
+        step_seconds=GAPFILL_STEP_S,
+    )
+    return quantize_cols(out, "value")
+
+
+ORACLE_GAPFILL_LINEAR_EVENTS = f"""
+WITH obs AS (
+  SELECT user_id,
+         (epoch_us(ts) // {GAPFILL_STEP_S * 1_000_000}) * {GAPFILL_STEP_S}
+           AS bucket_ts,
+         ts, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, bucket_ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, bucket_ts
+           ORDER BY ts DESC, value DESC) AS rn
+  FROM obs
+),
+per_bucket AS (
+  SELECT user_id, bucket_ts, value AS observed FROM ranked WHERE rn = 1
+),
+span AS (
+  SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT user_id,
+         unnest(range(lo, hi + {GAPFILL_STEP_S}, {GAPFILL_STEP_S}))
+           AS bucket_ts
+  FROM span
+),
+nb AS (
+  SELECT g.user_id, g.bucket_ts, p.observed,
+         last_value(p.observed IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN p.observed IS NOT NULL
+                         THEN g.bucket_ts END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         first_value(p.observed IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN p.observed IS NOT NULL
+                          THEN g.bucket_ts END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM grid g
+  LEFT JOIN per_bucket p USING (user_id, bucket_ts)
+)
+SELECT user_id,
+       make_timestamp(bucket_ts * 1000000) AS bucket_time,
+       CAST(CAST(
+         CASE WHEN observed IS NOT NULL THEN observed
+              ELSE prev_v + (next_v - prev_v)
+                   * (CAST(bucket_ts - prev_t AS DOUBLE)
+                      / CAST(next_t - prev_t AS DOUBLE))
+         END AS REAL) AS DOUBLE) AS value,
+       observed IS NULL AS is_gap
+FROM nb
+"""
+
+QUERIES["gapfill_linear_events"] = q_gapfill_linear_events
+ORACLES["gapfill_linear_events"] = ORACLE_GAPFILL_LINEAR_EVENTS
