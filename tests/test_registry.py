@@ -28,7 +28,10 @@ def test_every_query_is_documented():
 
 # Oracles that generate their input instead of reading the driver
 # tables (the query side is a custom data source / generator).
-GENERATOR_ORACLES = {"synthetic_source_telemetry"}
+GENERATOR_ORACLES = {
+    "synthetic_source_telemetry",
+    "synthetic_stream_availablenow",
+}
 
 
 def test_every_oracle_reads_known_tables():

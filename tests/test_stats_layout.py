@@ -276,3 +276,40 @@ def test_hll_exact_mode_and_union_bound(spark):
         .est
     )
     assert abs(merged / 50_000 - 1.0) <= 3 * 1.04 / (2**12) ** 0.5
+
+
+def test_gapfill_linear_interpolates_interior_gaps(spark):
+    """Observations at hours 0 (10.0) and 3 (40.0): hours 1-2
+    interpolate linearly (20.0, 30.0); observed buckets copy their
+    value; is_gap marks only synthesized rows."""
+    from big_data_for_smart_houses_spark.operators.stats import (
+        gap_fill_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("a", _ts(0), 10.0), ("a", _ts(3), 40.0)],
+        "key string, ts timestamp, value double",
+    )
+    rows = {
+        r["bucket_time"].hour: (r["value"], r["is_gap"])
+        for r in gap_fill_linear(df, "key", "ts", "value").collect()
+    }
+    assert rows == {
+        0: (10.0, False),
+        1: (20.0, True),
+        2: (30.0, True),
+        3: (40.0, False),
+    }
+
+
+def test_gapfill_linear_single_point_key(spark):
+    from big_data_for_smart_houses_spark.operators.stats import (
+        gap_fill_linear,
+    )
+
+    df = spark.createDataFrame(
+        [("solo", _ts(5), 9.0)], "key string, ts timestamp, value double"
+    )
+    out = gap_fill_linear(df, "key", "ts", "value").collect()
+    assert len(out) == 1
+    assert out[0]["value"] == 9.0 and not out[0]["is_gap"]
