@@ -175,6 +175,9 @@ HEADLINE = [
     "expectations_events",
     "synthetic_stream_availablenow",
     "gapfill_linear_events",
+    "table_checksum_orders",
+    "mergeschema_read_events",
+    "rle_segments_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

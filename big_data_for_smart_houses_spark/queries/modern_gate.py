@@ -1185,3 +1185,169 @@ WHERE v_range OR v_type OR v_ts OR v_id
 
 QUERIES["expectations_events"] = q_expectations_events
 ORACLES["expectations_events"] = ORACLE_EXPECTATIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Table checksums (cross-system reconciliation)
+# ---------------------------------------------------------------------------
+
+CHECKSUM_BUCKETS = 32
+
+
+def q_table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksums for table reconciliation — the anti-entropy
+    primitive for comparing a 100 TB table against its replica
+    without moving data: each row hashes canonically (md5 of a
+    delimited rendering, first 15 hex digits as a bigint), rows
+    bucket by key hash, and each bucket emits (row count, hash sum) —
+    a |buckets|-row summary whose mismatch pinpoints the divergent
+    key range. Row order inside a bucket is canonicalized by SORTING
+    the row digests before the bucket digest (row order is physical
+    noise, not content), so the summary is engine- and
+    partitioning-independent by construction; the float column rides
+    as its exact 2-decimal string rendering."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", "o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    bucket = F.pmod(F.col("o_orderkey"), F.lit(CHECKSUM_BUCKETS))
+    per_row = o.select(bucket.alias("bucket"), F.md5(canon).alias("rh"))
+    return per_row.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("rh")), "")
+        ).alias("bucket_digest"),
+    )
+
+
+ORACLE_TABLE_CHECKSUM_ORDERS = f"""
+WITH h AS (
+  SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+         md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             printf('%.2f', o_totalprice) || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+             o_orderpriority) AS rh
+  FROM orders
+)
+SELECT bucket, count(*) AS n_rows,
+       md5(string_agg(rh, '' ORDER BY rh)) AS bucket_digest
+FROM h GROUP BY bucket
+"""
+
+QUERIES["table_checksum_orders"] = q_table_checksum_orders
+ORACLES["table_checksum_orders"] = ORACLE_TABLE_CHECKSUM_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution read (mergeSchema)
+# ---------------------------------------------------------------------------
+
+def q_mergeschema_read_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution at the scan (§2.1): two parquet generations —
+    an old one WITHOUT the props column and a new one with it — read
+    as one table via ``mergeSchema``; old rows surface NULL props
+    (additive evolution, the only kind a 100 TB table can afford —
+    schema-on-read, no rewrite of historical files). The conform
+    operator (sources/conform.py) handles the harder drift cases;
+    this gate pins the scan-level contract."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="mergeschema_gate_")
+    old = ev.filter(F.col("event_id") % 2 == 0).drop("props")
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    old.write.mode("overwrite").parquet(f"{tmp}/gen=old")
+    new.write.mode("overwrite").parquet(f"{tmp}/gen=new")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+    )
+    return merged.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+ORACLE_MERGESCHEMA_READ_EVENTS = """
+SELECT event_id, ts, user_id, event_type, value,
+       CASE WHEN event_id % 2 = 1 THEN props END AS props
+FROM events
+"""
+
+QUERIES["mergeschema_read_events"] = q_mergeschema_read_events
+ORACLES["mergeschema_read_events"] = ORACLE_MERGESCHEMA_READ_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands run-length segments
+# ---------------------------------------------------------------------------
+
+def q_rle_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive runs of the
+    same event_type into (start, end, length) segments — the
+    run-length encoding IoT pipelines apply to steady sensor states
+    and the canonical islands idiom: island id = running count of
+    change points (one lag + one running sum over the same key
+    window, then one aggregate — a single exchange end to end)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("bigint")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = ev.withColumn("_island", F.sum(changed).over(wsum))
+    return seg.groupBy("user_id", "_island").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("seg_start"),
+        F.max("ts").alias("seg_end"),
+        F.count(F.lit(1)).alias("run_len"),
+    ).select(
+        "user_id",
+        F.col("_island").alias("island"),
+        "event_type",
+        "seg_start",
+        "seg_end",
+        "run_len",
+    )
+
+
+ORACLE_RLE_SEGMENTS_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS island
+  FROM flagged
+)
+SELECT user_id, island,
+       min(event_type) AS event_type,
+       min(ts) AS seg_start,
+       max(ts) AS seg_end,
+       count(*) AS run_len
+FROM islands
+GROUP BY user_id, island
+"""
+
+QUERIES["rle_segments_events"] = q_rle_segments_events
+ORACLES["rle_segments_events"] = ORACLE_RLE_SEGMENTS_EVENTS
