@@ -528,3 +528,20 @@ def test_round6_tpch_shapes(spark):
     p = _plan(spark, "tpch_q22_global_balance")
     assert "CartesianProduct" not in p, p
     assert "LeftAnti" in p, p
+
+
+def test_round6_analytic_shuffle_budgets(spark):
+    """Islands RLE and the bucket checksum are single-exchange (the
+    change-point window, the island aggregate, and the checksum
+    bucket agg each reuse one keyed clustering); linear gap-fill
+    stays within the LOCF family's documented budget; the dynamic
+    session window is one keyed exchange like any sessionizer."""
+    for name, budget in (
+        ("rle_segments_events", 1),
+        ("table_checksum_orders", 1),
+        ("dynamic_session_window_events", 1),
+        ("gapfill_linear_events", 3),
+    ):
+        p = _plan(spark, name)
+        assert p.count("Exchange hashpartitioning") <= budget, (name, p)
+        assert "CartesianProduct" not in p, name
