@@ -178,6 +178,7 @@ HEADLINE = [
     "table_checksum_orders",
     "mergeschema_read_events",
     "rle_segments_events",
+    "stream_restart_pystate_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

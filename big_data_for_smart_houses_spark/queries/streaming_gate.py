@@ -1040,3 +1040,108 @@ QUERIES["synthetic_stream_availablenow"] = q_synthetic_stream_availablenow
 ORACLES["synthetic_stream_availablenow"] = (
     ORACLE_SYNTHETIC_STREAM_AVAILABLENOW
 )
+
+
+LOCF_SPLIT_TS = "2024-01-15"
+
+
+def q_stream_restart_pystate_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crash-restart recovery of PYTHON state
+    (`applyInPandasWithState`): the streaming LOCF operator's state is
+    an open-bucket row per key living in the state store across
+    micro-batches, and this gate proves it survives a crash. The
+    events table is split by TIME (before/after LOCF_SPLIT_TS) into two
+    files consumed one per trigger — later-batch events are strictly
+    newer, so the operator's drop-late contract never fires and the
+    two-batch answer equals the one-batch answer. An injected
+    foreachBatch failure kills the first attempt AFTER batch 0
+    committed its offsets and Arrow-serialized state; the second
+    ``start()`` must restore that state (every key's open bucket),
+    re-run batch 1, fold the boundary bucket correctly, and drain.
+    Oracle: the batch LOCF closure (ORACLE_LOCF_STREAM_AVAILABLENOW,
+    shared) — lost state would double-emit or mis-fill every key
+    whose span crosses the file boundary. File arrival order is
+    forced via explicit mtimes (the file source lists by modification
+    time)."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="locf_restart_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    marker = f"{tmp}/crashed_once"
+    split = F.lit(LOCF_SPLIT_TS).cast("timestamp")
+    for i, cond in enumerate(
+        (F.col("ts") < split, F.col("ts") >= split)
+    ):
+        path = f"{staged}/half={i}"
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(path)
+        # force listing order: the file source orders by mtime
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (1000 + i, 1000 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_id == 1 and not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("crashed before batch 1 output\n")
+            raise RuntimeError("injected crash: batch 1, first attempt")
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    def _start():
+        return (
+            locf_stream(stream, LOCF_STEP_S)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _stream_state_partitions(spark):
+        first = _start()
+        try:
+            first.awaitTermination(_AWAIT_S)
+            raise AssertionError(
+                "injected crash never fired — restart not exercised"
+            )
+        except StreamingQueryException:
+            pass
+        if not os.path.exists(marker):
+            raise AssertionError("query failed before the injected crash")
+        second = _start()
+        if not second.awaitTermination(_AWAIT_S):
+            second.stop()
+            raise TimeoutError(
+                f"restarted LOCF availableNow run exceeded {_AWAIT_S}s"
+            )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("user_id", "bucket_time", "value", "is_gap")
+    )
+
+
+QUERIES["stream_restart_pystate_availablenow"] = (
+    q_stream_restart_pystate_availablenow
+)
+# same closure as the single-batch LOCF gate: the restart must be
+# semantically invisible
+ORACLES["stream_restart_pystate_availablenow"] = (
+    ORACLE_LOCF_STREAM_AVAILABLENOW
+)
