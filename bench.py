@@ -232,6 +232,52 @@ def _bench_stream_boot(spark) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_compaction(spark) -> dict[str, float]:
+    """Small-file tax, measured: the same full-scan aggregate over the
+    events table fragmented into 256 files vs compacted output
+    (sources/parquet.py:compact_files). The delta is pure per-file
+    overhead (open/footer/task-schedule) — the cost the compaction
+    operator exists to delete, which grows linearly with file count
+    at a fixed data size."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.sources.parquet import (
+        compact_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_compaction_")
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev.repartition(256).write.mode("overwrite").parquet(
+            f"{root}/small"
+        )
+        compact_files(
+            spark,
+            f"{root}/small",
+            f"{root}/compacted",
+            target_file_bytes=32 * 1024 * 1024,
+        )
+        results: dict[str, float] = {}
+        for _ in range(N_RUNS):
+            for name, path in (
+                ("scan_small_files", f"{root}/small"),
+                ("scan_compacted", f"{root}/compacted"),
+            ):
+                t0 = time.perf_counter()
+                spark.read.parquet(path).agg(
+                    F.count(F.lit(1)), F.sum("value")
+                ).write.mode("overwrite").format("noop").save()
+                t = round(time.perf_counter() - t0, 3)
+                results[name] = min(results.get(name, t), t)
+        return results
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_skew(spark) -> dict[str, float]:
     """Time the same skewed shuffle join plain vs salted. The fact is
     the events table with every user_id % 5 == 0 collapsed onto key 0
@@ -336,6 +382,13 @@ def main() -> None:
         timings.update(skew_t)
     except Exception as exc:  # noqa: BLE001
         errors["skew_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # Small-file-tax microbenchmark (the compaction operator's
+    # standing perf signal, like skew for salting)
+    try:
+        timings.update(_bench_compaction(spark))
+    except Exception as exc:  # noqa: BLE001
+        errors["compaction_bench"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
