@@ -179,6 +179,7 @@ HEADLINE = [
     "mergeschema_read_events",
     "rle_segments_events",
     "stream_restart_pystate_availablenow",
+    "stream_observe_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

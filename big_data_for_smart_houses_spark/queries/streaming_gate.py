@@ -1145,3 +1145,96 @@ QUERIES["stream_restart_pystate_availablenow"] = (
 ORACLES["stream_restart_pystate_availablenow"] = (
     ORACLE_LOCF_STREAM_AVAILABLENOW
 )
+
+
+def q_stream_observe_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming observability — `observe` metrics accumulated PER
+    MICRO-BATCH and read back through the query's progress events
+    (batch `observe_metrics_orders`' streaming sibling): the events
+    table arrives as two parity-split files, one per trigger, each
+    batch reporting its own row count and value sum for free during
+    the pass it was already making; the gate re-emits the per-batch
+    metrics as rows. Batch boundaries are deterministic (one file per
+    trigger), so the metric rows hash against the closed-form oracle
+    — which is the whole point: at 100 TB these are the numbers a
+    pipeline health dashboard reads per batch without a second scan.
+    Metric sums ride the float32 gate quantization."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="stream_observe_gate_")
+    staged = f"{tmp}/staged"
+    half = F.col("event_id") % 2  # engine-portable split (oracle replays it)
+    for h in (0, 1):
+        path = f"{staged}/half={h}"
+        ev.filter(half == h).coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (1000 + h, 1000 + h))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    observed = stream.observe(
+        "gate_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("value_sum"),
+        F.max("event_id").alias("max_id"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(_AWAIT_S):
+        q.stop()
+        raise TimeoutError(
+            f"observe availableNow run exceeded {_AWAIT_S}s"
+        )
+    rows = []
+    for p in q.recentProgress:
+        m = (p.get("observedMetrics") or {}).get("gate_metrics")
+        if m is not None and p.get("numInputRows", 0) > 0:
+            rows.append(
+                (
+                    int(p["batchId"]),
+                    int(m["n_rows"]),
+                    float(np.float32(m["value_sum"])),
+                    int(m["max_id"]),
+                )
+            )
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("n_rows", LongType()),
+            StructField("value_sum", DoubleType()),
+            StructField("max_id", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+ORACLE_STREAM_OBSERVE_AVAILABLENOW = """
+SELECT CAST(event_id % 2 AS BIGINT) AS batch_id,
+       count(*) AS n_rows,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY 1
+"""
+
+QUERIES["stream_observe_availablenow"] = q_stream_observe_availablenow
+ORACLES["stream_observe_availablenow"] = ORACLE_STREAM_OBSERVE_AVAILABLENOW
