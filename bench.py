@@ -180,6 +180,7 @@ HEADLINE = [
     "rle_segments_events",
     "stream_restart_pystate_availablenow",
     "stream_observe_availablenow",
+    "referential_check_orders",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1351,3 +1351,80 @@ GROUP BY user_id, island
 
 QUERIES["rle_segments_events"] = q_rle_segments_events
 ORACLES["rle_segments_events"] = ORACLE_RLE_SEGMENTS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+def q_referential_check_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table referential audit — the relational half of the
+    expectations family: orphan counts for each FK edge of the spine
+    (lineitem→orders, orders→customer) plus a PLANTED violation
+    (orders checked against only the even-keyed half of customer, so
+    odd-custkey orders are orphans by construction — the real edges
+    are clean in this data and a gate that can only ever see zero
+    proves nothing). Each check is one left-anti join that shuffles
+    only the key column; the three counts union into one audit
+    report, the shape a 100 TB conformance job emits per load."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    c_half = c.filter(F.col("c_custkey") % 2 == 0)
+
+    def _audit(name, child, parent, cond):
+        return (
+            child.join(parent, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk_edge"), "n_orphans")
+        )
+
+    return (
+        _audit(
+            "lineitem->orders",
+            li,
+            o,
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .unionByName(
+            _audit(
+                "orders->customer",
+                o,
+                c,
+                o["o_custkey"] == c["c_custkey"],
+            )
+        )
+        .unionByName(
+            _audit(
+                "orders->customer_even_only",
+                o,
+                c_half,
+                o["o_custkey"] == c_half["c_custkey"],
+            )
+        )
+    )
+
+
+ORACLE_REFERENTIAL_CHECK_ORDERS = """
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+         AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'orders->customer_even_only',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_custkey % 2 = 0))
+"""
+
+QUERIES["referential_check_orders"] = q_referential_check_orders
+ORACLES["referential_check_orders"] = ORACLE_REFERENTIAL_CHECK_ORDERS
