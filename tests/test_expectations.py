@@ -24,10 +24,12 @@ def _df(spark):
     )
 
 
-RULES = {
-    "value_nonneg": F.col("value") >= 0,  # NULL for row 3
-    "known_type": F.col("etype").isin("click", "view"),
-}
+def _rules():
+    # built lazily: Column construction needs an active session
+    return {
+        "value_nonneg": F.col("value") >= 0,  # NULL for row 3
+        "known_type": F.col("etype").isin("click", "view"),
+    }
 
 
 def test_null_rule_result_is_a_violation(spark):
@@ -35,7 +37,7 @@ def test_null_rule_result_is_a_violation(spark):
     filter: a rule evaluating to NULL counts as violated."""
     flagged = {
         r.id: sorted(r._violations)
-        for r in apply_expectations(_df(spark), RULES).collect()
+        for r in apply_expectations(_df(spark), _rules()).collect()
     }
     assert flagged == {
         1: [],
@@ -46,7 +48,7 @@ def test_null_rule_result_is_a_violation(spark):
 
 
 def test_split_partitions_rows_exactly(spark):
-    clean, bad = split_on_expectations(_df(spark), RULES)
+    clean, bad = split_on_expectations(_df(spark), _rules())
     assert [r.id for r in clean.collect()] == [1]
     assert "_violations" not in clean.columns
     assert sorted(r.id for r in bad.collect()) == [2, 3, 4]
@@ -55,7 +57,7 @@ def test_split_partitions_rows_exactly(spark):
 def test_report_counts_and_pass_rate(spark):
     rep = {
         r.rule: (r.n_rows, r.n_violations, r.pass_rate)
-        for r in expectations_report(_df(spark), RULES).collect()
+        for r in expectations_report(_df(spark), _rules()).collect()
     }
     assert rep["value_nonneg"] == (4, 2, 0.5)
     assert rep["known_type"] == (4, 1, 0.75)
