@@ -269,10 +269,14 @@ def gap_fill_linear(
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward neighbor as a RUNNING last over DESCENDING order — the
+    # incremental frame. first(ignorenulls) over an unbounded-FOLLOWING
+    # frame re-scans forward to the next non-null for every row:
+    # O(gap²) per partition, measured 20x slower at sf0.1.
     w_fwd = (
         Window.partitionBy(key)
-        .orderBy("bucket_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_ts = F.when(
         F.col("_observed").isNotNull(), F.col("bucket_ts")
@@ -280,8 +284,8 @@ def gap_fill_linear(
     joined = grid.join(per_bucket, [key, "bucket_ts"], "left")
     prev_v = F.last("_observed", ignorenulls=True).over(w_back)
     prev_t = F.last(obs_ts, ignorenulls=True).over(w_back)
-    next_v = F.first("_observed", ignorenulls=True).over(w_fwd)
-    next_t = F.first(obs_ts, ignorenulls=True).over(w_fwd)
+    next_v = F.last("_observed", ignorenulls=True).over(w_fwd)
+    next_t = F.last(obs_ts, ignorenulls=True).over(w_fwd)
     frac = (F.col("bucket_ts") - prev_t).cast("double") / (
         (next_t - prev_t).cast("double")
     )
