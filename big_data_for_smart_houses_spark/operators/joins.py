@@ -133,15 +133,19 @@ def asof_join(
         )
         fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     else:
-        # forward: right rows sort AFTER left rows at equal ts
-        # (tag desc: 1 before 0), so an equal-ts right row sits inside
-        # the left row's forward frame; fill = first right value ahead
+        # forward: evaluated as a RUNNING last over the REVERSED sort
+        # (ts desc, tag asc — the exact reverse of ts asc, tag desc,
+        # so an equal-ts right row still sits inside the left row's
+        # frame). Incremental O(n); the natural-order
+        # first(ignorenulls) over an unbounded-FOLLOWING frame
+        # re-scans ahead to the next non-null per row — O(gap²), the
+        # same trap measured 12x in gap_fill_linear.
         w = (
             Window.partitionBy(on)
-            .orderBy(F.col("_ts"), F.col("_tag").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("_ts").desc(), F.col("_tag"))
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     filled = u
     for src in fill_src.values():
         filled = filled.withColumn(f"_f{src}", fill(F.col(src)))
