@@ -91,6 +91,7 @@ def train_logreg_hashed(
     try:
         weights = spark.createDataFrame([], "idx long, w double")
         bias = 0.0
+        w_now: dict[int, float] = {}
         n = feats.count()
         for _ in range(iters):
             m = _margins(feats, weights, id_col, features_col, bias)
@@ -100,24 +101,31 @@ def train_logreg_hashed(
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("_y"))
                 .alias("_err"),
             )
+            # ONE aggregate serves both gradients: index -1 (appended
+            # to every row) accumulates the bias gradient alongside
+            # the feature gradients — one job per iteration, not
+            # three. limit() bounds the collect without a separate
+            # count job; driver weights are carried in Python (they
+            # ARE the model state), not re-collected.
+            with_bias = F.concat(
+                F.col(features_col), F.array(F.lit(-1).cast("long"))
+            )
             grad = (
-                err.select(F.explode(features_col).alias("idx"), "_err")
+                err.select(F.explode(with_bias).alias("idx"), "_err")
                 .groupBy("idx")
                 .agg(F.sum("_err").alias("g"))
             )
-            n_active = grad.count()
-            if n_active > MAX_MODEL_ROWS:
+            g_list = grad.limit(MAX_MODEL_ROWS + 1).collect()
+            if len(g_list) > MAX_MODEL_ROWS:
                 raise ValueError(
-                    f"model too large to collect: {n_active} active "
-                    f"indices > {MAX_MODEL_ROWS}; lower dim or shard "
-                    "the model"
+                    f"model too large to collect: > {MAX_MODEL_ROWS} "
+                    "active indices; lower dim or shard the model"
                 )
-            g_rows = {r.idx: r.g for r in grad.collect()}
-            b_grad = err.agg(F.sum("_err")).collect()[0][0] or 0.0
-            w_now = {r.idx: r.w for r in weights.collect()}
-            for idx, g in g_rows.items():
-                w_now[idx] = w_now.get(idx, 0.0) - lr * g / n
-            bias -= lr * b_grad / n
+            for r in g_list:
+                if r.idx == -1:
+                    bias -= lr * r.g / n
+                else:
+                    w_now[r.idx] = w_now.get(r.idx, 0.0) - lr * r.g / n
             weights = spark.createDataFrame(
                 [(int(k), float(v)) for k, v in w_now.items()],
                 "idx long, w double",
