@@ -181,6 +181,7 @@ HEADLINE = [
     "stream_restart_pystate_availablenow",
     "stream_observe_availablenow",
     "referential_check_orders",
+    "nullsafe_join_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

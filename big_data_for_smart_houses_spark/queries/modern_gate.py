@@ -1428,3 +1428,60 @@ SELECT 'orders->customer_even_only',
 
 QUERIES["referential_check_orders"] = q_referential_check_orders
 ORACLES["referential_check_orders"] = ORACLE_REFERENTIAL_CHECK_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=>)
+# ---------------------------------------------------------------------------
+
+def q_nullsafe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / eqNullSafe — SQL's IS NOT
+    DISTINCT FROM): a derived nullable key (props' k, nulled for
+    every third event) joined against a distinct key table that
+    includes the NULL key — under plain `=` the NULL rows silently
+    drop out of the join; under `<=>` they match the NULL dimension
+    row, which is exactly the semantics a late-dimension pipeline
+    wants for its "unknown" bucket. Plan-wise `<=>` stays a HASH
+    join key (null hashes like any value), so this costs the same
+    one exchange as an equi-join — no fallback to nested loops."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.when(
+        F.col("event_id") % 3 != 0,
+        F.variant_get(F.parse_json("props"), "$.k", "bigint"),
+    )
+    fact = ev.select("event_id", k.alias("k"))
+    # dim derives from fact, so its key is RENAMED to break the
+    # self-join column lineage ambiguity
+    dim = (
+        fact.select(F.col("k").alias("k_dim"))
+        .distinct()
+        .withColumn(
+            "k_label",
+            F.coalesce(
+                F.concat(F.lit("k="), F.col("k_dim").cast("string")),
+                F.lit("unknown"),
+            ),
+        )
+    )
+    return fact.join(
+        dim, F.col("k").eqNullSafe(F.col("k_dim"))
+    ).select("event_id", "k", "k_label")
+
+
+ORACLE_NULLSAFE_JOIN_EVENTS = """
+WITH fact AS (
+  SELECT event_id,
+         CASE WHEN event_id % 3 <> 0
+              THEN CAST(props::JSON->>'k' AS BIGINT) END AS k
+  FROM events
+),
+dim AS (
+  SELECT k, coalesce('k=' || CAST(k AS VARCHAR), 'unknown') AS k_label
+  FROM (SELECT DISTINCT k FROM fact)
+)
+SELECT f.event_id, f.k, d.k_label
+FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
+"""
+
+QUERIES["nullsafe_join_events"] = q_nullsafe_join_events
+ORACLES["nullsafe_join_events"] = ORACLE_NULLSAFE_JOIN_EVENTS

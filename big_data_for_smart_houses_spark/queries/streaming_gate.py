@@ -1004,7 +1004,7 @@ def q_synthetic_stream_availablenow(
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(processingTime="1 second")
+        .trigger(processingTime="250 milliseconds")
         .start()
     )
     try:
@@ -1015,7 +1015,7 @@ def q_synthetic_stream_availablenow(
                     break
             except Exception:  # noqa: BLE001 - sink not created yet
                 pass
-            time.sleep(1)
+            time.sleep(0.25)
         else:
             raise TimeoutError(
                 f"synthetic stream never drained {SYNTH_STREAM_N} rows"
