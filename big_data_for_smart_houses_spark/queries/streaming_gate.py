@@ -1,5 +1,12 @@
-"""Streaming-EXECUTED gate query (round 5): the first CORRECTNESS row
-produced by an actual Structured Streaming run, not a batch plan.
+"""Streaming-EXECUTED gate queries: CORRECTNESS rows produced by
+actual Structured Streaming runs, not batch plans. Started round 5
+with the stateful LOCF gate; the family now covers stateful
+EWMA/LOCF/session ops, watermarked tumbling aggregation (default AND
+RocksDB state stores), stream-stream interval joins (inner and
+left-outer), cross-batch dedup, stream-static enrichment,
+foreachBatch MERGE and multi-sink fanout, per-batch observe metrics,
+the Python data source's streaming reader, and two crash-injected
+restart-recovery gates (SQL state and applyInPandasWithState).
 
 ``locf_stream_availablenow`` drives the stateful streaming LOCF
 operator (streaming/stateful.py:locf_stream — applyInPandasWithState,
