@@ -182,6 +182,7 @@ HEADLINE = [
     "stream_observe_availablenow",
     "referential_check_orders",
     "nullsafe_join_events",
+    "bmp_decode_assets",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

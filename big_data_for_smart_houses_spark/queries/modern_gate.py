@@ -1485,3 +1485,56 @@ FROM fact f JOIN dim d ON f.k IS NOT DISTINCT FROM d.k
 
 QUERIES["nullsafe_join_events"] = q_nullsafe_join_events
 ORACLES["nullsafe_join_events"] = ORACLE_NULLSAFE_JOIN_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode (stdlib BMP) through the multimodal pipeline
+# ---------------------------------------------------------------------------
+
+BMP_N_ASSETS = 200
+
+
+def q_bmp_decode_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE image decoding on the hash path — not the byte-level
+    fake: 200 deterministic 24bpp BMP payloads (width 8+i%5, height
+    4+i%3, channels (i%251, (3i)%251, (7i)%251)) are serialized with
+    the stdlib encoder, carried as a BinaryType column, and decoded
+    by `extensions/multimodal.py:decode_bmp_assets` — real header
+    validation, row padding, bottom-up pixel walk — through the same
+    Arrow-batched mapInPandas shape the PIL/ffmpeg-backed decoders
+    plug into. The DuckDB oracle states the expected dimensions and
+    exact channel means in closed form; a single mis-parsed byte
+    (stride, offset, BGR order) breaks the hash. sf_dir is unused:
+    the payloads are the data."""
+    from ..extensions.multimodal import decode_bmp_assets, encode_bmp
+
+    configure_for_oracle_parity(spark)
+    rows = [
+        (
+            i,
+            encode_bmp(
+                8 + i % 5,
+                4 + i % 3,
+                (i % 251, (3 * i) % 251, (7 * i) % 251),
+            ),
+        )
+        for i in range(BMP_N_ASSETS)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, payload binary"
+    ).repartition(8)
+    return decode_bmp_assets(assets)
+
+
+ORACLE_BMP_DECODE_ASSETS = f"""
+SELECT i AS asset_id,
+       CAST(8 + i % 5 AS BIGINT) AS width,
+       CAST(4 + i % 3 AS BIGINT) AS height,
+       CAST(i % 251 AS BIGINT) AS mean_r,
+       CAST((3 * i) % 251 AS BIGINT) AS mean_g,
+       CAST((7 * i) % 251 AS BIGINT) AS mean_b
+FROM (SELECT unnest(generate_series(0, {BMP_N_ASSETS - 1})) AS i)
+"""
+
+QUERIES["bmp_decode_assets"] = q_bmp_decode_assets
+ORACLES["bmp_decode_assets"] = ORACLE_BMP_DECODE_ASSETS

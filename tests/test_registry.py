@@ -31,6 +31,7 @@ def test_every_query_is_documented():
 GENERATOR_ORACLES = {
     "synthetic_source_telemetry",
     "synthetic_stream_availablenow",
+    "bmp_decode_assets",
 }
 
 
