@@ -183,6 +183,7 @@ HEADLINE = [
     "referential_check_orders",
     "nullsafe_join_events",
     "bmp_decode_assets",
+    "wav_decode_assets",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -348,3 +348,79 @@ def decode_bmp_assets(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec, zero dependencies: 16-bit PCM WAV (stdlib wave)
+# ---------------------------------------------------------------------------
+
+def encode_wav(
+    n_frames: int, rate: int, amplitude: int, period: int
+) -> bytes:
+    """Serialize a mono 16-bit PCM WAV carrying a deterministic square
+    wave (±amplitude, switching every ``period`` frames) — stdlib
+    ``wave`` + ``struct`` only."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        samples = [
+            amplitude if (i // period) % 2 == 0 else -amplitude
+            for i in range(n_frames)
+        ]
+        w.writeframes(struct.pack(f"<{n_frames}h", *samples))
+    return buf.getvalue()
+
+
+WAV_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("rate", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak_amplitude", LongType()),
+        StructField("mean_abs", LongType()),
+    ]
+)
+
+
+def decode_wav_assets(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode over (asset_id, payload): the
+    stdlib ``wave`` parser reads each RIFF container (frame count,
+    rate) and the raw 16-bit PCM samples yield peak and mean-absolute
+    amplitude — genuine signal statistics, not byte noise. Square-wave
+    gate assets have integer mean |amplitude|, so every column is an
+    exact long."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    n, rate = w.getnframes(), w.getframerate()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                rows.append(
+                    (
+                        int(aid),
+                        n,
+                        rate,
+                        int(n * 1000 / rate),
+                        max(abs(s) for s in samples),
+                        int(sum(abs(s) for s in samples) / n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_DECODE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(batches, WAV_DECODE_SCHEMA)

@@ -1538,3 +1538,56 @@ FROM (SELECT unnest(generate_series(0, {BMP_N_ASSETS - 1})) AS i)
 
 QUERIES["bmp_decode_assets"] = q_bmp_decode_assets
 ORACLES["bmp_decode_assets"] = ORACLE_BMP_DECODE_ASSETS
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (stdlib WAV) through the multimodal pipeline
+# ---------------------------------------------------------------------------
+
+WAV_N_ASSETS = 100
+
+
+def q_wav_decode_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE audio decoding on the hash path: 100 deterministic
+    mono 16-bit PCM WAVs (square wave of amplitude 100+i, period
+    4+i%3, 800+10i frames at 8 kHz) serialized and parsed with the
+    stdlib ``wave`` module through the multimodal mapInPandas shape
+    (`extensions/multimodal.py:decode_wav_assets`). Square waves make
+    every emitted statistic an exact integer (peak = amplitude; mean
+    |s| = amplitude), so the DuckDB oracle states frame counts,
+    duration and both amplitude stats in closed form — a mis-read
+    RIFF header, sample width, or endianness breaks the hash.
+    sf_dir is unused: the payloads are the data."""
+    from ..extensions.multimodal import decode_wav_assets, encode_wav
+
+    configure_for_oracle_parity(spark)
+    rows = [
+        (
+            i,
+            encode_wav(
+                n_frames=800 + 10 * i,
+                rate=8000,
+                amplitude=100 + i,
+                period=4 + i % 3,
+            ),
+        )
+        for i in range(WAV_N_ASSETS)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, payload binary"
+    ).repartition(8)
+    return decode_wav_assets(assets)
+
+
+ORACLE_WAV_DECODE_ASSETS = f"""
+SELECT i AS asset_id,
+       CAST(800 + 10 * i AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST((800 + 10 * i) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(100 + i AS BIGINT) AS peak_amplitude,
+       CAST(100 + i AS BIGINT) AS mean_abs
+FROM (SELECT unnest(generate_series(0, {WAV_N_ASSETS - 1})) AS i)
+"""
+
+QUERIES["wav_decode_assets"] = q_wav_decode_assets
+ORACLES["wav_decode_assets"] = ORACLE_WAV_DECODE_ASSETS

@@ -32,6 +32,7 @@ GENERATOR_ORACLES = {
     "synthetic_source_telemetry",
     "synthetic_stream_availablenow",
     "bmp_decode_assets",
+    "wav_decode_assets",
 }
 
 
