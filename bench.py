@@ -184,6 +184,7 @@ HEADLINE = [
     "nullsafe_join_events",
     "bmp_decode_assets",
     "wav_decode_assets",
+    "avi_frame_sample_assets",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -424,3 +424,141 @@ def decode_wav_assets(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, WAV_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec, zero dependencies: raw-frame (DIB) AVI
+# ---------------------------------------------------------------------------
+
+def encode_avi(
+    width: int, height: int, frames: list[tuple[int, int, int]], fps: int = 10
+) -> bytes:
+    """Serialize a minimal RIFF AVI whose '00db' chunks carry raw
+    24bpp bottom-up DIB frames (one solid RGB color per frame) —
+    the uncompressed video container a stdlib parser can read.
+    Headers: avih + one video strl (strh/strf), then the movi LIST."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    stride = (width * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for r, g, b in frames:
+        row = bytes([b, g, r]) * width + b"\x00" * (stride - width * 3)
+        frame_bytes.append(row * height)
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, stride * height,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        fps, n, stride * height, 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    riff_payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Parse the raw-frame AVI for real: RIFF walk (LIST recursion,
+    chunk padding), avih dims/frame count, then every '00db' frame's
+    mean channel values from the DIB pixels. Codec-compressed video
+    (anything whose frames aren't raw DIBs) still requires ffmpeg —
+    this closes the container/raw-frame half of the video gap."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = n_frames = None
+    frames = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, n_frames
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc == b"avih":
+                vals = struct.unpack_from("<14I", payload, body)
+                n_frames, width, height = vals[4], vals[8], vals[9]
+            elif fourcc == b"00db":
+                frames.append((body, size))
+            pos = body + size + (size % 2)
+
+    walk(12, len(payload))
+    if not frames or width is None:
+        raise ValueError("no raw frames found")
+    stride = (width * 3 + 3) // 4 * 4
+    stats = []
+    for off, _size in frames:
+        tot = [0, 0, 0]
+        for row in range(height):
+            base = off + row * stride
+            for x in range(width):
+                b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+                tot[0] += r
+                tot[1] += g
+                tot[2] += b
+        n_px = width * height
+        stats.append(tuple(t // n_px for t in tot))
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "frame_means": stats,
+    }
+
+
+AVI_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", LongType()),
+        StructField("mean_g", LongType()),
+        StructField("mean_b", LongType()),
+    ]
+)
+
+
+def sample_avi_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over raw-frame AVI payloads: decode each
+    container, keep every ``every_n``-th frame, emit one row per
+    sampled frame with its exact channel means — the frame-sample
+    pipeline stage running on genuine video bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = decode_avi(bytes(payload))
+                for fi, (r, g, b) in enumerate(m["frame_means"]):
+                    if fi % every_n == 0:
+                        rows.append(
+                            (int(aid), fi, m["width"], m["height"], r, g, b)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AVI_DECODE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(batches, AVI_DECODE_SCHEMA)

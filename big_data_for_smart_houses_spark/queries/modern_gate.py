@@ -1591,3 +1591,69 @@ FROM (SELECT unnest(generate_series(0, {WAV_N_ASSETS - 1})) AS i)
 
 QUERIES["wav_decode_assets"] = q_wav_decode_assets
 ORACLES["wav_decode_assets"] = ORACLE_WAV_DECODE_ASSETS
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame-sampling (raw-frame AVI) through the pipeline
+# ---------------------------------------------------------------------------
+
+AVI_N_ASSETS = 40
+AVI_N_FRAMES = 6
+AVI_SAMPLE_EVERY = 2
+
+
+def q_avi_frame_sample_assets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENUINE video frame sampling on the hash path: 40 raw-frame
+    RIFF AVI containers (8×4, 6 solid-color frames each, channel
+    values derived from (asset, frame) index) serialized and parsed
+    with pure stdlib code (`extensions/multimodal.py:encode_avi /
+    sample_avi_frames` — LIST recursion, chunk padding, DIB stride),
+    keeping every 2nd frame. One row per sampled frame, channel means
+    exact; the DuckDB oracle is the closed-form generator. With this,
+    the video gap narrows to CODEC-compressed streams (ffmpeg):
+    container walking and raw-frame math are proven for real.
+    sf_dir is unused: the payloads are the data."""
+    from ..extensions.multimodal import encode_avi, sample_avi_frames
+
+    configure_for_oracle_parity(spark)
+    rows = [
+        (
+            i,
+            encode_avi(
+                8,
+                4,
+                [
+                    (
+                        (i * 7 + f) % 251,
+                        (i * 11 + 2 * f) % 251,
+                        (i * 13 + 3 * f) % 251,
+                    )
+                    for f in range(AVI_N_FRAMES)
+                ],
+            ),
+        )
+        for i in range(AVI_N_ASSETS)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, payload binary"
+    ).repartition(8)
+    return sample_avi_frames(assets, every_n=AVI_SAMPLE_EVERY)
+
+
+ORACLE_AVI_FRAME_SAMPLE_ASSETS = f"""
+SELECT i AS asset_id,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       CAST((i * 7 + f) % 251 AS BIGINT) AS mean_r,
+       CAST((i * 11 + 2 * f) % 251 AS BIGINT) AS mean_g,
+       CAST((i * 13 + 3 * f) % 251 AS BIGINT) AS mean_b
+FROM (SELECT unnest(generate_series(0, {AVI_N_ASSETS - 1})) AS i)
+CROSS JOIN (SELECT unnest(generate_series(0, {AVI_N_FRAMES - 1})) AS f)
+WHERE f % {AVI_SAMPLE_EVERY} = 0
+"""
+
+QUERIES["avi_frame_sample_assets"] = q_avi_frame_sample_assets
+ORACLES["avi_frame_sample_assets"] = ORACLE_AVI_FRAME_SAMPLE_ASSETS

@@ -33,6 +33,7 @@ GENERATOR_ORACLES = {
     "synthetic_stream_availablenow",
     "bmp_decode_assets",
     "wav_decode_assets",
+    "avi_frame_sample_assets",
 }
 
 
