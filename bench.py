@@ -185,6 +185,7 @@ HEADLINE = [
     "bmp_decode_assets",
     "wav_decode_assets",
     "avi_frame_sample_assets",
+    "funnel_three_step_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -2041,3 +2041,95 @@ FROM nb
 
 QUERIES["gapfill_linear_events"] = q_gapfill_linear_events
 ORACLES["gapfill_linear_events"] = ORACLE_GAPFILL_LINEAR_EVENTS
+
+
+def q_funnel_three_step_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered THREE-step funnel (signup → click → purchase) computed
+    in a SINGLE keyed pass — unlike the two-step gate's per-step
+    aggregate joins, every step here is a running flag over one
+    (user, ts, event_id) window: a click counts only once a signup
+    precedes it, a purchase only once such a click precedes it, and
+    the per-user firsts fall out of one conditional aggregation on
+    the same clustering. One exchange end to end at any number of
+    steps — the funnel shape that survives 100 TB, where a per-step
+    join chain would pay k shuffles for k steps. Timestamps are
+    copied, never computed: engine-exact, no quantization."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_signup = (F.col("event_type") == "signup").cast("int")
+    seen_signup = F.max(is_signup).over(w)
+    is_step2 = (
+        (F.col("event_type") == "click") & (seen_signup == 1)
+    ).cast("int")
+    seen_step2 = F.max(is_step2).over(w)
+    is_step3 = (
+        (F.col("event_type") == "purchase") & (seen_step2 == 1)
+    ).cast("int")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        is_signup.alias("s1"),
+        is_step2.alias("s2"),
+        is_step3.alias("s3"),
+    )
+    out = flagged.groupBy("user_id").agg(
+        F.min(F.when(F.col("s1") == 1, F.col("ts"))).alias("signup_ts"),
+        F.min(F.when(F.col("s2") == 1, F.col("ts"))).alias("click_ts"),
+        F.min(F.when(F.col("s3") == 1, F.col("ts"))).alias("purchase_ts"),
+    )
+    return out.select(
+        "user_id",
+        "signup_ts",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.col("signup_ts").isNotNull().cast("int")
+            + F.col("click_ts").isNotNull().cast("int")
+            + F.col("purchase_ts").isNotNull().cast("int")
+        ).alias("reached_steps"),
+    )
+
+
+ORACLE_FUNNEL_THREE_STEP_EVENTS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS s1,
+         CASE WHEN event_type = 'click'
+               AND max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   OVER w = 1
+              THEN 1 ELSE 0 END AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+flagged3 AS (
+  SELECT user_id, ts, s1, s2,
+         CASE WHEN event_type = 'purchase'
+               AND max(s2) OVER w2 = 1
+              THEN 1 ELSE 0 END AS s3
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       min(CASE WHEN s1 = 1 THEN ts END) AS signup_ts,
+       min(CASE WHEN s2 = 1 THEN ts END) AS click_ts,
+       min(CASE WHEN s3 = 1 THEN ts END) AS purchase_ts,
+       CAST((min(CASE WHEN s1 = 1 THEN ts END) IS NOT NULL)::INT
+            + (min(CASE WHEN s2 = 1 THEN ts END) IS NOT NULL)::INT
+            + (min(CASE WHEN s3 = 1 THEN ts END) IS NOT NULL)::INT
+            AS INT) AS reached_steps
+FROM flagged3
+GROUP BY user_id
+"""
+
+QUERIES["funnel_three_step_events"] = q_funnel_three_step_events
+ORACLES["funnel_three_step_events"] = ORACLE_FUNNEL_THREE_STEP_EVENTS
