@@ -541,6 +541,10 @@ def test_round6_analytic_shuffle_budgets(spark):
         ("table_checksum_orders", 1),
         ("dynamic_session_window_events", 1),
         ("gapfill_linear_events", 3),
+        # three funnel steps, ONE exchange (running-flag windows +
+        # conditional agg share the user clustering) — the property
+        # that makes the shape k-step-scalable
+        ("funnel_three_step_events", 1),
     ):
         p = _plan(spark, name)
         assert p.count("Exchange hashpartitioning") <= budget, (name, p)
