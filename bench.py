@@ -186,6 +186,7 @@ HEADLINE = [
     "wav_decode_assets",
     "avi_frame_sample_assets",
     "funnel_three_step_events",
+    "argmax_functions_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

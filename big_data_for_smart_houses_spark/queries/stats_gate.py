@@ -2133,3 +2133,75 @@ GROUP BY user_id
 
 QUERIES["funnel_three_step_events"] = q_funnel_three_step_events
 ORACLES["funnel_three_step_events"] = ORACLE_FUNNEL_THREE_STEP_EVENTS
+
+
+def q_argmax_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`max_by` / `min_by` (argmax/argmin) aggregate family — one
+    ordered pass instead of the window-rank-filter detour for
+    "value at the extremum" questions. Ordering keys are made UNIQUE
+    by construction (µs timestamp ×1000 + event_id mod 1000 for
+    time; 100·value (2-decimal exact) ×10¹² + event_id for value) —
+    max_by with tied keys is engine-arbitrary, and a gate must never
+    hash an arbitrary choice. Per user: first/last event type and
+    last value; per type: the user holding the max value."""
+    ev = _events(spark, sf_dir)
+    tkey = F.unix_micros("ts") * F.lit(1000) + F.col("event_id") % 1000
+    vkey = (
+        F.round(F.col("value") * 100).cast("long") * F.lit(1_000_000_000_000)
+        + F.col("event_id")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("event_type", tkey).alias("first_type"),
+        F.max_by("event_type", tkey).alias("last_type"),
+        F.max_by("value", tkey).alias("last_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        F.max_by("user_id", vkey).alias("top_value_user"),
+        F.max("value").alias("max_value"),
+    )
+    return per_user.join(
+        per_type,
+        per_user["last_type"] == per_type["event_type"],
+        "left",
+    ).select(
+        "user_id",
+        "first_type",
+        "last_type",
+        "last_value",
+        "n",
+        F.col("top_value_user").alias("last_type_top_user"),
+        F.col("max_value").alias("last_type_max_value"),
+    )
+
+
+ORACLE_ARGMAX_FUNCTIONS_EVENTS = """
+WITH per_user AS (
+  SELECT user_id,
+         arg_min(event_type,
+                 epoch_us(ts) * 1000 + event_id % 1000) AS first_type,
+         arg_max(event_type,
+                 epoch_us(ts) * 1000 + event_id % 1000) AS last_type,
+         arg_max(value,
+                 epoch_us(ts) * 1000 + event_id % 1000) AS last_value,
+         count(*) AS n
+  FROM events GROUP BY user_id
+),
+per_type AS (
+  SELECT event_type,
+         arg_max(user_id,
+                 CAST(round(value * 100) AS BIGINT) * 1000000000000
+                 + event_id) AS top_value_user,
+         max(value) AS max_value
+  FROM events GROUP BY event_type
+)
+SELECT u.user_id, u.first_type, u.last_type, u.last_value, u.n,
+       t.top_value_user AS last_type_top_user,
+       t.max_value AS last_type_max_value
+FROM per_user u LEFT JOIN per_type t ON u.last_type = t.event_type
+"""
+
+QUERIES["argmax_functions_events"] = q_argmax_functions_events
+ORACLES["argmax_functions_events"] = ORACLE_ARGMAX_FUNCTIONS_EVENTS
