@@ -187,6 +187,7 @@ HEADLINE = [
     "avi_frame_sample_assets",
     "funnel_three_step_events",
     "argmax_functions_events",
+    "dynamic_partition_pruning_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1657,3 +1657,61 @@ WHERE f % {AVI_SAMPLE_EVERY} = 0
 
 QUERIES["avi_frame_sample_assets"] = q_avi_frame_sample_assets
 ORACLES["avi_frame_sample_assets"] = ORACLE_AVI_FRAME_SAMPLE_ASSETS
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+def q_dynamic_partition_pruning_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning on the hash path: the events table
+    is staged PARTITIONED BY event_date, then joined to a small
+    filtered date dimension (every 6th day) — Catalyst must inject
+    the dim's build-side keys as a runtime partition filter on the
+    fact scan, so only matching date directories are read at all.
+    This is THE star-schema scan killer at 100 TB (a static planner
+    reads every partition; DPP reads |selected dates|/|dates|). The
+    gate RAISES unless the physical plan carries the
+    `dynamicpruning` subquery on the fact's partition column; values
+    are verified by the oracle's closed-form date filter."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dpp_gate_")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        fact.select("event_date")
+        .distinct()
+        .filter(F.dayofmonth("event_date") % 6 == 0)
+        .withColumn("is_sampled_day", F.lit(True))
+    )
+    joined = fact.join(F.broadcast(dim), "event_date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            f"no dynamic partition pruning in the fact scan:\n{plan}"
+        )
+    return joined.select(
+        "event_id", "event_date", "user_id", "event_type", "value"
+    )
+
+
+ORACLE_DYNAMIC_PARTITION_PRUNING_EVENTS = """
+SELECT event_id,
+       CAST(ts AS DATE) AS event_date,
+       user_id, event_type, value
+FROM events
+WHERE day(CAST(ts AS DATE)) % 6 = 0
+"""
+
+QUERIES["dynamic_partition_pruning_events"] = (
+    q_dynamic_partition_pruning_events
+)
+ORACLES["dynamic_partition_pruning_events"] = (
+    ORACLE_DYNAMIC_PARTITION_PRUNING_EVENTS
+)
