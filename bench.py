@@ -188,6 +188,7 @@ HEADLINE = [
     "funnel_three_step_events",
     "argmax_functions_events",
     "dynamic_partition_pruning_events",
+    "pandas_udaf_geomean_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -1715,3 +1715,58 @@ QUERIES["dynamic_partition_pruning_events"] = (
 ORACLES["dynamic_partition_pruning_events"] = (
     ORACLE_DYNAMIC_PARTITION_PRUNING_EVENTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched grouped-agg pandas UDAF (the extension-point surface)
+# ---------------------------------------------------------------------------
+
+def q_pandas_udaf_geomean_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The one Python-UDF surface the engine had not yet demonstrated:
+    a GROUPED_AGG pandas UDAF (Arrow-batched, one vectorized call per
+    group — never row-at-a-time). The function computes the per-type
+    geometric mean of value as exp(mean(log x)) with the logs SORTED
+    before summing, so the float fold is order-deterministic under
+    any partitioning; the DuckDB oracle replays exp(avg(ln)) and both
+    ride the float32 gate quantization. This is the documented
+    extension point for custom aggregates Spark lacks — parity
+    queries themselves remain UDF-free (COVERAGE.md §2.10), and at
+    100 TB the UDAF aggregates per group AFTER the same keyed
+    exchange a built-in agg would use."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from ..functions.numeric import quantize_cols
+
+    # explicit functionType: this module's PEP-563 string annotations
+    # defeat pandas_udf's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        logs = np.sort(np.log(v.to_numpy(dtype="float64")))
+        return float(np.exp(logs.sum() / len(logs)))
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg — the count comes from its own pass and
+    # joins back on the 5-row type key
+    gm = ev.groupBy("event_type").agg(
+        geomean("value").alias("geomean_value")
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return quantize_cols(gm.join(counts, "event_type"), "geomean_value")
+
+
+ORACLE_PANDAS_UDAF_GEOMEAN_EVENTS = """
+SELECT event_type,
+       CAST(CAST(exp(avg(ln(value))) AS REAL) AS DOUBLE)
+         AS geomean_value,
+       count(*) AS n
+FROM events
+WHERE value > 0
+GROUP BY event_type
+"""
+
+QUERIES["pandas_udaf_geomean_events"] = q_pandas_udaf_geomean_events
+ORACLES["pandas_udaf_geomean_events"] = ORACLE_PANDAS_UDAF_GEOMEAN_EVENTS
