@@ -578,3 +578,81 @@ def test_compaction_preserves_rows_and_reduces_files(spark, n_small):
         (r.id, r.v) for r in spark.read.parquet(f"{root}/out").collect()
     )
     assert got == [(i, 2 * i) for i in range(2000)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=12),
+    st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    ),
+)
+def test_bmp_codec_roundtrip(spark, width, height, rgb):
+    """BMP encode→decode is the identity on dims and solid-color
+    means for every size — incl. widths whose 3-byte rows need
+    1/2/3-byte padding (the stride logic property)."""
+    from big_data_for_smart_houses_spark.extensions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    m = decode_bmp(encode_bmp(width, height, rgb))
+    assert (m["width"], m["height"]) == (width, height)
+    assert (m["mean_r"], m["mean_g"], m["mean_b"]) == rgb
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=400),
+    st.integers(min_value=1, max_value=30000),
+    st.integers(min_value=1, max_value=50),
+)
+def test_wav_codec_roundtrip(spark, n_frames, amplitude, period):
+    """WAV encode→decode: frame count and square-wave peak/mean
+    survive for every (frames, amplitude, period)."""
+    import io
+    import struct
+    import wave
+
+    from big_data_for_smart_houses_spark.extensions.multimodal import (
+        encode_wav,
+    )
+
+    payload = encode_wav(n_frames, 8000, amplitude, period)
+    with wave.open(io.BytesIO(payload)) as w:
+        n, rate = w.getnframes(), w.getframerate()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    assert (n, rate) == (n_frames, 8000)
+    assert max(abs(s) for s in samples) == amplitude
+    assert {abs(s) for s in samples} == {amplitude}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=6),
+    st.lists(
+        st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_avi_codec_roundtrip(spark, width, height, frames):
+    """AVI encode→decode: frame count, dims, and per-frame solid
+    means survive the RIFF walk for every frame list and stride."""
+    from big_data_for_smart_houses_spark.extensions.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    m = decode_avi(encode_avi(width, height, frames))
+    assert (m["width"], m["height"], m["n_frames"]) == (
+        width,
+        height,
+        len(frames),
+    )
+    assert m["frame_means"] == frames
