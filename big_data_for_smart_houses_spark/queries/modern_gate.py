@@ -1,23 +1,33 @@
-"""Round-6 modern-surface gates: the Spark 4 API families a user
-migrating from the reference (or any earlier JSON/string pipeline)
-adopts at scale, each hash-gated against a DuckDB oracle.
+"""Round-6 modern-surface gates: the Spark 4 API families and
+infrastructure operators a user migrating from the reference (or any
+earlier JSON/string pipeline) adopts at scale, each hash-gated
+against a DuckDB oracle.
 
-- VARIANT (`parse_json`/`variant_get`): the binary semi-structured
-  encoding that replaces string re-parsing of the reference's
-  telemetry JSON payloads — shredded access without a schema pass.
-- `try_`-family ANSI-safe arithmetic: the no-job-crash error contract
-  (reference consumer code wraps every cast in try/except —
-  consumer/ingest_bronze.py:86-95; here it's one declarative call).
-- XML encode/decode/xpath: the other wire format, gated by exact
-  roundtrip (to_xml's formatting is part of the contract).
-- Correlated LATERAL subquery joins: per-row dependent subqueries,
-  the SQL surface behind per-entity top-k without a window function.
-- Sliding token-window chunking with overlap: the RAG/embedding prep
-  shape (CDC chunking covers content-defined splits; this covers the
-  fixed-window-with-stride variant every retrieval pipeline uses).
+SQL/DataFrame surfaces: VARIANT binary JSON (`parse_json` /
+`variant_get`), `try_`-family ANSI-safe arithmetic, XML roundtrip +
+xpath, correlated LATERAL top-k (decorrelation plan-asserted),
+recursive CTE hierarchy walks, ordered `listagg`, collation-aware
+grouping (UTF8_LCASE), `max_by`/`min_by` argmax family, null-safe
+equality joins (`<=>`), dynamic-gap session windows, a grouped-agg
+pandas UDAF (the custom-aggregate extension point), and
+`DataFrame.observe` single-pass metrics.
 
-All row-local except the lateral join (one keyed exchange at scale,
-broadcast-able dimension side) — zero Python in the data path.
+Infrastructure: small-file compaction roundtrip, bucketed co-located
+joins (gate RAISES on any Exchange), mergeSchema evolution reads,
+dynamic partition pruning (gate RAISES without the runtime filter),
+table checksums (anti-entropy reconciliation), declarative
+expectations with quarantine, referential-integrity audits, ORC/CSV
+format roundtrips, and REAL stdlib media codecs (BMP image, WAV
+audio, raw-frame AVI video) through the multimodal mapInPandas
+shape.
+
+LLM-pipeline adds: sliding token-window chunking with overlap (RAG
+prep), int8 embedding quantization (FAISS-SQ8 shape), and
+distributed hashed-bag logistic-regression training under the
+planted-recovery gate pattern.
+
+Everything stays JVM-side codegen except the documented
+mapInPandas/UDAF surfaces — no row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
