@@ -171,7 +171,13 @@ def compact_files(
     files. Round-robin (not coalesce) so a skewed input layout cannot
     produce skewed output files; the shuffle IS the point — one pass
     of the data, each output file written by one task. Returns the
-    file count written."""
+    file count written.
+
+    Hive-partitioned inputs: the read surfaces partition columns as
+    data and the rewrite flattens the layout. To compact WITHIN a
+    partitioned table, run per partition directory (the natural unit
+    anyway — compaction jobs at scale iterate recent partitions, not
+    the whole table)."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hconf = jsc.hadoopConfiguration()
