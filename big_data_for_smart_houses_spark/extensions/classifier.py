@@ -23,7 +23,7 @@ Everything is float64 DataFrame arithmetic; no Python UDFs, no MLlib.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_DIM = 1024
