@@ -189,6 +189,7 @@ HEADLINE = [
     "argmax_functions_events",
     "dynamic_partition_pruning_events",
     "pandas_udaf_geomean_events",
+    "bitmap_distinct_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

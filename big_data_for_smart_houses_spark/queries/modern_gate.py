@@ -1780,3 +1780,54 @@ GROUP BY event_type
 
 QUERIES["pandas_udaf_geomean_events"] = q_pandas_udaf_geomean_events
 ORACLES["pandas_udaf_geomean_events"] = ORACLE_PANDAS_UDAF_GEOMEAN_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Bitmap aggregates (exact-distinct acceleration)
+# ---------------------------------------------------------------------------
+
+def q_bitmap_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap aggregate family (`bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_count` / `bitmap_or_agg`) — the
+    EXACT distinct-count accelerator between plain countDistinct and
+    the HLL sketch: per-group roaring-style bitmaps are mergeable
+    fixed-size state (the CMS/HLL partial-agg story) but lose
+    nothing, so daily per-type bitmaps OR-merge into exact per-type
+    reach with no rescan. The gate computes both the direct and the
+    daily-merged bitmap counts and hashes them against plain
+    count(DISTINCT) — bitmap arithmetic must be EXACTLY the set
+    cardinality or the row fails.
+
+    Domain contract (learned the hash-mismatch way): positions are
+    1-BASED — `bitmap_bit_position(0)` lands outside the first
+    bucket and silently drops id 0 — so ids shift by +1 here; and
+    one bitmap covers one 32768-wide bucket, so at real id ranges
+    the aggregation must ALSO group by `bitmap_bucket_number` and
+    sum the per-bucket counts (gate ids fit one bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    pos = F.bitmap_bit_position(F.col("user_id") + 1)
+    direct = ev.groupBy("event_type").agg(
+        F.bitmap_count(F.bitmap_construct_agg(pos)).alias("nd_direct"),
+        F.countDistinct("user_id").alias("nd_exact"),
+    )
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.bitmap_construct_agg(pos).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("nd_merged"))
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type", "nd_exact", "nd_direct", "nd_merged"
+    )
+
+
+ORACLE_BITMAP_DISTINCT_EVENTS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_exact,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_direct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_merged
+FROM events GROUP BY event_type
+"""
+
+QUERIES["bitmap_distinct_events"] = q_bitmap_distinct_events
+ORACLES["bitmap_distinct_events"] = ORACLE_BITMAP_DISTINCT_EVENTS
