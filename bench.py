@@ -190,6 +190,7 @@ HEADLINE = [
     "dynamic_partition_pruning_events",
     "pandas_udaf_geomean_events",
     "bitmap_distinct_events",
+    "stream_torture_availablenow",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

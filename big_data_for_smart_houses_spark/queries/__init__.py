@@ -20,7 +20,7 @@ sentinels this round, because everything past index 50 (green in
 rounds 3-5 on current data) is re-verified every session by the
 local exact mirror, which covers ALL entries, not just 50.
 
-Round 7 rotation note: twenty-seven round-6 gates landed after the front
+Round 7 rotation note: twenty-eight round-6 gates landed after the front
 filled — lead round 7 with `bucketed_join_orders`,
 `recursive_cte_hierarchy`, `listagg_events`,
 `stream_outer_join_availablenow`, `dynamic_session_window_events`,
@@ -34,7 +34,7 @@ filled — lead round 7 with `bucketed_join_orders`,
 `bmp_decode_assets`, `wav_decode_assets`, `avi_frame_sample_assets`,
 `funnel_three_step_events`, `argmax_functions_events`,
 `dynamic_partition_pruning_events`, `pandas_udaf_geomean_events`,
-`bitmap_distinct_events` (all pass the sf0.01 exact mirror), then re-seat sentinels (medallion spine + touched
+`bitmap_distinct_events`, `stream_torture_availablenow` (all pass the sf0.01 exact mirror), then re-seat sentinels (medallion spine + touched
 subsystems). The two pure-`no_oracle` rows
 (business_summary_approx, value_percentiles_approx) are deliberately
 OUT of the front: they can only ever report rows-only and would

@@ -1245,3 +1245,126 @@ FROM events GROUP BY 1
 
 QUERIES["stream_observe_availablenow"] = q_stream_observe_availablenow
 ORACLES["stream_observe_availablenow"] = ORACLE_STREAM_OBSERVE_AVAILABLENOW
+
+
+def q_stream_torture_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production-config torture gate — all three hard streaming
+    properties in ONE run: a LEFT-OUTER stream-stream interval join
+    (trailing null emission) whose two-sided state lives on the
+    **RocksDB** provider, crashed by an injected foreachBatch failure
+    after batch 0 commits and restarted from the checkpoint. Each
+    side arrives as two time-split files (one per trigger), so join
+    state built before the crash must survive the RocksDB
+    restore for the post-restart batches to find their matches, and
+    the watermark that finalizes the outer nulls must resume from
+    checkpointed offsets. Oracle: the same closed-form closure as
+    `stream_outer_join_availablenow` — crash, state backend, and
+    multi-batch arrival must all be semantically invisible."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    configure_for_oracle_parity(spark)
+    from ..streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_torture_gate_")
+    out_dir = f"{tmp}/out"
+    marker = f"{tmp}/crashed_once"
+    split = F.lit("2024-01-15").cast("timestamp")
+
+    def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        side = ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+        root = f"{tmp}/staged_{kind}"
+        for i, cond in enumerate(
+            (F.col(ts_alias) < split, F.col(ts_alias) >= split)
+        ):
+            path = f"{root}/half={i}"
+            side.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                path
+            )
+            for r, _d, files in os.walk(path):
+                for fname in files:
+                    os.utime(os.path.join(r, fname), (1000 + i, 1000 + i))
+        return (
+            spark.readStream.schema(side.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+
+    joined = stream_interval_join(
+        _side("purchase", "purchase_id", "purchase_ts"),
+        _side("click", "click_id", "click_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback_seconds=STREAM_JOIN_LOOKBACK_S,
+        watermark_delay="6 hours",
+        how="left_outer",
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_id == 1 and not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("crashed before batch 1 output\n")
+            raise RuntimeError("injected crash: batch 1, first attempt")
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    def _start():
+        return (
+            joined.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        with _stream_state_partitions(spark):
+            first = _start()
+            try:
+                first.awaitTermination(_AWAIT_S)
+                raise AssertionError(
+                    "injected crash never fired — restart not exercised"
+                )
+            except StreamingQueryException:
+                pass
+            if not os.path.exists(marker):
+                raise AssertionError(
+                    "query failed before the injected crash"
+                )
+            second = _start()
+            if not second.awaitTermination(_AWAIT_S):
+                second.stop()
+                raise TimeoutError(
+                    f"restarted torture run exceeded {_AWAIT_S}s"
+                )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select(
+            "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+        )
+    )
+
+
+QUERIES["stream_torture_availablenow"] = q_stream_torture_availablenow
+ORACLES["stream_torture_availablenow"] = (
+    ORACLE_STREAM_OUTER_JOIN_AVAILABLENOW
+)
