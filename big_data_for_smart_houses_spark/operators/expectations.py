@@ -40,14 +40,19 @@ def apply_expectations(
 ) -> DataFrame:
     """Annotate each row with the array of violated rule names
     (empty array = clean row). Pure row-local codegen."""
-    viols = F.array_compact(
-        F.array(
-            *[
-                F.when(~_passed(rule), F.lit(name))
-                for name, rule in rules.items()
-            ]
+    if not rules:
+        # F.array() with zero elements is array<void>; downstream
+        # size()/filter consumers need a typed empty string array.
+        viols = F.lit([]).cast("array<string>")
+    else:
+        viols = F.array_compact(
+            F.array(
+                *[
+                    F.when(~_passed(rule), F.lit(name))
+                    for name, rule in rules.items()
+                ]
+            )
         )
-    )
     return df.withColumn(VIOLATIONS_COL, viols)
 
 
@@ -70,10 +75,21 @@ def expectations_report(
     """One row per rule: evaluated / violated counts and the pass
     rate — a single aggregate pass over the data (every count is a
     conditional sum in the same partial agg)."""
+    if not rules:
+        # zero rules → zero report rows, with the contract schema
+        # (exploding an empty F.array() would produce void columns)
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, n_rows bigint, n_violations bigint, "
+            "pass_rate double",
+        )
     aggs = []
     for name, rule in rules.items():
         aggs.append(
-            F.sum((~_passed(rule)).cast("bigint")).alias(f"_v_{name}")
+            # coalesce: SUM over zero rows is NULL, counts must be 0
+            F.coalesce(
+                F.sum((~_passed(rule)).cast("bigint")), F.lit(0)
+            ).alias(f"_v_{name}")
         )
     totals = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
     per_rule = totals.select(
@@ -92,8 +108,12 @@ def expectations_report(
     ).select("r.rule", "r.n_rows", "r.n_violations")
     return per_rule.withColumn(
         "pass_rate",
-        (
+        # Empty input: every rule vacuously passes (1.0), never NULL
+        # from a 0/0 — a report consumer thresholding pass_rate must
+        # see a defined value.
+        F.when(
+            F.col("n_rows") > 0,
             (F.col("n_rows") - F.col("n_violations"))
-            / F.col("n_rows")
-        ),
+            / F.col("n_rows"),
+        ).otherwise(F.lit(1.0)),
     )

@@ -716,8 +716,11 @@ def q_business_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 scale variant: HyperLogLog++ approx_count_distinct in place
     of exact countDistinct. At 100 TB the exact variant shuffles every
     distinct (date, key) pair; the sketch keeps the shuffle at one
-    fixed-size HLL register set per group. Rows-only check (DuckDB's
-    approx sketch differs); the unit suite bounds the error vs exact."""
+    fixed-size HLL register set per group. Library operator, NOT in
+    the driver registry (the sketch value is not SQL-replayable, so
+    a registry row could only ever report rows-only);
+    ``business_summary_approx_gate`` carries the hash-checked 3σ
+    invariant and the unit suite bounds the error vs exact."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(F.to_date("o_orderdate").alias("order_date"))
@@ -1141,8 +1144,10 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale variant of value_percentiles: ``approx_percentile``
     (Greenwald-Khanna sketch, bounded memory per group) in place of the
     exact sort-based percentile — the same exact-vs-sketch trade as
-    business_summary_approx. Rows-only check (DuckDB's sketch differs);
-    the unit suite bounds the error vs the exact query."""
+    business_summary_approx. Library operator, NOT in the driver
+    registry (sketch not SQL-replayable); the hash signal lives in
+    ``quality_topk_approx_pct`` and the unit suite bounds the error
+    vs the exact query."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr(
@@ -1178,7 +1183,6 @@ QUERIES = {
     "event_type_pivot": q_event_type_pivot,
     "part_value_density": q_part_value_density,
     "sessionize_events": q_sessionize_events,
-    "business_summary_approx": q_business_summary_approx,
     "business_summary_approx_gate": q_business_summary_approx_gate,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_orders": q_customers_without_orders,
@@ -1187,7 +1191,6 @@ QUERIES = {
     "events_in_session_range": q_events_in_session_range,
     "events_cube": q_events_cube,
     "value_percentiles": q_value_percentiles,
-    "value_percentiles_approx": q_value_percentiles_approx,
     "salted_join_orders": q_salted_join_orders,
     "two_phase_agg_orders": q_two_phase_agg_orders,
     "event_transition_counts": q_event_transition_counts,

@@ -164,7 +164,15 @@ def q_xml_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses it back (roundtrip fields must equal the originals) and
     `xpath_string`/`xpath_long` extract from the raw string. Only
     deterministic-format fields (long, string) ride in the payload;
-    float formatting stays out by design."""
+    float formatting stays out by design.
+
+    Runs on the deterministic `event_id % 23 == 0` slice (~4% of
+    rows, oracle-replayable): a format-contract gate needs enough
+    rows to pin the serializer, not every row — at full sf0.1 the
+    three DOM parses per row made this the slowest bench entry
+    (10.4 s) for zero extra signal. Production guidance for bulk
+    XML stays in SCALE.md (parse once via from_xml; xpath re-parses
+    the string each call)."""
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -172,7 +180,9 @@ def q_xml_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 23 == 0
+    )
     xml = F.to_xml(
         F.struct(
             F.col("event_id").alias("eid"),
@@ -213,6 +223,7 @@ SELECT event_id,
        event_type AS xp_type,
        event_id AS xp_id
 FROM events
+WHERE event_id % 23 = 0
 """
 
 QUERIES["xml_functions_events"] = q_xml_functions_events
@@ -1801,23 +1812,35 @@ def q_bitmap_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Domain contract (learned the hash-mismatch way): positions are
     1-BASED — `bitmap_bit_position(0)` lands outside the first
     bucket and silently drops id 0 — so ids shift by +1 here; and
-    one bitmap covers one 32768-wide bucket, so at real id ranges
-    the aggregation must ALSO group by `bitmap_bucket_number` and
-    sum the per-bucket counts (gate ids fit one bucket)."""
+    one bitmap covers one 32768-wide bucket, so the aggregation
+    ALSO groups by `bitmap_bucket_number` and sums the per-bucket
+    counts — correct at ANY id range, not just ids that happen to
+    fit one bucket (that cross-bucket sum is exactly how a
+    warehouse-scale exact-reach rollup shards its bitmap state)."""
     ev = _t(spark, sf_dir, "events")
     pos = F.bitmap_bit_position(F.col("user_id") + 1)
-    direct = ev.groupBy("event_type").agg(
-        F.bitmap_count(F.bitmap_construct_agg(pos)).alias("nd_direct"),
-        F.countDistinct("user_id").alias("nd_exact"),
+    bucket = F.bitmap_bucket_number(F.col("user_id") + 1).alias("bkt")
+    direct = (
+        ev.groupBy("event_type", bucket)
+        .agg(F.bitmap_count(F.bitmap_construct_agg(pos)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("nd_direct"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd_exact")
     )
     merged = (
-        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        ev.groupBy("event_type", F.to_date("ts").alias("d"), bucket)
         .agg(F.bitmap_construct_agg(pos).alias("bm"))
+        .groupBy("event_type", "bkt")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
         .groupBy("event_type")
-        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("nd_merged"))
+        .agg(F.sum("c").alias("nd_merged"))
     )
-    return direct.join(merged, "event_type").select(
-        "event_type", "nd_exact", "nd_direct", "nd_merged"
+    return (
+        exact.join(direct, "event_type")
+        .join(merged, "event_type")
+        .select("event_type", "nd_exact", "nd_direct", "nd_merged")
     )
 
 

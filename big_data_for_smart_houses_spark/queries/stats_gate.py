@@ -2141,16 +2141,20 @@ def q_argmax_functions_events(
     """`max_by` / `min_by` (argmax/argmin) aggregate family — one
     ordered pass instead of the window-rank-filter detour for
     "value at the extremum" questions. Ordering keys are made UNIQUE
-    by construction (µs timestamp ×1000 + event_id mod 1000 for
-    time; 100·value (2-decimal exact) ×10¹² + event_id for value) —
-    max_by with tied keys is engine-arbitrary, and a gate must never
-    hash an arbitrary choice. Per user: first/last event type and
-    last value; per type: the user holding the max value."""
+    by construction: Spark orders on the lexicographic STRUCT
+    (ts, event_id) / (100·value, event_id) — the FULL event_id, so
+    no two rows ever tie — while the DuckDB oracle (whose arg_max
+    rejects struct keys) encodes the same total order as a HUGEINT
+    `primary * 10^10 + event_id` (valid while event_id < 10^10,
+    which holds at any testdata SF; HUGEINT cannot overflow). max_by
+    with tied keys is engine-arbitrary, and a gate must never hash
+    an arbitrary choice. Per user: first/last event type and last
+    value; per type: the user holding the max value."""
     ev = _events(spark, sf_dir)
-    tkey = F.unix_micros("ts") * F.lit(1000) + F.col("event_id") % 1000
-    vkey = (
-        F.round(F.col("value") * 100).cast("long") * F.lit(1_000_000_000_000)
-        + F.col("event_id")
+    tkey = F.struct(F.col("ts"), F.col("event_id"))
+    vkey = F.struct(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.col("event_id").alias("e"),
     )
     per_user = ev.groupBy("user_id").agg(
         F.min_by("event_type", tkey).alias("first_type"),
@@ -2181,18 +2185,21 @@ ORACLE_ARGMAX_FUNCTIONS_EVENTS = """
 WITH per_user AS (
   SELECT user_id,
          arg_min(event_type,
-                 epoch_us(ts) * 1000 + event_id % 1000) AS first_type,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+                 + event_id) AS first_type,
          arg_max(event_type,
-                 epoch_us(ts) * 1000 + event_id % 1000) AS last_type,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+                 + event_id) AS last_type,
          arg_max(value,
-                 epoch_us(ts) * 1000 + event_id % 1000) AS last_value,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+                 + event_id) AS last_value,
          count(*) AS n
   FROM events GROUP BY user_id
 ),
 per_type AS (
   SELECT event_type,
          arg_max(user_id,
-                 CAST(round(value * 100) AS BIGINT) * 1000000000000
+                 CAST(round(value * 100) AS HUGEINT) * 10000000000
                  + event_id) AS top_value_user,
          max(value) AS max_value
   FROM events GROUP BY event_type

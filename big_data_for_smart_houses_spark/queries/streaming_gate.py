@@ -832,7 +832,15 @@ def q_stream_restart_availablenow(
     with _stream_state_partitions(spark):
         first = _start()
         try:
-            first.awaitTermination(_AWAIT_S)
+            if not first.awaitTermination(_AWAIT_S):
+                # Timeout, not the injected crash: the query is still
+                # live and holds the checkpoint — stop it before
+                # raising, and name the failure honestly.
+                first.stop()
+                raise TimeoutError(
+                    f"first run neither crashed nor finished in "
+                    f"{_AWAIT_S}s"
+                )
             raise AssertionError(
                 "injected crash never fired — restart not exercised"
             )
@@ -1123,7 +1131,15 @@ def q_stream_restart_pystate_availablenow(
     with _stream_state_partitions(spark):
         first = _start()
         try:
-            first.awaitTermination(_AWAIT_S)
+            if not first.awaitTermination(_AWAIT_S):
+                # Timeout, not the injected crash: the query is still
+                # live and holds the checkpoint — stop it before
+                # raising, and name the failure honestly.
+                first.stop()
+                raise TimeoutError(
+                    f"first run neither crashed nor finished in "
+                    f"{_AWAIT_S}s"
+                )
             raise AssertionError(
                 "injected crash never fired — restart not exercised"
             )
@@ -1337,7 +1353,12 @@ def q_stream_torture_availablenow(
         with _stream_state_partitions(spark):
             first = _start()
             try:
-                first.awaitTermination(_AWAIT_S)
+                if not first.awaitTermination(_AWAIT_S):
+                    first.stop()
+                    raise TimeoutError(
+                        f"first run neither crashed nor finished in "
+                        f"{_AWAIT_S}s"
+                    )
                 raise AssertionError(
                     "injected crash never fired — restart not exercised"
                 )

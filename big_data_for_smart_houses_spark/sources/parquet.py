@@ -171,7 +171,12 @@ def compact_files(
     files. Round-robin (not coalesce) so a skewed input layout cannot
     produce skewed output files; the shuffle IS the point — one pass
     of the data, each output file written by one task. Returns the
-    file count written.
+    number of part files actually present in ``out_path`` after the
+    rewrite — NOT the planned count: Spark emits no file for an
+    empty partition (possible when the plan exceeds the row count),
+    and because sizing uses the input's compressed bytes while the
+    rewrite may recompress at a different ratio, output files can
+    land off-target; the return value is the ground truth.
 
     Hive-partitioned inputs: the read surfaces partition columns as
     data and the rewrite flattens the layout. To compact WITHIN a
@@ -187,4 +192,11 @@ def compact_files(
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
-    return n_files
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    written = 0
+    it = fs.listFiles(out, False)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.startswith("part-"):
+            written += 1
+    return written

@@ -61,3 +61,29 @@ def test_report_counts_and_pass_rate(spark):
     }
     assert rep["value_nonneg"] == (4, 2, 0.5)
     assert rep["known_type"] == (4, 1, 0.75)
+
+
+def test_empty_input_pass_rate_is_defined(spark):
+    """0-row input: pass_rate must be a defined 1.0 (vacuous pass),
+    never a NULL from 0/0 — report consumers threshold on it."""
+    empty = _df(spark).filter(F.lit(False))
+    rep = {
+        r.rule: (r.n_rows, r.n_violations, r.pass_rate)
+        for r in expectations_report(empty, _rules()).collect()
+    }
+    assert rep["value_nonneg"] == (0, 0, 1.0)
+    assert rep["known_type"] == (0, 0, 1.0)
+
+
+def test_empty_rules_dict_is_typed(spark):
+    """Zero rules: _violations is a typed empty array<string> (not
+    void), the split sends everything to clean, and the report is
+    zero rows with the contract schema."""
+    flagged = apply_expectations(_df(spark), {})
+    assert dict(flagged.dtypes)["_violations"] == "array<string>"
+    assert all(r._violations == [] for r in flagged.collect())
+    clean, bad = split_on_expectations(_df(spark), {})
+    assert clean.count() == 4 and bad.count() == 0
+    rep = expectations_report(_df(spark), {})
+    assert rep.columns == ["rule", "n_rows", "n_violations", "pass_rate"]
+    assert rep.count() == 0

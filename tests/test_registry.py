@@ -60,10 +60,8 @@ def test_rows_only_queries_are_the_documented_sketch_set():
     a new oracle-less query is a deliberate act, acknowledged here."""
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == [
-        "business_summary_approx",
         "embedding_ann_ivf",
         "embedding_ann_lsh",
         "minhash_dedup_documents",
         "simhash_dedup_documents",
-        "value_percentiles_approx",
     ], rows_only
