@@ -163,6 +163,18 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive",
     "tpch_q22_global_balance",
+    "tpch_q2_min_acctbal_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_supplier",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

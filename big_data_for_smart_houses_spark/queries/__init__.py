@@ -67,6 +67,8 @@ from .stats_gate import ORACLES as _STATS_ORACLES
 from .stats_gate import QUERIES as _STATS_QUERIES
 from .streaming_gate import ORACLES as _STREAM_ORACLES
 from .streaming_gate import QUERIES as _STREAM_QUERIES
+from .tpch_gate import ORACLES as _TPCH_ORACLES
+from .tpch_gate import QUERIES as _TPCH_QUERIES
 
 _ALL_QUERIES = {
     **_CORE_QUERIES,
@@ -80,6 +82,7 @@ _ALL_QUERIES = {
     **_INC_QUERIES,
     **_STREAM_QUERIES,
     **_MODERN_QUERIES,
+    **_TPCH_QUERIES,
 }
 ORACLES = {
     **_CORE_ORACLES,
@@ -93,6 +96,7 @@ ORACLES = {
     **_INC_ORACLES,
     **_STREAM_ORACLES,
     **_MODERN_ORACLES,
+    **_TPCH_ORACLES,
 }
 
 _CERTIFICATION_FRONT = [

@@ -549,3 +549,49 @@ def test_round6_analytic_shuffle_budgets(spark):
         p = _plan(spark, name)
         assert p.count("Exchange hashpartitioning") <= budget, (name, p)
         assert "CartesianProduct" not in p, name
+
+
+def test_tpch_correlated_shapes_decorrelate(spark):
+    """Round-7 TPC-H correlated family: Catalyst must rewrite every
+    correlated subquery into joins — a surviving per-row subquery
+    (SubqueryExec under a filter/project) would execute |rows| times.
+    Q17's scalar-AVG threshold becomes a per-partkey aggregate joined
+    back (two lineitem scans, no more); Q21's EXISTS / NOT EXISTS pair
+    becomes one LeftSemi and one LeftAnti on l_orderkey; Q20's nested
+    IN chain + correlated HAVING becomes semi joins + an aggregate
+    join; Q2's correlated MIN joins the aggregate back on (partkey,
+    acctbal). Nothing plans a CartesianProduct."""
+    p = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "Subquery" not in p, p
+    assert p.count("lineitem.parquet") == 2, p
+    assert "CartesianProduct" not in p, p
+
+    p = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "Subquery" not in p, p
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = _plan(spark, "tpch_q20_excess_supply")
+    assert "Subquery" not in p, p
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+
+    p = _plan(spark, "tpch_q2_min_acctbal_supplier")
+    assert "Subquery" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q6_pushdown_and_q16_antijoin(spark):
+    """Q6's four range predicates must ALL reach the lineitem scan
+    (the query is a pure pushdown benchmark — at 100 TB row-group
+    pruning does the work); Q16's null-free NOT IN must plan as a
+    plain anti join, not the null-aware nested loop."""
+    p = _plan(spark, "tpch_q6_forecast_revenue")
+    scan = next(s for s in p.splitlines() if "lineitem.parquet" in s)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in scan, (frag, scan)
+
+    p = _plan(spark, "tpch_q16_supplier_counts")
+    assert "LeftAnti" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
