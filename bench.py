@@ -163,6 +163,8 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "tpch_q19_disjunctive",
     "tpch_q22_global_balance",
+    "window_completeness_events",
+    "time_travel_orders",
     "tpch_q2_min_acctbal_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",

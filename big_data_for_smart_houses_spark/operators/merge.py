@@ -206,6 +206,67 @@ def snapshot_diff(
     return out
 
 
+def as_of_version(
+    base: DataFrame,
+    batches: list[DataFrame],
+    version: int,
+    keys: list[str],
+    change_type_col: str = "change_type",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time travel on plain parquet: reconstruct the table state AS OF
+    version ``version`` from a base snapshot (version 0) plus the
+    ordered CDC batches 1..N — the read-side completion of
+    ``merge_upsert``/``snapshot_diff`` and the format-free answer to
+    Delta/Iceberg ``VERSION AS OF``.
+
+    Batch contract: each batch carries the full row values plus
+    ``change_type_col`` ∈ {insert, update, delete} (the
+    ``snapshot_diff`` output shape), at most one row per key per
+    batch (compact first, or pass ``tiebreak_cols``). Batches are
+    UPSERT/DELETE streams in the compacted-topic sense: the LATEST
+    change ≤ V wins per key, so an update after a delete
+    re-materializes the key (it carries full values), and a delete
+    is absence — no tombstone column in the result.
+
+    Scale shape: ONE pass — base ∪ batches[0..V) tagged with their
+    version feed a single key-partitioned window (latest version
+    wins), then delete winners drop. NOT V sequential merges: V
+    windows would shuffle the base V times; this shuffles everything
+    once, and the batch sides are delta-sized. Same single-exchange
+    contract as ``merge_upsert`` (which is the V=1 special case with
+    no deletes)."""
+    if not 0 <= version <= len(batches):
+        raise ValueError(
+            f"version {version} outside 0..{len(batches)}"
+        )
+    value_cols = [c for c in base.columns if c not in keys]
+    tagged = base.select(
+        *keys,
+        *value_cols,
+        F.lit("insert").alias("_ct"),
+        F.lit(0).alias("_v"),
+    )
+    for i, b in enumerate(batches[:version]):
+        tagged = tagged.unionByName(
+            b.select(
+                *keys,
+                *value_cols,
+                F.col(change_type_col).alias("_ct"),
+                F.lit(i + 1).alias("_v"),
+            )
+        )
+    order = [F.col("_v").desc()]
+    if tiebreak_cols:
+        order += [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_ct") != "delete"))
+        .drop("_rn", "_ct", "_v")
+    )
+
+
 def incremental_join_delta(
     a_old: DataFrame,
     da: DataFrame,

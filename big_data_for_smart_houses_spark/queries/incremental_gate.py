@@ -498,3 +498,105 @@ FROM orders WHERE o_orderkey % 2 = 1
 
 QUERIES["conform_union_sources"] = q_conform_union_sources
 ORACLES["conform_union_sources"] = ORACLE_CONFORM_UNION_SOURCES
+
+
+# ---------------------------------------------------------------------------
+# Time travel: as_of_version reconstruction (round 7 — the read-side
+# completion of the IVM trio)
+# ---------------------------------------------------------------------------
+
+def _tt_batches(o: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Deterministic 2-version history over orders, keyed by
+    o_orderkey: base (v0) holds keys with k%5≠4; v1 inserts the
+    held-out k%5=4 keys, re-prices k%10=0 keys (+100, status U1) and
+    deletes k%7=0 keys (among the non-updated base keys); v2 deletes
+    k%11=0 and re-prices k%13=0 (×2, status U2 — including keys v1
+    deleted, proving update-after-delete re-materializes). Every rule
+    is a pure key predicate so the DuckDB oracle can materialize the
+    v2 state INDEPENDENTLY (closed-form CASE per key), not by
+    replaying the engine's window algorithm."""
+    k = F.col("o_orderkey")
+    cols = [k.alias("o_orderkey"), F.col("o_totalprice"),
+            F.col("o_orderstatus")]
+    base = o.filter(k % 5 != 4).select(*cols)
+    v1 = (
+        o.filter(k % 5 == 4)
+        .select(*cols, F.lit("insert").alias("change_type"))
+        .unionByName(
+            o.filter((k % 5 != 4) & (k % 10 == 0)).select(
+                k.alias("o_orderkey"),
+                (F.col("o_totalprice") + F.lit(100.0)).alias(
+                    "o_totalprice"
+                ),
+                F.lit("U1").alias("o_orderstatus"),
+                F.lit("update").alias("change_type"),
+            )
+        )
+        .unionByName(
+            o.filter((k % 5 != 4) & (k % 10 != 0) & (k % 7 == 0))
+            .select(
+                k.alias("o_orderkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.lit("delete").alias("change_type"),
+            )
+        )
+    )
+    v2 = (
+        o.filter(k % 11 == 0)
+        .select(
+            k.alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit("delete").alias("change_type"),
+        )
+        .unionByName(
+            o.filter((k % 11 != 0) & (k % 13 == 0)).select(
+                k.alias("o_orderkey"),
+                (F.col("o_totalprice") * F.lit(2.0)).alias(
+                    "o_totalprice"
+                ),
+                F.lit("U2").alias("o_orderstatus"),
+                F.lit("update").alias("change_type"),
+            )
+        )
+    )
+    return base, [v1, v2]
+
+
+def q_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`as_of_version` (operators/merge.py) on the hash path: a
+    2-version CDC history over orders is reconstructed AS OF v2 in
+    the operator's single windowed pass, and the oracle materializes
+    the same state in CLOSED FORM (per-key CASE over the original
+    table — an independent derivation, not a replay of the union +
+    window algorithm). One row wrong in either direction — a
+    resurrected delete, a stale price, a lost insert — is a hash
+    mismatch. Arithmetic is engine-exact: +100.0 and ×2.0 are single
+    IEEE ops on identical inputs."""
+    from ..operators.merge import as_of_version
+
+    base, batches = _tt_batches(_orders(spark, sf_dir))
+    return as_of_version(
+        base, batches, version=2, keys=["o_orderkey"]
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+ORACLE_TIME_TRAVEL_ORDERS = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2.0
+            WHEN o_orderkey % 5 = 4 THEN o_totalprice
+            WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'U2'
+            WHEN o_orderkey % 5 = 4 THEN o_orderstatus
+            WHEN o_orderkey % 10 = 0 THEN 'U1'
+            ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+WHERE o_orderkey % 11 <> 0
+  AND NOT (o_orderkey % 13 <> 0 AND o_orderkey % 5 <> 4
+           AND o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
+"""
+
+QUERIES["time_travel_orders"] = q_time_travel_orders
+ORACLES["time_travel_orders"] = ORACLE_TIME_TRAVEL_ORDERS

@@ -2212,3 +2212,69 @@ FROM per_user u LEFT JOIN per_type t ON u.last_type = t.event_type
 
 QUERIES["argmax_functions_events"] = q_argmax_functions_events
 ORACLES["argmax_functions_events"] = ORACLE_ARGMAX_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Window completeness: ntile / cume_dist / percent_rank + frame
+# exclusion semantics (round 7 — the last ungated window surface)
+# ---------------------------------------------------------------------------
+
+WINDOW_NTILE_BUCKETS = 4
+WINDOW_EXCL_FRAME = 2  # rows each side of the excluded current row
+
+
+def q_window_completeness_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The distribution-rank window family — `ntile` (equal-height
+    bucketing), `cume_dist`, `percent_rank` — plus FRAME-EXCLUSION
+    semantics: a centered rolling sum over ±2 rows that EXCLUDES the
+    current row. Spark 4.1 has no `EXCLUDE CURRENT ROW` syntax, so
+    the engine COMPOSES it — full-frame sum minus the current row's
+    value, both in exact DECIMAL so the subtraction is exact — while
+    the DuckDB oracle runs its native ``EXCLUDE CURRENT ROW``; the
+    hash match proves the composition implements the standard's
+    semantics, not an approximation of them. All three rank
+    functions sit on the per-user (ts, event_id) ordering, which is
+    unique, so bucket boundaries and rank ratios are deterministic.
+    One keyed exchange serves every window (same partition + order);
+    ntile/cume_dist need the whole partition resident, which is why
+    they key by user (bounded group), never globally."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    wf = w.rowsBetween(-WINDOW_EXCL_FRAME, WINDOW_EXCL_FRAME)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(WINDOW_NTILE_BUCKETS).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        (F.sum(dec).over(wf) - dec).cast("double").alias("neighbor_sum"),
+        (F.count(F.lit(1)).over(wf) - F.lit(1)).alias("neighbor_n"),
+    )
+
+
+ORACLE_WINDOW_COMPLETENESS_EVENTS = f"""
+SELECT event_id, user_id,
+       ntile({WINDOW_NTILE_BUCKETS}) OVER w AS quartile,
+       cume_dist() OVER w AS cd,
+       percent_rank() OVER w AS pr,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {WINDOW_EXCL_FRAME} PRECEDING
+                  AND {WINDOW_EXCL_FRAME} FOLLOWING
+         EXCLUDE CURRENT ROW) AS DOUBLE) AS neighbor_sum,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {WINDOW_EXCL_FRAME} PRECEDING
+                  AND {WINDOW_EXCL_FRAME} FOLLOWING
+         EXCLUDE CURRENT ROW) AS BIGINT) AS neighbor_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["window_completeness_events"] = q_window_completeness_events
+ORACLES["window_completeness_events"] = ORACLE_WINDOW_COMPLETENESS_EVENTS

@@ -203,3 +203,91 @@ def test_incremental_join_delta_equals_recompute(spark):
         a_old.unionByName(da).join(b_old.unionByName(db), "k").collect()
     )
     assert sorted(map(tuple, maintained)) == sorted(map(tuple, recomputed))
+
+
+def _aov_history(spark):
+    from big_data_for_smart_houses_spark.operators.merge import (
+        as_of_version,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    v1 = spark.createDataFrame(
+        [
+            (4, "d", 40.0, "insert"),
+            (2, "b2", 21.0, "update"),
+            (3, None, None, "delete"),
+        ],
+        "k long, s string, v double, change_type string",
+    )
+    v2 = spark.createDataFrame(
+        [
+            (1, None, None, "delete"),
+            (3, "c2", 31.0, "update"),  # update AFTER delete
+            (4, "d2", 41.0, "update"),
+        ],
+        "k long, s string, v double, change_type string",
+    )
+    return as_of_version, base, [v1, v2]
+
+
+def test_as_of_version_each_version(spark):
+    """as_of(0) is the base; as_of(1) applies one batch; as_of(2)
+    shows update-after-delete re-materializing key 3."""
+    aov, base, batches = _aov_history(spark)
+
+    def state(v):
+        return sorted(
+            map(tuple, aov(base, batches, v, keys=["k"]).collect())
+        )
+
+    assert state(0) == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+    assert state(1) == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
+    assert state(2) == [(2, "b2", 21.0), (3, "c2", 31.0), (4, "d2", 41.0)]
+
+
+def test_as_of_version_matches_sequential_merge(spark):
+    """The one-pass windowed reconstruction must equal the
+    independently materialized state: each batch applied one at a
+    time through merge_upsert + anti-join deletes."""
+    from pyspark.sql import functions as F
+
+    aov, base, batches = _aov_history(spark)
+    state = base
+    for b in batches:
+        ups = b.filter(F.col("change_type") != "delete").drop(
+            "change_type"
+        )
+        dels = b.filter(F.col("change_type") == "delete").select("k")
+        # upserts win over current state; deletes remove — same
+        # latest-wins semantics, built from different operators
+        merged = (
+            state.withColumn("_o", F.lit(0))
+            .unionByName(ups.withColumn("_o", F.lit(1)))
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("k").orderBy(F.col("_o").desc())
+        state = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_o")
+            .join(dels, "k", "left_anti")
+        )
+    seq = sorted(map(tuple, state.collect()))
+    one_pass = sorted(
+        map(tuple, aov(base, batches, 2, keys=["k"]).collect())
+    )
+    assert seq == one_pass
+
+
+def test_as_of_version_bounds(spark):
+    import pytest
+
+    aov, base, batches = _aov_history(spark)
+    with pytest.raises(ValueError):
+        aov(base, batches, 3, keys=["k"])
+    with pytest.raises(ValueError):
+        aov(base, batches, -1, keys=["k"])
