@@ -372,6 +372,16 @@ def main() -> None:
             fn = QUERIES.get(name)
             if fn is None or name in errors:
                 continue
+            # Streaming gates execute ONCE: their cost is dominated by
+            # fixed streaming machinery (boot, checkpoint fsyncs,
+            # micro-batch commits — `stream_boot_s` is measured
+            # separately), so min-of-N buys no variance reduction worth
+            # N-1 extra full stream runs; the recorded value is one
+            # honest end-to-end execution. (The gates also memoize
+            # their result per session — a re-run here would time a
+            # cache read, not a stream.)
+            if name.endswith("_availablenow") and run > 0:
+                continue
             t0 = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)
