@@ -6,41 +6,41 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. Round 6's `_CERTIFICATION_FRONT` leads with the two
-new round-6 gates (restart recovery, approx-count-distinct
-invariant), then the full 32-query oracle-backed round-5 second wave
-(never driver-certified; all pass the local `SPARK_GRAFT_EXACT=1`
-sf0.01 mirror), then the two queries whose joins round 6 de-forced
-(supplier_health_scores, part_value_density — the front proves the
-hint removal changed no value), then the 14 new round-6 gates
-(VARIANT / try_ / XML / lateral / sliding chunks / observe /
-compaction / fanout / RocksDB / collation / TPC-H Q4+Q14+Q19+Q22).
-Every slot is a never-certified or round-6-touched row — no
-sentinels this round, because everything past index 50 (green in
-rounds 3-5 on current data) is re-verified every session by the
-local exact mirror, which covers ALL entries, not just 50.
+insertion order. Round 7's `_CERTIFICATION_FRONT`:
 
-Round 7 rotation note: twenty-eight round-6 gates landed after the front
-filled — lead round 7 with `bucketed_join_orders`,
-`recursive_cte_hierarchy`, `listagg_events`,
-`stream_outer_join_availablenow`, `dynamic_session_window_events`,
-`logreg_quality_planted`, `embedding_int8_quantize`,
-`orc_roundtrip_events`, `csv_roundtrip_customers`,
-`expectations_events`, `synthetic_stream_availablenow`,
-`gapfill_linear_events`, `table_checksum_orders`,
-`mergeschema_read_events`, `rle_segments_events`,
-`stream_restart_pystate_availablenow`, `stream_observe_availablenow`,
-`referential_check_orders`, `nullsafe_join_events`,
-`bmp_decode_assets`, `wav_decode_assets`, `avi_frame_sample_assets`,
-`funnel_three_step_events`, `argmax_functions_events`,
-`dynamic_partition_pruning_events`, `pandas_udaf_geomean_events`,
-`bitmap_distinct_events`, `stream_torture_availablenow` (all pass the sf0.01 exact mirror), then re-seat sentinels (medallion spine + touched
-subsystems). The two pure-`no_oracle` rows
-(business_summary_approx, value_percentiles_approx) are deliberately
-OUT of the front: they can only ever report rows-only and would
-waste window slots (round-5 verdict instruction); their invariant
-companions (business_summary_approx_gate, quality_topk_approx_pct)
-carry the hash signal instead.
+1. The 28 round-6 gates that landed after that round's front filled
+   (never driver-certified; queued by the round-6 verdict, all pass
+   the local `SPARK_GRAFT_EXACT=1` sf0.01 exact mirror): bucketed
+   join, recursive CTE, listagg, streaming outer-join /
+   pystate-restart / observe / torture / synthetic-source gates,
+   dynamic session window, logreg planted recovery, int8
+   quantization, ORC/CSV round-trips, expectations, linear gap-fill,
+   table checksum, mergeSchema, RLE islands, referential check,
+   null-safe join, BMP/WAV/AVI codecs, 3-step funnel, argmax family
+   (round-7 collision-free keys), dynamic partition pruning, pandas
+   UDAF, bitmap distinct (round-7 cross-bucket fix).
+2. The 14 new round-7 gates: the TPC-H completion (Q2, Q6, Q8, Q9,
+   Q11, Q12, Q13, Q15, Q16, and the correlated-decorrelation trio
+   Q17/Q20/Q21 — all 22 TPC-H shapes now gated), the
+   ntile/cume_dist/percent_rank + frame-exclusion window gate, and
+   `as_of_version` time travel.
+3. 8 sentinels: the two queries round 7 edited
+   (xml_functions_events — now a deterministic 1-in-23 slice;
+   compaction_roundtrip_events — compact_files returns the actual
+   file count) plus the medallion/KPI/LLM spine
+   (pricing_summary, silver_pipeline_events,
+   gold_daily_energy_events, analytics_data_status,
+   merge_upsert_orders, dedup_exact_documents).
+
+After this window certifies, EVERY oracle-backed query in the
+registry will have had a green driver row at least once. The
+remaining rows-only entries are the 4 structural sketches
+(minhash/simhash/ann_lsh/ann_ivf), each carrying a hash-gated recall
+companion; round 7 retired the two orphan rows-only queries
+(business_summary_approx, value_percentiles_approx) from the
+registry per the round-6 verdict — their library functions remain,
+with the hash signal carried by business_summary_approx_gate /
+quality_topk_approx_pct.
 """
 
 from __future__ import annotations
@@ -100,69 +100,62 @@ ORACLES = {
 }
 
 _CERTIFICATION_FRONT = [
-    # --- new this round (never driver-certified): exactly-once
-    #     restart recovery on the hash path, and the HLL++
-    #     approx_count_distinct invariant companion ---
-    "stream_restart_availablenow",
-    "business_summary_approx_gate",
-    # --- the full round-5 second wave (32 oracle-backed queries,
-    #     never driver-certified; all pass the local
-    #     SPARK_GRAFT_EXACT sf0.01 exact mirror and the round-5
-    #     judge's independent 177/177 run) ---
-    "stream_join_availablenow",
-    "stream_dedup_availablenow",
-    "stream_tumbling_availablenow",
-    "stream_merge_availablenow",
-    "stream_enrich_availablenow",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "synthetic_source_telemetry",
-    "pagerank_user_transitions",
-    "label_centroids_embeddings",
-    "contrastive_triplets_documents",
-    "bpe_pair_counts_documents",
-    "inverted_index_documents",
-    "source_kl_documents",
-    "span_masks_documents",
-    "readability_documents",
-    "zipf_slope_documents",
-    "curation_funnel_report",
-    "regexp_functions_documents",
-    "math_functions_events",
-    "rolling_median_events",
-    "stats_moments_lineitem",
-    "navigation_functions_events",
-    "hll_reach_events",
-    "ab_lift_events",
-    "json_schema_profile_events",
-    "snapshot_diff_orders",
-    "incremental_join_view_orders",
-    "conform_union_sources",
-    # --- round-6 touched paths: the two joins whose forced
-    #     broadcasts were removed (the front proves the de-forcing
-    #     changed no value) ---
-    "supplier_health_scores",
-    "part_value_density",
-    # --- round-6 modern-surface gates (never driver-certified):
-    #     VARIANT, try_-family, XML, lateral join, sliding chunks,
-    #     observe metrics, small-file compaction, streaming fanout ---
-    "variant_functions_events",
-    "try_functions_events",
+    # --- the 28 round-6 gates queued by the round-6 verdict (never
+    #     driver-certified; all pass the sf0.01 exact mirror) ---
+    "bucketed_join_orders",
+    "recursive_cte_hierarchy",
+    "listagg_events",
+    "stream_outer_join_availablenow",
+    "dynamic_session_window_events",
+    "logreg_quality_planted",
+    "embedding_int8_quantize",
+    "orc_roundtrip_events",
+    "csv_roundtrip_customers",
+    "expectations_events",
+    "synthetic_stream_availablenow",
+    "gapfill_linear_events",
+    "table_checksum_orders",
+    "mergeschema_read_events",
+    "rle_segments_events",
+    "stream_restart_pystate_availablenow",
+    "stream_observe_availablenow",
+    "referential_check_orders",
+    "nullsafe_join_events",
+    "bmp_decode_assets",
+    "wav_decode_assets",
+    "avi_frame_sample_assets",
+    "funnel_three_step_events",
+    "argmax_functions_events",
+    "dynamic_partition_pruning_events",
+    "pandas_udaf_geomean_events",
+    "bitmap_distinct_events",
+    "stream_torture_availablenow",
+    # --- new round-7 gates: TPC-H completion (all 22 shapes now
+    #     gated), window completeness, time travel ---
+    "tpch_q2_min_acctbal_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_supplier",
+    "window_completeness_events",
+    "time_travel_orders",
+    # --- sentinels: the two queries round 7 edited, then the
+    #     medallion / KPI / LLM spine ---
     "xml_functions_events",
-    "lateral_topk_orders",
-    "sliding_chunks_documents",
-    "observe_metrics_orders",
     "compaction_roundtrip_events",
-    "stream_fanout_availablenow",
-    "stream_rocksdb_availablenow",
-    "collation_group_events",
-    "tpch_q4_order_priority",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q22_global_balance",
+    "pricing_summary",
+    "silver_pipeline_events",
+    "gold_daily_energy_events",
+    "analytics_data_status",
+    "merge_upsert_orders",
+    "dedup_exact_documents",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
