@@ -304,6 +304,101 @@ def _bench_compaction(spark) -> dict[str, float]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Queries probed by the 10x nonlinear-blowup sweep: the most
+# expensive batch entries with join/iteration/window structure (the
+# shapes where O(n^k) hides at small SF — round 6's two O(gap²)
+# windows were found exactly this way). Streaming gates are excluded:
+# their cost is fixed machinery, measured by stream_boot_s.
+SCALE10X_FACTOR = 10
+SCALE10X_FLAG_RATIO = 15.0
+SCALE10X_PROBES = [
+    "logreg_quality_planted",
+    "semantic_dedup_embeddings",
+    "embedding_neardup_pairs",
+    "simhash_dedup_documents",
+    "minhash_dedup_documents",
+    "recursive_cte_hierarchy",
+    "pagerank_user_transitions",
+    "dedup_groups_documents",
+    "embedding_ann_ivf",
+    "embedding_ann_lsh",
+    "cdc_crossdoc_documents",
+    "contrastive_triplets_documents",
+    "bucketed_join_orders",
+    "cms_token_counts",
+    "editdist_recall_planted",
+    "bigram_lm_documents",
+    "source_kl_documents",
+    "dedup_exact_documents",
+    "tpch_q7_volume_shipping",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_supplier",
+    "zipf_slope_documents",
+    "bpe_pair_counts_documents",
+    "inverted_index_documents",
+    "sessionize_events",
+    "gapfill_linear_events",
+    "rolling_median_events",
+]
+
+
+def _bench_scale10x(spark) -> dict:
+    """Nonlinear-blowup sweep (env SPARK_GRAFT_SCALE10X=1): run each
+    probe query at 1x and at a deterministic 10x scale-up
+    (sources/synthetic.py:scale_up_tables — 10x the keys, constant
+    per-key density, linear dup structure) and report the wall-time
+    ratio. rows x10 with ratio > SCALE10X_FLAG_RATIO flags a
+    superlinear query for SCALE.md. One timed run per side — the
+    signal sought is 15x-vs-10x, far above run noise."""
+    import shutil
+    import tempfile
+    import time
+
+    from big_data_for_smart_houses_spark.queries import QUERIES
+    from big_data_for_smart_houses_spark.sources.synthetic import (
+        scale_up_tables,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_scale10x_")
+    out: dict = {}
+    try:
+        scale_up_tables(spark, SF_DIR, f"{root}/x10", SCALE10X_FACTOR)
+        for name in SCALE10X_PROBES:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                t1 = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                fn(spark, f"{root}/x10").write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                t10 = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                continue
+            ratio = round(t10 / t1, 2) if t1 > 0 else None
+            out[name] = {
+                "t1": t1,
+                "t10": t10,
+                "ratio": ratio,
+                "flagged": bool(ratio and ratio > SCALE10X_FLAG_RATIO),
+            }
+            print(
+                f"  scale10x {name}: {t1:.2f}s -> {t10:.2f}s"
+                f" ({ratio}x)",
+                file=sys.stderr,
+            )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_skew(spark) -> dict[str, float]:
     """Time the same skewed shuffle join plain vs salted. The fact is
     the events table with every user_id % 5 == 0 collapsed onto key 0
@@ -426,6 +521,15 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["compaction_bench"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Opt-in 10x nonlinear-blowup sweep (several extra minutes):
+    # SPARK_GRAFT_SCALE10X=1 python bench.py
+    scale10x = None
+    if os.environ.get("SPARK_GRAFT_SCALE10X"):
+        try:
+            scale10x = _bench_scale10x(spark)
+        except Exception as exc:  # noqa: BLE001
+            errors["scale10x_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_query_wall_time",
@@ -440,6 +544,8 @@ def main() -> None:
     # comparison never needs hand arithmetic.
     if out_boot is not None:
         out["stream_boot_s"] = out_boot
+    if scale10x is not None:
+        out["scale10x"] = scale10x
     silver_t = timings.get("silver_pipeline_events")
     if silver_t:
         n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()

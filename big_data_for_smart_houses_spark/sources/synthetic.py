@@ -159,3 +159,101 @@ class SyntheticTelemetryStreamReader:
 
     def commit(self, end):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Deterministic scale-up (round 7): replicate the driver testdata by
+# an integer factor for nonlinear-blowup sweeps
+# ---------------------------------------------------------------------------
+
+# Added to every per-copy id: larger than any id in any testdata table
+# so copies never collide, and referential integrity holds WITHIN a
+# copy (fact keys and their dimension keys shift together).
+SCALE_KEY_STRIDE = 100_000_000
+
+# id columns shifted per copy, by table (nation/region keys stay put —
+# dimensions that are genuinely fixed-cardinality don't scale with
+# data volume, matching how a real warehouse grows)
+_SCALE_ID_COLS = {
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+
+
+def scale_up_tables(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    factor: int,
+    tables: list[str] | None = None,
+) -> None:
+    """Materialize ``factor``× copies of the testdata tables under
+    ``dst_dir`` — the input for the O(n^k) blowup sweep (SCALE.md):
+    run a query at 1× and at factor×, and a wall-time ratio well above
+    the factor exposes superlinear behavior that small-SF gates hide
+    (round 6 found two O(gap²) windows exactly this way).
+
+    The scale-up grows the data the way production data grows:
+
+    * every id column shifts by ``copy · SCALE_KEY_STRIDE`` so per-key
+      densities stay CONSTANT and key cardinality grows ``factor``×
+      (more users/orders/docs — not hotter ones), with referential
+      integrity intact within each copy;
+    * document text gets a per-copy suffix token so exact/near-dup
+      structure replicates linearly instead of every doc acquiring
+      ``factor-1`` planted twins (which would grow pair counts
+      quadratically — a data-SHAPE change, not a scale-up);
+    * embeddings get a per-copy deterministic sign mask (copy 0 is
+      the identity) — norms unchanged, within-copy geometry identical,
+      cross-copy cosines decorrelated, so ANN/near-dup workloads
+      scale in n rather than in planted duplicates;
+    * nation/region pass through unscaled (fixed-cardinality dims).
+
+    Everything is column-expression work — no RNG, no driver-side
+    rows; reruns are bit-identical.
+    """
+    from pyspark.sql import functions as F
+
+    tables = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        df = spark.read.parquet(f"{src_dir}/{t}.parquet")
+        if t in ("region", "nation"):
+            df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
+            continue
+        copies = []
+        for i in range(factor):
+            c = df
+            for col in _SCALE_ID_COLS.get(t, []):
+                c = c.withColumn(
+                    col, F.col(col) + F.lit(i * SCALE_KEY_STRIDE)
+                )
+            if t == "documents" and i > 0:
+                suffix = F.lit(f" c{i}")
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), suffix)
+                ).withColumn(
+                    "n_chars", F.col("n_chars") + F.length(suffix)
+                )
+            if t == "embeddings" and i > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(embedding, (x, j) -> x * CAST("
+                        f"1 - 2 * ((CAST({i} AS INT) >> (j % 8)) & 1)"
+                        f" AS FLOAT))"
+                    ),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
