@@ -165,6 +165,7 @@ HEADLINE = [
     "tpch_q22_global_balance",
     "window_completeness_events",
     "time_travel_orders",
+    "udtf_sentences_documents",
     "tpch_q2_min_acctbal_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
@@ -451,6 +452,10 @@ def main() -> None:
     from big_data_for_smart_houses_spark.queries import QUERIES
     from big_data_for_smart_houses_spark.session import get_spark
 
+    # Bench times REAL executions only: disable the streaming gates'
+    # session memo so the warm (second) run re-streams end to end.
+    os.environ["SPARK_GRAFT_NO_STREAM_MEMO"] = "1"
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -467,15 +472,13 @@ def main() -> None:
             fn = QUERIES.get(name)
             if fn is None or name in errors:
                 continue
-            # Streaming gates execute ONCE: their cost is dominated by
-            # fixed streaming machinery (boot, checkpoint fsyncs,
-            # micro-batch commits — `stream_boot_s` is measured
-            # separately), so min-of-N buys no variance reduction worth
-            # N-1 extra full stream runs; the recorded value is one
-            # honest end-to-end execution. (The gates also memoize
-            # their result per session — a re-run here would time a
-            # cache read, not a stream.)
-            if name.endswith("_availablenow") and run > 0:
+            # Streaming gates execute TWICE (cold + warm), not N_RUNS
+            # times: the min is the warm number (codegen/worker
+            # startup amortized — same quantity r6's min-of-3
+            # reported, at one fewer full stream per gate), and the
+            # memo is bypassed below so the warm run is a REAL
+            # end-to-end stream, never a cache read.
+            if name.endswith("_availablenow") and run > 1:
                 continue
             t0 = time.perf_counter()
             try:

@@ -267,6 +267,33 @@ def as_of_version(
     )
 
 
+def expire_versions(
+    base: DataFrame,
+    batches: list[DataFrame],
+    keep_from_version: int,
+    keys: list[str],
+    change_type_col: str = "change_type",
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Retention compaction — the VACUUM/retention half of the
+    format-free time-travel story: fold versions 0..keep_from_version
+    into a new base snapshot (one ``as_of_version`` pass) and keep
+    only the later batches as replayable history. After
+    ``new_base, rest = expire_versions(base, batches, k, keys)``,
+    ``as_of_version(new_base, rest, v - k, keys)`` equals
+    ``as_of_version(base, batches, v, keys)`` for every v ≥ k — the
+    equivalence the unit suite asserts — while versions before k stop
+    being reconstructable (that is the point: bounded history, like a
+    table format's retention window).
+
+    Scale shape: the fold is one windowed pass; the kept batches pass
+    through untouched (no rewrite of retained history). Run it on the
+    cadence history depth grows, exactly like OPTIMIZE/VACUUM."""
+    new_base = as_of_version(
+        base, batches, keep_from_version, keys, change_type_col
+    )
+    return new_base, list(batches[keep_from_version:])
+
+
 def incremental_join_delta(
     a_old: DataFrame,
     da: DataFrame,

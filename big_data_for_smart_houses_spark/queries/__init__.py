@@ -19,18 +19,17 @@ insertion order. Round 7's `_CERTIFICATION_FRONT`:
    null-safe join, BMP/WAV/AVI codecs, 3-step funnel, argmax family
    (round-7 collision-free keys), dynamic partition pruning, pandas
    UDAF, bitmap distinct (round-7 cross-bucket fix).
-2. The 14 new round-7 gates: the TPC-H completion (Q2, Q6, Q8, Q9,
+2. The 15 new round-7 gates: the TPC-H completion (Q2, Q6, Q8, Q9,
    Q11, Q12, Q13, Q15, Q16, and the correlated-decorrelation trio
    Q17/Q20/Q21 — all 22 TPC-H shapes now gated), the
-   ntile/cume_dist/percent_rank + frame-exclusion window gate, and
-   `as_of_version` time travel.
-3. 8 sentinels: the two queries round 7 edited
+   ntile/cume_dist/percent_rank + frame-exclusion window gate,
+   `as_of_version` time travel, and the Python UDTF surface.
+3. 7 sentinels: the two queries round 7 edited
    (xml_functions_events — now a deterministic 1-in-23 slice;
    compaction_roundtrip_events — compact_files returns the actual
-   file count) plus the medallion/KPI/LLM spine
-   (pricing_summary, silver_pipeline_events,
-   gold_daily_energy_events, analytics_data_status,
-   merge_upsert_orders, dedup_exact_documents).
+   file count) plus the medallion/KPI spine (pricing_summary,
+   silver_pipeline_events, gold_daily_energy_events,
+   analytics_data_status, merge_upsert_orders).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The
@@ -146,6 +145,7 @@ _CERTIFICATION_FRONT = [
     "tpch_q21_waiting_supplier",
     "window_completeness_events",
     "time_travel_orders",
+    "udtf_sentences_documents",
     # --- sentinels: the two queries round 7 edited, then the
     #     medallion / KPI / LLM spine ---
     "xml_functions_events",
@@ -155,7 +155,6 @@ _CERTIFICATION_FRONT = [
     "gold_daily_energy_events",
     "analytics_data_status",
     "merge_upsert_orders",
-    "dedup_exact_documents",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -1854,3 +1854,72 @@ FROM events GROUP BY event_type
 
 QUERIES["bitmap_distinct_events"] = q_bitmap_distinct_events
 ORACLES["bitmap_distinct_events"] = ORACLE_BITMAP_DISTINCT_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 user-defined TABLE function) — round 7
+# ---------------------------------------------------------------------------
+
+def q_udtf_sentences_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Python UDTF surface — Spark 4's user-defined TABLE
+    function, the 1:N extension point that completes the UDF family
+    demos (scalar pandas UDF → GROUPED_AGG UDAF
+    (`pandas_udaf_geomean_events`) → custom DataSource → this): a
+    sentence-splitting UDTF applied via correlated LATERAL join, one
+    output row per non-empty '.'-separated sentence with its
+    per-document index and length. Like the UDAF demo this is the
+    EXTENSION-POINT gate, not the recommended plan — the same
+    semantics compile natively to explode(split()) (zero Python,
+    whole-stage codegen) and `sliding_chunks_documents` gates that
+    path; a real UDTF earns its process boundary with logic SQL
+    can't express. The DuckDB oracle replays the exact split/trim/
+    index contract (string_split + 1-indexed list slots + filtered
+    row_number), so the Python row fan-out is value-pinned, not just
+    shape-checked. Scale: the UDTF runs row-local in the scan stage —
+    zero shuffles; cost is the Python boundary itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):
+            i = 0
+            for part in (text or "").split("."):
+                p = part.strip(" ")
+                if p:
+                    yield (i, p, len(p))
+                    i += 1
+
+    configure_for_oracle_parity(spark)
+    spark.udtf.register("split_sentences_gate", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM _udtf_documents d,
+        LATERAL split_sentences_gate(d.text) s
+        """
+    )
+
+
+ORACLE_UDTF_SENTENCES_DOCUMENTS = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, '.') AS ps FROM documents
+),
+slots AS (
+  SELECT doc_id, trim(ps[i], ' ') AS sentence, i
+  FROM parts, unnest(range(1, len(ps) + 1)) t(i)
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+            AS INT) AS sent_idx,
+       sentence,
+       CAST(length(sentence) AS INT) AS n_chars
+FROM slots WHERE sentence <> ''
+"""
+
+QUERIES["udtf_sentences_documents"] = q_udtf_sentences_documents
+ORACLES["udtf_sentences_documents"] = ORACLE_UDTF_SENTENCES_DOCUMENTS

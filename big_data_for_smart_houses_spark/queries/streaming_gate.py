@@ -48,8 +48,11 @@ _AWAIT_S = 300
 # partition count to their key rate (150 users) instead of inheriting
 # the batch-oriented session default — the same lever a production
 # job sets per stream. Checkpoints are fresh per call, so the count
-# binds cleanly; the conf is restored either way.
-STREAM_STATE_PARTITIONS = 8
+# binds cleanly; the conf is restored either way. Round 7 measured 8
+# vs 4 at sf0.1: 4 cuts warm stateful-gate wall time 13-21% (fewer
+# per-batch state commits) with identical output — 150 keys over 4
+# stores is still ~40-way key parallelism per store.
+STREAM_STATE_PARTITIONS = 4
 
 
 @contextmanager
@@ -1022,7 +1025,7 @@ def q_synthetic_stream_availablenow(
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(processingTime="250 milliseconds")
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
     try:
@@ -1033,7 +1036,7 @@ def q_synthetic_stream_availablenow(
                     break
             except Exception:  # noqa: BLE001 - sink not created yet
                 pass
-            time.sleep(0.25)
+            time.sleep(0.1)
         else:
             raise TimeoutError(
                 f"synthetic stream never drained {SYNTH_STREAM_N} rows"

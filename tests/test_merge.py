@@ -291,3 +291,26 @@ def test_as_of_version_bounds(spark):
         aov(base, batches, 3, keys=["k"])
     with pytest.raises(ValueError):
         aov(base, batches, -1, keys=["k"])
+
+
+def test_expire_versions_preserves_later_states(spark):
+    """Retention compaction: folding versions 0..k into a new base
+    must leave every state >= k reconstructable and identical."""
+    from big_data_for_smart_houses_spark.operators.merge import (
+        expire_versions,
+    )
+
+    aov, base, batches = _aov_history(spark)
+    new_base, rest = expire_versions(base, batches, 1, keys=["k"])
+    assert len(rest) == 1
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # as_of on compacted history == as_of on full history, for v=k..N
+    assert rows(aov(new_base, rest, 0, keys=["k"])) == rows(
+        aov(base, batches, 1, keys=["k"])
+    )
+    assert rows(aov(new_base, rest, 1, keys=["k"])) == rows(
+        aov(base, batches, 2, keys=["k"])
+    )
