@@ -48,19 +48,23 @@ _AWAIT_S = 300
 # partition count to their key rate (150 users) instead of inheriting
 # the batch-oriented session default — the same lever a production
 # job sets per stream. Checkpoints are fresh per call, so the count
-# binds cleanly; the conf is restored either way. Round 7 measured 8
-# vs 4 at sf0.1: 4 cuts warm stateful-gate wall time 13-21% (fewer
-# per-batch state commits) with identical output — 150 keys over 4
-# stores is still ~40-way key parallelism per store.
+# binds cleanly; the conf is restored either way. Round 7 measured the
+# split at sf0.1: JVM-state operators (aggregates, joins, dedup) are
+# commit-bound — 4 partitions cuts their warm wall time 13-21% (fewer
+# per-batch state-store commits, identical output) — while
+# applyInPandasWithState operators are PYTHON-bound (per-partition
+# Arrow + pandas fold), so halving their partitions halves their
+# parallelism and costs ~40%; they keep 8.
 STREAM_STATE_PARTITIONS = 4
+PYSTATE_STREAM_PARTITIONS = 8
 
 
 @contextmanager
-def _stream_state_partitions(spark: SparkSession):
+def _stream_state_partitions(
+    spark: SparkSession, n: int = STREAM_STATE_PARTITIONS
+):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield
     finally:
@@ -87,7 +91,7 @@ def q_locf_stream_availablenow(
     out_dir = f"{tmp}/out"
     ev.coalesce(1).write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
         q = (
             locf_stream(stream, LOCF_STEP_S)
             .writeStream.format("parquet")
@@ -170,7 +174,7 @@ def q_ewma_stream_availablenow(
     out_dir = f"{tmp}/out"
     ev.coalesce(1).write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(ev.schema).parquet(staged)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
         q = (
             ewma_stream(stream)
             .writeStream.format("parquet")
@@ -1134,7 +1138,7 @@ def q_stream_restart_pystate_availablenow(
             .start()
         )
 
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
         first = _start()
         try:
             if not first.awaitTermination(_AWAIT_S):
