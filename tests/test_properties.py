@@ -656,3 +656,62 @@ def test_avi_codec_roundtrip(spark, width, height, frames):
         len(frames),
     )
     assert m["frame_means"] == frames
+
+
+def test_scale_up_tables_invariants(spark):
+    """The 10x-sweep scale-up must grow data the way production data
+    grows: exact factor x row counts, disjoint per-copy id ranges
+    (constant per-key density), unchanged embedding norms (sign masks
+    only), linearly-replicated exact-dup structure (per-copy text
+    suffix), and fixed dims passed through untouched."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.sources.synthetic import (
+        SCALE_KEY_STRIDE,
+        scale_up_tables,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dst = tempfile.mkdtemp(prefix="scaleup_prop_")
+    scale_up_tables(spark, src, dst, 3)
+
+    for t in ("events", "documents", "embeddings", "orders"):
+        n_src = spark.read.parquet(f"{src}/{t}.parquet").count()
+        n_dst = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        assert n_dst == 3 * n_src, (t, n_src, n_dst)
+    assert spark.read.parquet(f"{dst}/nation.parquet").count() == 25
+
+    ev = spark.read.parquet(f"{dst}/events.parquet")
+    per_copy = (
+        ev.groupBy((F.col("event_id") / SCALE_KEY_STRIDE).cast("int"))
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in per_copy) == [1000, 1000, 1000]
+
+    # norms preserved: sign masks never change magnitude
+    emb_src = spark.read.parquet(f"{src}/embeddings.parquet")
+    emb_dst = spark.read.parquet(f"{dst}/embeddings.parquet")
+    norm = F.aggregate(
+        F.transform("embedding", lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    s0 = emb_src.agg(F.sum(norm)).first()[0]
+    s3 = emb_dst.agg(F.sum(norm)).first()[0]
+    assert abs(s3 - 3 * s0) < 1e-3 * abs(s0), (s0, s3)
+
+    # exact-dup structure replicates LINEARLY: per-copy suffixes mean
+    # a text duplicated k times in the source is duplicated k times
+    # in each copy, never merged across copies
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    src_groups = (
+        spark.read.parquet(f"{src}/documents.parquet")
+        .groupBy("text").count().groupBy("count").count().collect()
+    )
+    dst_groups = docs.groupBy("text").count().groupBy("count").count().collect()
+    src_hist = {r[0]: r[1] for r in src_groups}
+    dst_hist = {r[0]: r[1] for r in dst_groups}
+    assert dst_hist == {k: 3 * v for k, v in src_hist.items()}
