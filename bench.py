@@ -166,6 +166,7 @@ HEADLINE = [
     "window_completeness_events",
     "time_travel_orders",
     "udtf_sentences_documents",
+    "runtime_bloom_join_lineitem",
     "tpch_q2_min_acctbal_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",

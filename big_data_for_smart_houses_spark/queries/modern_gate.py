@@ -1923,3 +1923,88 @@ FROM slots WHERE sentence <> ''
 
 QUERIES["udtf_sentences_documents"] = q_udtf_sentences_documents
 ORACLES["udtf_sentences_documents"] = ORACLE_UDTF_SENTENCES_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (round 7) — DPP's sibling for
+# NON-partition join keys
+# ---------------------------------------------------------------------------
+
+def q_runtime_bloom_join_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runtime bloom-filter injection on the hash path — the
+    shuffle-join reducer for keys that are NOT the partition layout
+    (DPP's sibling: DPP prunes directories via the partition column;
+    this prunes ROWS of the big side before its shuffle by testing
+    the join key against a bloom filter aggregated from the small
+    side's keys at runtime). On a 100 TB fact⋈filtered-dim shuffle
+    join this is the difference between shuffling every fact row and
+    shuffling only probable matches — exchange bytes drop by the
+    filter's selectivity, at the cost of one KB-scale bloom
+    broadcast. The gate RAISES unless the physical plan carries the
+    injected ``might_contain(... bloom_filter_agg ...)`` on
+    l_orderkey, and the DuckDB oracle pins the values (bloom false
+    positives affect only pre-shuffle volume, never the join result
+    — the equality condition still decides). Gate-scale knobs: the
+    application-side size threshold drops to 0 (at real scale the
+    default 10 GB threshold triggers on its own) and broadcast is
+    disabled so a shuffle join exists to optimize; both confs are
+    restored."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise AssertionError(
+                f"no runtime bloom filter injected on the fact "
+                f"side:\n{plan}"
+            )
+        price = F.col("l_extendedprice").cast("decimal(18,2)")
+        disc = F.col("l_discount").cast("decimal(18,2)")
+        one = F.lit(1).cast("decimal(18,2)")
+        out = joined.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+        )
+        # force materialization INSIDE the conf scope so the bloom
+        # plan (already asserted above) is what actually executes
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_thr,
+        )
+    return out
+
+
+ORACLE_RUNTIME_BLOOM_JOIN_LINEITEM = """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+QUERIES["runtime_bloom_join_lineitem"] = q_runtime_bloom_join_lineitem
+ORACLES["runtime_bloom_join_lineitem"] = ORACLE_RUNTIME_BLOOM_JOIN_LINEITEM
