@@ -167,6 +167,8 @@ HEADLINE = [
     "time_travel_orders",
     "udtf_sentences_documents",
     "runtime_bloom_join_lineitem",
+    "sql_udf_functions_events",
+    "null_aware_notin_orders",
     "tpch_q2_min_acctbal_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",

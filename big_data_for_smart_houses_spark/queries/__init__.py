@@ -19,19 +19,19 @@ insertion order. Round 7's `_CERTIFICATION_FRONT`:
    null-safe join, BMP/WAV/AVI codecs, 3-step funnel, argmax family
    (round-7 collision-free keys), dynamic partition pruning, pandas
    UDAF, bitmap distinct (round-7 cross-bucket fix).
-2. The 16 new round-7 gates: the TPC-H completion (Q2, Q6, Q8, Q9,
+2. The 18 new round-7 gates: the TPC-H completion (Q2, Q6, Q8, Q9,
    Q11, Q12, Q13, Q15, Q16, and the correlated-decorrelation trio
    Q17/Q20/Q21 — all 22 TPC-H shapes now gated), the
    ntile/cume_dist/percent_rank + frame-exclusion window gate,
-   `as_of_version` time travel, the Python UDTF surface, and
-   runtime bloom-filter join pruning (RAISES without the injected
-   might_contain).
-3. 6 sentinels: the two queries round 7 edited
+   `as_of_version` time travel, the Python UDTF surface, runtime
+   bloom-filter join pruning (RAISES without the injected
+   might_contain), SQL UDFs (scalar + lateral table function), and
+   the null-aware NOT IN three-valued-logic gate.
+3. 4 sentinels: the two queries round 7 edited
    (xml_functions_events — now a deterministic 1-in-23 slice;
    compaction_roundtrip_events — compact_files returns the actual
-   file count) plus the medallion/KPI spine (pricing_summary,
-   silver_pipeline_events, gold_daily_energy_events,
-   analytics_data_status).
+   file count) plus the medallion spine (pricing_summary,
+   silver_pipeline_events).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The
@@ -149,14 +149,14 @@ _CERTIFICATION_FRONT = [
     "time_travel_orders",
     "udtf_sentences_documents",
     "runtime_bloom_join_lineitem",
+    "sql_udf_functions_events",
+    "null_aware_notin_orders",
     # --- sentinels: the two queries round 7 edited, then the
     #     medallion / KPI / LLM spine ---
     "xml_functions_events",
     "compaction_roundtrip_events",
     "pricing_summary",
     "silver_pipeline_events",
-    "gold_daily_energy_events",
-    "analytics_data_status",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -2008,3 +2008,112 @@ GROUP BY l_returnflag
 
 QUERIES["runtime_bloom_join_lineitem"] = q_runtime_bloom_join_lineitem
 ORACLES["runtime_bloom_join_lineitem"] = ORACLE_RUNTIME_BLOOM_JOIN_LINEITEM
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN) — scalar + table
+# ---------------------------------------------------------------------------
+
+def q_sql_udf_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 SQL UDFs — `CREATE FUNCTION ... RETURN <expr>` scalar
+    and `... RETURNS TABLE ... RETURN SELECT` table functions — the
+    catalog-resident reuse surface that, unlike Python UDFs, INLINES
+    into the plan (the scalar body becomes a codegen'd CASE, the
+    table body a correlated lateral explode — zero process
+    boundaries, full Catalyst visibility). The gate banded-labels
+    every event and fans each out via a correlated LATERAL call of
+    the table UDF; the DuckDB oracle states the inlined semantics
+    directly, so the function-resolution layer is value-pinned."""
+    configure_for_oracle_parity(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION value_band(v DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN v < 25 THEN 'low' "
+        "WHEN v < 75 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION repeat_part(n INT) "
+        "RETURNS TABLE(i INT) "
+        "RETURN SELECT explode(sequence(1, n)) AS i"
+    )
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_sqludf_events"
+    )
+    return spark.sql(
+        """
+        SELECT e.event_id,
+               value_band(e.value) AS band,
+               r.i AS part_idx
+        FROM _sqludf_events e,
+        LATERAL repeat_part(CAST(e.event_id % 3 AS INT) + 1) r
+        """
+    )
+
+
+ORACLE_SQL_UDF_FUNCTIONS_EVENTS = """
+SELECT event_id,
+       CASE WHEN value < 25 THEN 'low'
+            WHEN value < 75 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(i AS INT) AS part_idx
+FROM events, unnest(range(1, CAST(event_id % 3 AS INT) + 2)) t(i)
+"""
+
+QUERIES["sql_udf_functions_events"] = q_sql_udf_functions_events
+ORACLES["sql_udf_functions_events"] = ORACLE_SQL_UDF_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN (the ANSI three-valued-logic join trap)
+# ---------------------------------------------------------------------------
+
+NOTIN_BIG_ORDER = 300_000
+
+_NOTIN_SQL = f"""
+WITH bigs AS (
+  SELECT CASE WHEN o_orderkey %% 97 = 0 THEN NULL
+              ELSE o_custkey END AS k
+  FROM %T%orders WHERE o_totalprice > {NOTIN_BIG_ORDER}
+)
+SELECT
+  (SELECT count(*) FROM %T%customer
+   WHERE c_custkey NOT IN (SELECT k FROM bigs)) AS n_with_null,
+  (SELECT count(*) FROM %T%customer
+   WHERE c_custkey NOT IN (SELECT k FROM bigs WHERE k IS NOT NULL))
+    AS n_null_free
+"""
+
+
+def q_null_aware_notin_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NOT IN under ANSI three-valued logic — the classic silent-
+    wrong-answer trap: one NULL in the subquery list makes
+    ``x NOT IN (...)`` never-true (x <> NULL is UNKNOWN), so the
+    whole filter yields ZERO rows; the null-FREE variant of the same
+    subquery is an ordinary anti join. Spark plans the nullable case
+    as a null-aware anti join (the BuildRight `true` flag on the
+    LeftAnti) rather than mis-rewriting it to a plain anti; the gate
+    hashes BOTH counts — n_with_null must be exactly 0 and
+    n_null_free exactly the customers without big orders — so an
+    engine that drops the null semantics fails the row. Scale note:
+    the null-aware variant requires a broadcast (every probe row
+    must see every build NULL); `nullsafe_join_events` gates the
+    eqNullSafe alternative that shuffles normally, and Q16 documents
+    why production NOT IN lists should be null-free by
+    construction."""
+    configure_for_oracle_parity(spark)
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(
+            f"_notin_{t}"
+        )
+    return spark.sql(
+        _NOTIN_SQL.replace("%T%", "_notin_").replace("%%", "%")
+    )
+
+
+ORACLES["null_aware_notin_orders"] = _NOTIN_SQL.replace(
+    "%T%", ""
+).replace("%%", "%")
+QUERIES["null_aware_notin_orders"] = q_null_aware_notin_orders
