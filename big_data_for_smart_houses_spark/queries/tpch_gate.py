@@ -611,3 +611,18 @@ def q_tpch_q16_supplier_counts(
 
 ORACLES["tpch_q16_supplier_counts"] = _Q16_SQL.replace("%T%", "")
 QUERIES["tpch_q16_supplier_counts"] = q_tpch_q16_supplier_counts
+
+
+# ---------------------------------------------------------------------------
+# Q1 alias: the engine's flagship pricing summary IS TPC-H Q1 (it
+# predates this module — queries/core.py:q_pricing_summary, gated
+# since round 1). Registered under the tpch_ name too so the
+# 22-shape completion is legible in the registry by name alone;
+# same function, same oracle, no second implementation.
+# ---------------------------------------------------------------------------
+
+from .core import ORACLE_PRICING_SUMMARY as _Q1_ORACLE
+from .core import q_pricing_summary as _q1
+
+QUERIES["tpch_q1_pricing_summary"] = _q1
+ORACLES["tpch_q1_pricing_summary"] = _Q1_ORACLE

@@ -595,3 +595,26 @@ def test_tpch_q6_pushdown_and_q16_antijoin(spark):
     p = _plan(spark, "tpch_q16_supplier_counts")
     assert "LeftAnti" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_round7_extension_gate_plan_shapes(spark):
+    """SQL UDFs must INLINE (their whole point vs Python UDFs): the
+    scalar body becomes codegen'd expression work and the table body
+    a native Generate/explode — zero Python eval nodes. The Python
+    UDTF is the opposite contract: a real Python boundary
+    (BatchEvalPythonUDTF) fanning out rows. The null-aware NOT IN
+    compiles to an anti join (never a per-row subquery), and the
+    runtime-bloom gate self-asserts its might_contain injection (it
+    RAISES without it — executing it here IS the assertion)."""
+    p = _plan(spark, "sql_udf_functions_events")
+    assert "Python" not in p, p
+    assert "Generate" in p, p
+
+    p = _plan(spark, "udtf_sentences_documents")
+    assert "BatchEvalPythonUDTF" in p, p
+
+    p = _plan(spark, "null_aware_notin_orders")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+    QUERIES["runtime_bloom_join_lineitem"](spark, SF_DIR)
