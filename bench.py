@@ -181,6 +181,8 @@ HEADLINE = [
     "tpch_q17_small_qty_revenue",
     "tpch_q20_excess_supply",
     "tpch_q21_waiting_supplier",
+    "agg_completeness_lineitem",
+    "url_functions_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

@@ -2117,3 +2117,96 @@ ORACLES["null_aware_notin_orders"] = _NOTIN_SQL.replace(
     "%T%", ""
 ).replace("%%", "%")
 QUERIES["null_aware_notin_orders"] = q_null_aware_notin_orders
+
+
+# ---------------------------------------------------------------------------
+# URL / formatting / checksum scalar-function completeness
+# ---------------------------------------------------------------------------
+
+def q_url_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-handling and formatting scalar family a clickstream /
+    web-log user reaches for first: ``parse_url`` (HOST / PATH /
+    QUERY-key extraction), ``url_encode`` / ``url_decode``
+    (round-trip gated), ``format_number`` locale grouping,
+    ``luhn_check`` account-number validation, and sha2-256/md5
+    digests. URLs are built from order columns so every value is
+    data-derived (nothing constant-folds away). Determinism notes:
+    url_encode's only non-safe character in o_orderpriority is the
+    space ('+' form), which the oracle reproduces with a replace
+    chain; format_number runs on key+0.25 — an exact binary fraction
+    — so no rounding-mode parity is at stake, only the grouping
+    format; luhn_check runs on the zero-padded 12-digit order key
+    (valid to SF ~1600), which the oracle replays as the closed-form
+    doubled-digit sum. All row-local codegen — zero shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("_")),
+        F.lit("/item?id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&prio="),
+        F.url_encode("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
+        F.url_encode("o_orderpriority").alias("prio_enc"),
+        F.url_decode(F.url_encode("o_orderpriority")).alias("prio_rt"),
+        F.format_number(
+            F.col("o_orderkey").cast("double") + F.lit(0.25), 2
+        ).alias("fmt_key"),
+        # no Python wrapper for luhn_check in pyspark 4.1 — SQL expr
+        F.expr(
+            "luhn_check(lpad(cast(o_orderkey as string), 12, '0'))"
+        ).alias("luhn_ok"),
+        F.sha2(
+            F.concat(
+                F.col("o_orderpriority"),
+                F.lit("|"),
+                F.col("o_orderkey").cast("string"),
+            ),
+            256,
+        ).alias("digest"),
+        F.md5(F.col("o_orderpriority")).alias("prio_md5"),
+    )
+
+
+# DuckDB has no parse_url/url_encode/format_number/luhn_check: the
+# oracle builds the identical URL string and replays each function in
+# closed form — regexp extraction for the URL parts, a replace chain
+# for the (space-only) encoding, %,d grouping plus the exact '.25'
+# fraction, and the Luhn doubled-digit sum over the padded key.
+ORACLE_URL_FUNCTIONS_ORDERS = """
+WITH u AS (
+  SELECT o_orderkey, o_orderpriority,
+         lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS acct,
+         'https://shop.example.com/'
+           || replace(o_orderpriority, ' ', '_')
+           || '/item?id=' || CAST(o_orderkey AS VARCHAR)
+           || '&prio=' || replace(o_orderpriority, ' ', '+') AS url
+  FROM orders
+)
+SELECT o_orderkey,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid,
+       replace(o_orderpriority, ' ', '+') AS prio_enc,
+       o_orderpriority AS prio_rt,
+       printf('%,d', o_orderkey) || '.25' AS fmt_key,
+       (list_sum(list_transform(range(1, 13), i ->
+          CASE WHEN i % 2 = 0 THEN
+            CASE WHEN 2 * CAST(substring(acct, 13 - i, 1) AS INTEGER) >= 10
+                 THEN 2 * CAST(substring(acct, 13 - i, 1) AS INTEGER) - 9
+                 ELSE 2 * CAST(substring(acct, 13 - i, 1) AS INTEGER) END
+          ELSE CAST(substring(acct, 13 - i, 1) AS INTEGER) END
+        )) % 10) = 0 AS luhn_ok,
+       sha256(o_orderpriority || '|' || CAST(o_orderkey AS VARCHAR))
+         AS digest,
+       md5(o_orderpriority) AS prio_md5
+FROM u
+"""
+
+QUERIES["url_functions_orders"] = q_url_functions_orders
+ORACLES["url_functions_orders"] = ORACLE_URL_FUNCTIONS_ORDERS

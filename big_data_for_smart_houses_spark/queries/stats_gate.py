@@ -2278,3 +2278,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 QUERIES["window_completeness_events"] = q_window_completeness_events
 ORACLES["window_completeness_events"] = ORACLE_WINDOW_COMPLETENESS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-function completeness
+# ---------------------------------------------------------------------------
+
+def q_agg_completeness_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The remaining ungated aggregate family in one pass: ``mode``,
+    exact ``median``, bitwise folds (``bit_and/or/xor``),
+    ``any_value``, ``count_if``, ``bool_and/or``, and scalar
+    ``width_bucket`` summed per group (reference has no analog; this
+    extends SURVEY §2.5's aggregate surface the way a migrating SQL
+    user expects). Determinism by construction: ``mode`` ties are
+    impossible on l_linenumber (every order contributes line 1, only
+    ~6/7 contribute line 2, ... — counts are strictly decreasing;
+    tests/test_stats_layout.py asserts strict uniqueness on the
+    testdata); ``any_value`` reads an expression constant within its
+    group; ``median`` of integral quantities interpolates (a+b)/2
+    exactly in binary. width_bucket uses bounds (0, 64, 8) whose
+    bucket width 8 is exact, so the oracle's closed-form
+    1+floor(q/8) reproduces it bit-for-bit. Everything stays in one
+    partial-aggregable groupBy — a single shuffle of 3 grouping keys
+    at any scale."""
+    configure_for_oracle_parity(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.mode("l_linenumber").alias("mode_line"),
+        F.median("l_quantity").alias("median_qty"),
+        F.bit_and("l_linenumber").alias("band"),
+        F.bit_or("l_linenumber").alias("bor"),
+        F.bit_xor("l_linenumber").alias("bxor"),
+        F.any_value(F.upper("l_returnflag")).alias("av_flag"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_high_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_hidisc"),
+        F.sum(
+            F.width_bucket(
+                "l_quantity", F.lit(0.0), F.lit(64.0), F.lit(8)
+            )
+        ).alias("wb_sum"),
+    )
+
+
+# DuckDB lacks width_bucket; with bounds (0, 64, 8) the bucket width
+# is exactly 8, so 1 + floor(q/8) is the same function in closed form
+# (quantities are 1..50, never at the out-of-range edges, but the
+# CASE keeps the oracle total on any data).
+ORACLE_AGG_COMPLETENESS_LINEITEM = """
+SELECT l_returnflag AS rf,
+       mode(l_linenumber) AS mode_line,
+       median(l_quantity) AS median_qty,
+       bit_and(l_linenumber) AS band,
+       bit_or(l_linenumber) AS bor,
+       bit_xor(l_linenumber) AS bxor,
+       any_value(upper(l_returnflag)) AS av_flag,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_high_qty,
+       bool_and(l_quantity > 0) AS all_pos,
+       bool_or(l_discount > 0.09) AS any_hidisc,
+       CAST(SUM(CASE WHEN l_quantity < 0 THEN 0
+                     WHEN l_quantity >= 64 THEN 9
+                     ELSE 1 + CAST(FLOOR(l_quantity / 8.0) AS BIGINT)
+                END) AS BIGINT) AS wb_sum
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+QUERIES["agg_completeness_lineitem"] = q_agg_completeness_lineitem
+ORACLES["agg_completeness_lineitem"] = ORACLE_AGG_COMPLETENESS_LINEITEM

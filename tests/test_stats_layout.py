@@ -313,3 +313,36 @@ def test_gapfill_linear_single_point_key(spark):
     out = gap_fill_linear(df, "key", "ts", "value").collect()
     assert len(out) == 1
     assert out[0]["value"] == 9.0 and not out[0]["is_gap"]
+
+
+def test_agg_completeness_mode_is_tie_free(spark):
+    """The agg-completeness gate hashes mode(l_linenumber): the gate
+    is only deterministic if the top count is STRICTLY unique within
+    every l_returnflag group. Verify that invariant on the driver
+    testdata (it holds by construction: every order contributes line
+    1, only a shrinking fraction contribute higher line numbers)."""
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            WITH c AS (
+              SELECT l_returnflag, l_linenumber, count(*) AS n
+              FROM parquet_scan(
+                '/root/testdata/sf{sf}/lineitem.parquet')
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT l_returnflag, n,
+                     rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC) AS rk,
+                     count(*) OVER (PARTITION BY l_returnflag, n)
+                       AS ties
+              FROM c
+            )
+            SELECT l_returnflag FROM r WHERE rk = 1 AND ties > 1
+            """
+        ).fetchall()
+        con.close()
+        assert rows == [], f"mode tie at sf{sf}: {rows}"
