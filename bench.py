@@ -183,6 +183,7 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "agg_completeness_lineitem",
     "url_functions_orders",
+    "statestore_read_availablenow",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

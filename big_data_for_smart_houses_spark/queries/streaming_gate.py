@@ -1401,6 +1401,79 @@ ORACLES["stream_torture_availablenow"] = (
 )
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# State Data Source: read the streaming state store itself (Spark 4)
+# ---------------------------------------------------------------------------
+
+def q_statestore_read_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4's State Data Source, the state-debugging surface a
+    production streaming operator lives on: run a stateful streaming
+    aggregation to its checkpoint, then read the STATE STORE itself
+    back as a batch DataFrame (``spark.read.format("statestore")``)
+    and hash-gate its contents against the batch answer. This is the
+    strongest possible check on streaming-aggregation state: not the
+    sink rows but the per-key agg buffers (count/min/max) as
+    physically persisted per shuffle partition. The sink is ``noop``
+    — the state is the output under test. Buffer field names come
+    from the physical agg functions (count/min/max), not the column
+    aliases; min/max of doubles copy values bit-exact, so the gate
+    needs no quantization. Registered with the ``_availablenow``
+    suffix so the session memo returns the first run's result on the
+    driver's second call."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="statestore_gate_")
+    staged = f"{tmp}/staged"
+    ck = f"{tmp}/ckpt"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"statestore gate run exceeded {_AWAIT_S}s"
+            )
+    st = spark.read.format("statestore").option("path", ck).load()
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n"),
+        F.col("value.min").alias("vmin"),
+        F.col("value.max").alias("vmax"),
+    )
+
+
+ORACLE_STATESTORE_READ_AVAILABLENOW = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["statestore_read_availablenow"] = q_statestore_read_availablenow
+ORACLES["statestore_read_availablenow"] = (
+    ORACLE_STATESTORE_READ_AVAILABLENOW
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
