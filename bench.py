@@ -454,6 +454,59 @@ def _bench_skew(spark) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stage_metrics_poller(spark):
+    """Per-query physical I/O from the JVM AppStatusStore: shuffle
+    read/write bytes, spill, and scan input bytes, summed over the
+    stages each query ran. Deltas are keyed by stageId (sum stages
+    ABOVE the pre-query max), not by cumulative totals, so the UI
+    store evicting old stages (spark.ui.retainedStages) can never
+    make a delta go negative. This is the scale signal wall-time
+    can't give on local[32]: shuffle bytes are what become network
+    at 1000 executors, and spill is what becomes disk pressure.
+    Returns poll(after_stage_id) -> (new_max_id, totals_dict); any
+    py4j failure degrades to None metrics rather than killing the
+    bench."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    statuses = jvm.java.util.ArrayList()
+    taskstatus = jvm.java.util.ArrayList()
+    quantiles = sc._gateway.new_array(jvm.double, 0)
+    mb = 1024.0 * 1024.0
+
+    def poll(after_stage_id: int):
+        # The status listener consumes task-end events ASYNC from the
+        # bus; poll without draining it and a query's bytes smear into
+        # the next entry. waitUntilEmpty() is cheap at this cadence.
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+        stages = store.stageList(
+            statuses, False, False, quantiles, taskstatus
+        )
+        mx = after_stage_id
+        tot = {
+            "shuffle_write_mb": 0.0,
+            "shuffle_read_mb": 0.0,
+            "spill_mb": 0.0,
+            "input_mb": 0.0,
+        }
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            sid = s.stageId()
+            if sid > mx:
+                mx = sid
+            if sid <= after_stage_id:
+                continue
+            tot["shuffle_write_mb"] += s.shuffleWriteBytes() / mb
+            tot["shuffle_read_mb"] += s.shuffleReadBytes() / mb
+            tot["spill_mb"] += (
+                s.memoryBytesSpilled() + s.diskBytesSpilled()
+            ) / mb
+            tot["input_mb"] += s.inputBytes() / mb
+        return mx, {k: round(v, 2) for k, v in tot.items()}
+
+    return poll
+
+
 def main() -> None:
     from big_data_for_smart_houses_spark.queries import QUERIES
     from big_data_for_smart_houses_spark.session import get_spark
@@ -473,6 +526,13 @@ def main() -> None:
     # the error, skip the query in later runs, keep benchmarking.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    query_io: dict[str, dict] = {}
+    try:
+        poll_stages = _stage_metrics_poller(spark)
+        last_stage_id, _ = poll_stages(-1)
+    except Exception:  # noqa: BLE001 - metrics are best-effort
+        poll_stages = None
+        last_stage_id = -1
     for run in range(N_RUNS):
         for name in HEADLINE:
             fn = QUERIES.get(name)
@@ -496,6 +556,15 @@ def main() -> None:
                 continue
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
+            # I/O is a property of the plan, not the run: capture it
+            # once, on the first (cold) execution of each query.
+            if poll_stages is not None:
+                try:
+                    last_stage_id, io = poll_stages(last_stage_id)
+                    if name not in query_io:
+                        query_io[name] = io
+                except Exception:  # noqa: BLE001
+                    poll_stages = None
             print(f"  [{run}] {name}: {t:.3f}s", file=sys.stderr)
 
     # Stream-boot baseline: the fixed cost every `*_availablenow`
@@ -555,6 +624,8 @@ def main() -> None:
         out["stream_boot_s"] = out_boot
     if scale10x is not None:
         out["scale10x"] = scale10x
+    if query_io:
+        out["query_io"] = query_io
     silver_t = timings.get("silver_pipeline_events")
     if silver_t:
         n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
