@@ -2210,3 +2210,155 @@ FROM u
 
 QUERIES["url_functions_orders"] = q_url_functions_orders
 ORACLES["url_functions_orders"] = ORACLE_URL_FUNCTIONS_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 API surfaces: DataFrame.transpose, SQL pipe syntax,
+# parameterized SQL
+# ---------------------------------------------------------------------------
+
+def q_transpose_summary_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``DataFrame.transpose`` (new in Spark 4.0) — rows become
+    columns, the index column's values become column names: the
+    report-shaping step that turns a per-flag summary into a
+    metrics-by-flag matrix without N pivot expressions. The input is
+    a 3-row aggregate (one per l_returnflag), all metric columns
+    cast to the common DOUBLE type transpose requires; sums are
+    integer-valued (quantities) or counts, so every transposed cell
+    is order-independent exact. The oracle rebuilds the transposed
+    matrix in closed form: one row per metric name, one
+    filtered-aggregate column per flag value."""
+    configure_for_oracle_parity(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+            F.countDistinct("l_orderkey").cast("double").alias(
+                "n_orders"
+            ),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+        .orderBy("rf")
+    )
+    t = wide.transpose()
+    return t.withColumnRenamed("key", "metric")
+
+
+ORACLE_TRANSPOSE_SUMMARY_LINEITEM = """
+WITH w AS (
+  SELECT l_returnflag AS rf,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.metric,
+       (SELECT CASE m.metric WHEN 'sum_qty' THEN sum_qty
+                WHEN 'n_rows' THEN n_rows
+                WHEN 'n_orders' THEN n_orders
+                ELSE max_qty END FROM w WHERE rf = 'A') AS "A",
+       (SELECT CASE m.metric WHEN 'sum_qty' THEN sum_qty
+                WHEN 'n_rows' THEN n_rows
+                WHEN 'n_orders' THEN n_orders
+                ELSE max_qty END FROM w WHERE rf = 'N') AS "N",
+       (SELECT CASE m.metric WHEN 'sum_qty' THEN sum_qty
+                WHEN 'n_rows' THEN n_rows
+                WHEN 'n_orders' THEN n_orders
+                ELSE max_qty END FROM w WHERE rf = 'R') AS "R"
+FROM (VALUES ('sum_qty'), ('n_rows'), ('n_orders'), ('max_qty'))
+  m(metric)
+"""
+
+QUERIES["transpose_summary_lineitem"] = q_transpose_summary_lineitem
+ORACLES["transpose_summary_lineitem"] = (
+    ORACLE_TRANSPOSE_SUMMARY_LINEITEM
+)
+
+
+_PIPE_SQL_SPARK = """
+FROM %T%lineitem
+|> WHERE l_quantity >= 5
+|> AGGREGATE CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n > 10
+|> SELECT l_returnflag AS rf, l_linestatus AS ls, sum_qty, n
+"""
+
+
+def q_pipe_syntax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`, new in Spark 4.0): the linear
+    filter→aggregate→having→project chain written in execution
+    order. Semantically identical to the ANSI nesting the oracle
+    runs — the gate pins that the pipe front-end compiles to the
+    same plan contract (sum of integral quantities is exact in any
+    order, so no quantization). DuckDB has no pipe syntax; the
+    oracle is the equivalent ANSI query."""
+    configure_for_oracle_parity(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_pipe_lineitem"
+    )
+    return spark.sql(_PIPE_SQL_SPARK.replace("%T%", "_pipe_"))
+
+
+ORACLE_PIPE_SYNTAX_LINEITEM = """
+SELECT l_returnflag AS rf, l_linestatus AS ls,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_quantity >= 5
+GROUP BY l_returnflag, l_linestatus
+HAVING CAST(COUNT(*) AS BIGINT) > 10
+"""
+
+QUERIES["pipe_syntax_lineitem"] = q_pipe_syntax_lineitem
+ORACLES["pipe_syntax_lineitem"] = ORACLE_PIPE_SYNTAX_LINEITEM
+
+
+PARAM_MIN_PRICE = 150_000.0
+PARAM_STATUS = "F"
+
+
+def q_parameterized_sql_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parameterized SQL with named markers plus a DataFrame passed
+    as a TABLE argument (`spark.sql(..., args=..., df=df)`) — the
+    injection-safe query interface (Spark 3.4+/4.0). The parameters
+    bind server-side as typed literals; the oracle replays the same
+    constants inline. Counts and min/max only — exact at any
+    scale."""
+    configure_for_oracle_parity(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS prio,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM {o}
+        WHERE o_totalprice > :minp AND o_orderstatus = :st
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": PARAM_MIN_PRICE, "st": PARAM_STATUS},
+        o=orders,
+    )
+
+
+ORACLE_PARAMETERIZED_SQL_ORDERS = f"""
+SELECT o_orderpriority AS prio,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+WHERE o_totalprice > {PARAM_MIN_PRICE!r} AND o_orderstatus = '{PARAM_STATUS}'
+GROUP BY o_orderpriority
+"""
+
+QUERIES["parameterized_sql_orders"] = q_parameterized_sql_orders
+ORACLES["parameterized_sql_orders"] = ORACLE_PARAMETERIZED_SQL_ORDERS
