@@ -184,6 +184,9 @@ HEADLINE = [
     "agg_completeness_lineitem",
     "url_functions_orders",
     "statestore_read_availablenow",
+    "transpose_summary_lineitem",
+    "pipe_syntax_lineitem",
+    "parameterized_sql_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",
