@@ -187,6 +187,7 @@ HEADLINE = [
     "transpose_summary_lineitem",
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",
+    "stream_upsert_availablenow",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

@@ -1475,6 +1475,125 @@ ORACLES["statestore_read_availablenow"] = (
 
 
 # ---------------------------------------------------------------------------
+# Streaming CDC apply: foreachBatch + merge_upsert into a versioned table
+# ---------------------------------------------------------------------------
+
+def q_stream_upsert_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE production streaming-sink pattern the format-specific MERGE
+    sinks (Delta/Iceberg) wrap: a CDC stream applied transactionally
+    per micro-batch via ``foreachBatch`` + operators/merge.py's
+    ``merge_upsert``, last-writer-wins per key by version. Two update
+    batches are staged with forced mtime order (batch 1: +100 on even
+    keys; batch 2: +500 on keys % 5 == 0 — OVERLAPPING, so a key
+    touched by both must show batch 2's value) and applied one per
+    micro-batch on top of the version-0 base table. Each batch writes
+    a NEW versioned snapshot directory and flips the current pointer
+    only after the write completes — readers never observe a partial
+    table (the swap discipline a table format provides; plain parquet
+    does it with directory versions, exactly like merge.py's
+    as_of_version machinery). The oracle replays the same three-way
+    union with arg_max(price, version) per key. Doubles survive
+    untouched (+100.0 / +500.0 are exact), so the gate needs no
+    quantization."""
+    configure_for_oracle_parity(spark)
+    from ..operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_gate_")
+    staged = f"{tmp}/staged"
+    base_dir = f"{tmp}/table/v0"
+    base = orders.withColumn("version", F.lit(0))
+    base.write.mode("overwrite").parquet(base_dir)
+
+    updates = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("version", F.lit(1)),
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+        .withColumn("version", F.lit(2)),
+    )
+    import os as _osmod
+
+    for i, u in enumerate(updates):
+        path = f"{staged}/batch={i}"
+        u.coalesce(1).write.mode("overwrite").parquet(path)
+        # force listing order: the file source orders by mtime
+        for root, _dirs, files in _osmod.walk(path):
+            for fname in files:
+                _osmod.utime(
+                    _osmod.path.join(root, fname),
+                    (1000 + i, 1000 + i),
+                )
+
+    current = {"path": base_dir, "next": 1}
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tbl = spark.read.parquet(current["path"])
+        merged = merge_upsert(
+            tbl,
+            batch_df,
+            keys=["o_orderkey"],
+            order_col="version",
+        )
+        new_path = f"{tmp}/table/v{current['next']}"
+        merged.write.mode("overwrite").parquet(new_path)
+        current["path"] = new_path
+        current["next"] += 1
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"stream upsert availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(current["path"]).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+ORACLE_STREAM_UPSERT_AVAILABLENOW = """
+WITH all_rows AS (
+  SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 100.0, 1 FROM orders
+  WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 500.0, 2 FROM orders
+  WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderkey,
+       arg_max(o_totalprice, version) AS price,
+       CAST(max(version) AS INTEGER) AS version
+FROM all_rows
+GROUP BY o_orderkey
+"""
+
+QUERIES["stream_upsert_availablenow"] = q_stream_upsert_availablenow
+ORACLES["stream_upsert_availablenow"] = ORACLE_STREAM_UPSERT_AVAILABLENOW
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
 # live under a fresh mkdtemp per execution, and the emitted rows are a
