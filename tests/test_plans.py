@@ -618,3 +618,29 @@ def test_round7_extension_gate_plan_shapes(spark):
     assert "CartesianProduct" not in p, p
 
     QUERIES["runtime_bloom_join_lineitem"](spark, SF_DIR)
+
+
+def test_round7_function_gate_plan_shapes(spark):
+    """The new function-family gates keep their scale contracts:
+    url_functions is pure row-local codegen (zero exchanges, zero
+    Python); agg_completeness is one partial-aggregated shuffle of 3
+    grouping keys; the pipe-syntax front-end compiles to the same
+    partial-agg + single-exchange shape as its ANSI twin (pipes are
+    syntax, not a different engine); parameterized SQL binds typed
+    literals that still PUSH DOWN to the parquet scan."""
+    p = _plan(spark, "url_functions_orders")
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+    # '*' prefixes mark whole-stage-codegen'd nodes in this format
+    assert "*(1) Project" in p, p
+
+    p = _plan(spark, "agg_completeness_lineitem")
+    assert p.count("Exchange") == 1, p
+    assert "partial_" in p, p
+
+    p = _plan(spark, "pipe_syntax_lineitem")
+    assert p.count("Exchange") == 1, p
+    assert "partial_" in p, p
+
+    p = _plan(spark, "parameterized_sql_orders")
+    assert "PushedFilters" in p and "GreaterThan(o_totalprice" in p, p
