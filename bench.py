@@ -188,6 +188,7 @@ HEADLINE = [
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",
     "stream_upsert_availablenow",
+    "datetime_functions_events",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

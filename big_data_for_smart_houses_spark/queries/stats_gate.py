@@ -2348,3 +2348,73 @@ GROUP BY l_returnflag
 
 QUERIES["agg_completeness_lineitem"] = q_agg_completeness_lineitem
 ORACLES["agg_completeness_lineitem"] = ORACLE_AGG_COMPLETENESS_LINEITEM
+
+
+# ---------------------------------------------------------------------------
+# Datetime-function completeness (timezone conversion + calendar nav)
+# ---------------------------------------------------------------------------
+
+def q_datetime_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The calendar / timezone scalar family beyond F2/F3's basic
+    extract-format surface: wall-clock conversion both directions
+    (``from_utc_timestamp`` / ``to_utc_timestamp`` — IANA zone rules,
+    DST-correct), month navigation with end-of-month clamping
+    (``add_months``, ``last_day``), strictly-after weekday seek
+    (``next_day``), ISO week / quarter / 1=Sunday day-of-week
+    extraction, day diffs, and a ``make_timestamp`` rebuild pinned
+    against ``date_trunc``. DuckDB replays zone conversion as chained
+    ``timezone()`` casts (session-independent: naive→UTC tstz→zone
+    wall time), ``next_day`` as closed-form isodow arithmetic, and
+    ``dayofweek`` shifted from its 0=Sunday base. All values are
+    timestamps/dates/ints — engine-exact, no quantization. Row-local
+    codegen, zero shuffles at any scale."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp("ts", "America/New_York").alias("ny_wall"),
+        F.to_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_utc"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("eom"),
+        F.next_day(d, "Mon").alias("next_mon"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).alias(
+            "days_to_2025"
+        ),
+        F.make_timestamp(
+            F.year("ts"),
+            F.month("ts"),
+            F.dayofmonth("ts"),
+            F.hour("ts"),
+            F.minute("ts"),
+            F.second("ts").cast("decimal(8,6)"),
+        ).alias("rebuilt_s"),
+    )
+
+
+ORACLE_DATETIME_FUNCTIONS_EVENTS = """
+SELECT event_id,
+       timezone('America/New_York', timezone('UTC', ts)) AS ny_wall,
+       timezone('UTC', timezone('Asia/Tokyo', ts)) AS tokyo_utc,
+       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+       last_day(CAST(ts AS DATE)) AS eom,
+       CAST(CAST(ts AS DATE) + to_days(CAST(
+         CASE WHEN (1 - isodow(ts) % 7 + 7) % 7 = 0 THEN 7
+              ELSE (1 - isodow(ts) % 7 + 7) % 7 END AS INTEGER))
+         AS DATE) AS next_mon,
+       CAST(date_part('week', ts) AS INTEGER) AS iso_week,
+       CAST(quarter(ts) AS INTEGER) AS qtr,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS dow_sun1,
+       CAST(date_diff('day', CAST(ts AS DATE), DATE '2025-01-01')
+         AS INTEGER) AS days_to_2025,
+       date_trunc('second', ts) AS rebuilt_s
+FROM events
+"""
+
+QUERIES["datetime_functions_events"] = q_datetime_functions_events
+ORACLES["datetime_functions_events"] = ORACLE_DATETIME_FUNCTIONS_EVENTS
