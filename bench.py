@@ -189,6 +189,7 @@ HEADLINE = [
     "parameterized_sql_orders",
     "stream_upsert_availablenow",
     "datetime_functions_events",
+    "hof_functions_documents",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

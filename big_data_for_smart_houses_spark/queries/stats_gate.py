@@ -2418,3 +2418,86 @@ FROM events
 
 QUERIES["datetime_functions_events"] = q_datetime_functions_events
 ORACLES["datetime_functions_events"] = ORACLE_DATETIME_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Higher-order-function (lambda) completeness over array columns
+# ---------------------------------------------------------------------------
+
+def q_hof_functions_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lambda HOF family as a first-class gated surface (the
+    extensions use transform/aggregate/zip_with internally; this pins
+    the full set): ``transform``, ``filter``, ``exists``, ``forall``,
+    ``aggregate`` (fold), and comparator-``array_sort`` (length desc,
+    token asc — the tie-break makes the sort total, so the hash can
+    never see an engine-arbitrary order). Runs on each document's
+    first 8 whitespace tokens. DuckDB replays with list_* lambdas;
+    exists/forall become emptiness tests on list_filter, and the
+    custom comparator becomes sort-by-(-length, token) struct keys.
+    HOFs evaluate inside codegen on the JVM — this is the
+    stay-JVM-side alternative to a Python UDF for array work, the
+    difference between network-speed and pickle-speed at 100 TB."""
+    configure_for_oracle_parity(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.slice(F.split(F.col("text"), " "), 1, 8)
+
+    def cmp(l, r):  # noqa: E741 - comparator args
+        ll, lr = F.length(l), F.length(r)
+        return (
+            F.when(ll > lr, F.lit(-1))
+            .when(ll < lr, F.lit(1))
+            .when(l < r, F.lit(-1))
+            .when(l > r, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    # array outputs are joined to strings (house gate convention —
+    # the driver hash and harness compare scalars)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                arr, lambda x: F.length(x).cast("string")
+            ),
+            ",",
+        ).alias("tok_lens"),
+        F.array_join(
+            F.filter(arr, lambda x: F.length(x) > 3), ","
+        ).alias("long_toks"),
+        F.exists(arr, lambda x: F.length(x) > 8).alias("has_long"),
+        F.forall(arr, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("sum_len"),
+        F.array_join(F.array_sort(arr, cmp), ",").alias("by_len_desc"),
+    )
+
+
+ORACLE_HOF_FUNCTIONS_DOCUMENTS = """
+WITH t AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 8) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_transform(toks,
+         x -> CAST(length(x) AS VARCHAR)), ',') AS tok_lens,
+       array_to_string(list_filter(toks, x -> length(x) > 3), ',')
+         AS long_toks,
+       length(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,
+       length(list_filter(toks, x -> NOT (length(x) > 0))) = 0
+         AS all_nonempty,
+       CAST(list_sum(list_transform(toks,
+         x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sum_len,
+       array_to_string(list_transform(
+         list_sort(list_transform(toks,
+           x -> {'a': -length(x), 'b': x})),
+         s -> s.b), ',') AS by_len_desc
+FROM t
+"""
+
+QUERIES["hof_functions_documents"] = q_hof_functions_documents
+ORACLES["hof_functions_documents"] = ORACLE_HOF_FUNCTIONS_DOCUMENTS
