@@ -644,3 +644,63 @@ def test_round7_function_gate_plan_shapes(spark):
 
     p = _plan(spark, "parameterized_sql_orders")
     assert "PushedFilters" in p and "GreaterThan(o_totalprice" in p, p
+
+
+def test_cbo_analyze_statistics_flip_join_strategy(spark):
+    """Catalog statistics are the 100-TB join-planning lever file
+    sizes can't provide: without column stats a filtered dimension's
+    size estimate stays the FULL relation size (103 KB here), so at a
+    fixed autoBroadcastJoinThreshold the join plans as SortMergeJoin;
+    after ANALYZE ... FOR COLUMNS, CBO's range-selectivity estimate
+    shrinks the filtered side below the threshold and the same query
+    plans a BroadcastHashJoin. Asserts both directions of the flip on
+    the same session, then restores confs and drops the tables."""
+    import shutil
+
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for t in ("cbo_stats_o", "cbo_stats_l"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    try:
+        spark.read.parquet(f"{SF_DIR}/orders.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_stats_o")
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_stats_l")
+        q = """SELECT l.l_orderkey, o.o_totalprice
+               FROM cbo_stats_l l
+               JOIN cbo_stats_o o ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_totalprice > 495000.0"""
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(8 * 1024)
+        )
+        pre = (
+            spark.sql(q)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" in pre, pre
+        assert "BroadcastHashJoin" not in pre, pre
+        spark.sql(
+            "ANALYZE TABLE cbo_stats_o COMPUTE STATISTICS"
+            " FOR COLUMNS o_totalprice, o_orderkey"
+        )
+        spark.sql("ANALYZE TABLE cbo_stats_l COMPUTE STATISTICS")
+        post = (
+            spark.sql(q)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in post, post
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", prev_thr
+        )
+        for t in ("cbo_stats_o", "cbo_stats_l"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
