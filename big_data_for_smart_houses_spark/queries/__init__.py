@@ -27,11 +27,22 @@ insertion order. Round 7's `_CERTIFICATION_FRONT`:
    bloom-filter join pruning (RAISES without the injected
    might_contain), SQL UDFs (scalar + lateral table function), and
    the null-aware NOT IN three-valued-logic gate.
-3. 4 sentinels: the two queries round 7 edited
-   (xml_functions_events — now a deterministic 1-in-23 slice;
-   compaction_roundtrip_events — compact_files returns the actual
-   file count) plus the medallion spine (pricing_summary,
-   silver_pipeline_events).
+3. The two queries round 7 edited (xml_functions_events — now a
+   deterministic 1-in-23 slice; compaction_roundtrip_events —
+   compact_files returns the actual file count), plus the two
+   highest-signal late-round-7 streaming-execution gates
+   (statestore_read_availablenow — Spark 4 State Data Source
+   read-back of agg buffers; stream_upsert_availablenow —
+   foreachBatch CDC apply via merge_upsert with versioned snapshot
+   swap).
+
+ROUND-8 ROTATION QUEUE (late-round-7 gates that did not fit the
+50-slot window; all pass the sf0.01 exact mirror):
+agg_completeness_lineitem, url_functions_orders,
+transpose_summary_lineitem, pipe_syntax_lineitem,
+parameterized_sql_orders, datetime_functions_events,
+hof_functions_documents, tpch_q1_pricing_summary (registry alias of
+the long-certified pricing_summary).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The
@@ -151,12 +162,16 @@ _CERTIFICATION_FRONT = [
     "runtime_bloom_join_lineitem",
     "sql_udf_functions_events",
     "null_aware_notin_orders",
-    # --- sentinels: the two queries round 7 edited, then the
-    #     medallion / KPI / LLM spine ---
+    # --- the two queries round 7 edited (need re-certification on
+    #     their new behavior) ---
     "xml_functions_events",
     "compaction_roundtrip_events",
-    "pricing_summary",
-    "silver_pipeline_events",
+    # --- the two highest-signal late-round-7 gates (streaming
+    #     EXECUTION paths: state-store read-back, foreachBatch CDC
+    #     upsert); the remaining 7 late-round-7 function gates are
+    #     queued for the round-8 rotation (see docstring) ---
+    "statestore_read_availablenow",
+    "stream_upsert_availablenow",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
