@@ -1,0 +1,115 @@
+"""Property tests defending the round-7 function gates' ORACLE
+emulations — the gates hash Spark against DuckDB, so a bug that hits
+both sides identically would slip through; these pin each emulation
+against an independent pure-Python reference on adversarial inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _luhn_ref(s: str) -> bool:
+    """Textbook Luhn validity (independent of both engines)."""
+    total = 0
+    for i, ch in enumerate(reversed(s), start=1):
+        d = int(ch)
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+_LUHN_ORACLE = """
+SELECT (list_sum(list_transform(range(1, 13), i ->
+  CASE WHEN i % 2 = 0 THEN
+    CASE WHEN 2 * CAST(substring(?, 13 - i, 1) AS INTEGER) >= 10
+         THEN 2 * CAST(substring(?, 13 - i, 1) AS INTEGER) - 9
+         ELSE 2 * CAST(substring(?, 13 - i, 1) AS INTEGER) END
+  ELSE CAST(substring(?, 13 - i, 1) AS INTEGER) END
+)) % 10) = 0
+"""
+
+
+@given(st.integers(min_value=0, max_value=999_999_999_999))
+@settings(max_examples=300, deadline=None)
+def test_luhn_oracle_emulation_matches_reference(n):
+    s = str(n).zfill(12)
+    con = duckdb.connect()
+    got = con.execute(_LUHN_ORACLE, [s, s, s, s]).fetchone()[0]
+    con.close()
+    assert got == _luhn_ref(s), s
+
+
+def _width_bucket_ref(x: float, lo: float, hi: float, n: int) -> int:
+    """SQL-standard width_bucket for the gate's (0, 64, 8) config."""
+    if x < lo:
+        return 0
+    if x >= hi:
+        return n + 1
+    import math
+
+    return 1 + int(math.floor((x - lo) / ((hi - lo) / n)))
+
+
+@given(st.floats(min_value=-10.0, max_value=80.0,
+                 allow_nan=False, allow_infinity=False))
+@settings(max_examples=300, deadline=None)
+def test_width_bucket_oracle_emulation_matches_reference(x):
+    con = duckdb.connect()
+    got = con.execute(
+        """SELECT CASE WHEN ? < 0 THEN 0
+                  WHEN ? >= 64 THEN 9
+                  ELSE 1 + CAST(FLOOR(? / 8.0) AS BIGINT) END""",
+        [x, x, x],
+    ).fetchone()[0]
+    con.close()
+    assert got == _width_bucket_ref(x, 0.0, 64.0, 8), x
+
+
+def _next_monday_ref(d: dt.date) -> dt.date:
+    """Strictly-after next Monday (Spark next_day semantics)."""
+    off = (0 - d.weekday() + 7) % 7  # Monday == weekday 0
+    return d + dt.timedelta(days=off or 7)
+
+
+@given(st.dates(min_value=dt.date(1990, 1, 1),
+                max_value=dt.date(2100, 12, 31)))
+@settings(max_examples=300, deadline=None)
+def test_next_day_oracle_arithmetic_matches_reference(d):
+    con = duckdb.connect()
+    got = con.execute(
+        """SELECT CAST(CAST(? AS DATE) + to_days(CAST(
+             CASE WHEN (1 - isodow(CAST(? AS TIMESTAMP)) % 7 + 7) % 7 = 0
+                  THEN 7
+                  ELSE (1 - isodow(CAST(? AS TIMESTAMP)) % 7 + 7) % 7
+             END AS INTEGER)) AS DATE)""",
+        [d, d, d],
+    ).fetchone()[0]
+    con.close()
+    assert got == _next_monday_ref(d), d
+
+
+@pytest.mark.parametrize(
+    "tz", ["America/New_York", "Asia/Tokyo", "Europe/Berlin"]
+)
+def test_tz_chain_round_trips_across_dst(tz):
+    """The oracle's timezone() chain must invert cleanly on both
+    sides of a DST transition (from-zone then back-to-UTC)."""
+    con = duckdb.connect()
+    for ts in ("2024-03-10 06:30:00", "2024-11-03 06:30:00",
+               "2024-07-01 12:00:00", "2024-01-15 00:00:00"):
+        back = con.execute(
+            f"""SELECT timezone('UTC', timezone('{tz}',
+                  timezone('{tz}', timezone('UTC',
+                    TIMESTAMP '{ts}'))))""",
+        ).fetchone()[0]
+        assert back == dt.datetime.fromisoformat(ts), (tz, ts)
+    con.close()
