@@ -189,7 +189,7 @@ HEADLINE = [
     "parameterized_sql_orders",
     "stream_upsert_availablenow",
     "datetime_functions_events",
-    "hof_functions_documents",
+    "array_sort_hof_documents",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

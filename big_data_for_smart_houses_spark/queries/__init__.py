@@ -41,7 +41,7 @@ ROUND-8 ROTATION QUEUE (late-round-7 gates that did not fit the
 agg_completeness_lineitem, url_functions_orders,
 transpose_summary_lineitem, pipe_syntax_lineitem,
 parameterized_sql_orders, datetime_functions_events,
-hof_functions_documents, tpch_q1_pricing_summary (registry alias of
+array_sort_hof_documents, tpch_q1_pricing_summary (registry alias of
 the long-certified pricing_summary).
 
 After this window certifies, EVERY oracle-backed query in the

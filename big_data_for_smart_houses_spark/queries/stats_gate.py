@@ -2421,16 +2421,16 @@ ORACLES["datetime_functions_events"] = ORACLE_DATETIME_FUNCTIONS_EVENTS
 
 
 # ---------------------------------------------------------------------------
-# Higher-order-function (lambda) completeness over array columns
+# Comparator array_sort + filter (the HOFs the round-5 gate lacks)
 # ---------------------------------------------------------------------------
 
-def q_hof_functions_documents(
+def q_array_sort_hof_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The lambda HOF family as a first-class gated surface (the
-    extensions use transform/aggregate/zip_with internally; this pins
-    the full set): ``transform``, ``filter``, ``exists``, ``forall``,
-    ``aggregate`` (fold), and comparator-``array_sort`` (length desc,
+    """Completes the lambda HOF surface the round-5
+    ``hof_functions_documents`` gate started (exists/forall/
+    aggregate/zip_with/indexed transform): adds ``filter`` and the
+    marquee comparator-``array_sort`` (length desc,
     token asc — the tie-break makes the sort total, so the hash can
     never see an engine-arbitrary order). Runs on each document's
     first 8 whitespace tokens. DuckDB replays with list_* lambdas;
@@ -2477,7 +2477,7 @@ def q_hof_functions_documents(
     )
 
 
-ORACLE_HOF_FUNCTIONS_DOCUMENTS = """
+ORACLE_ARRAY_SORT_HOF_DOCUMENTS = """
 WITH t AS (
   SELECT doc_id, list_slice(string_split(text, ' '), 1, 8) AS toks
   FROM documents
@@ -2499,5 +2499,5 @@ SELECT doc_id,
 FROM t
 """
 
-QUERIES["hof_functions_documents"] = q_hof_functions_documents
-ORACLES["hof_functions_documents"] = ORACLE_HOF_FUNCTIONS_DOCUMENTS
+QUERIES["array_sort_hof_documents"] = q_array_sort_hof_documents
+ORACLES["array_sort_hof_documents"] = ORACLE_ARRAY_SORT_HOF_DOCUMENTS
