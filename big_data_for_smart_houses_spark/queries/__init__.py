@@ -82,6 +82,22 @@ from .streaming_gate import QUERIES as _STREAM_QUERIES
 from .tpch_gate import ORACLES as _TPCH_ORACLES
 from .tpch_gate import QUERIES as _TPCH_QUERIES
 
+# A name registered in two modules silently overwrites on merge —
+# assert disjointness so a collision is an import error, not a
+# shadowed gate (round 7 caught one: a late HOF gate landed on a
+# round-5 name and hid it until the bench-dedupe test flagged it).
+_MODULE_DICTS = (
+    _CORE_QUERIES, _PIPE_QUERIES, _GATE_QUERIES, _EXT_QUERIES,
+    _LLM_QUERIES, _CUR_QUERIES, _STATS_QUERIES, _ASM_QUERIES,
+    _INC_QUERIES, _STREAM_QUERIES, _MODERN_QUERIES, _TPCH_QUERIES,
+)
+_name_counts: dict = {}
+for _d in _MODULE_DICTS:
+    for _k in _d:
+        _name_counts[_k] = _name_counts.get(_k, 0) + 1
+_dups = sorted(k for k, v in _name_counts.items() if v > 1)
+assert not _dups, f"query name registered in two modules: {_dups}"
+
 _ALL_QUERIES = {
     **_CORE_QUERIES,
     **_PIPE_QUERIES,
