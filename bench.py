@@ -188,6 +188,7 @@ HEADLINE = [
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",
     "stream_upsert_availablenow",
+    "stream_upsert_restart_availablenow",
     "datetime_functions_events",
     "array_sort_hof_documents",
     "bucketed_join_orders",

@@ -1593,6 +1593,141 @@ QUERIES["stream_upsert_availablenow"] = q_stream_upsert_availablenow
 ORACLES["stream_upsert_availablenow"] = ORACLE_STREAM_UPSERT_AVAILABLENOW
 
 
+def q_stream_upsert_restart_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crash-restart IDEMPOTENCE of the foreachBatch CDC sink — the
+    failure mode that corrupts naive merge sinks in production: the
+    injected crash fires AFTER batch 1's versioned table write
+    completes but BEFORE its checkpoint offset commits, so on restart
+    the engine redelivers batch 1 and the merge is applied TWICE to a
+    table that already contains those rows. merge_upsert is
+    idempotent by construction (same key, same version stamp — the
+    updates-win tie rule replaces equal rows with equal rows), and
+    the current-table pointer is recomputed from the max on-disk
+    version directory, not driver memory, so the restart sees the
+    post-crash state exactly as a recovering job would. Final state
+    must hash-equal the single-application oracle — the same closure
+    as stream_upsert_availablenow."""
+    import os
+    import re
+
+    from pyspark.errors import StreamingQueryException
+
+    configure_for_oracle_parity(spark)
+    from ..operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_restart_gate_")
+    staged = f"{tmp}/staged"
+    table_root = f"{tmp}/table"
+    marker = f"{tmp}/crashed_once"
+    base = orders.withColumn("version", F.lit(0))
+    base.write.mode("overwrite").parquet(f"{table_root}/v0")
+
+    updates = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("version", F.lit(1)),
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+        .withColumn("version", F.lit(2)),
+    )
+    for i, u in enumerate(updates):
+        path = f"{staged}/batch={i}"
+        u.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(
+                    os.path.join(root, fname), (1000 + i, 1000 + i)
+                )
+
+    def _current_version() -> int:
+        vs = [
+            int(m.group(1))
+            for d in os.listdir(table_root)
+            if (m := re.fullmatch(r"v(\d+)", d))
+        ]
+        return max(vs)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = _current_version()
+        tbl = spark.read.parquet(f"{table_root}/v{cur}")
+        merged = merge_upsert(
+            tbl, batch_df, keys=["o_orderkey"], order_col="version"
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{table_root}/v{cur + 1}"
+        )
+        # crash AFTER the table write, BEFORE the checkpoint commit:
+        # restart must redeliver this batch and re-merge idempotently
+        if batch_id == 1 and not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("crashed after batch 1 table write\n")
+            raise RuntimeError(
+                "injected crash: batch 1 written, offset uncommitted"
+            )
+
+    def _start():
+        return (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(staged)
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    with _stream_state_partitions(spark):
+        first = _start()
+        try:
+            if not first.awaitTermination(_AWAIT_S):
+                first.stop()
+                raise TimeoutError(
+                    f"first run neither crashed nor finished in "
+                    f"{_AWAIT_S}s"
+                )
+            raise AssertionError(
+                "injected crash never fired — restart not exercised"
+            )
+        except StreamingQueryException:
+            pass
+        if not os.path.exists(marker):
+            raise AssertionError(
+                "query failed before the injected crash"
+            )
+        second = _start()
+        if not second.awaitTermination(_AWAIT_S):
+            second.stop()
+            raise TimeoutError(
+                f"restarted upsert availableNow run exceeded "
+                f"{_AWAIT_S}s"
+            )
+    return spark.read.parquet(
+        f"{table_root}/v{_current_version()}"
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+QUERIES["stream_upsert_restart_availablenow"] = (
+    q_stream_upsert_restart_availablenow
+)
+# the restart must be semantically invisible: same closure as the
+# clean-run upsert gate
+ORACLES["stream_upsert_restart_availablenow"] = (
+    ORACLE_STREAM_UPSERT_AVAILABLENOW
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
