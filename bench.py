@@ -187,6 +187,7 @@ HEADLINE = [
     "transpose_summary_lineitem",
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",
+    "sugar_syntax_orders",
     "stream_upsert_availablenow",
     "stream_upsert_restart_availablenow",
     "datetime_functions_events",

@@ -2362,3 +2362,44 @@ GROUP BY o_orderpriority
 
 QUERIES["parameterized_sql_orders"] = q_parameterized_sql_orders
 ORACLES["parameterized_sql_orders"] = ORACLE_PARAMETERIZED_SQL_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# SQL syntax sugar: GROUP BY ALL / ORDER BY ALL / star-EXCEPT
+# ---------------------------------------------------------------------------
+
+def q_sugar_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyst-ergonomics syntax Spark 4 shares with DuckDB:
+    ``GROUP BY ALL`` (infer grouping keys from the non-aggregate
+    select items), ``ORDER BY ALL``, and star-projection exclusion —
+    Spark spells it ``* EXCEPT (cols)``, DuckDB ``* EXCLUDE (cols)``;
+    the oracle uses its own spelling, which is the point: same
+    relational result from each engine's sugar. Counts and min only —
+    exact at any scale; one partial-aggregated shuffle."""
+    configure_for_oracle_parity(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_sugar_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS min_price
+        FROM (SELECT * EXCEPT (o_orderdate) FROM _sugar_orders)
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+ORACLE_SUGAR_SYNTAX_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS min_price
+FROM (SELECT * EXCLUDE (o_orderdate) FROM orders)
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+QUERIES["sugar_syntax_orders"] = q_sugar_syntax_orders
+ORACLES["sugar_syntax_orders"] = ORACLE_SUGAR_SYNTAX_ORDERS
