@@ -184,6 +184,7 @@ HEADLINE = [
     "agg_completeness_lineitem",
     "url_functions_orders",
     "statestore_read_availablenow",
+    "statestore_join_availablenow",
     "transpose_summary_lineitem",
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",

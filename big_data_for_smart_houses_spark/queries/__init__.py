@@ -41,7 +41,8 @@ ROUND-8 ROTATION QUEUE (late-round-7 gates that did not fit the
 agg_completeness_lineitem, url_functions_orders,
 transpose_summary_lineitem, pipe_syntax_lineitem,
 parameterized_sql_orders, sugar_syntax_orders, datetime_functions_events,
-array_sort_hof_documents, stream_upsert_restart_availablenow (crash
+array_sort_hof_documents, statestore_join_availablenow (joinSide
+state read-back), stream_upsert_restart_availablenow (crash
 AFTER the merge write, BEFORE the offset commit — idempotent
 re-apply), tpch_q1_pricing_summary (registry alias of the
 long-certified pricing_summary).

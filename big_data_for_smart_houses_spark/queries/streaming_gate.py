@@ -1728,6 +1728,102 @@ ORACLES["stream_upsert_restart_availablenow"] = (
 )
 
 
+def q_statestore_join_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State Data Source over STREAM-STREAM JOIN state (the
+    ``joinSide`` option): run an interval join between the even- and
+    odd-keyed halves of the events table under a 35-day watermark —
+    longer than the table's 30-day span, so NO buffered row is ever
+    evicted — then read each side's join state back and prove it is
+    EXACTLY the staged input of that side. This is the operational
+    question a stream-join owner actually asks ("what is this join
+    holding, and why is state growing"), answered bit-exact: the
+    oracle is just the two side filters of the batch table. The join
+    OUTPUT goes to noop — the state is the artifact under test."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="statestore_join_gate_")
+    ck = f"{tmp}/ckpt"
+    sides = {}
+    for name, parity in (("left", 0), ("right", 1)):
+        path = f"{tmp}/{name}"
+        ev.filter(F.col("event_id") % 2 == parity).drop(
+            "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        sides[name] = path
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    ls = (
+        spark.readStream.schema(schema)
+        .parquet(sides["left"])
+        .withWatermark("ts", "35 days")
+        .alias("l")
+    )
+    rs = (
+        spark.readStream.schema(schema)
+        .parquet(sides["right"])
+        .withWatermark("ts", "35 days")
+        .alias("r")
+    )
+    joined = ls.join(
+        rs,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (
+            F.col("r.ts").between(
+                F.col("l.ts"),
+                F.col("l.ts") + F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"statestore join gate exceeded {_AWAIT_S}s"
+            )
+    parts = []
+    for side in ("left", "right"):
+        st = (
+            spark.read.format("statestore")
+            .option("path", ck)
+            .option("joinSide", side)
+            .load()
+        )
+        parts.append(
+            st.select(
+                F.lit(side).alias("side"),
+                F.col("value.user_id").alias("user_id"),
+                F.col("value.ts").alias("ts"),
+                F.col("value.value").alias("value"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+ORACLE_STATESTORE_JOIN_AVAILABLENOW = """
+SELECT 'left' AS side, user_id, ts, value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 'right' AS side, user_id, ts, value
+FROM events WHERE event_id % 2 = 1
+"""
+
+QUERIES["statestore_join_availablenow"] = (
+    q_statestore_join_availablenow
+)
+ORACLES["statestore_join_availablenow"] = (
+    ORACLE_STATESTORE_JOIN_AVAILABLENOW
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
