@@ -189,6 +189,7 @@ HEADLINE = [
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",
     "sugar_syntax_orders",
+    "mapinarrow_tokens_documents",
     "stream_upsert_availablenow",
     "stream_upsert_restart_availablenow",
     "datetime_functions_events",

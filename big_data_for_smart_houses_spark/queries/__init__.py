@@ -40,7 +40,8 @@ ROUND-8 ROTATION QUEUE (late-round-7 gates that did not fit the
 50-slot window; all pass the sf0.01 exact mirror):
 agg_completeness_lineitem, url_functions_orders,
 transpose_summary_lineitem, pipe_syntax_lineitem,
-parameterized_sql_orders, sugar_syntax_orders, datetime_functions_events,
+parameterized_sql_orders, sugar_syntax_orders,
+mapinarrow_tokens_documents, datetime_functions_events,
 array_sort_hof_documents, statestore_join_availablenow (joinSide
 state read-back), stream_upsert_restart_availablenow (crash
 AFTER the merge write, BEFORE the offset commit — idempotent

@@ -2403,3 +2403,64 @@ ORDER BY ALL
 
 QUERIES["sugar_syntax_orders"] = q_sugar_syntax_orders
 ORACLES["sugar_syntax_orders"] = ORACLE_SUGAR_SYNTAX_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy Arrow-batch Python boundary
+# ---------------------------------------------------------------------------
+
+def q_mapinarrow_tokens_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python boundary Spark
+    offers (RecordBatch in, RecordBatch out, no pandas
+    materialization), completing the gated extension-point family
+    (scalar/UDAF pandas UDFs, UDTF, applyInPandas[WithState],
+    mapInPandas). The batch fn computes whitespace token counts and
+    total byte length with pyarrow.compute kernels only — vectorized
+    C++ on Arrow buffers, no per-row Python — exactly how a
+    tokenizer-adjacent hot loop should cross into Python at 100 TB
+    when it must. Oracle replays with string arithmetic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    configure_for_oracle_parity(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def batches(it):
+        for rb in it:
+            text = rb.column(1)
+            # tokens = whitespace splits; count = split length
+            n_tok = pc.list_value_length(
+                pc.split_pattern(text, " ")
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pc.cast(n_tok, pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_bytes"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id BIGINT, n_tokens BIGINT, n_bytes BIGINT"
+    )
+
+
+# token count == space count + 1 (documents are single-spaced,
+# non-empty); n_bytes is the UTF-8 byte length (strlen in DuckDB).
+ORACLE_MAPINARROW_TOKENS_DOCUMENTS = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1
+         AS BIGINT) AS n_tokens,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+QUERIES["mapinarrow_tokens_documents"] = q_mapinarrow_tokens_documents
+ORACLES["mapinarrow_tokens_documents"] = (
+    ORACLE_MAPINARROW_TOKENS_DOCUMENTS
+)
