@@ -563,6 +563,13 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 - report, don't die
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"  [{run}] {name}: ERROR {errors[name]}", file=sys.stderr)
+                # poll-and-discard the failed query's stages so its
+                # bytes are not attributed to the next query's entry
+                if poll_stages is not None:
+                    try:
+                        last_stage_id, _ = poll_stages(last_stage_id)
+                    except Exception:  # noqa: BLE001
+                        poll_stages = None
                 continue
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)

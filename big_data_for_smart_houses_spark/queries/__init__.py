@@ -188,8 +188,9 @@ _CERTIFICATION_FRONT = [
     "compaction_roundtrip_events",
     # --- the two highest-signal late-round-7 gates (streaming
     #     EXECUTION paths: state-store read-back, foreachBatch CDC
-    #     upsert); the remaining 7 late-round-7 function gates are
-    #     queued for the round-8 rotation (see docstring) ---
+    #     upsert); the remaining 12 late-round-7 entries are queued
+    #     for the round-8 rotation (exact list in the module
+    #     docstring's ROUND-8 ROTATION QUEUE) ---
     "statestore_read_availablenow",
     "stream_upsert_availablenow",
 ]

@@ -2173,12 +2173,27 @@ def q_url_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def luhn_sql(expr: str) -> str:
+    """Closed-form Luhn validity of a 12-digit string expression in
+    DuckDB SQL (doubled-digit sum, every 2nd from the right). Shared
+    by the gate oracle below AND the property test that defends the
+    emulation (tests/test_function_gate_props.py) — one copy, so the
+    tested fragment can never drift from the live oracle."""
+    return """(list_sum(list_transform(range(1, 13), i ->
+          CASE WHEN i % 2 = 0 THEN
+            CASE WHEN 2 * CAST(substring(%X%, 13 - i, 1) AS INTEGER) >= 10
+                 THEN 2 * CAST(substring(%X%, 13 - i, 1) AS INTEGER) - 9
+                 ELSE 2 * CAST(substring(%X%, 13 - i, 1) AS INTEGER) END
+          ELSE CAST(substring(%X%, 13 - i, 1) AS INTEGER) END
+        )) % 10) = 0""".replace("%X%", expr)
+
+
 # DuckDB has no parse_url/url_encode/format_number/luhn_check: the
 # oracle builds the identical URL string and replays each function in
 # closed form — regexp extraction for the URL parts, a replace chain
 # for the (space-only) encoding, %,d grouping plus the exact '.25'
 # fraction, and the Luhn doubled-digit sum over the padded key.
-ORACLE_URL_FUNCTIONS_ORDERS = """
+ORACLE_URL_FUNCTIONS_ORDERS = f"""
 WITH u AS (
   SELECT o_orderkey, o_orderpriority,
          lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS acct,
@@ -2195,13 +2210,7 @@ SELECT o_orderkey,
        replace(o_orderpriority, ' ', '+') AS prio_enc,
        o_orderpriority AS prio_rt,
        printf('%,d', o_orderkey) || '.25' AS fmt_key,
-       (list_sum(list_transform(range(1, 13), i ->
-          CASE WHEN i % 2 = 0 THEN
-            CASE WHEN 2 * CAST(substring(acct, 13 - i, 1) AS INTEGER) >= 10
-                 THEN 2 * CAST(substring(acct, 13 - i, 1) AS INTEGER) - 9
-                 ELSE 2 * CAST(substring(acct, 13 - i, 1) AS INTEGER) END
-          ELSE CAST(substring(acct, 13 - i, 1) AS INTEGER) END
-        )) % 10) = 0 AS luhn_ok,
+       {luhn_sql("acct")} AS luhn_ok,
        sha256(o_orderpriority || '|' || CAST(o_orderkey AS VARCHAR))
          AS digest,
        md5(o_orderpriority) AS prio_md5

@@ -2323,11 +2323,22 @@ def q_agg_completeness_lineitem(
     )
 
 
-# DuckDB lacks width_bucket; with bounds (0, 64, 8) the bucket width
-# is exactly 8, so 1 + floor(q/8) is the same function in closed form
+def width_bucket_sql(expr: str) -> str:
+    """DuckDB lacks width_bucket; with bounds (0, 64, 8) the bucket
+    width is exactly 8, so 1 + floor(x/8) is the same function in
+    closed form. Shared by the gate oracle AND the property test
+    defending the emulation (tests/test_function_gate_props.py)."""
+    return (
+        f"""CASE WHEN {expr} < 0 THEN 0
+                     WHEN {expr} >= 64 THEN 9
+                     ELSE 1 + CAST(FLOOR({expr} / 8.0) AS BIGINT)
+                END"""
+    )
+
+
 # (quantities are 1..50, never at the out-of-range edges, but the
-# CASE keeps the oracle total on any data).
-ORACLE_AGG_COMPLETENESS_LINEITEM = """
+# CASE keeps the oracle total on any data)
+ORACLE_AGG_COMPLETENESS_LINEITEM = f"""
 SELECT l_returnflag AS rf,
        mode(l_linenumber) AS mode_line,
        median(l_quantity) AS median_qty,
@@ -2338,10 +2349,7 @@ SELECT l_returnflag AS rf,
        CAST(count_if(l_quantity > 25) AS BIGINT) AS n_high_qty,
        bool_and(l_quantity > 0) AS all_pos,
        bool_or(l_discount > 0.09) AS any_hidisc,
-       CAST(SUM(CASE WHEN l_quantity < 0 THEN 0
-                     WHEN l_quantity >= 64 THEN 9
-                     ELSE 1 + CAST(FLOOR(l_quantity / 8.0) AS BIGINT)
-                END) AS BIGINT) AS wb_sum
+       CAST(SUM({width_bucket_sql("l_quantity")}) AS BIGINT) AS wb_sum
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -2397,16 +2405,25 @@ def q_datetime_functions_events(
     )
 
 
-ORACLE_DATETIME_FUNCTIONS_EVENTS = """
+def next_monday_sql(date_expr: str, ts_expr: str) -> str:
+    """Strictly-after next-Monday in closed-form isodow arithmetic
+    (Spark next_day semantics). Shared by the gate oracle AND the
+    property test defending it (tests/test_function_gate_props.py)."""
+    return (
+        f"""CAST({date_expr} + to_days(CAST(
+         CASE WHEN (1 - isodow({ts_expr}) % 7 + 7) % 7 = 0 THEN 7
+              ELSE (1 - isodow({ts_expr}) % 7 + 7) % 7 END AS INTEGER))
+         AS DATE)"""
+    )
+
+
+ORACLE_DATETIME_FUNCTIONS_EVENTS = f"""
 SELECT event_id,
        timezone('America/New_York', timezone('UTC', ts)) AS ny_wall,
        timezone('UTC', timezone('Asia/Tokyo', ts)) AS tokyo_utc,
        CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
        last_day(CAST(ts AS DATE)) AS eom,
-       CAST(CAST(ts AS DATE) + to_days(CAST(
-         CASE WHEN (1 - isodow(ts) % 7 + 7) % 7 = 0 THEN 7
-              ELSE (1 - isodow(ts) % 7 + 7) % 7 END AS INTEGER))
-         AS DATE) AS next_mon,
+       {next_monday_sql("CAST(ts AS DATE)", "ts")} AS next_mon,
        CAST(date_part('week', ts) AS INTEGER) AS iso_week,
        CAST(quarter(ts) AS INTEGER) AS qtr,
        CAST(dayofweek(ts) + 1 AS INTEGER) AS dow_sun1,

@@ -1478,6 +1478,49 @@ ORACLES["statestore_read_availablenow"] = (
 # Streaming CDC apply: foreachBatch + merge_upsert into a versioned table
 # ---------------------------------------------------------------------------
 
+def _stage_upsert_inputs(spark, orders, tmp: str):
+    """Shared staging for the CDC-upsert gate pair (clean run +
+    crash-restart): write the version-0 base table and two
+    mtime-ordered OVERLAPPING update batches (batch 1: +100 on even
+    keys; batch 2: +500 on keys % 5 == 0 — a key touched by both
+    must show batch 2's value). One copy, because both gates share
+    ORACLE_STREAM_UPSERT_AVAILABLENOW — the deltas, filters, and
+    listing order must never drift apart. Returns the staged stream
+    schema."""
+    import os
+
+    base = orders.withColumn("version", F.lit(0))
+    base.write.mode("overwrite").parquet(f"{tmp}/table/v0")
+    updates = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("version", F.lit(1)),
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+        .withColumn("version", F.lit(2)),
+    )
+    for i, u in enumerate(updates):
+        path = f"{tmp}/staged/batch={i}"
+        u.coalesce(1).write.mode("overwrite").parquet(path)
+        # force listing order: the file source orders by mtime
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(
+                    os.path.join(root, fname), (1000 + i, 1000 + i)
+                )
+    return base.schema
+
+
+def _upsert_final_state(spark, table_path: str):
+    """Shared final projection for the CDC-upsert gate pair."""
+    return spark.read.parquet(table_path).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+
 def q_stream_upsert_availablenow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1505,32 +1548,9 @@ def q_stream_upsert_availablenow(
     )
     tmp = tempfile.mkdtemp(prefix="stream_upsert_gate_")
     staged = f"{tmp}/staged"
-    base_dir = f"{tmp}/table/v0"
-    base = orders.withColumn("version", F.lit(0))
-    base.write.mode("overwrite").parquet(base_dir)
+    schema = _stage_upsert_inputs(spark, orders, tmp)
 
-    updates = (
-        orders.filter(F.col("o_orderkey") % 2 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
-        .withColumn("version", F.lit(1)),
-        orders.filter(F.col("o_orderkey") % 5 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
-        .withColumn("version", F.lit(2)),
-    )
-    import os as _osmod
-
-    for i, u in enumerate(updates):
-        path = f"{staged}/batch={i}"
-        u.coalesce(1).write.mode("overwrite").parquet(path)
-        # force listing order: the file source orders by mtime
-        for root, _dirs, files in _osmod.walk(path):
-            for fname in files:
-                _osmod.utime(
-                    _osmod.path.join(root, fname),
-                    (1000 + i, 1000 + i),
-                )
-
-    current = {"path": base_dir, "next": 1}
+    current = {"path": f"{tmp}/table/v0", "next": 1}
 
     def _apply(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1548,7 +1568,7 @@ def q_stream_upsert_availablenow(
         current["next"] += 1
 
     stream = (
-        spark.readStream.schema(base.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(staged)
@@ -1565,11 +1585,7 @@ def q_stream_upsert_availablenow(
             raise TimeoutError(
                 f"stream upsert availableNow run exceeded {_AWAIT_S}s"
             )
-    return spark.read.parquet(current["path"]).select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("price"),
-        F.col("version").cast("int").alias("version"),
-    )
+    return _upsert_final_state(spark, current["path"])
 
 
 ORACLE_STREAM_UPSERT_AVAILABLENOW = """
@@ -1624,25 +1640,7 @@ def q_stream_upsert_restart_availablenow(
     staged = f"{tmp}/staged"
     table_root = f"{tmp}/table"
     marker = f"{tmp}/crashed_once"
-    base = orders.withColumn("version", F.lit(0))
-    base.write.mode("overwrite").parquet(f"{table_root}/v0")
-
-    updates = (
-        orders.filter(F.col("o_orderkey") % 2 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
-        .withColumn("version", F.lit(1)),
-        orders.filter(F.col("o_orderkey") % 5 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
-        .withColumn("version", F.lit(2)),
-    )
-    for i, u in enumerate(updates):
-        path = f"{staged}/batch={i}"
-        u.coalesce(1).write.mode("overwrite").parquet(path)
-        for root, _dirs, files in os.walk(path):
-            for fname in files:
-                os.utime(
-                    os.path.join(root, fname), (1000 + i, 1000 + i)
-                )
+    schema = _stage_upsert_inputs(spark, orders, tmp)
 
     def _current_version() -> int:
         vs = [
@@ -1674,7 +1672,7 @@ def q_stream_upsert_restart_availablenow(
 
     def _start():
         return (
-            spark.readStream.schema(base.schema)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
             .parquet(staged)
@@ -1709,12 +1707,8 @@ def q_stream_upsert_restart_availablenow(
                 f"restarted upsert availableNow run exceeded "
                 f"{_AWAIT_S}s"
             )
-    return spark.read.parquet(
-        f"{table_root}/v{_current_version()}"
-    ).select(
-        "o_orderkey",
-        F.col("o_totalprice").alias("price"),
-        F.col("version").cast("int").alias("version"),
+    return _upsert_final_state(
+        spark, f"{table_root}/v{_current_version()}"
     )
 
 

@@ -27,23 +27,19 @@ def _luhn_ref(s: str) -> bool:
     return total % 10 == 0
 
 
-_LUHN_ORACLE = """
-SELECT (list_sum(list_transform(range(1, 13), i ->
-  CASE WHEN i % 2 = 0 THEN
-    CASE WHEN 2 * CAST(substring(?, 13 - i, 1) AS INTEGER) >= 10
-         THEN 2 * CAST(substring(?, 13 - i, 1) AS INTEGER) - 9
-         ELSE 2 * CAST(substring(?, 13 - i, 1) AS INTEGER) END
-  ELSE CAST(substring(?, 13 - i, 1) AS INTEGER) END
-)) % 10) = 0
-"""
-
-
 @given(st.integers(min_value=0, max_value=999_999_999_999))
 @settings(max_examples=300, deadline=None)
 def test_luhn_oracle_emulation_matches_reference(n):
+    # the LIVE fragment the gate oracle is built from — not a copy
+    from big_data_for_smart_houses_spark.queries.modern_gate import (
+        luhn_sql,
+    )
+
     s = str(n).zfill(12)
     con = duckdb.connect()
-    got = con.execute(_LUHN_ORACLE, [s, s, s, s]).fetchone()[0]
+    got = con.execute(
+        f"SELECT {luhn_sql(repr(s))}"
+    ).fetchone()[0]
     con.close()
     assert got == _luhn_ref(s), s
 
@@ -63,12 +59,14 @@ def _width_bucket_ref(x: float, lo: float, hi: float, n: int) -> int:
                  allow_nan=False, allow_infinity=False))
 @settings(max_examples=300, deadline=None)
 def test_width_bucket_oracle_emulation_matches_reference(x):
+    # the LIVE fragment the gate oracle is built from — not a copy
+    from big_data_for_smart_houses_spark.queries.stats_gate import (
+        width_bucket_sql,
+    )
+
     con = duckdb.connect()
     got = con.execute(
-        """SELECT CASE WHEN ? < 0 THEN 0
-                  WHEN ? >= 64 THEN 9
-                  ELSE 1 + CAST(FLOOR(? / 8.0) AS BIGINT) END""",
-        [x, x, x],
+        f"SELECT {width_bucket_sql(repr(x))}"
     ).fetchone()[0]
     con.close()
     assert got == _width_bucket_ref(x, 0.0, 64.0, 8), x
@@ -84,14 +82,16 @@ def _next_monday_ref(d: dt.date) -> dt.date:
                 max_value=dt.date(2100, 12, 31)))
 @settings(max_examples=300, deadline=None)
 def test_next_day_oracle_arithmetic_matches_reference(d):
+    # the LIVE fragment the gate oracle is built from — not a copy
+    from big_data_for_smart_houses_spark.queries.stats_gate import (
+        next_monday_sql,
+    )
+
+    lit = f"DATE '{d.isoformat()}'"
+    ts = f"TIMESTAMP '{d.isoformat()} 00:00:00'"
     con = duckdb.connect()
     got = con.execute(
-        """SELECT CAST(CAST(? AS DATE) + to_days(CAST(
-             CASE WHEN (1 - isodow(CAST(? AS TIMESTAMP)) % 7 + 7) % 7 = 0
-                  THEN 7
-                  ELSE (1 - isodow(CAST(? AS TIMESTAMP)) % 7 + 7) % 7
-             END AS INTEGER)) AS DATE)""",
-        [d, d, d],
+        f"SELECT {next_monday_sql(lit, ts)}"
     ).fetchone()[0]
     con.close()
     assert got == _next_monday_ref(d), d
