@@ -185,6 +185,7 @@ HEADLINE = [
     "url_functions_orders",
     "statestore_read_availablenow",
     "statestore_join_availablenow",
+    "stream_chained_availablenow",
     "transpose_summary_lineitem",
     "pipe_syntax_lineitem",
     "parameterized_sql_orders",

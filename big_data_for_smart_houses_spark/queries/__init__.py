@@ -42,7 +42,8 @@ agg_completeness_lineitem, url_functions_orders,
 transpose_summary_lineitem, pipe_syntax_lineitem,
 parameterized_sql_orders, sugar_syntax_orders,
 mapinarrow_tokens_documents, datetime_functions_events,
-array_sort_hof_documents, statestore_join_availablenow (joinSide
+array_sort_hof_documents, stream_chained_availablenow (two chained
+stateful operators in one query), statestore_join_availablenow (joinSide
 state read-back), stream_upsert_restart_availablenow (crash
 AFTER the merge write, BEFORE the offset commit — idempotent
 re-apply), tpch_q1_pricing_summary (registry alias of the
@@ -188,7 +189,7 @@ _CERTIFICATION_FRONT = [
     "compaction_roundtrip_events",
     # --- the two highest-signal late-round-7 gates (streaming
     #     EXECUTION paths: state-store read-back, foreachBatch CDC
-    #     upsert); the remaining 12 late-round-7 entries are queued
+    #     upsert); the remaining 13 late-round-7 entries are queued
     #     for the round-8 rotation (exact list in the module
     #     docstring's ROUND-8 ROTATION QUEUE) ---
     "statestore_read_availablenow",

@@ -1818,6 +1818,83 @@ ORACLES["statestore_join_availablenow"] = (
 )
 
 
+def q_stream_chained_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query
+    (Spark 3.5+/4 multiple-stateful-operator support):
+    ``dropDuplicatesWithinWatermark`` feeding a tumbling daily
+    count — the at-least-once → effectively-once → aggregate
+    pipeline every production ingest wants as a single query instead
+    of two jobs with an intermediate topic. The events table is
+    staged TWICE (full redelivery) one file per micro-batch: batch
+    2's rows are eliminated either as state-store duplicates (recent
+    keys) or as late data (older than the advanced watermark) —
+    both paths land on the same answer, counts over one copy.
+    Append mode emits exactly the day windows whose end has passed
+    the final watermark (max ts − 1 h), which the oracle replays in
+    closed form. Two state stores, one checkpoint, one lineage."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_chained_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=1")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=2")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    deduped = stream.withWatermark(
+        "ts", "1 hour"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    daily = (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            F.col("n"),
+        )
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            daily.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"chained stateful gate exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select("day_start", "n")
+
+
+ORACLE_STREAM_CHAINED_AVAILABLENOW = """
+WITH days AS (
+  SELECT date_trunc('day', ts) AS day_start,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(day_start AS TIMESTAMP) AS day_start, n
+FROM days
+WHERE day_start + INTERVAL 1 DAY
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+"""
+
+QUERIES["stream_chained_availablenow"] = q_stream_chained_availablenow
+ORACLES["stream_chained_availablenow"] = (
+    ORACLE_STREAM_CHAINED_AVAILABLENOW
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
