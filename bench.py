@@ -195,6 +195,8 @@ HEADLINE = [
     "stream_upsert_restart_availablenow",
     "datetime_functions_events",
     "array_sort_hof_documents",
+    "kmv_distinct_events",
+    "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
     "listagg_events",

@@ -42,7 +42,9 @@ agg_completeness_lineitem, url_functions_orders,
 transpose_summary_lineitem, pipe_syntax_lineitem,
 parameterized_sql_orders, sugar_syntax_orders,
 mapinarrow_tokens_documents, datetime_functions_events,
-array_sort_hof_documents, stream_chained_availablenow (two chained
+array_sort_hof_documents, kmv_distinct_events (bottom-k sketch,
+hash-exact state), join_types_orders (full-outer/semi/anti
+accounting), stream_chained_availablenow (two chained
 stateful operators in one query), statestore_join_availablenow (joinSide
 state read-back), stream_upsert_restart_availablenow (crash
 AFTER the merge write, BEFORE the offset commit — idempotent
@@ -189,7 +191,7 @@ _CERTIFICATION_FRONT = [
     "compaction_roundtrip_events",
     # --- the two highest-signal late-round-7 gates (streaming
     #     EXECUTION paths: state-store read-back, foreachBatch CDC
-    #     upsert); the remaining 13 late-round-7 entries are queued
+    #     upsert); the remaining 15 late-round-7 entries are queued
     #     for the round-8 rotation (exact list in the module
     #     docstring's ROUND-8 ROTATION QUEUE) ---
     "statestore_read_availablenow",

@@ -2518,3 +2518,161 @@ FROM t
 
 QUERIES["array_sort_hof_documents"] = q_array_sort_hof_documents
 ORACLES["array_sort_hof_documents"] = ORACLE_ARRAY_SORT_HOF_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k minimum values) distinct sketch — hash-EXACT sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+KMV_MULT = 2654435761  # odd => bijective mod 2^32 (Knuth)
+KMV_MOD = 4294967296
+
+
+def q_kmv_distinct_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV / bottom-k distinct sketch — the one cardinality sketch
+    whose ENTIRE state is hash-gateable bit-exact (unlike HLL, whose
+    register layout is implementation-private and gets an invariant
+    bound instead, `hll_reach_events`): the k smallest values of a
+    deterministic multiplicative hash over the key domain, estimator
+    (k-1)·M / kth_min. The hash is an odd-multiplier product mod
+    2^32 — a bijection, so no engineered collisions — and bottom-k
+    is a TakeOrdered(k), never a global sort or a driver collect of
+    the domain. The oracle replays hash, bottom-k, and estimator in
+    closed form; the one division is a single float op on identical
+    doubles. At 100 TB the sketch state is k values per partition
+    merged associatively — this gate pins the maths; the scan shape
+    is the same partial-agg pattern as every exact aggregate."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            ((F.col("user_id") * F.lit(KMV_MULT)) % F.lit(KMV_MOD))
+            .alias("h")
+        )
+    )
+    bottom = h.orderBy("h").limit(KMV_K)
+    n_exact = ev.select("user_id").distinct().count()
+    return bottom.agg(
+        F.count(F.lit(1)).alias("k_seen"),
+        F.max("h").alias("kth_min"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("h").cast("string")))
+        ).alias("bottom_k"),
+        (
+            (F.lit(float(KMV_K - 1)) * F.lit(float(KMV_MOD)))
+            / F.max("h").cast("double")
+        ).alias("est_distinct"),
+        F.lit(n_exact).cast("long").alias("n_exact"),
+    )
+
+
+ORACLE_KMV_DISTINCT_EVENTS = f"""
+WITH h AS (
+  SELECT DISTINCT (user_id * {KMV_MULT}) % {KMV_MOD} AS h FROM events
+),
+b AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS k_seen,
+       max(h) AS kth_min,
+       array_to_string(list(CAST(h AS VARCHAR) ORDER BY
+         CAST(h AS VARCHAR)), ',') AS bottom_k,
+       ({KMV_K - 1}.0 * {KMV_MOD}.0) / CAST(max(h) AS DOUBLE)
+         AS est_distinct,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_exact
+FROM b
+"""
+
+QUERIES["kmv_distinct_events"] = q_kmv_distinct_events
+ORACLES["kmv_distinct_events"] = ORACLE_KMV_DISTINCT_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Join-type completeness: FULL OUTER / semi / anti side accounting
+# ---------------------------------------------------------------------------
+
+def q_join_types_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-type family as one audited result: a FULL OUTER join
+    between deliberately misaligned slices (orders with
+    o_orderkey % 3 == 0 vs customers with c_custkey % 2 == 0) is
+    bucketed into matched / left-only / right-only rows — the
+    referential-audit shape — and the LEFT SEMI / LEFT ANTI counts
+    are emitted alongside, pinning the identity semi + anti ==
+    distinct-left-keys that a correct join implementation cannot
+    violate. Counts and min/max keys only, engine-exact. The outer
+    join shuffles both slices once on the key; semi/anti reuse the
+    same exchange shape."""
+    configure_for_oracle_parity(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey")
+    )
+    full = o.join(c, o["o_custkey"] == c["c_custkey"], "full_outer")
+    sides = (
+        full.select(
+            F.when(F.col("o_orderkey").isNull(), F.lit("right_only"))
+            .when(F.col("c_custkey").isNull(), F.lit("left_only"))
+            .otherwise(F.lit("matched"))
+            .alias("side"),
+            F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias(
+                "key"
+            ),
+        )
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+    semi = o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+    anti = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+    extra = semi.agg(
+        F.lit("semi_anti").alias("side"),
+        (F.count(F.lit(1)) + F.lit(anti.count())).alias("n"),
+        F.min("o_custkey").alias("min_key"),
+        F.max("o_custkey").alias("max_key"),
+    ).select("side", "n", "min_key", "max_key")
+    return sides.unionByName(extra)
+
+
+ORACLE_JOIN_TYPES_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+),
+c AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+f AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'right_only'
+              WHEN c.c_custkey IS NULL THEN 'left_only'
+              ELSE 'matched' END AS side,
+         COALESCE(o.o_custkey, c.c_custkey) AS key
+  FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+)
+SELECT side, CAST(count(*) AS BIGINT) AS n,
+       min(key) AS min_key, max(key) AS max_key
+FROM f GROUP BY side
+UNION ALL
+SELECT 'semi_anti' AS side,
+       CAST((SELECT count(*) FROM o
+             WHERE o_custkey IN (SELECT c_custkey FROM c))
+          + (SELECT count(*) FROM o
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM c))
+          AS BIGINT) AS n,
+       (SELECT min(o_custkey) FROM o
+        WHERE o_custkey IN (SELECT c_custkey FROM c)) AS min_key,
+       (SELECT max(o_custkey) FROM o
+        WHERE o_custkey IN (SELECT c_custkey FROM c)) AS max_key
+"""
+
+QUERIES["join_types_orders"] = q_join_types_orders
+ORACLES["join_types_orders"] = ORACLE_JOIN_TYPES_ORDERS
