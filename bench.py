@@ -568,7 +568,7 @@ def main() -> None:
                 print(f"  [{run}] {name}: ERROR {errors[name]}", file=sys.stderr)
                 # poll-and-discard the failed query's stages so its
                 # bytes are not attributed to the next query's entry
-                if poll_stages is not None:
+                if run == 0 and poll_stages is not None:
                     try:
                         last_stage_id, _ = poll_stages(last_stage_id)
                     except Exception:  # noqa: BLE001
@@ -577,8 +577,12 @@ def main() -> None:
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
             # I/O is a property of the plan, not the run: capture it
-            # once, on the first (cold) execution of each query.
-            if poll_stages is not None:
+            # once, on the first (cold) execution of each query —
+            # and poll ONLY during run 0. Each poll walks every
+            # retained StageData over py4j (~1000 round-trips late
+            # in the bench), so polling on warm runs would bill real
+            # wall-time to every min-of-N timing for zero new data.
+            if run == 0 and poll_stages is not None:
                 try:
                     last_stage_id, io = poll_stages(last_stage_id)
                     if name not in query_io:
