@@ -196,6 +196,9 @@ HEADLINE = [
     "datetime_functions_events",
     "array_sort_hof_documents",
     "kmv_distinct_events",
+    "kmv_merge_events",
+    "bfs_distances_transitions",
+    "vacuum_retention_orders",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",
@@ -360,6 +363,13 @@ SCALE10X_PROBES = [
     "sessionize_events",
     "gapfill_linear_events",
     "rolling_median_events",
+    # round-7 late wave: streaming execution gates scale with STATE
+    # and staged input; join_types with both join sides
+    "stream_upsert_availablenow",
+    "statestore_read_availablenow",
+    "statestore_join_availablenow",
+    "stream_chained_availablenow",
+    "join_types_orders",
 ]
 
 
@@ -382,6 +392,11 @@ def _bench_scale10x(spark) -> dict:
 
     root = tempfile.mkdtemp(prefix="bench_scale10x_")
     out: dict = {}
+    # Streaming gates memoize per (gate, sf_dir); the headline pass
+    # already ran them at SF_DIR, so without this the 1x timing below
+    # would be a memo hit (~0s) and the ratio meaningless.
+    prev_memo = os.environ.get("SPARK_GRAFT_NO_STREAM_MEMO")
+    os.environ["SPARK_GRAFT_NO_STREAM_MEMO"] = "1"
     try:
         scale_up_tables(spark, SF_DIR, f"{root}/x10", SCALE10X_FACTOR)
         for name in SCALE10X_PROBES:
@@ -416,6 +431,10 @@ def _bench_scale10x(spark) -> dict:
             )
         return out
     finally:
+        if prev_memo is None:
+            os.environ.pop("SPARK_GRAFT_NO_STREAM_MEMO", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_STREAM_MEMO"] = prev_memo
         shutil.rmtree(root, ignore_errors=True)
 
 
