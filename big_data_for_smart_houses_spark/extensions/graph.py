@@ -88,6 +88,61 @@ def pagerank(
     return ranks
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a directed edge DataFrame:
+    returns ``(id, dist)`` for every node reachable from ``seeds``
+    (a 1-column DataFrame of node ids, distance 0) within
+    ``max_hops`` hops, where ``dist`` is the MINIMUM hop count.
+
+    Same superstep idiom as :func:`pagerank` / ``dedup.dedup_groups``:
+    each round is ONE src-keyed equi-join of the current frontier into
+    the edge list plus ONE id-keyed min-fold — a Pregel
+    shortest-path superstep in DataFrames. The frontier join sends
+    only nodes discovered LAST round (``dist == hop-1``) back through
+    the edges, so total join work is O(|E| · avg_reach), not
+    O(|E| · rounds); ``localCheckpoint`` per round keeps lineage flat.
+    Distances are integers — engine-exact, no quantization — and the
+    fixed ``max_hops`` bound keeps the result deterministic and
+    oracle-checkable (the unrolled-CTE oracle replays the same fold).
+    """
+    if max_hops < 1:
+        raise ValueError("bfs_distances needs max_hops >= 1")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint()
+    )
+    for hop in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == hop - 1)
+        candidates = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.lit(1)).cast("int").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(candidates)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
 def _superstep(
     e: DataFrame,
     nodes: DataFrame,

@@ -49,7 +49,12 @@ stateful operators in one query), statestore_join_availablenow (joinSide
 state read-back), stream_upsert_restart_availablenow (crash
 AFTER the merge write, BEFORE the offset commit — idempotent
 re-apply), tpch_q1_pricing_summary (registry alias of the
-long-certified pricing_summary).
+long-certified pricing_summary), bfs_distances_transitions
+(multi-source BFS superstep loop, integer-exact vs an unrolled-CTE
+oracle), kmv_merge_events (KMV shard-state merge ≡ direct sketch —
+the mergeability property that matters at scale), and
+vacuum_retention_orders (expire_versions fold + as_of over the
+survivors ≡ the un-vacuumed final state).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -1167,6 +1167,104 @@ QUERIES["pagerank_user_transitions"] = q_pagerank_user_transitions
 ORACLES["pagerank_user_transitions"] = ORACLE_PAGERANK_USER_TRANSITIONS
 
 
+BFS_HOPS = 4
+BFS_SEED_MOD = 37
+
+
+def q_bfs_distances_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source BFS (extensions/graph.py:bfs_distances) over the
+    same user-transition graph as `pagerank_user_transitions`: hop
+    distance from the deterministic seed set (node ids ≡ 0 mod 37) to
+    every node reachable within 4 hops — the reachability/propagation
+    primitive (contamination spread, crawl frontier depth, influence
+    radius) next to PageRank's centrality. Each round is one
+    frontier-into-edges equi-join plus one min-fold; distances are
+    integers, so the gate is engine-exact with zero quantization. The
+    oracle unrolls the identical fold as chained CTEs — a replay of
+    the superstep maths, not of the DataFrame code."""
+    from pyspark.sql import Window
+
+    from ..extensions.graph import bfs_distances
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "user_id", F.lag("user_id").over(w).alias("prev_user")
+        )
+        .filter(
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") != F.col("user_id"))
+        )
+        .select(
+            F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+        )
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("id") % BFS_SEED_MOD == 0)
+    out = bfs_distances(edges, seeds, max_hops=BFS_HOPS)
+    return out.select(F.col("id").alias("user_id"), "dist")
+
+
+def _bfs_oracle_sql(hops: int, seed_mod: int) -> str:
+    """Unrolled fixed-round BFS min-fold in ANSI SQL: one CTE per
+    hop, each folding frontier expansions (dist = hop-1) into the
+    running per-node minimum — the oracle mirror of the
+    bfs_distances superstep loop."""
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT user_id,
+         lag(user_id) OVER (
+           PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+         ) AS prev_user
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT prev_user AS src, user_id AS dst
+  FROM seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+d0 AS (
+  SELECT id, 0 AS dist FROM nodes WHERE id % {seed_mod} = 0
+)"""
+    ]
+    for i in range(hops):
+        parts.append(
+            f""",
+d{i + 1} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM edges e JOIN d{i} d ON e.src = d.id
+    WHERE d.dist = {i}
+  ) GROUP BY id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS user_id, CAST(dist AS INT) AS dist FROM d{hops}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_BFS_DISTANCES_TRANSITIONS = _bfs_oracle_sql(
+    BFS_HOPS, BFS_SEED_MOD
+)
+
+QUERIES["bfs_distances_transitions"] = q_bfs_distances_transitions
+ORACLES["bfs_distances_transitions"] = ORACLE_BFS_DISTANCES_TRANSITIONS
+
+
 EMB_DIM = 64
 
 

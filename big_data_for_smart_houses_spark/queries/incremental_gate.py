@@ -600,3 +600,34 @@ WHERE o_orderkey % 11 <> 0
 
 QUERIES["time_travel_orders"] = q_time_travel_orders
 ORACLES["time_travel_orders"] = ORACLE_TIME_TRAVEL_ORDERS
+
+
+def q_vacuum_retention_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`expire_versions` (operators/merge.py) on the hash path — the
+    VACUUM/retention half of the format-free table-management story
+    (OPTIMIZE = compact_files, time travel = as_of_version): fold the
+    same 2-version CDC history as `time_travel_orders` at retention
+    point v1 (base+v1 become the new base snapshot; v1 stops being
+    independently reconstructable — that is the point), then read the
+    retained history forward to the final state. The final state must
+    be IDENTICAL to reading v2 off the un-vacuumed history, so the
+    oracle is the same independent closed-form per-key CASE — but the
+    engine path here is the two-stage fold (expire, then as_of over
+    the survivors), which a broken retention fold (dropped tombstone,
+    re-applied batch, off-by-one version split) breaks while leaving
+    `time_travel_orders` green. Same engine-exact arithmetic."""
+    from ..operators.merge import as_of_version, expire_versions
+
+    base, batches = _tt_batches(_orders(spark, sf_dir))
+    new_base, rest = expire_versions(
+        base, batches, keep_from_version=1, keys=["o_orderkey"]
+    )
+    return as_of_version(
+        new_base, rest, version=1, keys=["o_orderkey"]
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+QUERIES["vacuum_retention_orders"] = q_vacuum_retention_orders
+ORACLES["vacuum_retention_orders"] = ORACLE_TIME_TRAVEL_ORDERS

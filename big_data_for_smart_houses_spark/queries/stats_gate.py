@@ -2591,6 +2591,117 @@ QUERIES["kmv_distinct_events"] = q_kmv_distinct_events
 ORACLES["kmv_distinct_events"] = ORACLE_KMV_DISTINCT_EVENTS
 
 
+KMV_SHARDS = 4
+
+
+def q_kmv_merge_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV sketch MERGEABILITY on the hash path — the property that
+    makes a sketch usable at 100 TB (per-partition states folded
+    associatively, never the raw domain): shard the key domain 4 ways
+    (user_id mod 4, simulating per-partition accumulators), take each
+    shard's bottom-k state (one windowed rank per shard — k·shards
+    rows total), merge by pooling the shard states and re-taking
+    bottom-k, and emit the merged state NEXT TO the direct
+    whole-domain sketch (`kmv_distinct_events`' path). Merged ≡
+    direct is the KMV merge theorem; a broken merge (lost shard, cap
+    applied before pooling, dedup across shards) shifts kth_min or
+    the state string and hash-fails. All values are exact integers or
+    single float divisions on identical doubles — no quantization."""
+    configure_for_oracle_parity(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            (F.col("user_id") % F.lit(KMV_SHARDS)).alias("shard"),
+            ((F.col("user_id") * F.lit(KMV_MULT)) % F.lit(KMV_MOD))
+            .alias("h"),
+        )
+    )
+    shard_w = Window.partitionBy("shard").orderBy("h")
+    shard_states = (
+        h.withColumn("rn", F.row_number().over(shard_w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("shard", "h")
+    )
+    merged = shard_states.orderBy("h").limit(KMV_K)
+    direct = h.orderBy("h").limit(KMV_K)
+    m = merged.agg(
+        F.max("h").alias("kth_min_merged"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("h").cast("string")))
+        ).alias("state_merged"),
+        (
+            (F.lit(float(KMV_K - 1)) * F.lit(float(KMV_MOD)))
+            / F.max("h").cast("double")
+        ).alias("est_merged"),
+    )
+    d = direct.agg(
+        F.max("h").alias("kth_min_direct"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list(F.col("h").cast("string")))
+        ).alias("state_direct"),
+    )
+    return m.crossJoin(d).select(
+        "kth_min_merged",
+        "kth_min_direct",
+        (F.col("kth_min_merged") == F.col("kth_min_direct")).alias(
+            "kth_min_equal"
+        ),
+        (F.col("state_merged") == F.col("state_direct")).alias(
+            "state_equal"
+        ),
+        "est_merged",
+        "state_merged",
+    )
+
+
+ORACLE_KMV_MERGE_EVENTS = f"""
+WITH h AS (
+  SELECT DISTINCT user_id % {KMV_SHARDS} AS shard,
+         (user_id * {KMV_MULT}) % {KMV_MOD} AS h
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+shard_states AS (
+  SELECT shard, h FROM (
+    SELECT shard, h,
+           row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+),
+merged AS (SELECT h FROM shard_states ORDER BY h LIMIT {KMV_K}),
+direct AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+m AS (
+  SELECT max(h) AS kth_min_merged,
+         array_to_string(list(CAST(h AS VARCHAR) ORDER BY
+           CAST(h AS VARCHAR)), ',') AS state_merged,
+         ({KMV_K - 1}.0 * {KMV_MOD}.0) / CAST(max(h) AS DOUBLE)
+           AS est_merged
+  FROM merged
+),
+d AS (
+  SELECT max(h) AS kth_min_direct,
+         array_to_string(list(CAST(h AS VARCHAR) ORDER BY
+           CAST(h AS VARCHAR)), ',') AS state_direct
+  FROM direct
+)
+SELECT kth_min_merged,
+       kth_min_direct,
+       kth_min_merged = kth_min_direct AS kth_min_equal,
+       state_merged = state_direct AS state_equal,
+       est_merged,
+       state_merged
+FROM m CROSS JOIN d
+"""
+
+QUERIES["kmv_merge_events"] = q_kmv_merge_events
+ORACLES["kmv_merge_events"] = ORACLE_KMV_MERGE_EVENTS
+
+
 # ---------------------------------------------------------------------------
 # Join-type completeness: FULL OUTER / semi / anti side accounting
 # ---------------------------------------------------------------------------

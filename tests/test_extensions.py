@@ -327,3 +327,56 @@ def test_pagerank_rejects_empty_edges(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(empty)
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Directed graph with a chain, a shortcut, a cycle, and an
+    unreachable node: 0→1→2→3→4 (chain), 0→3 (shortcut: dist(3)=1,
+    dist(4)=2 — the min-fold must prefer the shortcut even though the
+    chain path also reaches them), 4→0 (cycle must not loop forever
+    or lower the seed's 0), and 7→8 disconnected (never appears)."""
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0), (7, 8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+
+
+def test_bfs_distances_hop_bound_truncates(spark):
+    """max_hops is a hard frontier bound: on the 4-chain with
+    max_hops=2 only nodes at dist <= 2 appear."""
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_distances_validates_args(spark):
+    import pytest
+
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError):
+        bfs_distances(edges, seeds, max_hops=0)
