@@ -198,7 +198,9 @@ HEADLINE = [
     "kmv_distinct_events",
     "kmv_merge_events",
     "bfs_distances_transitions",
+    "triangle_count_transitions",
     "vacuum_retention_orders",
+    "stream_multiwatermark_availablenow",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -143,6 +143,82 @@ def bfs_distances(
     return dist
 
 
+ORIENT_BASE = 4_294_967_296  # 2^32: okey = degree * 2^32 + id
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over the UNDIRECTED simple graph induced
+    by ``edges`` (direction and multiplicity dropped; self-loops
+    ignored), via degree orientation — the standard distributed
+    algorithm: orient every edge from the endpoint with the smaller
+    ``(degree, id)`` composite key toward the larger, enumerate wedges
+    only from each node's ORIENTED out-neighbors, and close each wedge
+    against the oriented edge list. Orientation bounds out-degree by
+    O(sqrt(E)) on any graph, so wedge volume is O(E^1.5) instead of
+    the O(sum deg²) a naive neighbor self-join pays on skewed degree
+    distributions — the difference between feasible and not at 100 TB,
+    where degree skew is the rule. Every triangle is counted exactly
+    once (its three vertices are totally ordered by okey). Returns one
+    row: ``(n_nodes, n_edges, n_wedges, n_triangles)`` — all exact
+    integers. Three keyed joins + one count; nothing touches the
+    driver."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "id",
+            (F.col("deg") * F.lit(ORIENT_BASE) + F.col("id")).alias(
+                "okey"
+            ),
+        )
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("okey", "okey_u")
+        .join(deg.withColumnRenamed("id", "v"), "v")
+        .withColumnRenamed("okey", "okey_v")
+    )
+    oriented = keyed.select(
+        F.when(F.col("okey_u") < F.col("okey_v"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("ls"),
+        F.when(F.col("okey_u") < F.col("okey_v"), F.col("v"))
+        .otherwise(F.col("u"))
+        .alias("hs"),
+        F.greatest("okey_u", "okey_v").alias("okey_hs"),
+    ).localCheckpoint()
+    w1 = oriented.select(
+        F.col("ls"), F.col("hs").alias("x"), F.col("okey_hs").alias("kx")
+    )
+    w2 = oriented.select(
+        F.col("ls"), F.col("hs").alias("y"), F.col("okey_hs").alias("ky")
+    )
+    wedges = w1.join(w2, "ls").filter(F.col("kx") < F.col("ky"))
+    closing = oriented.select(
+        F.col("ls").alias("x"), F.col("hs").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])
+    return (
+        wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
+
+
 def _superstep(
     e: DataFrame,
     nodes: DataFrame,

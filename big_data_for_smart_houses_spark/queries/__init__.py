@@ -54,7 +54,12 @@ long-certified pricing_summary), bfs_distances_transitions
 oracle), kmv_merge_events (KMV shard-state merge ≡ direct sketch —
 the mergeability property that matters at scale), and
 vacuum_retention_orders (expire_versions fold + as_of over the
-survivors ≡ the un-vacuumed final state).
+survivors ≡ the un-vacuumed final state),
+stream_multiwatermark_availablenow (two source streams with
+different watermark delays unioned — the min-watermark policy's
+emission closure, hash-exact), and triangle_count_transitions
+(degree-oriented O(E^1.5) triangle counting, exact integers vs a
+full SQL replay of the orient→wedge→close pipeline).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -1265,6 +1265,90 @@ QUERIES["bfs_distances_transitions"] = q_bfs_distances_transitions
 ORACLES["bfs_distances_transitions"] = ORACLE_BFS_DISTANCES_TRANSITIONS
 
 
+def q_triangle_count_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree-oriented triangle counting
+    (extensions/graph.py:triangle_count) over the undirected closure
+    of the user-transition graph — the clustering/cohesion primitive
+    (graph density, community tightness, link-spam signatures in
+    crawl curation) completing the graph family next to PageRank
+    (centrality), BFS (reachability), and connected components
+    (partition). The orientation bounds wedge enumeration at
+    O(E^1.5) regardless of degree skew; the oracle replays the same
+    canonicalize → degree-okey → orient → wedge → close pipeline in
+    SQL. All four outputs are exact integers — one wedge miscounted,
+    one triangle double-counted across its three rotations, and the
+    hash fails."""
+    from pyspark.sql import Window
+
+    from ..extensions.graph import triangle_count
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "user_id", F.lag("user_id").over(w).alias("prev_user")
+        )
+        .filter(
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") != F.col("user_id"))
+        )
+        .select(
+            F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+        )
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLE_COUNT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         lag(user_id) OVER (
+           PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+         ) AS prev_user
+  FROM events
+),
+e0 AS (
+  SELECT DISTINCT prev_user AS a, user_id AS b
+  FROM seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM e0 WHERE a <> b
+),
+deg AS (
+  SELECT id, count(*) * 4294967296 + id AS okey
+  FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+  GROUP BY id
+),
+orient AS (
+  SELECT CASE WHEN du.okey < dv.okey THEN und.u ELSE und.v END AS ls,
+         CASE WHEN du.okey < dv.okey THEN und.v ELSE und.u END AS hs,
+         greatest(du.okey, dv.okey) AS okey_hs
+  FROM und
+  JOIN deg du ON und.u = du.id
+  JOIN deg dv ON und.v = dv.id
+),
+wedges AS (
+  SELECT w1.ls, w1.hs AS x, w2.hs AS y
+  FROM orient w1
+  JOIN orient w2 ON w1.ls = w2.ls AND w1.okey_hs < w2.okey_hs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM wedges w JOIN orient o ON w.x = o.ls AND w.y = o.hs)
+         AS n_triangles
+"""
+
+QUERIES["triangle_count_transitions"] = q_triangle_count_transitions
+ORACLES["triangle_count_transitions"] = ORACLE_TRIANGLE_COUNT_TRANSITIONS
+
+
 EMB_DIM = 64
 
 

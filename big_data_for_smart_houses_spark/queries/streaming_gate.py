@@ -1896,6 +1896,106 @@ ORACLES["stream_chained_availablenow"] = (
 
 
 # ---------------------------------------------------------------------------
+# Multi-watermark union: the min-watermark policy executed
+# ---------------------------------------------------------------------------
+
+MW_DELAY_A_S = 3600
+MW_DELAY_B_S = 10800
+
+
+def q_stream_multiwatermark_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO source streams with DIFFERENT watermark delays unioned into
+    one windowed aggregate — the multi-watermark surface none of the
+    single-source gates touch. Spark's default
+    ``multipleWatermarkPolicy = min`` sets the global watermark to the
+    LAGGING source's (here the odd-user stream, 3 h delay, vs 1 h on
+    the even-user stream), so append mode withholds every window the
+    slow source might still back-fill, even where the fast source is
+    hours past it. The oracle states that closure in closed form:
+    windows with end <= least(max(ts_even) - 1 h, max(ts_odd) - 3 h).
+    A broken policy (max instead of min, one source's watermark
+    ignored, per-source emission) changes the emitted window set and
+    hash-fails. Counts and max only — engine-exact."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_mw_gate_")
+    out_dir = f"{tmp}/out"
+    even = ev.filter(F.col("user_id") % 2 == 0)
+    odd = ev.filter(F.col("user_id") % 2 != 0)
+    even.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/staged_a")
+    odd.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/staged_b")
+    sa = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{tmp}/staged_a")
+        .withWatermark("ts", f"{MW_DELAY_A_S} seconds")
+    )
+    sb = (
+        spark.readStream.schema(ev.schema)
+        .parquet(f"{tmp}/staged_b")
+        .withWatermark("ts", f"{MW_DELAY_B_S} seconds")
+    )
+    agg = (
+        sa.unionByName(sb)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "value_max",
+        )
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"multi-watermark availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "window_start", "n_events", "value_max"
+    )
+
+
+ORACLE_STREAM_MULTIWATERMARK_AVAILABLENOW = f"""
+WITH wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE user_id % 2 = 0)
+      - INTERVAL {MW_DELAY_A_S} SECOND,
+    (SELECT max(ts) FROM events WHERE user_id % 2 <> 0)
+      - INTERVAL {MW_DELAY_B_S} SECOND
+  ) AS w
+)
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(value) AS value_max
+FROM events CROSS JOIN wm
+GROUP BY 1, wm.w
+HAVING window_start + INTERVAL 1 HOUR <= wm.w
+"""
+
+QUERIES["stream_multiwatermark_availablenow"] = (
+    q_stream_multiwatermark_availablenow
+)
+ORACLES["stream_multiwatermark_availablenow"] = (
+    ORACLE_STREAM_MULTIWATERMARK_AVAILABLENOW
+)
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
 # live under a fresh mkdtemp per execution, and the emitted rows are a

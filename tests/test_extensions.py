@@ -369,6 +369,41 @@ def test_bfs_distances_hop_bound_truncates(spark):
     assert got == {0: 0, 1: 1, 2: 2}
 
 
+def test_triangle_count_k4_plus_pendant(spark):
+    """K4 (4 triangles) plus a pendant edge (no new triangle):
+    reversed duplicates and a self-loop must collapse into the simple
+    undirected graph before counting."""
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9), (9, 3), (2, 2)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7  # 6 K4 edges + pendant
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    """A 4-cycle: all degrees equal so orientation falls back to id
+    order, node 0 holds exactly one oriented wedge (1,3), and the
+    missing 1-3 chord means zero triangles — the wedge is enumerated
+    but never closed."""
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 1
+
+
 def test_bfs_distances_validates_args(spark):
     import pytest
 
