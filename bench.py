@@ -201,6 +201,7 @@ HEADLINE = [
     "triangle_count_transitions",
     "vacuum_retention_orders",
     "stream_multiwatermark_availablenow",
+    "stream_timeout_sessions_availablenow",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

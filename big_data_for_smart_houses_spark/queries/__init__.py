@@ -59,7 +59,10 @@ stream_multiwatermark_availablenow (two source streams with
 different watermark delays unioned — the min-watermark policy's
 emission closure, hash-exact), and triangle_count_transitions
 (degree-oriented O(E^1.5) triangle counting, exact integers vs a
-full SQL replay of the orient→wedge→close pipeline).
+full SQL replay of the orient→wedge→close pipeline), and
+stream_timeout_sessions_availablenow (GroupStateTimeout.
+EventTimeTimeout executed: sessions closed by gap AND by
+watermark-fired timeout, strict-> boundary pinned by test).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

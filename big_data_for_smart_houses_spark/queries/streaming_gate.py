@@ -1996,6 +1996,113 @@ ORACLES["stream_multiwatermark_availablenow"] = (
 
 
 # ---------------------------------------------------------------------------
+# Event-time timeout: the state-lifecycle branch executed
+# ---------------------------------------------------------------------------
+
+TIMEOUT_GAP_S = 1800
+TIMEOUT_WM_S = 600
+
+
+def q_stream_timeout_sessions_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``GroupStateTimeout.EventTimeTimeout`` on the hash path — the
+    Python-state lifecycle branch (``state.hasTimedOut`` →
+    ``state.remove()``) that every NoTimeout operator skips:
+    gap-sessionize per user with sessions closed EITHER by a later
+    in-data event exceeding the 30-min gap (``closed_by='gap'``,
+    emitted during the data batch) OR by the watermark passing
+    ``last_event + gap`` (``closed_by='timeout'``, emitted in
+    availableNow's final no-data batch, which exists precisely to
+    fire these). A user's final session is emitted iff its timeout
+    instant is STRICTLY below the final watermark ``max(ts) - 10
+    min`` (probed empirically, like the session gate's closure);
+    later sessions stay in state. The oracle replays batch session
+    islands, labels each user's last session 'timeout' and the rest
+    'gap', and applies that closure predicate — a missed timeout, a
+    doubled emission (timeout + gap for the same session), or state
+    resurrected after remove() each changes the row set and
+    hash-fails."""
+    configure_for_oracle_parity(spark)
+    from ..streaming.stateful import track_sessions_timeout
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="stream_timeout_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(staged)
+        .withWatermark("ts", f"{TIMEOUT_WM_S} seconds")
+    )
+    with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
+        q = (
+            track_sessions_timeout(stream, TIMEOUT_GAP_S)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"timeout-session availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start", "session_end", "n_events", "closed_by"
+    )
+
+
+ORACLE_STREAM_TIMEOUT_SESSIONS_AVAILABLENOW = f"""
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {TIMEOUT_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS seq
+  FROM seq
+),
+agg AS (
+  SELECT user_id, seq,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+),
+lastsess AS (SELECT user_id, max(seq) AS mseq FROM agg GROUP BY 1),
+wm AS (
+  SELECT max(ts) - INTERVAL {TIMEOUT_WM_S} SECOND AS w FROM events
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+       CASE WHEN a.seq = l.mseq THEN 'timeout' ELSE 'gap' END
+         AS closed_by
+FROM agg a
+JOIN lastsess l ON a.user_id = l.user_id
+CROSS JOIN wm
+WHERE a.seq < l.mseq
+   OR a.session_end + INTERVAL {TIMEOUT_GAP_S} SECOND < wm.w
+"""
+
+QUERIES["stream_timeout_sessions_availablenow"] = (
+    q_stream_timeout_sessions_availablenow
+)
+ORACLES["stream_timeout_sessions_availablenow"] = (
+    ORACLE_STREAM_TIMEOUT_SESSIONS_AVAILABLENOW
+)
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
 # live under a fresh mkdtemp per execution, and the emitted rows are a

@@ -120,6 +120,124 @@ def track_device_sessions(
     )
 
 
+TIMEOUT_SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),
+    ]
+)
+
+TIMEOUT_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _track_sessions_timeout(gap_seconds: int):
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session can
+            # never be extended by in-order data — close it from the
+            # TIMEOUT path (the state-lifecycle branch this operator
+            # exists to exercise) and drop the state row.
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [
+                            pd.Timestamp(start_us, unit="us")
+                        ],
+                        "session_end": [pd.Timestamp(last_us, unit="us")],
+                        "n_events": [n],
+                        "closed_by": ["timeout"],
+                    }
+                )
+            return
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us = max(last_us, t)
+                    n += 1
+        if last_us is not None:
+            state.update((int(start_us), int(last_us), int(n)))
+            # event-time timeout: fire once the watermark passes the
+            # instant a gap-close became impossible (ms epoch per the
+            # GroupState API)
+            state.setTimeoutTimestamp(
+                last_us // 1000 + gap_seconds * 1000
+            )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                    "closed_by": "gap",
+                }
+            )
+
+    return fn
+
+
+def track_sessions_timeout(
+    stream: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+) -> DataFrame:
+    """Gap sessionization over a WATERMARKED stream of
+    ``(user_id, ts)`` that closes sessions two ways: by a later
+    in-data event exceeding the gap (``closed_by = 'gap'``, same as
+    :func:`track_device_sessions`), and by EVENT-TIME TIMEOUT
+    (``closed_by = 'timeout'``) when the watermark passes
+    ``last_event + gap`` — the ``GroupStateTimeout.EventTimeTimeout``
+    lifecycle none of the NoTimeout operators touch. Without
+    timeouts, each key's final session sits in state forever (exactly
+    what the NoTimeout operators do by contract); with them, state is
+    self-draining — the property that bounds state size on keys that
+    go quiet, which at production stream cardinalities is most of
+    them. Callers must put ``withWatermark`` on ``stream`` before
+    this (EventTimeTimeout requires it)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _track_sessions_timeout(gap_seconds),
+        outputStructType=TIMEOUT_SESSION_OUTPUT_SCHEMA,
+        stateStructType=TIMEOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming EWMA: the incremental form of operators/windows.ewma_smooth
 # ---------------------------------------------------------------------------

@@ -533,3 +533,94 @@ def test_locf_fold_no_drop_across_arrow_chunks():
     ]
     # open bucket carries the minute-130 observation
     assert state.get[2] == 9.0
+
+
+def test_timeout_session_fold_offline():
+    """The EventTimeTimeout fold in isolation: in-batch gap close
+    emits 'gap' rows, the open tail lands in state with its timeout
+    set to last + gap (ms epoch), and the hasTimedOut branch emits
+    the state as a 'timeout' row then removes it."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions_timeout,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    fn = _track_sessions_timeout(100)
+    pdf = pd.DataFrame({"ts": pd.to_datetime([1.0, 1000.0], unit="s")})
+    state = FakeState()
+    out = list(fn((4,), iter([pdf]), state))
+    assert len(out) == 1 and list(out[0]["closed_by"]) == ["gap"]
+    assert state.get == (1_000_000_000, 1_000_000_000, 1)
+    assert state.timeout_ms == 1_100_000  # 1000 s + 100 s gap, in ms
+
+    state.hasTimedOut = True
+    fired = list(fn((4,), iter([]), state))
+    assert len(fired) == 1 and list(fired[0]["closed_by"]) == ["timeout"]
+    assert int(fired[0]["n_events"].iloc[0]) == 1
+    assert not state.exists  # removed — no re-fire, no resurrection
+
+
+def test_timeout_sessions_stream_boundary(spark):
+    """EventTimeTimeout boundary semantics on a real availableNow
+    run, pinned for the gate oracle's closure predicate: a timeout at
+    EXACTLY the final watermark does NOT fire (strict >), one below
+    fires, one above holds. gap=100 s, delay=50 s, max ts=1000 s →
+    wm=950 s; users 1/2/3 have single events at 850/840/860 s
+    (timeouts 950/940/960), user 4's pair (1 s, 1000 s) gap-closes
+    in the data batch."""
+    import tempfile
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        track_sessions_timeout,
+    )
+
+    rows = [(1, 850.0), (2, 840.0), (3, 860.0), (4, 1.0), (4, 1000.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, sec double"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="timeout_boundary_")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/staged")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(f"{tmp}/staged")
+        .withWatermark("ts", "50 seconds")
+    )
+    q = (
+        track_sessions_timeout(stream, 100)
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["closed_by"])
+        for r in spark.read.parquet(f"{tmp}/out").collect()
+    }
+    assert got == {(2, "timeout"), (4, "gap")}
