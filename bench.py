@@ -202,6 +202,7 @@ HEADLINE = [
     "vacuum_retention_orders",
     "stream_multiwatermark_availablenow",
     "stream_timeout_sessions_availablenow",
+    "copurchase_lift_parts",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -62,7 +62,9 @@ emission closure, hash-exact), and triangle_count_transitions
 full SQL replay of the orient→wedge→close pipeline), and
 stream_timeout_sessions_availablenow (GroupStateTimeout.
 EventTimeTimeout executed: sessions closed by gap AND by
-watermark-fired timeout, strict-> boundary pinned by test).
+watermark-fired timeout, strict-> boundary pinned by test), and
+copurchase_lift_parts (market-basket support/confidence/lift over
+order baskets — the Apriori pair pass, single-division-exact).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -1349,6 +1349,70 @@ QUERIES["triangle_count_transitions"] = q_triangle_count_transitions
 ORACLES["triangle_count_transitions"] = ORACLE_TRIANGLE_COUNT_TRANSITIONS
 
 
+COPURCHASE_MIN_PAIRS = 2
+
+
+def q_copurchase_lift_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket association mining
+    (extensions/market.py:cooccurrence_lift): orders are baskets,
+    parts are items; support / confidence / lift for every part pair
+    co-purchased in >= 2 orders — the Apriori pair pass that retail
+    and recommendation pipelines run over order logs, absent from
+    the engine until now. The basket self-join shuffles once on the
+    order key (exchange reused for both sides) and pair fan-out is
+    C(k,2) per k-line order — bounded at 7 in this schema, capped
+    via max_basket_items in general. All three ratios are single
+    IEEE divisions of exact integer products, so the gate needs no
+    quantization; the oracle replays the identical expressions."""
+    from ..extensions.market import cooccurrence_lift
+
+    configure_for_oracle_parity(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_count=COPURCHASE_MIN_PAIRS,
+    )
+
+
+ORACLE_COPURCHASE_LIFT_PARTS = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+  FROM lineitem
+),
+nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM items),
+ic AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item
+  FROM items GROUP BY 1
+),
+pc AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_ab,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(p.n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+       CAST(p.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+         AS confidence,
+       CAST(p.n_ab * nb.n AS DOUBLE)
+         / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+FROM pc p
+JOIN ic ia ON p.item_a = ia.item
+JOIN ic ib ON p.item_b = ib.item
+CROSS JOIN nb
+WHERE p.n_ab >= {COPURCHASE_MIN_PAIRS}
+"""
+
+QUERIES["copurchase_lift_parts"] = q_copurchase_lift_parts
+ORACLES["copurchase_lift_parts"] = ORACLE_COPURCHASE_LIFT_PARTS
+
+
 EMB_DIM = 64
 
 

@@ -415,3 +415,54 @@ def test_bfs_distances_validates_args(spark):
     seeds = spark.createDataFrame([(0,)], "id long")
     with pytest.raises(ValueError):
         bfs_distances(edges, seeds, max_hops=0)
+
+
+def test_cooccurrence_lift_hand_baskets(spark):
+    """Baskets {a,b,c}, {a,b}, {a,d}, {b,c}: pair (a,b) n_ab=2,
+    n_a=3, n_b=3, N=4 -> support 0.5, confidence 2/3, lift 8/9.
+    Pairs seen once fall under min_pair_count=2; a duplicate item
+    row within a basket must collapse before counting."""
+    from big_data_for_smart_houses_spark.extensions.market import (
+        cooccurrence_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"), (1, "a"),  # dup a collapses
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "d"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_lift(df, "basket", "item").collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["support"] == 0.5
+    assert ab["confidence"] == 2 / 3
+    assert ab["lift"] == (2 * 4) / (3 * 3)
+
+
+def test_cooccurrence_lift_basket_cap(spark):
+    """max_basket_items drops jumbo baskets BEFORE pairing: with the
+    cap at 2, the 3-item basket contributes no pairs and (a,b)
+    drops below min_pair_count."""
+    from big_data_for_smart_houses_spark.extensions.market import (
+        cooccurrence_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = cooccurrence_lift(
+        df, "basket", "item", max_basket_items=2
+    ).collect()
+    assert out == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        cooccurrence_lift(df, "basket", "item", min_pair_count=0)
