@@ -203,6 +203,8 @@ HEADLINE = [
     "stream_multiwatermark_availablenow",
     "stream_timeout_sessions_availablenow",
     "copurchase_lift_parts",
+    "agg_pushdown_events",
+    "stream_sliding_availablenow",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

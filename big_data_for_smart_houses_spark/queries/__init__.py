@@ -64,7 +64,13 @@ stream_timeout_sessions_availablenow (GroupStateTimeout.
 EventTimeTimeout executed: sessions closed by gap AND by
 watermark-fired timeout, strict-> boundary pinned by test), and
 copurchase_lift_parts (market-basket support/confidence/lift over
-order baskets — the Apriori pair pass, single-division-exact).
+order baskets — the Apriori pair pass, single-division-exact),
+agg_pushdown_events (parquet AGGREGATE pushdown: COUNT/MIN/MAX
+answered from row-group statistics under the DSv2 reader — RAISES
+without the full PushedAggregation list), and
+stream_sliding_availablenow (overlapping 2 h/1 h sliding windows
+as a stream — every event in two window states, append closure on
+window sets that share rows).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -1738,6 +1738,67 @@ ORACLES["dynamic_partition_pruning_events"] = (
 )
 
 
+def q_agg_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown on the hash path — the scan-level
+    optimization where COUNT/MIN/MAX are answered from parquet
+    row-group STATISTICS (footer metadata) without decoding a single
+    data page: at 100 TB the difference between a full-table scan and
+    a footer read per file. Requires the DSv2 parquet reader
+    (`useV1SourceList` minus parquet) plus
+    `spark.sql.parquet.aggregatePushdown`; the gate RAISES unless the
+    BatchScan carries the full `PushedAggregation: [COUNT(*),
+    MIN/MAX(...)]` list (float/double columns are deliberately
+    absent — Spark refuses their min/max pushdown because parquet NaN
+    stats ordering is unreliable, so asking for `value` would
+    silently fall back to a scan). The result is computed UNDER the
+    scoped confs and returned as a literal row; both confs are
+    restored either way so no other gate inherits the V2 reader."""
+    configure_for_oracle_parity(spark)
+    prev_pd = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set(
+            "spark.sql.sources.useV1SourceList",
+            ",".join(
+                s for s in prev_v1.split(",") if s.strip() != "parquet"
+            ),
+        )
+        agg = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+            F.count("*").alias("n_rows"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if (
+            "PushedAggregation: [COUNT(*), MIN(user_id), MAX(user_id),"
+            " MIN(event_id), MAX(event_id)]" not in plan
+        ):
+            raise AssertionError(
+                f"aggregate not pushed into the parquet scan:\n{plan}"
+            )
+        rows = agg.collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_pd)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+ORACLE_AGG_PUSHDOWN_EVENTS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user,
+       CAST(min(event_id) AS BIGINT) AS min_event,
+       CAST(max(event_id) AS BIGINT) AS max_event
+FROM events
+"""
+
+QUERIES["agg_pushdown_events"] = q_agg_pushdown_events
+ORACLES["agg_pushdown_events"] = ORACLE_AGG_PUSHDOWN_EVENTS
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batched grouped-agg pandas UDAF (the extension-point surface)
 # ---------------------------------------------------------------------------

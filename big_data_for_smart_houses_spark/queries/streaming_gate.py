@@ -2103,6 +2103,105 @@ ORACLES["stream_timeout_sessions_availablenow"] = (
 
 
 # ---------------------------------------------------------------------------
+# Sliding (overlapping) windows: each event in multiple window states
+# ---------------------------------------------------------------------------
+
+SLIDE_LEN_S = 7200
+SLIDE_STEP_S = 3600
+SLIDE_WM_S = 3600
+
+
+def q_stream_sliding_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLIDING event-time windows executed as a stream (2 h windows
+    every 1 h): unlike the tumbling gate, every event lands in TWO
+    overlapping window states, so the state layout, the per-window
+    emission decision, and the append closure are all exercised on
+    window sets that share rows — the surface where an off-by-one in
+    window assignment double-counts or drops the overlap. Append
+    emits windows with end <= max(ts) - 1 h; the oracle enumerates
+    both covering windows per event (hour-truncate, minus one step)
+    and applies the same closure. Counts and max only — exact."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_slide_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = (
+        stream.withWatermark("ts", f"{SLIDE_WM_S} seconds")
+        .groupBy(
+            F.window("ts", f"{SLIDE_LEN_S} seconds",
+                     f"{SLIDE_STEP_S} seconds"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_max",
+        )
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"sliding window availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "window_start", "event_type", "n_events", "value_max"
+    )
+
+
+ORACLE_STREAM_SLIDING_AVAILABLENOW = f"""
+WITH cover AS (
+  SELECT date_trunc('hour', ts) AS w0, ts, event_type, value
+  FROM events
+),
+assigned AS (
+  SELECT w0 AS window_start, event_type, value FROM cover
+  UNION ALL
+  SELECT w0 - INTERVAL {SLIDE_STEP_S} SECOND AS window_start,
+         event_type, value
+  FROM cover
+),
+agg AS (
+  SELECT window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(value) AS value_max
+  FROM assigned GROUP BY 1, 2
+),
+wm AS (
+  SELECT max(ts) - INTERVAL {SLIDE_WM_S} SECOND AS w FROM events
+)
+SELECT a.window_start, a.event_type, a.n_events, a.value_max
+FROM agg a CROSS JOIN wm
+WHERE a.window_start + INTERVAL {SLIDE_LEN_S} SECOND <= wm.w
+"""
+
+QUERIES["stream_sliding_availablenow"] = q_stream_sliding_availablenow
+ORACLES["stream_sliding_availablenow"] = (
+    ORACLE_STREAM_SLIDING_AVAILABLENOW
+)
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
 # live under a fresh mkdtemp per execution, and the emitted rows are a
