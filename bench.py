@@ -205,6 +205,7 @@ HEADLINE = [
     "copurchase_lift_parts",
     "agg_pushdown_events",
     "stream_sliding_availablenow",
+    "stream_interval_enrich_availablenow",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -70,7 +70,10 @@ answered from row-group statistics under the DSv2 reader — RAISES
 without the full PushedAggregation list), and
 stream_sliding_availablenow (overlapping 2 h/1 h sliding windows
 as a stream — every event in two window states, append closure on
-window sets that share rows).
+window sets that share rows), and
+stream_interval_enrich_availablenow (stream-static join on a RANGE
+condition — the stateless SCD2-lookup shape against a live stream,
+vs stream_enrich's equi-key broadcast).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -2202,6 +2202,105 @@ ORACLES["stream_sliding_availablenow"] = (
 
 
 # ---------------------------------------------------------------------------
+# Stream-static NON-EQUI (interval) join: the stateless range lookup
+# ---------------------------------------------------------------------------
+
+def q_stream_interval_enrich_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join on a RANGE condition — the join mode
+    `stream_enrich_availablenow` (equi-key broadcast) does not touch:
+    each streamed event matches the static dimension row whose
+    validity interval contains its event time (type equality + ts in
+    [day, day+1) — the SCD2-lookup shape executed against a live
+    stream). Stream-static joins are STATELESS (the static side is
+    re-planned per micro-batch, no watermark, no state store), so
+    unlike the stream-stream interval gates this proves the
+    batch-side non-equi condition composes with streaming execution,
+    not state eviction. The dimension is the per-(type, day) daily
+    profile computed from the same table in batch — deterministic,
+    and the oracle replays the join as a plain SQL interval join.
+    Counts and an exact single-division share only."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dim = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("day_n"),
+            F.max("value").alias("day_max"),
+        )
+        .withColumn(
+            "day_end", F.col("day_start") + F.expr("INTERVAL 1 DAY")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ivenrich_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    joined = stream.join(
+        dim,
+        (stream["event_type"] == dim["event_type"])
+        & (stream["ts"] >= dim["day_start"])
+        & (stream["ts"] < dim["day_end"]),
+        "inner",
+    ).select(
+        stream["event_id"],
+        stream["event_type"],
+        "day_start",
+        "day_n",
+        (F.col("value") / F.col("day_max")).alias("value_share"),
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"interval enrich availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "event_type", "day_start", "day_n", "value_share"
+    )
+
+
+ORACLE_STREAM_INTERVAL_ENRICH_AVAILABLENOW = """
+WITH dim AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day_start,
+         CAST(count(*) AS BIGINT) AS day_n,
+         max(value) AS day_max
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, d.day_start, d.day_n,
+       e.value / d.day_max AS value_share
+FROM events e
+JOIN dim d
+  ON e.event_type = d.event_type
+ AND e.ts >= d.day_start
+ AND e.ts < d.day_start + INTERVAL 1 DAY
+"""
+
+QUERIES["stream_interval_enrich_availablenow"] = (
+    q_stream_interval_enrich_availablenow
+)
+ORACLES["stream_interval_enrich_availablenow"] = (
+    ORACLE_STREAM_INTERVAL_ENRICH_AVAILABLENOW
+)
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
 # live under a fresh mkdtemp per execution, and the emitted rows are a
