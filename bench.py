@@ -206,6 +206,8 @@ HEADLINE = [
     "agg_pushdown_events",
     "stream_sliding_availablenow",
     "stream_interval_enrich_availablenow",
+    "approx_topk_events",
+    "identifier_clause_orders",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

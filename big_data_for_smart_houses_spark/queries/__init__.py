@@ -73,7 +73,11 @@ as a stream — every event in two window states, append closure on
 window sets that share rows), and
 stream_interval_enrich_availablenow (stream-static join on a RANGE
 condition — the stateless SCD2-lookup shape against a live stream,
-vs stream_enrich's equi-key broadcast).
+vs stream_enrich's equi-key broadcast),
+approx_topk_events (Spark 4.1 approx_top_k pinned in its exactness
+regime: k and tracked-item budget above the distinct count), and
+identifier_clause_orders (IDENTIFIER name binding for tables and
+columns ≡ the static SQL).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -2434,6 +2434,47 @@ QUERIES["parameterized_sql_orders"] = q_parameterized_sql_orders
 ORACLES["parameterized_sql_orders"] = ORACLE_PARAMETERIZED_SQL_ORDERS
 
 
+def q_identifier_clause_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IDENTIFIER clause (Spark 3.5+/4): table AND column names
+    bound from parameters/constants instead of spliced into SQL text
+    — the injection-safe half of dynamic SQL that
+    `parameterized_sql_orders` (value markers) cannot express. The
+    table name binds via a named arg, the grouping and aggregated
+    columns via IDENTIFIER literals; the oracle is the equivalent
+    static SQL, which is the contract: name binding must change
+    nothing about the result. Counts/min/max only — exact."""
+    configure_for_oracle_parity(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_ident_orders"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER('o_orderstatus') AS status,
+               CAST(count(*) AS BIGINT) AS n,
+               min(IDENTIFIER('o_totalprice')) AS min_price,
+               max(IDENTIFIER('o_totalprice')) AS max_price
+        FROM IDENTIFIER(:tab)
+        GROUP BY IDENTIFIER('o_orderstatus')
+        """,
+        args={"tab": "_ident_orders"},
+    )
+
+
+ORACLE_IDENTIFIER_CLAUSE_ORDERS = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+QUERIES["identifier_clause_orders"] = q_identifier_clause_orders
+ORACLES["identifier_clause_orders"] = ORACLE_IDENTIFIER_CLAUSE_ORDERS
+
+
 # ---------------------------------------------------------------------------
 # SQL syntax sugar: GROUP BY ALL / ORDER BY ALL / star-EXCEPT
 # ---------------------------------------------------------------------------

@@ -2702,6 +2702,47 @@ QUERIES["kmv_merge_events"] = q_kmv_merge_events
 ORACLES["kmv_merge_events"] = ORACLE_KMV_MERGE_EVENTS
 
 
+APPROX_TOPK_K = 50
+
+
+def q_approx_topk_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4.1's ``approx_top_k`` pinned in its EXACTNESS regime:
+    with k (50) and the sketch's tracked-item budget both far above
+    the actual distinct count (5 event types), the frequent-items
+    sketch degenerates to exact counting, so every (item, count) pair
+    is hash-checkable against the plain GROUP BY — the same
+    pin-the-sketch-where-it-is-exact strategy as the KMV and CMS
+    gates (vs the invariant-bound treatment where exactness is
+    impossible, `hll_reach_events`). Exploded to rows; no float
+    anywhere. SQL expr because the function has no pyspark wrapper."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.agg(
+            F.expr(
+                f"approx_top_k(event_type, {APPROX_TOPK_K})"
+            ).alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("n_events"),
+        )
+    )
+
+
+ORACLE_APPROX_TOPK_EVENTS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["approx_topk_events"] = q_approx_topk_events
+ORACLES["approx_topk_events"] = ORACLE_APPROX_TOPK_EVENTS
+
+
 # ---------------------------------------------------------------------------
 # Join-type completeness: FULL OUTER / semi / anti side accounting
 # ---------------------------------------------------------------------------
