@@ -466,3 +466,119 @@ def test_cooccurrence_lift_basket_cap(spark):
 
     with pytest.raises(ValueError):
         cooccurrence_lift(df, "basket", "item", min_pair_count=0)
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Random-graph cross-check: the degree-oriented count must equal
+    the O(n³) enumeration on seeded Erdős–Rényi graphs (including
+    duplicate directed edges feeding the undirected collapse)."""
+    import itertools
+    import random
+
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        triangle_count,
+    )
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 12
+        und = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.35
+        }
+        # feed as directed edges with random orientation + some dups
+        directed = [
+            (b, a) if rng.random() < 0.5 else (a, b) for a, b in und
+        ] + [(b, a) for a, b in list(und)[::3]]
+        expected = sum(
+            1
+            for x, y, z in itertools.combinations(range(n), 3)
+            if (x, y) in und and (y, z) in und and (x, z) in und
+        )
+        edges = spark.createDataFrame(directed, "src long, dst long")
+        row = triangle_count(edges).collect()[0]
+        assert row["n_triangles"] == expected, (seed, row, expected)
+        assert row["n_edges"] == len(und)
+
+
+def test_bfs_distances_matches_brute_force(spark):
+    """Random-digraph cross-check: frontier BFS must equal a plain
+    Python breadth-first search truncated at max_hops."""
+    import random
+    from collections import deque
+
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        bfs_distances,
+    )
+
+    for seed in (3, 42):
+        rng = random.Random(seed)
+        n = 15
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.15
+        ]
+        seeds = [0, 7]
+        adj: dict[int, list[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        max_hops = 4
+        expected = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if expected[u] >= max_hops:
+                continue
+            for v in adj.get(u, []):
+                if v not in expected:
+                    expected[v] = expected[u] + 1
+                    dq.append(v)
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        s_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in bfs_distances(e_df, s_df, max_hops=max_hops).collect()
+        }
+        assert got == expected, (seed, got, expected)
+
+
+def test_cooccurrence_matches_brute_force(spark):
+    """Random-basket cross-check: counts and ratios must equal a
+    plain Python pair counter."""
+    import itertools
+    import random
+    from collections import Counter
+
+    from big_data_for_smart_houses_spark.extensions.market import (
+        cooccurrence_lift,
+    )
+
+    rng = random.Random(11)
+    baskets = {
+        b: sorted(rng.sample("abcdefgh", rng.randint(1, 5)))
+        for b in range(30)
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    n = len(baskets)
+    item_c = Counter(i for items in baskets.values() for i in set(items))
+    pair_c = Counter(
+        p
+        for items in baskets.values()
+        for p in itertools.combinations(sorted(set(items)), 2)
+    )
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in cooccurrence_lift(df, "basket", "item").collect()
+    }
+    expected = {p for p, c in pair_c.items() if c >= 2}
+    assert set(got) == expected
+    for p, r in got.items():
+        a, b = p
+        assert r["n_ab"] == pair_c[p]
+        assert (r["n_a"], r["n_b"]) == (item_c[a], item_c[b])
+        assert r["lift"] == (pair_c[p] * n) / (item_c[a] * item_c[b])
