@@ -72,15 +72,19 @@ def cooccurrence_lift(
     item_counts = items.groupBy("item").agg(
         F.count(F.lit(1)).alias("n_item")
     )
-    a = items.select(
-        F.col("basket"), F.col("item").alias("item_a")
-    )
-    b = items.select(
-        F.col("basket"), F.col("item").alias("item_b")
-    )
+    # self-join with BOTH sides the identical subplan (alias AFTER the
+    # join, not before): the two shuffles on basket are then the same
+    # exchange and Catalyst plans one physical shuffle + a
+    # ReusedExchange — asserted in test_plans.py. Renaming item before
+    # the join would make the subplans differ and double the shuffle.
+    x, y = items.alias("x"), items.alias("y")
     pairs = (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        x.join(y, F.col("x.basket") == F.col("y.basket"))
+        .filter(F.col("x.item") < F.col("y.item"))
+        .select(
+            F.col("x.item").alias("item_a"),
+            F.col("y.item").alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)

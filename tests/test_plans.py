@@ -499,6 +499,29 @@ def test_bfs_round_plan_shape(spark):
     assert got == {0: 0, 1: 1, 2: 1}
 
 
+def test_copurchase_reuses_basket_exchange(spark):
+    """The market-basket self-join must REUSE the basket-keyed
+    shuffle: both join sides are the identical distinct-(basket,item)
+    subplan (aliased AFTER the join, not before — renaming item first
+    would make the subplans differ and double the shuffle), so the
+    final adaptive plan carries a ReusedExchange instead of a second
+    physical shuffle of the item list. Asserted on the executed
+    plan — AQE only materializes reuse at runtime — plus the usual
+    no-cartesian guard."""
+    from big_data_for_smart_houses_spark.queries import QUERIES
+
+    df = QUERIES["copurchase_lift_parts"](
+        spark, "/root/testdata/sf0.001"
+    )
+    df.collect()
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    plan = df._jdf.queryExecution().explainString(
+        jmode.fromString("formatted")
+    )
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_tpch_q3_q5_join_strategies(spark):
     """Q3: the filtered customer dimension must broadcast into the
     fact-fact join (one shuffled join on orderkey, TakeOrdered for the
