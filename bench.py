@@ -208,6 +208,7 @@ HEADLINE = [
     "stream_interval_enrich_availablenow",
     "approx_topk_events",
     "identifier_clause_orders",
+    "kmv_jaccard_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -77,7 +77,9 @@ vs stream_enrich's equi-key broadcast),
 approx_topk_events (Spark 4.1 approx_top_k pinned in its exactness
 regime: k and tracked-item budget above the distinct count), and
 identifier_clause_orders (IDENTIFIER name binding for tables and
-columns ≡ the static SQL).
+columns ≡ the static SQL), and kmv_jaccard_events (bottom-k
+Jaccard estimator — cohort overlap from sketch states, estimate
+and exact target both hash-exact).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -2743,6 +2743,102 @@ QUERIES["approx_topk_events"] = q_approx_topk_events
 ORACLES["approx_topk_events"] = ORACLE_APPROX_TOPK_EVENTS
 
 
+def q_kmv_jaccard_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set-similarity from the KMV sketch — the bottom-k Jaccard
+    estimator (Broder's MinHash theorem over a single bottom-k
+    sample): for A = user-days with a click and B = user-days with a
+    purchase (a sparse composite key domain where the two cohorts
+    genuinely differ — per-user halves were Jaccard-1.0 degenerate),
+    take the bottom-k of hash(A ∪ B) and count how many of those k
+    landed in BOTH sets; that fraction estimates J(A,B). At 100 TB
+    this answers 'how much do these two cohorts overlap' from two
+    k-value sketch states instead of a set intersection over the
+    full key domains. Like the other KMV gates, the ENTIRE
+    computation is deterministic hash arithmetic — the estimate, the
+    exact Jaccard it approximates, and both cardinalities all
+    hash-gate bit-exact (one float division per ratio on identical
+    integers)."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    membership = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            (
+                F.col("user_id") * F.lit(1000)
+                + F.dayofmonth("ts")
+            ).alias("user_day"),
+            (F.col("event_type") == F.lit("click")).alias("is_click"),
+        )
+        .groupBy("user_day")
+        .agg(
+            F.max(F.col("is_click").cast("int")).alias("in_a"),
+            F.max((~F.col("is_click")).cast("int")).alias("in_b"),
+        )
+        .withColumn(
+            "h", (F.col("user_day") * F.lit(KMV_MULT)) % F.lit(KMV_MOD)
+        )
+    )
+    bottom = membership.orderBy("h").limit(KMV_K)
+    exact = membership.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return bottom.agg(
+        F.count(F.lit(1)).alias("k_seen"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_both"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("jaccard_est"),
+    ).crossJoin(F.broadcast(exact)).select(
+        "k_seen",
+        "k_both",
+        "jaccard_est",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (
+            F.col("n_both").cast("double")
+            / F.col("n_union").cast("double")
+        ).alias("jaccard_exact"),
+    )
+
+
+ORACLE_KMV_JACCARD_EVENTS = f"""
+WITH membership AS (
+  SELECT user_id * 1000 + day(ts) AS user_day,
+         CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS INT) AS in_a,
+         CAST(max(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END)
+              AS INT) AS in_b,
+         ((user_id * 1000 + day(ts)) * {KMV_MULT}) % {KMV_MOD} AS h
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+bottom AS (SELECT * FROM membership ORDER BY h LIMIT {KMV_K}),
+exact AS (
+  SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+         CAST(count(*) AS BIGINT) AS n_union
+  FROM membership
+)
+SELECT CAST(count(*) AS BIGINT) AS k_seen,
+       CAST(sum(in_a * in_b) AS BIGINT) AS k_both,
+       CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS jaccard_est,
+       e.n_both,
+       e.n_union,
+       CAST(e.n_both AS DOUBLE) / CAST(e.n_union AS DOUBLE)
+         AS jaccard_exact
+FROM bottom CROSS JOIN exact e
+GROUP BY e.n_both, e.n_union
+"""
+
+QUERIES["kmv_jaccard_events"] = q_kmv_jaccard_events
+ORACLES["kmv_jaccard_events"] = ORACLE_KMV_JACCARD_EVENTS
+
+
 # ---------------------------------------------------------------------------
 # Join-type completeness: FULL OUTER / semi / anti side accounting
 # ---------------------------------------------------------------------------
