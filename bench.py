@@ -209,6 +209,7 @@ HEADLINE = [
     "approx_topk_events",
     "identifier_clause_orders",
     "kmv_jaccard_events",
+    "stream_update_mode_availablenow",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

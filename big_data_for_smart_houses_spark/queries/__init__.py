@@ -79,7 +79,10 @@ regime: k and tracked-item budget above the distinct count), and
 identifier_clause_orders (IDENTIFIER name binding for tables and
 columns ≡ the static SQL), and kmv_jaccard_events (bottom-k
 Jaccard estimator — cohort overlap from sketch states, estimate
-and exact target both hash-exact).
+and exact target both hash-exact), and
+stream_update_mode_availablenow (UPDATE output mode: changed-group
+emission without the append closure — the open final hour emits,
+vs the tumbling gate that must withhold it).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

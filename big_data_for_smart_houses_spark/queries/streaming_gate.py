@@ -2301,6 +2301,94 @@ ORACLES["stream_interval_enrich_availablenow"] = (
 
 
 # ---------------------------------------------------------------------------
+# UPDATE output mode: changed-groups emission, no watermark closure
+# ---------------------------------------------------------------------------
+
+def q_stream_update_mode_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE output mode on the hash path — every windowed gate so
+    far runs append, whose defining behavior is the watermark
+    closure (`end <= wm`) withholding open windows; update mode is
+    the OTHER emission contract: every group CHANGED in a batch is
+    emitted that batch, open or not. With the whole table staged as
+    one file, the single data batch changes every group exactly
+    once and the no-data watermark batch changes none, so the
+    emitted set is ALL hourly windows (including the final
+    still-open hour the tumbling gate must withhold) exactly once —
+    the oracle is the plain unclosured GROUP BY, and the DIFFERENCE
+    from `stream_tumbling_availablenow`'s oracle (which applies the
+    closure) is precisely the mode semantics under test. The file
+    sink rejects update mode, so a foreachBatch parquet-append sink
+    carries the rows — the standard update-mode sink shape."""
+    configure_for_oracle_parity(spark)
+    from ..functions.numeric import quantize_cols
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_update_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    agg = (
+        stream.withWatermark("ts", f"{TUMBLE_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+    def _sink(bdf, _bid):
+        bdf.write.mode("append").parquet(out_dir)
+
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"update-mode availableNow run exceeded {_AWAIT_S}s"
+            )
+    return quantize_cols(
+        spark.read.parquet(out_dir).select(
+            "window_start", "event_type", "n_events", "value_sum"
+        ),
+        "value_sum",
+    )
+
+
+ORACLE_STREAM_UPDATE_MODE_AVAILABLENOW = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES["stream_update_mode_availablenow"] = (
+    q_stream_update_mode_availablenow
+)
+ORACLES["stream_update_mode_availablenow"] = (
+    ORACLE_STREAM_UPDATE_MODE_AVAILABLENOW
+)
+
+
+# ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all
 # live under a fresh mkdtemp per execution, and the emitted rows are a
