@@ -210,6 +210,7 @@ HEADLINE = [
     "identifier_clause_orders",
     "kmv_jaccard_events",
     "stream_update_mode_availablenow",
+    "xml_roundtrip_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -82,7 +82,10 @@ Jaccard estimator — cohort overlap from sketch states, estimate
 and exact target both hash-exact), and
 stream_update_mode_availablenow (UPDATE output mode: changed-group
 emission without the append closure — the open final hour emits,
-vs the tumbling gate that must withhold it).
+vs the tumbling gate that must withhold it), and
+xml_roundtrip_events (the native Spark 4 XML FILE source/sink —
+text round-trip bit-exact incl. doubles and entity-escaped JSON
+strings, next to the ORC/CSV round-trips).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -1071,6 +1071,53 @@ QUERIES["orc_roundtrip_events"] = q_orc_roundtrip_events
 ORACLES["orc_roundtrip_events"] = ORACLE_ORC_ROUNDTRIP_EVENTS
 
 
+def q_xml_roundtrip_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native XML sink + source (Spark 4 absorbed spark-xml as a
+    built-in format — §2.1's remaining text format next to the ORC
+    and CSV round-trips; `xml_functions_events` covers the
+    expression surface, this covers the FILE source/sink): events
+    written with a row tag and read back through an EXPLICIT schema
+    (inference on XML is an extra full scan, same rule as CSV).
+    Doubles survive the text round-trip bit-exactly (shortest-repr
+    serialization parses back to the identical IEEE value — verified
+    empirically, zero mismatches), the JSON-bearing props string
+    exercises XML entity escaping both directions, and the
+    timestamp rides as explicit epoch-µs to keep the contract
+    format-independent. Hash-equal to the parquet original."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    tmp = tempfile.mkdtemp(prefix="xml_rt_gate_")
+    ev.write.format("xml").option("rowTag", "event").mode(
+        "overwrite"
+    ).save(tmp)
+    return (
+        spark.read.schema(ev.schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .load(tmp)
+    )
+
+
+ORACLE_XML_ROUNDTRIP_EVENTS = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       value, props
+FROM events
+"""
+
+QUERIES["xml_roundtrip_events"] = q_xml_roundtrip_events
+ORACLES["xml_roundtrip_events"] = ORACLE_XML_ROUNDTRIP_EVENTS
+
+
 def q_csv_roundtrip_customers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
