@@ -211,6 +211,8 @@ HEADLINE = [
     "kmv_jaccard_events",
     "stream_update_mode_availablenow",
     "xml_roundtrip_events",
+    "json_roundtrip_events",
+    "binaryfile_bmp_assets",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

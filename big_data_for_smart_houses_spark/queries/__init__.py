@@ -85,7 +85,14 @@ emission without the append closure — the open final hour emits,
 vs the tumbling gate that must withhold it), and
 xml_roundtrip_events (the native Spark 4 XML FILE source/sink —
 text round-trip bit-exact incl. doubles and entity-escaped JSON
-strings, next to the ORC/CSV round-trips).
+strings, next to the ORC/CSV round-trips), and
+json_roundtrip_events (JSON-lines sink/source — µs timestamps
+survive only under an explicit 6-digit timestampFormat; the
+default truncates to millis, pinned here), and
+binaryfile_bmp_assets (the `binaryFile` opaque-blob source: id
+recovered from the file path, source `length` column checked
+against the closed-form BMP size, content decoded through the
+real stdlib codec).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

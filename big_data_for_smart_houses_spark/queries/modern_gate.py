@@ -2622,3 +2622,127 @@ QUERIES["mapinarrow_tokens_documents"] = q_mapinarrow_tokens_documents
 ORACLES["mapinarrow_tokens_documents"] = (
     ORACLE_MAPINARROW_TOKENS_DOCUMENTS
 )
+
+
+# ---------------------------------------------------------------------------
+# JSON-lines file sink/source roundtrip (the remaining built-in text format)
+# ---------------------------------------------------------------------------
+
+def q_json_roundtrip_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JSON-lines sink + source (§2.1 format coverage beside the
+    parquet/ORC/CSV/XML round-trips — the wire format the reference
+    ingests from Kafka, consumer/ingest_bronze.py:46-58, here as the
+    batch FILE source): events written as newline-delimited JSON and
+    read back through an EXPLICIT schema (inference is an extra full
+    scan, same rule as CSV/XML). Two contracts ride on the hash:
+    doubles survive Jackson's shortest-repr serialization bit-exactly
+    (same IEEE guarantee the XML gate proved for text formats), and
+    the timestamp round-trips at FULL µs precision only because the
+    gate pins ``timestampFormat`` with six sub-second digits — the
+    default write format truncates to millis, a real silent-precision
+    trap this gate exists to document. The JSON-in-JSON props string
+    exercises quote escaping both directions."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    tmp = tempfile.mkdtemp(prefix="json_rt_gate_")
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(tmp)
+    return (
+        spark.read.schema(ev.schema)
+        .option("timestampFormat", fmt)
+        .json(tmp)
+    )
+
+
+ORACLE_JSON_ROUNDTRIP_EVENTS = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+QUERIES["json_roundtrip_events"] = q_json_roundtrip_events
+ORACLES["json_roundtrip_events"] = ORACLE_JSON_ROUNDTRIP_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: opaque-blob ingestion for the multimodal pipeline
+# ---------------------------------------------------------------------------
+
+BINARYFILE_N_ASSETS = 150
+
+
+def q_binaryfile_bmp_assets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The `binaryFile` DataSource — Spark's opaque-blob reader and
+    the front door of any 100 TB multimodal ingest (image/audio/video
+    files land as (path, modificationTime, length, content) rows with
+    no decode on the scan; partition parallelism comes from the file
+    listing, so millions of blobs fan out across executors with zero
+    driver-side reads). The gate stages 150 deterministic 24bpp BMP
+    files on disk, reads them back through format("binaryFile"),
+    recovers the asset id FROM THE PATH (regexp over the file name —
+    the id-carried-by-layout contract object stores rely on), checks
+    the source's `length` column against the closed-form BMP size
+    (54-byte header + padded stride × height), and pushes `content`
+    through the same Arrow-batched real decoder as
+    `bmp_decode_assets`. A mis-listed file, a truncated blob, or a
+    wrong length breaks the hash. sf_dir is unused: the staged files
+    are the data."""
+    import os
+    import tempfile
+
+    from ..extensions.multimodal import decode_bmp_assets, encode_bmp
+
+    configure_for_oracle_parity(spark)
+    tmp = tempfile.mkdtemp(prefix="binaryfile_gate_")
+    for i in range(BINARYFILE_N_ASSETS):
+        payload = encode_bmp(
+            6 + i % 7,
+            3 + i % 4,
+            ((2 * i) % 251, (5 * i) % 251, (11 * i) % 251),
+        )
+        with open(os.path.join(tmp, f"asset_{i:05d}.bmp"), "wb") as f:
+            f.write(payload)
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(tmp)
+        .select(
+            F.regexp_extract(F.col("path"), r"asset_(\d+)\.bmp", 1)
+            .cast("long")
+            .alias("asset_id"),
+            F.col("length").alias("file_len"),
+            F.col("content").alias("payload"),
+        )
+    )
+    decoded = decode_bmp_assets(
+        blobs.select("asset_id", "payload").repartition(8)
+    )
+    return (
+        blobs.select("asset_id", "file_len")
+        .join(decoded, "asset_id")
+        .select(
+            "asset_id", "file_len", "width", "height",
+            "mean_r", "mean_g", "mean_b",
+        )
+    )
+
+
+ORACLE_BINARYFILE_BMP_ASSETS = f"""
+SELECT i AS asset_id,
+       CAST(54 + ((3 * (6 + i % 7) + 3) // 4) * 4 * (3 + i % 4)
+         AS BIGINT) AS file_len,
+       CAST(6 + i % 7 AS BIGINT) AS width,
+       CAST(3 + i % 4 AS BIGINT) AS height,
+       CAST((2 * i) % 251 AS BIGINT) AS mean_r,
+       CAST((5 * i) % 251 AS BIGINT) AS mean_g,
+       CAST((11 * i) % 251 AS BIGINT) AS mean_b
+FROM (SELECT unnest(generate_series(0, {BINARYFILE_N_ASSETS - 1}))
+        AS i)
+"""
+
+QUERIES["binaryfile_bmp_assets"] = q_binaryfile_bmp_assets
+ORACLES["binaryfile_bmp_assets"] = ORACLE_BINARYFILE_BMP_ASSETS
