@@ -213,6 +213,8 @@ HEADLINE = [
     "xml_roundtrip_events",
     "json_roundtrip_events",
     "binaryfile_bmp_assets",
+    "sssp_weighted_transitions",
+    "map_hof_functions_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

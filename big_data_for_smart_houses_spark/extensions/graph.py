@@ -254,3 +254,74 @@ def _superstep(
             ).alias("rank"),
         )
     )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path over non-negative
+    integer edge weights: Bellman-Ford relaxation as Pregel
+    supersteps in DataFrames, the weighted generalization of
+    :func:`bfs_distances` (which is this with all weights = 1).
+
+    Returns ``(id, dist)`` where ``dist`` is the minimum total weight
+    of any path from a seed using at most ``max_rounds`` edges — a
+    closed-form contract that holds EVEN IF the loop hasn't converged
+    (after k frontier rounds the fold equals "shortest distance with
+    ≤ k edges", the textbook Bellman-Ford invariant), which is what
+    makes the gate deterministic and oracle-checkable at a fixed
+    round count.
+
+    Frontier pruning: only rows whose distance IMPROVED in the
+    previous round re-enter the edge join (tracked by a ``rnd``
+    column folded with ``min(struct(dist, rnd))`` — on a dist tie the
+    EARLIER round wins, so rediscoveries at equal distance never
+    re-expand). Each round is one src-keyed equi-join plus one
+    id-keyed min-fold; ``localCheckpoint`` per round keeps lineage
+    flat. With integer weights every distance is engine-exact."""
+    if max_rounds < 1:
+        raise ValueError("sssp_weighted needs max_rounds >= 1")
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(0).cast("int").alias("rnd"),
+        )
+        .localCheckpoint()
+    )
+    for k in range(1, max_rounds + 1):
+        frontier = dist.filter(F.col("rnd") == k - 1)
+        candidates = e.join(
+            frontier.withColumnRenamed("id", "src"), "src"
+        ).select(
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(k).cast("int").alias("rnd"),
+        )
+        folded = (
+            dist.unionByName(candidates)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "rnd")).alias("s"))
+        )
+        dist = folded.select(
+            "id", F.col("s.dist").alias("dist"), F.col("s.rnd").alias("rnd")
+        ).localCheckpoint()
+    return dist.select("id", "dist")

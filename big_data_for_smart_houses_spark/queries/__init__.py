@@ -92,7 +92,12 @@ default truncates to millis, pinned here), and
 binaryfile_bmp_assets (the `binaryFile` opaque-blob source: id
 recovered from the file path, source `length` column checked
 against the closed-form BMP size, content decoded through the
-real stdlib codec).
+real stdlib codec), and sssp_weighted_transitions (Bellman-Ford
+frontier supersteps over integer weights — gate exact at a FIXED
+round count via the ≤k-edges invariant, no convergence
+assumption), and map_hof_functions_events (str_to_map /
+transform_keys / map_zip_with — the remaining MAP expression
+surface, closed-form oracle).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

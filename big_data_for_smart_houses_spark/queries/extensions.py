@@ -1265,6 +1265,119 @@ QUERIES["bfs_distances_transitions"] = q_bfs_distances_transitions
 ORACLES["bfs_distances_transitions"] = ORACLE_BFS_DISTANCES_TRANSITIONS
 
 
+SSSP_ROUNDS = 5
+SSSP_SEED_MOD = 41
+SSSP_W_MOD = 7
+
+
+def q_sssp_weighted_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted shortest path (extensions/graph.py:sssp_weighted)
+    over the user-transition graph with deterministic integer edge
+    weights (w = 1 + (src+dst) mod 7, computed AFTER the distinct
+    src/dst fold so both engines weigh identical edges): Bellman-Ford
+    relaxation as frontier-pruned supersteps — the cost-aware
+    generalization of `bfs_distances_transitions` (hop counts are
+    this with w ≡ 1). The gate leans on the Bellman-Ford invariant
+    instead of convergence: after k rounds BOTH the frontier-pruned
+    DataFrame loop and the oracle's full-relaxation unrolled CTEs
+    equal "minimum-weight path using ≤ k edges", so the comparison
+    is exact at a FIXED round count with no fixed-point assumption.
+    Integer distances, zero quantization."""
+    from pyspark.sql import Window
+
+    from ..extensions.graph import sssp_weighted
+
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "user_id", F.lag("user_id").over(w).alias("prev_user")
+        )
+        .filter(
+            F.col("prev_user").isNotNull()
+            & (F.col("prev_user") != F.col("user_id"))
+        )
+        .select(
+            F.col("prev_user").alias("src"), F.col("user_id").alias("dst")
+        )
+        .distinct()
+        .withColumn(
+            "w",
+            (
+                F.lit(1)
+                + (F.col("src") + F.col("dst")) % F.lit(SSSP_W_MOD)
+            ).cast("long"),
+        )
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("id") % SSSP_SEED_MOD == 0)
+    out = sssp_weighted(edges, seeds, max_rounds=SSSP_ROUNDS)
+    return out.select(
+        F.col("id").alias("user_id"), F.col("dist").cast("bigint")
+    )
+
+
+def _sssp_oracle_sql(rounds: int, seed_mod: int, w_mod: int) -> str:
+    """Unrolled Bellman-Ford full relaxation: one CTE per round, each
+    folding EVERY node's relaxations into the running minimum. The
+    Spark side prunes its frontier to last-round improvements; both
+    equal shortest-distance-with-≤k-edges after round k, so the
+    replay needs no frontier bookkeeping."""
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT user_id,
+         lag(user_id) OVER (
+           PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+         ) AS prev_user
+  FROM events
+),
+edges AS (
+  SELECT src, dst, 1 + (src + dst) % {w_mod} AS w FROM (
+    SELECT DISTINCT prev_user AS src, user_id AS dst
+    FROM seq
+    WHERE prev_user IS NOT NULL AND prev_user <> user_id
+  )
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+d0 AS (
+  SELECT id, 0 AS dist FROM nodes WHERE id % {seed_mod} = 0
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i + 1} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dist
+    FROM edges e JOIN d{i} d ON e.src = d.id
+  ) GROUP BY id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS user_id, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SSSP_WEIGHTED_TRANSITIONS = _sssp_oracle_sql(
+    SSSP_ROUNDS, SSSP_SEED_MOD, SSSP_W_MOD
+)
+
+QUERIES["sssp_weighted_transitions"] = q_sssp_weighted_transitions
+ORACLES["sssp_weighted_transitions"] = ORACLE_SSSP_WEIGHTED_TRANSITIONS
+
+
 def q_triangle_count_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -2924,3 +2924,82 @@ SELECT 'semi_anti' AS side,
 
 QUERIES["join_types_orders"] = q_join_types_orders
 ORACLES["join_types_orders"] = ORACLE_JOIN_TYPES_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions: str_to_map / transform_keys / map_zip_with
+# ---------------------------------------------------------------------------
+
+def q_map_hof_functions_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The remaining MAP-typed expression surface (the earlier map
+    gate covered construction/merge/filter/transform_values —
+    map_from_entries, create_map, map_concat, element_at, map_filter;
+    this one covers the parse and key/zip HOFs): a canonical
+    ``k=v,k=v`` config string is built per event, parsed with
+    ``str_to_map``, keys rewritten with ``transform_keys`` (upper),
+    values rescaled with ``transform_values``, and the two derived
+    maps aligned key-wise with ``map_zip_with`` — the tags/config
+    column workflow every telemetry pipeline hits. All map work is
+    JVM-side codegen (maps never leave the executor as Python
+    objects). Because every map is deterministic by construction,
+    the DuckDB oracle states each output in CLOSED FORM from the
+    same arithmetic — a wrong parse, a missed key rewrite, or a
+    misaligned zip breaks the hash."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    s = F.concat(
+        F.col("event_type"),
+        F.lit("="),
+        (F.col("user_id") % 10).cast("string"),
+        F.lit(",x"),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("="),
+        (F.col("user_id") % 5).cast("string"),
+    )
+    m0 = F.str_to_map(s, F.lit(","), F.lit("="))
+    mk = F.transform_keys(m0, lambda k, v: F.upper(k))
+    mv = F.transform_values(
+        m0, lambda k, v: v.cast("long") * F.lit(3)
+    )
+    mz = F.map_zip_with(
+        m0,
+        F.transform_values(m0, lambda k, v: v.cast("long") * F.lit(2)),
+        lambda k, s_, d: F.concat(s_, F.lit(":"), d.cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.map_contains_key(m0, F.lit("x1")).alias("has_x1"),
+        F.array_join(F.array_sort(F.map_keys(mk)), "|").alias(
+            "keys_upper"
+        ),
+        F.aggregate(
+            F.map_values(mv),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("v_sum"),
+        F.element_at(mz, F.col("event_type")).alias("zipped"),
+        F.cardinality(m0).cast("int").alias("n_keys"),
+    )
+
+
+# Closed-form replay: keys are event_type (lowercase a-z, always <
+# 'x') and 'x'||(event_id%3); upper-cased and sorted that is
+# UPPER(event_type) then 'X'||digit. Values: user_id%10 under the
+# event_type key, user_id%5 under the x-key.
+ORACLE_MAP_HOF_FUNCTIONS_EVENTS = """
+SELECT event_id,
+       (event_id % 3 = 1) AS has_x1,
+       upper(event_type) || '|' || 'X' ||
+         CAST(event_id % 3 AS VARCHAR) AS keys_upper,
+       CAST(3 * (user_id % 10) + 3 * (user_id % 5)
+         AS BIGINT) AS v_sum,
+       CAST(user_id % 10 AS VARCHAR) || ':' ||
+         CAST(2 * (user_id % 10) AS VARCHAR) AS zipped,
+       CAST(2 AS INT) AS n_keys
+FROM events
+"""
+
+QUERIES["map_hof_functions_events"] = q_map_hof_functions_events
+ORACLES["map_hof_functions_events"] = ORACLE_MAP_HOF_FUNCTIONS_EVENTS

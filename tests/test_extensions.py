@@ -582,3 +582,74 @@ def test_cooccurrence_matches_brute_force(spark):
         assert r["n_ab"] == pair_c[p]
         assert (r["n_a"], r["n_b"]) == (item_c[a], item_c[b])
         assert r["lift"] == (pair_c[p] * n) / (item_c[a] * item_c[b])
+
+
+def test_sssp_weighted_matches_brute_force(spark):
+    """Random weighted-digraph cross-check: frontier Bellman-Ford
+    must equal an exhaustive ≤max_rounds-edge path relaxation in
+    plain Python (the fixed-round invariant the gate relies on)."""
+    import random
+
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        sssp_weighted,
+    )
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        n = 14
+        edges = [
+            (a, b, 1 + rng.randrange(6))
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.18
+        ]
+        seeds = [0, 9]
+        max_rounds = 4
+        # dist_k[v] = min weight over paths from seeds with <= k edges
+        INF = float("inf")
+        dist = {v: (0 if v in seeds else INF) for v in range(n)}
+        for _ in range(max_rounds):
+            nxt = dict(dist)
+            for a, b, w in edges:
+                if dist[a] + w < nxt[b]:
+                    nxt[b] = dist[a] + w
+            dist = nxt
+        expected = {v: d for v, d in dist.items() if d < INF}
+        e_df = spark.createDataFrame(edges, "src long, dst long, w long")
+        s_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in sssp_weighted(
+                e_df, s_df, max_rounds=max_rounds
+            ).collect()
+        }
+        assert got == expected, (seed, got, expected)
+
+
+def test_sssp_weighted_parallel_edges_take_min(spark):
+    """Duplicate (src,dst) edges fold to the cheapest weight before
+    relaxation, and round truncation is respected."""
+    from big_data_for_smart_houses_spark.extensions.graph import (
+        sssp_weighted,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 9), (0, 1, 2), (1, 2, 3), (0, 2, 99)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, max_rounds=2).collect()
+    }
+    assert got == {0: 0, 1: 2, 2: 5}
+    one = {
+        r["id"]: r["dist"]
+        for r in sssp_weighted(edges, seeds, max_rounds=1).collect()
+    }
+    assert one == {0: 0, 1: 2, 2: 99}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, seeds, max_rounds=0)
