@@ -34,6 +34,7 @@ GENERATOR_ORACLES = {
     "bmp_decode_assets",
     "wav_decode_assets",
     "avi_frame_sample_assets",
+    "binaryfile_bmp_assets",
 }
 
 
