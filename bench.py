@@ -215,6 +215,7 @@ HEADLINE = [
     "binaryfile_bmp_assets",
     "sssp_weighted_transitions",
     "map_hof_functions_events",
+    "kmeans_embeddings",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

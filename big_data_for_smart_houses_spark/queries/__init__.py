@@ -97,7 +97,10 @@ frontier supersteps over integer weights — gate exact at a FIXED
 round count via the ≤k-edges invariant, no convergence
 assumption), and map_hof_functions_events (str_to_map /
 transform_keys / map_zip_with — the remaining MAP expression
-surface, closed-form oracle).
+surface, closed-form oracle), and kmeans_embeddings (fully
+distributed Lloyd k-means: broadcast-join supersteps, no
+driver-side sample — float32-quantized argmin/means make the
+iterative float algorithm hash-exact vs 3 unrolled SQL rounds).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -1604,3 +1604,104 @@ QUERIES["contrastive_triplets_documents"] = q_contrastive_triplets_documents
 ORACLES["contrastive_triplets_documents"] = (
     ORACLE_CONTRASTIVE_TRIPLETS_DOCUMENTS
 )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed Lloyd k-means
+    (extensions/clustering.py:kmeans_lloyd) over the embeddings
+    table — the trainer behind IVF ANN cells and semantic corpus
+    bucketing, with NO driver-side sample (the 100 TB path where the
+    IVF quantizer's bounded collect is replaced by broadcast-join
+    supersteps; the corpus never shuffles for assignment). Three
+    iterations from the deterministic "k lowest ids" seeding; ties to
+    the lower cluster id; distances and updated centroid components
+    float32-quantized so both engines' reduction orders collapse to
+    identical IEEE values BEFORE every argmin and every reuse —
+    which is what lets an iterative float algorithm sit on a
+    bit-exact hash gate. Output: the final model long-form (cid,
+    n_points, pos, c_val), k×dim rows; the oracle unrolls the same
+    three assign→update rounds in SQL."""
+    from ..extensions.clustering import kmeans_lloyd
+
+    configure_for_oracle_parity(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd rounds: per iteration one quantized-distance
+    argmin (ties to the lower cid via the window ORDER BY) and one
+    quantized per-dimension mean with empty-cluster carry — the SQL
+    replay of the superstep loop."""
+    parts = [
+        f"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT init.cid, ex.pos, ex.x AS c
+  FROM init JOIN ex USING (vec_id)
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+dist{i} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(CAST(sum((e.x - c.c) * (e.x - c.c)) AS REAL)
+           AS DOUBLE) AS d2
+  FROM ex e JOIN c{i} c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2, cid
+           ) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT a.cid, e.pos,
+         CAST(CAST(avg(e.x) AS REAL) AS DOUBLE) AS c
+  FROM a{i} a JOIN ex e USING (vec_id)
+  GROUP BY a.cid, e.pos
+),
+c{i + 1} AS (
+  SELECT c.cid, c.pos, coalesce(m.c, c.c) AS c
+  FROM c{i} c LEFT JOIN m{i} m
+    ON m.cid = c.cid AND m.pos = c.pos
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(c.cid AS INT) AS cid,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_points,
+       CAST(c.pos AS INT) AS pos,
+       c.c AS c_val
+FROM c{iters} c
+LEFT JOIN (
+  SELECT cid, count(*) AS n FROM a{iters - 1} GROUP BY cid
+) n ON n.cid = c.cid"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KMEANS_EMBEDDINGS = _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS)
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+ORACLES["kmeans_embeddings"] = ORACLE_KMEANS_EMBEDDINGS

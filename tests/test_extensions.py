@@ -653,3 +653,112 @@ def test_sssp_weighted_parallel_edges_take_min(spark):
 
     with pytest.raises(ValueError):
         sssp_weighted(edges, seeds, max_rounds=0)
+
+
+def test_kmeans_lloyd_matches_brute_force(spark):
+    """Random-point cross-check: the distributed superstep loop must
+    equal a plain Python Lloyd run under the same determinism
+    contract (k-lowest-id seeding, float32-quantized distances and
+    means, ties to the lower cid, empty-cluster carry)."""
+    import random
+
+    import numpy as np
+
+    from big_data_for_smart_houses_spark.extensions.clustering import (
+        kmeans_lloyd,
+    )
+
+    def q32(v):
+        return float(np.float32(v))
+
+    for seed in (7, 19):
+        rng = random.Random(seed)
+        n, dim, k, iters = 40, 5, 4, 3
+        pts = {
+            i: [round(rng.uniform(-2, 2), 3) for _ in range(dim)]
+            for i in range(n)
+        }
+        cent = {cid: list(pts[cid]) for cid in range(k)}
+        sizes = {}
+        for _ in range(iters):
+            asg = {}
+            for pid, x in pts.items():
+                best = min(
+                    (
+                        (
+                            q32(
+                                sum(
+                                    (a - b) * (a - b)
+                                    for a, b in zip(x, cent[c])
+                                )
+                            ),
+                            c,
+                        )
+                        for c in range(k)
+                    )
+                )[1]
+                asg[pid] = best
+            sizes = {
+                c: sum(1 for v in asg.values() if v == c)
+                for c in range(k)
+            }
+            for c in range(k):
+                mine = [pts[p] for p, v in asg.items() if v == c]
+                if mine:
+                    cent[c] = [
+                        q32(sum(col) / len(mine))
+                        for col in zip(*mine)
+                    ]
+        df = spark.createDataFrame(
+            [(i, x) for i, x in pts.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = kmeans_lloyd(
+            df, k=k, iters=iters, vec_col="embedding"
+        ).collect()
+        assert len(got) == k * dim
+        for r in got:
+            assert r["n_points"] == sizes[r["cid"]], (seed, r)
+            assert r["c_val"] == cent[r["cid"]][r["pos"]], (seed, r)
+
+
+def test_kmeans_lloyd_empty_cluster_carries(spark):
+    """A seed centroid that attracts nothing keeps its coordinates
+    and reports n_points = 0; argument validation raises."""
+    import pytest
+
+    from big_data_for_smart_houses_spark.extensions.clustering import (
+        kmeans_lloyd,
+    )
+
+    # ids 0 and 1 seed the two clusters at the SAME location, so
+    # every point — including seed point 1 itself — ties between the
+    # two centroids and the tie rule sends it to cid 0: cluster 1 is
+    # empty from round 1 and must carry its seed coordinates.
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0]),
+         (3, [0.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r["cid"], r["pos"]): (r["n_points"], r["c_val"])
+        for r in kmeans_lloyd(df, k=2, iters=1).collect()
+    }
+    assert out[(1, 0)] == (0, 0.0) and out[(1, 1)] == (0, 0.0)
+    assert out[(0, 0)][0] == 4
+    # round 2: the carried (0,0) centroid wins back the two exact
+    # (0,0) points from the drifted cluster-0 mean — the recovery
+    # path after an empty round.
+    out2 = {
+        (r["cid"], r["pos"]): r["n_points"]
+        for r in kmeans_lloyd(df, k=2, iters=2).collect()
+    }
+    assert out2[(1, 0)] == 2 and out2[(0, 0)] == 2
+    one = spark.createDataFrame(
+        [(0, [0.0]), (1, [100.0]), (2, [0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError):
+        kmeans_lloyd(one, k=0, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(one, k=2, iters=0)
