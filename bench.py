@@ -216,6 +216,8 @@ HEADLINE = [
     "sssp_weighted_transitions",
     "map_hof_functions_events",
     "kmeans_embeddings",
+    "dynamic_partition_overwrite_events",
+    "cogroup_asof_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -100,7 +100,13 @@ transform_keys / map_zip_with — the remaining MAP expression
 surface, closed-form oracle), and kmeans_embeddings (fully
 distributed Lloyd k-means: broadcast-join supersteps, no
 driver-side sample — float32-quantized argmin/means make the
-iterative float algorithm hash-exact vs 3 unrolled SQL rounds).
+iterative float algorithm hash-exact vs 3 unrolled SQL rounds),
+and dynamic_partition_overwrite_events (INSERT OVERWRITE under
+partitionOverwriteMode=dynamic: a one-partition patch replaces
+exactly that partition; conf restored in finally), and
+cogroup_asof_events (cogrouped applyInPandas — per-user pandas
+merge_asof value-checked against the SQL as-of LEFT JOIN +
+composite arg_max, incl. the empty-side NULL contract).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

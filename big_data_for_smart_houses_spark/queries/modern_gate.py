@@ -2746,3 +2746,182 @@ FROM (SELECT unnest(generate_series(0, {BINARYFILE_N_ASSETS - 1}))
 
 QUERIES["binaryfile_bmp_assets"] = q_binaryfile_bmp_assets
 ORACLES["binaryfile_bmp_assets"] = ORACLE_BINARYFILE_BMP_ASSETS
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite: INSERT OVERWRITE that replaces only the
+# partitions present in the incoming batch
+# ---------------------------------------------------------------------------
+
+def q_dynamic_partition_overwrite_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`partitionOverwriteMode=dynamic` — the backfill primitive on
+    partitioned parquet: a corrected batch for ONE partition value
+    replaces exactly that partition and leaves every other partition's
+    files untouched (static mode would truncate the whole table — at
+    100 TB the difference between rewriting one day and rewriting the
+    lake). The gate seeds a table partitioned by event_type, then
+    overwrites with a patch containing only the 'click' partition
+    (value doubled — a power-of-two scale, so IEEE-exact with no
+    quantization), and returns the read-back: clicks must carry the
+    patch, all other types the original rows. The session conf is
+    restored in a finally block — dynamic overwrite leaks into any
+    later partitioned overwrite on the shared driver session
+    otherwise (partitions absent from a "full" rewrite would silently
+    survive)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dpo_gate_")
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(
+            tmp
+        )
+        patch = ev.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * F.lit(2.0)
+        )
+        patch.write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(tmp)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    return spark.read.parquet(tmp).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+ORACLE_DYNAMIC_PARTITION_OVERWRITE_EVENTS = """
+SELECT event_id, ts, user_id, event_type,
+       CASE WHEN event_type = 'click' THEN value * 2
+            ELSE value END AS value,
+       props
+FROM events
+"""
+
+QUERIES["dynamic_partition_overwrite_events"] = (
+    q_dynamic_partition_overwrite_events
+)
+ORACLES["dynamic_partition_overwrite_events"] = (
+    ORACLE_DYNAMIC_PARTITION_OVERWRITE_EVENTS
+)
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped applyInPandas: the two-sided grouped-map extension point
+# ---------------------------------------------------------------------------
+
+def q_cogroup_asof_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`groupBy(k).cogroup(other.groupBy(k)).applyInPandas` — the
+    two-DataFrame Python extension point (the shape a pandas
+    `merge_asof`/custom-reconciliation kernel plugs into when the
+    per-key pair of frames is what the algorithm needs; one Arrow
+    exchange per side, both shuffled on the SAME key so the pandas
+    function sees co-located partitions). Per user, every purchase is
+    matched to the latest click at-or-before it with pandas
+    `merge_asof` (backward, exact matches allowed; right side sorted
+    by (ts, event_id) so an equal-timestamp tie deterministically
+    takes the larger click id — the rule the SQL oracle replays with
+    a composite arg_max key). Covers the empty-side contract too:
+    users with purchases but no clicks emit NULL click_id/gap. The
+    oracle is the standard as-of LEFT JOIN + arg_max in SQL, so the
+    pandas kernel is value-checked row for row, not just executed."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = purchases, right = clicks for ONE user cohort
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="Int64"),
+                    "gap_us": pd.Series(dtype="Int64"),
+                }
+            )
+        lp = left.sort_values(["ts", "event_id"]).reset_index(
+            drop=True
+        )
+        rp = right.sort_values(["ts", "event_id"]).reset_index(
+            drop=True
+        )
+        if rp.empty:
+            out = lp.assign(click_ts=pd.NaT, click_id=pd.NA)
+        else:
+            out = pd.merge_asof(
+                lp,
+                rp.rename(
+                    columns={"event_id": "click_id", "ts": "click_ts"}
+                ),
+                left_on="ts",
+                right_on="click_ts",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        gap = (
+            out["ts"].astype("int64") - out["click_ts"].astype("int64")
+        ) // 1000
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "purchase_id": out["event_id"].astype("int64"),
+                "click_id": out["click_id"].astype("Int64"),
+                "gap_us": gap.where(out["click_ts"].notna()).astype(
+                    "Int64"
+                ),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "user_id long, purchase_id long, click_id long, "
+            "gap_us long",
+        )
+    )
+
+
+ORACLE_COGROUP_ASOF_EVENTS = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts,
+         CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id
+           AS okey
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       arg_max(c.event_id, c.okey) AS click_id,
+       epoch_us(p.ts) - arg_max(epoch_us(c.ts), c.okey) AS gap_us
+FROM purchases p
+LEFT JOIN clicks c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+GROUP BY p.user_id, p.event_id, p.ts
+"""
+
+QUERIES["cogroup_asof_events"] = q_cogroup_asof_events
+ORACLES["cogroup_asof_events"] = ORACLE_COGROUP_ASOF_EVENTS
