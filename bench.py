@@ -218,6 +218,7 @@ HEADLINE = [
     "kmeans_embeddings",
     "dynamic_partition_overwrite_events",
     "cogroup_asof_events",
+    "stream_fullouter_join_availablenow",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

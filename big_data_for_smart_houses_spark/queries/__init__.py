@@ -106,7 +106,11 @@ partitionOverwriteMode=dynamic: a one-partition patch replaces
 exactly that partition; conf restored in finally), and
 cogroup_asof_events (cogrouped applyInPandas — per-user pandas
 merge_asof value-checked against the SQL as-of LEFT JOIN +
-composite arg_max, incl. the empty-side NULL contract).
+composite arg_max, incl. the empty-side NULL contract), and
+stream_fullouter_join_availablenow (FULL OUTER stream-stream
+interval join — the right side's finality rule: null-padded
+clicks emit only once the watermark passes click_ts + lookback,
+strictly; completes the inner/left/full join-mode matrix).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

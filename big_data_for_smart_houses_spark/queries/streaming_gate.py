@@ -2388,6 +2388,118 @@ ORACLES["stream_update_mode_availablenow"] = (
 )
 
 
+def q_stream_fullouter_join_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the remaining join
+    mode (inner and left-outer are gated above), whose new semantics
+    is the RIGHT side's finality rule: an unmatched click can still
+    match a FUTURE purchase until the watermark passes click_ts +
+    lookback (the left-arrival window the condition admits), so
+    null-padded clicks emit `lookback` later than null-padded
+    purchases (whose rule is purchase_ts < watermark, same as the
+    left-outer gate). availableNow's closing no-data batch advances
+    the watermark to min(max purchase_ts, max click_ts) − delay; the
+    DuckDB oracle states the full emitted set in closed form:
+    matches ∪ unmatched purchases strictly below the bound ∪
+    unmatched clicks with click_ts + lookback strictly below the
+    bound (strict — a row AT the bound could still match a left row
+    arriving exactly at the watermark). Rows above their bound stay
+    in state, withheld: the correct streaming answer."""
+    configure_for_oracle_parity(spark)
+    from ..streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_fojoin_gate_")
+    out_dir = f"{tmp}/out"
+
+    def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        side = ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+        path = f"{tmp}/staged_{kind}"
+        side.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.readStream.schema(side.schema).parquet(path)
+
+    joined = stream_interval_join(
+        _side("purchase", "purchase_id", "purchase_ts"),
+        _side("click", "click_id", "click_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback_seconds=STREAM_JOIN_LOOKBACK_S,
+        watermark_delay="6 hours",
+        how="full_outer",
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"full-outer stream join run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )
+
+
+ORACLE_STREAM_FULLOUTER_JOIN_AVAILABLENOW = f"""
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL 6 HOUR AS w),
+matched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         c.event_id AS click_id, c.ts AS click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+   AND c.ts <= p.ts
+)
+SELECT * FROM matched
+UNION ALL
+SELECT p.user_id, p.event_id, p.ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM p CROSS JOIN wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+      AND c.ts <= p.ts)
+UNION ALL
+SELECT c.user_id, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       c.event_id, c.ts
+FROM c CROSS JOIN wm
+WHERE c.ts + INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+      AND c.ts <= p.ts)
+"""
+
+QUERIES["stream_fullouter_join_availablenow"] = (
+    q_stream_fullouter_join_availablenow
+)
+ORACLES["stream_fullouter_join_availablenow"] = (
+    ORACLE_STREAM_FULLOUTER_JOIN_AVAILABLENOW
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all

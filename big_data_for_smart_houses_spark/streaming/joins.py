@@ -40,10 +40,18 @@ def stream_interval_join(
     watermark + time-bound for outer stream-stream joins precisely so
     this decision is ever final.
 
+    ``how='full_outer'`` additionally emits each unmatched RIGHT row
+    null-padded once IT is final — which happens later than the left
+    side: a right row at ``r_ts`` can still match a future left row
+    until the watermark passes ``r_ts + lookback`` (the left-arrival
+    window the condition admits), so right-outer emissions trail the
+    watermark by the lookback on top of the delay. ``right_outer``
+    is the mirror image.
+
     Both inputs must be streaming DataFrames with distinct column
     names apart from ``on``. The two-sided time bound plus the
     watermarks is what lets Spark GC join state."""
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported stream join type: {how}")
     l = left.withWatermark(left_ts, watermark_delay)
     r = right.withWatermark(right_ts, watermark_delay)
@@ -52,4 +60,14 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
         & (r[right_ts] <= l[left_ts])
     )
-    return l.join(r, cond, how).drop(r[on])
+    joined = l.join(r, cond, how)
+    if how in ("right_outer", "full_outer"):
+        # unmatched right rows carry a NULL left key — surface the
+        # key from whichever side is present
+        return (
+            joined.withColumn("__on", F.coalesce(l[on], r[on]))
+            .drop(l[on])
+            .drop(r[on])
+            .withColumnRenamed("__on", on)
+        )
+    return joined.drop(r[on])

@@ -447,3 +447,59 @@ def test_document_curation_stream_end_to_end(spark):
     out2 = spark.read.parquet(f"{tmp}/curated")
     assert out2.count() == len(by_id) + 1
     assert out2.filter(F.col("doc_id") == 6).count() == 1
+
+
+def test_stream_interval_join_full_outer_key_survives(spark):
+    """Full-outer mode: an unmatched RIGHT row must surface its own
+    key (the left key is NULL for it) — pins the coalesce-key fix —
+    and only rows final under the watermark emit null-padded."""
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # far-future sentinel rows on both sides push the watermark high
+    # enough that every earlier row's outer decision is final
+    purchases = spark.createDataFrame(
+        [("u1", ts(100), "p1"), ("u9", ts(100000), "p_hi")],
+        "user_id string, p_ts timestamp, purchase_id string",
+    )
+    clicks = spark.createDataFrame(
+        [
+            ("u1", ts(90), "c1"),    # matches p1
+            ("u3", ts(50), "c_or"),  # no purchase ever -> right-outer
+            ("u9", ts(100000), "c_hi"),
+        ],
+        "user_id string, c_ts timestamp, click_id string",
+    )
+    purchases.write.mode("append").parquet(f"{tmp}/p")
+    clicks.write.mode("append").parquet(f"{tmp}/c")
+    ps = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/p")
+    cs = spark.readStream.schema(clicks.schema).parquet(f"{tmp}/c")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=60, watermark_delay="10 seconds",
+            how="full_outer",
+        ),
+        "ssfojoin",
+    )
+    rows = {(r.user_id, r.purchase_id, r.click_id) for r in out}
+    assert ("u1", "p1", "c1") in rows
+    assert ("u3", None, "c_or") in rows  # key from the RIGHT side
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=60, how="cross",
+        )
