@@ -390,6 +390,13 @@ SCALE10X_PROBES = [
     "statestore_join_availablenow",
     "stream_chained_availablenow",
     "join_types_orders",
+    # round-7 fifth wave: new iterative supersteps (k-means broadcast
+    # assignment, Bellman-Ford frontier), the cogrouped pandas as-of,
+    # and the full-outer stream join's two-sided state
+    "kmeans_embeddings",
+    "sssp_weighted_transitions",
+    "cogroup_asof_events",
+    "stream_fullouter_join_availablenow",
 ]
 
 
