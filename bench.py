@@ -219,6 +219,8 @@ HEADLINE = [
     "dynamic_partition_overwrite_events",
     "cogroup_asof_events",
     "stream_fullouter_join_availablenow",
+    "session_variables_orders",
+    "sql_scripting_orders",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -110,7 +110,13 @@ composite arg_max, incl. the empty-side NULL contract), and
 stream_fullouter_join_availablenow (FULL OUTER stream-stream
 interval join — the right side's finality rule: null-padded
 clicks emit only once the watermark passes click_ts + lookback,
-strictly; completes the inner/left/full join-mode matrix).
+strictly; completes the inner/left/full join-mode matrix), and
+session_variables_orders (DECLARE / SET VARIABLE + EXECUTE
+IMMEDIATE INTO ... USING — dynamic SQL without string splicing,
+integer threshold so no float crosses the binding), and
+sql_scripting_orders (BEGIN/WHILE procedural block folding five
+data-dependent aggregates through a loop-carried accumulator ≡
+the unrolled Σ nᵦ·2⁴⁻ᵇ closed form, bit-exact).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -2925,3 +2925,119 @@ GROUP BY p.user_id, p.event_id, p.ts
 
 QUERIES["cogroup_asof_events"] = q_cogroup_asof_events
 ORACLES["cogroup_asof_events"] = ORACLE_COGROUP_ASOF_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables + EXECUTE IMMEDIATE INTO (Spark 4 ANSI surface)
+# ---------------------------------------------------------------------------
+
+def q_session_variables_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL session variables (`DECLARE` / `SET VARIABLE`) driving a
+    data-dependent dynamic query through `EXECUTE IMMEDIATE ... INTO
+    ... USING` — the parameter-passing workflow BI layers and
+    migration scripts lean on (compute a threshold once, bind it
+    into later statements without string splicing). The threshold is
+    an INTEGER `div` so no float crosses an engine boundary;
+    `DECLARE OR REPLACE` keeps the gate idempotent on the shared
+    driver session (the driver calls every query twice). The oracle
+    inlines the same two-step computation as nested subqueries —
+    value-identical, mechanism-free."""
+    configure_for_oracle_parity(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_sessvar_orders"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE _sv_thr BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        "SET VARIABLE _sv_thr = "
+        "(SELECT max(o_custkey) div 2 FROM _sessvar_orders)"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE _sv_cnt BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT count(*) FROM _sessvar_orders "
+        "WHERE o_custkey > ?' INTO _sv_cnt USING _sv_thr"
+    )
+    return spark.sql(
+        """
+        SELECT _sv_thr AS thr,
+               _sv_cnt AS n_above,
+               CAST(CAST(sum(o_totalprice * CAST(o_custkey > _sv_thr
+                 AS INT)) AS FLOAT) AS DOUBLE) AS price_above
+        FROM _sessvar_orders
+        """
+    )
+
+
+# price_above is an order-sensitive double sum -> float32 quantized
+# on both sides (the standard gate-parity contract).
+ORACLE_SESSION_VARIABLES_ORDERS = """
+WITH thr AS (SELECT max(o_custkey) // 2 AS t FROM orders)
+SELECT t AS thr,
+       (SELECT count(*) FROM orders WHERE o_custkey > t) AS n_above,
+       (SELECT CAST(CAST(sum(o_totalprice *
+            CAST(o_custkey > t AS INT)) AS REAL) AS DOUBLE)
+        FROM orders) AS price_above
+FROM thr
+"""
+
+QUERIES["session_variables_orders"] = q_session_variables_orders
+ORACLES["session_variables_orders"] = ORACLE_SESSION_VARIABLES_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting: BEGIN/DECLARE/WHILE procedural blocks (Spark 4.0)
+# ---------------------------------------------------------------------------
+
+def q_sql_scripting_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL scripting (`BEGIN … END` with script-local `DECLARE`,
+    `SET`, and a `WHILE` loop — Spark 4.0's procedural surface): the
+    migration shape for stored-procedure logic. The script folds five
+    data-dependent aggregates through a loop-carried accumulator
+    (acc = acc*2 + countₖ over custkey buckets), which only a
+    procedural block can express statement-by-statement; the oracle
+    states the UNROLLED closed form (Σ nᵦ·2⁴⁻ᵇ via integer shifts —
+    bit-exact, no floats). Script variables are block-scoped, so
+    nothing leaks into the shared session."""
+    configure_for_oracle_parity(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_script_orders"
+    )
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE acc BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 5 DO
+            SET acc = acc * 2 + (
+              SELECT count(*) FROM _script_orders
+              WHERE o_custkey % 5 = i
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT acc AS folded, CAST(i AS INT) AS n_rounds;
+        END
+        """
+    )
+
+
+ORACLE_SQL_SCRIPTING_ORDERS = """
+WITH buckets AS (
+  SELECT o_custkey % 5 AS b, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(sum(n * (1 << (4 - b))) AS BIGINT) AS folded,
+       CAST(5 AS INT) AS n_rounds
+FROM buckets
+"""
+
+QUERIES["sql_scripting_orders"] = q_sql_scripting_orders
+ORACLES["sql_scripting_orders"] = ORACLE_SQL_SCRIPTING_ORDERS
