@@ -2819,6 +2819,9 @@ ORACLES["dynamic_partition_overwrite_events"] = (
 # Cogrouped applyInPandas: the two-sided grouped-map extension point
 # ---------------------------------------------------------------------------
 
+COGROUP_N_BUCKETS = 64
+
+
 def q_cogroup_asof_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2829,25 +2832,55 @@ def q_cogroup_asof_events(
     exchange per side, both shuffled on the SAME key so the pandas
     function sees co-located partitions). Per user, every purchase is
     matched to the latest click at-or-before it with pandas
-    `merge_asof` (backward, exact matches allowed; right side sorted
-    by (ts, event_id) so an equal-timestamp tie deterministically
-    takes the larger click id — the rule the SQL oracle replays with
-    a composite arg_max key). Covers the empty-side contract too:
-    users with purchases but no clicks emit NULL click_id/gap. The
-    oracle is the standard as-of LEFT JOIN + arg_max in SQL, so the
-    pandas kernel is value-checked row for row, not just executed."""
+    `merge_asof` (backward, exact matches allowed, `by=user_id`;
+    click side sorted by (click_ts, click_id) so an equal-timestamp
+    tie deterministically takes the larger click id — the rule the
+    SQL oracle replays with a composite arg_max key). Two scale
+    lessons are load-bearing here, both measured at sf0.1:
+
+    * cogroup on a BUCKET (user_id % 64), not the raw user — the
+      per-group Python invocation costs ~3-5 ms, so 1500 tiny
+      user-groups spent 6-9 s in pure machinery while the same work
+      in 64 bucketed groups with a vectorized `by=`-key merge runs
+      ~10× faster; at 100 TB, millions of micro-groups would be
+      fatal (bound groups by parallelism, let pandas vectorize the
+      per-key logic);
+    * the two sides carry DISTINCT column names — both derive from
+      the same events scan, and with identical names Catalyst's
+      attribute deduplication pruned the right cogroup side down to
+      its key (observed on the 1500-user plan).
+
+    Covers the one-sided contract too: users with purchases but no
+    clicks emit NULL click_id/gap, click-only users emit nothing.
+    The oracle is the standard as-of LEFT JOIN + arg_max in SQL, so
+    the pandas kernel is value-checked row for row, not just
+    executed."""
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts"
+    bucket = (F.col("user_id") % COGROUP_N_BUCKETS).alias("bucket")
+    # two INDEPENDENT relations on purpose: deriving both cogroup
+    # sides from one scan shares attribute ids, and Catalyst's
+    # attribute deduplication then prunes the right side's non-key
+    # columns out of the Arrow batch (observed at sf0.1 as pandas
+    # KeyErrors); a second load is a second scan of the same files —
+    # cheap — with fresh attributes
+    ev_p = _t(spark, sf_dir, "events")
+    ev_c = load_table(spark, sf_dir, "events")
+    clicks = ev_c.filter(F.col("event_type") == "click").select(
+        bucket,
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+    purchases = ev_p.filter(F.col("event_type") == "purchase").select(
+        bucket,
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = purchases, right = clicks for ONE user cohort
+        # left = purchases, right = clicks for ONE user bucket
         if left.empty:
             return pd.DataFrame(
                 {
@@ -2857,33 +2890,32 @@ def q_cogroup_asof_events(
                     "gap_us": pd.Series(dtype="Int64"),
                 }
             )
-        lp = left.sort_values(["ts", "event_id"]).reset_index(
-            drop=True
-        )
-        rp = right.sort_values(["ts", "event_id"]).reset_index(
-            drop=True
-        )
-        if rp.empty:
+        lp = left.sort_values(
+            ["purchase_ts", "purchase_id"]
+        ).reset_index(drop=True)
+        if right.empty:
             out = lp.assign(click_ts=pd.NaT, click_id=pd.NA)
         else:
+            rp = right.sort_values(
+                ["click_ts", "click_id"]
+            ).reset_index(drop=True)
             out = pd.merge_asof(
                 lp,
-                rp.rename(
-                    columns={"event_id": "click_id", "ts": "click_ts"}
-                ),
-                left_on="ts",
+                rp.drop(columns=["bucket"]),
+                left_on="purchase_ts",
                 right_on="click_ts",
                 by="user_id",
                 direction="backward",
                 allow_exact_matches=True,
             )
         gap = (
-            out["ts"].astype("int64") - out["click_ts"].astype("int64")
+            out["purchase_ts"].astype("int64")
+            - out["click_ts"].astype("int64")
         ) // 1000
         return pd.DataFrame(
             {
                 "user_id": out["user_id"].astype("int64"),
-                "purchase_id": out["event_id"].astype("int64"),
+                "purchase_id": out["purchase_id"].astype("int64"),
                 "click_id": out["click_id"].astype("Int64"),
                 "gap_us": gap.where(out["click_ts"].notna()).astype(
                     "Int64"
@@ -2892,8 +2924,8 @@ def q_cogroup_asof_events(
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(
             asof,
             "user_id long, purchase_id long, click_id long, "
