@@ -221,6 +221,7 @@ HEADLINE = [
     "stream_fullouter_join_availablenow",
     "session_variables_orders",
     "sql_scripting_orders",
+    "polymorphic_udtf_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

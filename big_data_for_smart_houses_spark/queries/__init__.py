@@ -116,7 +116,11 @@ IMMEDIATE INTO ... USING — dynamic SQL without string splicing,
 integer threshold so no float crosses the binding), and
 sql_scripting_orders (BEGIN/WHILE procedural block folding five
 data-dependent aggregates through a loop-carried accumulator ≡
-the unrolled Σ nᵦ·2⁴⁻ᵇ closed form, bit-exact).
+the unrolled Σ nᵦ·2⁴⁻ᵇ closed form, bit-exact), and
+polymorphic_udtf_events (the OTHER UDTF half: analyze()-derived
+output schema from the input table's schema + TABLE argument with
+PARTITION BY/ORDER BY — ordered partition folds, terminate() per
+partition).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3073,3 +3073,112 @@ FROM buckets
 
 QUERIES["sql_scripting_orders"] = q_sql_scripting_orders
 ORACLES["sql_scripting_orders"] = ORACLE_SQL_SCRIPTING_ORDERS
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF: analyze()-derived schema + TABLE argument with
+# PARTITION BY / ORDER BY (the other half of the UDTF surface)
+# ---------------------------------------------------------------------------
+
+def q_polymorphic_udtf_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The POLYMORPHIC Python UDTF surface — the two Spark 4 features
+    `udtf_sentences_documents` (static schema, scalar argument)
+    leaves uncovered: (1) `analyze()` computing the OUTPUT schema
+    from the input's schema at plan time (here: one `sum_<col>`
+    column per numeric column of whatever table is passed — the
+    generic-aggregator shape that makes a UDTF reusable across
+    tables), and (2) a TABLE argument with `PARTITION BY … ORDER
+    BY …`, which hands `eval()` whole co-located partitions in a
+    guaranteed row order and fires `terminate()` once per partition
+    — the SQL-level per-key table processor. Per user it folds row
+    count plus the sum of every numeric column; the double sum is
+    accumulated in the bound order and float32-quantized at emit so
+    the oracle's unordered aggregate collapses to the same IEEE
+    value. Scale: one key-exchange per TABLE argument, Python sees
+    each partition once — the same cost envelope as grouped-map
+    applyInPandas."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class PartitionSums:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            schema = (
+                StructType()
+                .add("user_id", LongType())
+                .add("n_rows", LongType())
+            )
+            for f in t.dataType.fields:
+                if f.name == "user_id":
+                    continue
+                if isinstance(f.dataType, LongType):
+                    schema = schema.add("sum_" + f.name, LongType())
+                elif isinstance(f.dataType, DoubleType):
+                    schema = schema.add("sum_" + f.name, DoubleType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._cols = None
+            self._sums = None
+
+        def eval(self, row):
+            if self._cols is None:
+                self._cols = [
+                    c for c in row.__fields__ if c != "user_id"
+                ]
+                self._sums = {c: 0 for c in self._cols}
+            self._key = row["user_id"]
+            self._n += 1
+            for c in self._cols:
+                self._sums[c] += row[c]
+
+        def terminate(self):
+            import numpy as np
+
+            if self._key is None:
+                return
+            out = [self._key, self._n]
+            for c in self._cols:
+                v = self._sums[c]
+                out.append(
+                    float(np.float32(v))
+                    if isinstance(v, float)
+                    else v
+                )
+            yield tuple(out)
+
+    configure_for_oracle_parity(spark)
+    spark.udtf.register("partition_sums_gate", udtf(PartitionSums))
+    _t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "value"
+    ).createOrReplaceTempView("_pudtf_events")
+    return spark.sql(
+        """
+        SELECT * FROM partition_sums_gate(
+          TABLE(_pudtf_events)
+          PARTITION BY user_id ORDER BY event_id
+        )
+        """
+    )
+
+
+ORACLE_POLYMORPHIC_UDTF_EVENTS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(CAST(sum(value) AS REAL) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["polymorphic_udtf_events"] = q_polymorphic_udtf_events
+ORACLES["polymorphic_udtf_events"] = ORACLE_POLYMORPHIC_UDTF_EVENTS
