@@ -222,6 +222,8 @@ HEADLINE = [
     "session_variables_orders",
     "sql_scripting_orders",
     "polymorphic_udtf_events",
+    "theta_sketch_events",
+    "explode_outer_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -120,7 +120,12 @@ the unrolled Σ nᵦ·2⁴⁻ᵇ closed form, bit-exact), and
 polymorphic_udtf_events (the OTHER UDTF half: analyze()-derived
 output schema from the input table's schema + TABLE argument with
 PARTITION BY/ORDER BY — ordered partition folds, terminate() per
-partition).
+partition), and theta_sketch_events (DataSketches THETA family —
+the set-ALGEBRA sketch: intersection/difference cohort overlap
+HLL can't answer, pinned in the exact regime incl. shard-merge ≡
+direct), and explode_outer_events (posexplode_outer's empty-array
+row preservation — the vanishing-document bug, both halves
+pinned).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

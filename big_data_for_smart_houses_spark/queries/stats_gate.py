@@ -3003,3 +3003,130 @@ FROM events
 
 QUERIES["map_hof_functions_events"] = q_map_hof_functions_events
 ORACLES["map_hof_functions_events"] = ORACLE_MAP_HOF_FUNCTIONS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches: the SET-OPERATION sketch family (Spark 4.1
+# DataSketches bindings) — intersection/difference, which HLL cannot do
+# ---------------------------------------------------------------------------
+
+def q_theta_sketch_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Apache DataSketches THETA sketches (`theta_sketch_agg` /
+    `theta_union_agg` / `theta_intersection` / `theta_difference` /
+    `theta_sketch_estimate`): the cardinality sketch that supports
+    set ALGEBRA — audience overlap ("users of type X who also
+    purchased") and exclusion ("who never purchased") straight from
+    KB-scale sketch state, the two questions HLL structurally cannot
+    answer. Pinned in the sketch's EXACT regime (default lgK=12 ⇒
+    4096 nominal entries; every user domain here is smaller, so
+    theta=1 and estimates are exact integers — same technique as the
+    approx_top_k and KMV gates). The gate proves the three
+    properties that matter at 100 TB: estimate == exact distinct,
+    shard-merge ≡ direct sketch (theta_union_agg over per-half
+    sketches), and intersection/difference against the purchase
+    cohort == the exact set arithmetic the oracle computes. Sketch
+    state is KB per group; only sketches cross the exchange."""
+    configure_for_oracle_parity(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_theta_events"
+    )
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT event_type,
+                 theta_sketch_agg(user_id) AS sk
+          FROM _theta_events GROUP BY event_type
+        ),
+        halves AS (
+          SELECT event_type, theta_union_agg(sk2) AS mu
+          FROM (
+            SELECT event_type, event_id % 2 AS half,
+                   theta_sketch_agg(user_id) AS sk2
+            FROM _theta_events GROUP BY event_type, event_id % 2
+          ) GROUP BY event_type
+        ),
+        p AS (
+          SELECT sk AS psk FROM per WHERE event_type = 'purchase'
+        )
+        SELECT per.event_type,
+               CAST(theta_sketch_estimate(per.sk) AS BIGINT)
+                 AS nd,
+               CAST(theta_sketch_estimate(halves.mu) AS BIGINT)
+                 AS nd_merged,
+               CAST(theta_sketch_estimate(
+                 theta_intersection(per.sk, p.psk)) AS BIGINT)
+                 AS nd_also_purchase,
+               CAST(theta_sketch_estimate(
+                 theta_difference(per.sk, p.psk)) AS BIGINT)
+                 AS nd_never_purchase
+        FROM per
+        JOIN halves ON per.event_type = halves.event_type
+        CROSS JOIN p
+        """
+    )
+
+
+ORACLE_THETA_SKETCH_EVENTS = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+purch AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase')
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS nd,
+       CAST(count(*) AS BIGINT) AS nd_merged,
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM purch)
+                THEN 1 ELSE 0 END) AS BIGINT) AS nd_also_purchase,
+       CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM purch)
+                THEN 0 ELSE 1 END) AS BIGINT) AS nd_never_purchase
+FROM tu
+GROUP BY event_type
+"""
+
+QUERIES["theta_sketch_events"] = q_theta_sketch_events
+ORACLES["theta_sketch_events"] = ORACLE_THETA_SKETCH_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Outer generators: posexplode_outer's empty-collection row preservation
+# ---------------------------------------------------------------------------
+
+def q_explode_outer_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`posexplode_outer` — the generator variant that PRESERVES rows
+    whose collection is empty (a plain explode silently drops them:
+    the classic chunking-pipeline bug where zero-sentence documents
+    vanish from the corpus and row counts stop reconciling). Arrays
+    are data-driven (`sequence(1, event_id % 4)`, empty when the
+    modulus is 0 — one in four rows), so the gate pins both halves:
+    exploded rows carry (pos, val) and empty-array rows survive
+    exactly once with NULL pos/val. The oracle replays the outer
+    fan-out with a guarded unnest over `greatest(n, 1)` slots.
+    Row-local 1:N fan-out — zero shuffles."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.when(
+        F.col("event_id") % 4 == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(F.lit(1).cast("bigint"), F.col("event_id") % 4))
+    return ev.select(
+        "event_id", F.posexplode_outer(arr).alias("pos", "val")
+    ).select("event_id", F.col("pos").cast("int"), "val")
+
+
+ORACLE_EXPLODE_OUTER_EVENTS = """
+WITH base AS (
+  SELECT event_id, event_id % 4 AS n FROM events
+)
+SELECT event_id,
+       CAST(CASE WHEN n = 0 THEN NULL ELSE i - 1 END AS INT)
+         AS pos,
+       CAST(CASE WHEN n = 0 THEN NULL ELSE i END AS BIGINT)
+         AS val
+FROM base, unnest(range(1, greatest(n, 1) + 1)) AS t(i)
+"""
+
+QUERIES["explode_outer_events"] = q_explode_outer_events
+ORACLES["explode_outer_events"] = ORACLE_EXPLODE_OUTER_EVENTS
