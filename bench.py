@@ -224,6 +224,7 @@ HEADLINE = [
     "polymorphic_udtf_events",
     "theta_sketch_events",
     "explode_outer_events",
+    "llm_corpus_pipeline_documents",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -125,7 +125,11 @@ the set-ALGEBRA sketch: intersection/difference cohort overlap
 HLL can't answer, pinned in the exact regime incl. shard-merge ≡
 direct), and explode_outer_events (posexplode_outer's empty-array
 row preservation — the vanishing-document bug, both halves
-pinned).
+pinned), and llm_corpus_pipeline_documents (the COMPOSITION gate:
+quality → exact dedup → decontam → per-source cap → split, end to
+end through the same library functions the stage gates certify,
+whole chain replayed as five SQL CTEs — proves the stages
+compose, not just that each works).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -697,3 +697,154 @@ ORACLES = {
     "hash_sample_per_lang": ORACLE_HASH_SAMPLE_PER_LANG,
     "quantile_normalize_events": ORACLE_QUANTILE_NORMALIZE_EVENTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline composition: quality -> exact dedup ->
+# decontamination -> per-source cap -> split assignment, one gate
+# ---------------------------------------------------------------------------
+
+PIPE_MIN_TOKENS = 30
+PIPE_TEST_MOD = 20
+PIPE_DECONTAM_THRESHOLD = 0.8
+PIPE_SOURCE_CAP = 120
+
+
+def q_llm_corpus_pipeline_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPOSITION gate: the five curation stages every
+    training-data pipeline chains — quality filter → exact dedup →
+    decontamination against the eval set → per-source cap →
+    deterministic split assignment — executed end to end through the
+    same library functions the individual gates certify
+    (extensions/{dedup,decontam,sampling}.py), with the final
+    train/val/test manifest per (source, split) on the hash path.
+    Stage-by-stage gates prove each operator; THIS gate proves the
+    stages compose (column contracts line up, each stage's survivors
+    are exactly the next stage's input — the integration bugs
+    stagewise testing can't see). Every stage is deterministic
+    integer/hash arithmetic, so the oracle replays the whole chain
+    as five SQL CTEs with zero quantization. Scale shape: the chain
+    adds ONE fingerprint agg + one broadcast anti-join + one
+    source-keyed cap window + a projection on top of the corpus scan
+    — stages fuse where Catalyst can, and nothing rescans the
+    corpus."""
+    from ..extensions import decontam as dc
+    from ..extensions import dedup as dd
+    from ..extensions import sampling as sp
+
+    docs = _docs(spark, sf_dir)
+    # 1. quality: minimum whitespace-token count
+    q = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= PIPE_MIN_TOKENS
+    )
+    # 2. exact dedup: keep each fingerprint's lowest doc_id
+    keepers = dd.exact_dedup(q).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    deduped = q.join(keepers, "doc_id")
+    # 3. decontamination: the eval slice is doc_id % 20 == 0 (held
+    # out of train entirely); training docs sharing >= 80% of a test
+    # doc's trigrams are dropped
+    train = deduped.filter(F.col("doc_id") % PIPE_TEST_MOD != 0)
+    test = docs.filter(F.col("doc_id") % PIPE_TEST_MOD == 0).select(
+        "doc_id", "text"
+    )
+    clean = dc.decontaminate(
+        train, test, n=3, threshold=PIPE_DECONTAM_THRESHOLD
+    )
+    # 4. per-source cap (lowest ids win — stable under growth)
+    capped = sp.cap_per_group(
+        clean, "source", PIPE_SOURCE_CAP
+    ).drop("group_rank")
+    # 5. split assignment (multiplicative hash, 90/5/5)
+    assigned = sp.deterministic_split(capped)
+    return (
+        assigned.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+_PIPE_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _pipe_shingle_cte(src: str, alias: str) -> str:
+    # word-trigram shingling, identical to extensions/dedup.shingles
+    # (n=3) and the llm_ops decontamination oracles
+    return f"""
+{alias} AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            for i in range(1, len(toks) - 1)]
+         )) AS shingle
+  FROM (SELECT doc_id, string_split({_PIPE_NORM}, ' ') AS toks
+        FROM {src})
+  WHERE len(toks) >= 3
+)"""
+
+
+ORACLE_LLM_CORPUS_PIPELINE_DOCUMENTS = f"""
+WITH q AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE len(string_split(text, ' ')) >= {PIPE_MIN_TOKENS}
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q GROUP BY md5({_PIPE_NORM})
+),
+dd AS (SELECT q.* FROM q JOIN keepers USING (doc_id)),
+train AS (SELECT * FROM dd WHERE doc_id % {PIPE_TEST_MOD} <> 0),
+test AS (SELECT doc_id, text FROM documents
+         WHERE doc_id % {PIPE_TEST_MOD} = 0),
+{_pipe_shingle_cte("train", "tr")},
+{_pipe_shingle_cte("test", "te")},
+sizes AS (SELECT doc_id AS test_id, count(*) AS test_size
+          FROM te GROUP BY 1),
+flagged AS (
+  SELECT DISTINCT m.train_id AS doc_id FROM (
+    SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+           count(*) AS n_shared
+    FROM tr JOIN te ON tr.shingle = te.shingle
+    GROUP BY 1, 2
+  ) m JOIN sizes USING (test_id)
+  WHERE CAST(m.n_shared AS DOUBLE) / sizes.test_size
+        >= {PIPE_DECONTAM_THRESHOLD}
+),
+clean AS (
+  SELECT t.* FROM train t
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (
+      PARTITION BY source ORDER BY doc_id) AS rnk
+    FROM clean c
+  ) WHERE rnk <= {PIPE_SOURCE_CAP}
+),
+assigned AS (
+  SELECT *, (doc_id * 2654435761) % 1000 AS b FROM capped
+)
+SELECT source,
+       CASE WHEN b < 900 THEN 'train'
+            WHEN b < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM assigned
+GROUP BY 1, 2
+"""
+
+QUERIES["llm_corpus_pipeline_documents"] = (
+    q_llm_corpus_pipeline_documents
+)
+ORACLES["llm_corpus_pipeline_documents"] = (
+    ORACLE_LLM_CORPUS_PIPELINE_DOCUMENTS
+)
