@@ -773,3 +773,78 @@ def test_cbo_analyze_statistics_flip_join_strategy(spark):
         )
         for t in ("cbo_stats_o", "cbo_stats_l"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """kmeans_lloyd's assignment must broadcast the k-row centroid
+    side (BroadcastNestedLoopJoin over the cross join) — a shuffled
+    cross join would move the corpus once PER ITERATION at 100 TB —
+    and the argmin fold must carry a map-side partial_min."""
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.functions.numeric import (
+        gate_quantize,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "pid long, x array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 0.0])],
+        "cid int, c array<double>",
+    )
+    d2 = gate_quantize(
+        F.aggregate(
+            F.zip_with(
+                F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    step = (
+        pts.crossJoin(F.broadcast(cent))
+        .select(
+            "pid",
+            F.struct(d2.alias("d2"), F.col("cid"), F.col("x")).alias(
+                "s"
+            ),
+        )
+        .groupBy("pid")
+        .agg(F.min("s").alias("s"))
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_sssp_round_plan_shape(spark):
+    """One Bellman-Ford round = the BFS superstep with a weight ride:
+    frontier equi-join into edges plus an id-keyed min(struct) fold
+    with a map-side partial — no cartesian product."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 1), (0, 2, 9)], "src long, dst long, w long"
+    )
+    dist = spark.createDataFrame(
+        [(0, 0, 0)], "id long, dist long, rnd int"
+    )
+    cand = edges.join(
+        dist.filter(F.col("rnd") == 0).withColumnRenamed("id", "src"),
+        "src",
+    ).select(
+        F.col("dst").alias("id"),
+        (F.col("dist") + F.col("w")).alias("dist"),
+        F.lit(1).cast("int").alias("rnd"),
+    )
+    step = (
+        dist.unionByName(cand)
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "rnd")).alias("s"))
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan, plan
