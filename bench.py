@@ -225,6 +225,7 @@ HEADLINE = [
     "theta_sketch_events",
     "explode_outer_events",
     "llm_corpus_pipeline_documents",
+    "file_metadata_events",
     "join_types_orders",
     "bucketed_join_orders",
     "recursive_cte_hierarchy",

@@ -129,7 +129,10 @@ pinned), and llm_corpus_pipeline_documents (the COMPOSITION gate:
 quality → exact dedup → decontam → per-source cap → split, end to
 end through the same library functions the stage gates certify,
 whole chain replayed as five SQL CTEs — proves the stages
-compose, not just that each works).
+compose, not just that each works), and file_metadata_events (the
+hidden `_metadata` lineage struct: one-file-per-partition layout,
+dense 0-based row_index proved by the triangular-number closed
+form; environment-dependent values carried as invariants).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3182,3 +3182,70 @@ GROUP BY user_id
 
 QUERIES["polymorphic_udtf_events"] = q_polymorphic_udtf_events
 ORACLES["polymorphic_udtf_events"] = ORACLE_POLYMORPHIC_UDTF_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Hidden _metadata columns: file lineage on every scan
+# ---------------------------------------------------------------------------
+
+def q_file_metadata_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hidden `_metadata` struct every file scan carries
+    (`file_name` / `file_size` / `row_index` / ...) — the zero-cost
+    lineage surface: audit which file produced a row, debug a bad
+    batch, build incremental bookkeeping WITHOUT a lineage column
+    baked into the data. The gate stages events partitioned by
+    event_type with `repartition(event_type)` so each partition dir
+    holds EXACTLY one file, then pins the contract per type: one
+    distinct file, `.parquet` suffix, positive size, and
+    `sum(row_index) == n(n-1)/2` — the closed form that proves
+    row_index is a dense 0-based per-file counter (any gap, repeat,
+    or cross-file bleed breaks the triangular number). File names
+    and sizes are environment-dependent, so the hash carries their
+    INVARIANTS, not their values."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = os.path.join(
+        tempfile.mkdtemp(prefix="meta_gate_"), "t"
+    )
+    ev.repartition("event_type").write.partitionBy(
+        "event_type"
+    ).parquet(tmp)
+    back = spark.read.parquet(tmp)
+    return (
+        back.select(
+            "event_type",
+            F.col("_metadata.file_name").alias("fn"),
+            F.col("_metadata.row_index").alias("ri"),
+            F.col("_metadata.file_size").alias("fs"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("fn").cast("bigint").alias("n_files"),
+            F.sum("ri").cast("bigint").alias("sum_row_index"),
+            F.min(F.col("fn").endswith(".parquet")).alias(
+                "parquet_suffix"
+            ),
+            F.min(F.col("fs") > 0).alias("size_positive"),
+        )
+    )
+
+
+ORACLE_FILE_METADATA_EVENTS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT)
+         AS sum_row_index,
+       true AS parquet_suffix,
+       true AS size_positive
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["file_metadata_events"] = q_file_metadata_events
+ORACLES["file_metadata_events"] = ORACLE_FILE_METADATA_EVENTS
