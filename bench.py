@@ -119,6 +119,7 @@ HEADLINE = [
     "stream_dedup_availablenow",
     "stream_tumbling_availablenow",
     "bpe_pair_counts_documents",
+    "bpe_train_documents",
     "inverted_index_documents",
     "pagerank_user_transitions",
     "regexp_functions_documents",
@@ -386,6 +387,7 @@ SCALE10X_PROBES = [
     "tpch_q21_waiting_supplier",
     "zipf_slope_documents",
     "bpe_pair_counts_documents",
+    "bpe_train_documents",
     "inverted_index_documents",
     "sessionize_events",
     "gapfill_linear_events",

@@ -109,3 +109,97 @@ def inverted_index(
             ),
         ).alias("postings_head"),
     )
+
+
+def bpe_train_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    word_pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules over the corpus and return
+    the resulting segmentation of every distinct word:
+    ``(word, n_word, seg)`` where ``seg`` joins the word's final
+    token sequence with spaces (Sennrich et al. 2016, the training
+    loop that ``bpe_pair_counts`` runs one candidate round of).
+
+    Fully distributed — the corpus is collapsed to the DISTINCT-word
+    table up front (the production BPE optimization: merge work is
+    per-type, pair counts are weighted by token frequency), the
+    winning pair each round is a **1-row broadcast** into that table,
+    and no row ever reaches the driver. Per round: one explode +
+    count aggregation for weighted pair counts, a
+    TakeOrderedAndProject top-1 (ties broken by (a, b) so the rule
+    sequence is deterministic), and one broadcast cross join applying
+    the merge as a sequential ``F.aggregate`` fold. The fold is
+    greedy left-to-right — exactly BPE's "merge leftmost
+    non-overlapping occurrences" contract, since a merged token
+    ``a||b`` is strictly longer than ``a`` and so can never
+    accidentally re-trigger the same rule on its own output within a
+    round. ``localCheckpoint`` per round keeps lineage flat (same
+    hygiene as ``clustering.py:kmeans_lloyd``).
+
+    At 100 TB the distinct-word table is vocabulary-sized (millions
+    of rows, not corpus-sized), so every round's cost is O(|vocab|)
+    after the single corpus-wide word count — which is why real
+    tokenizer training runs on exactly this shape.
+    """
+    if n_merges < 1:
+        raise ValueError("bpe_train_segments needs n_merges >= 1")
+    words = (
+        df.select(F.explode(_ws_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike(word_pattern))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
+    seqs = words.select(
+        "word", "n_word", chars.alias("seq")
+    ).localCheckpoint()
+    for _ in range(n_merges):
+        n_1 = F.greatest(F.size("seq") - 1, F.lit(0))
+        pair_stream = F.arrays_zip(
+            F.slice("seq", 1, n_1).alias("a"),
+            F.slice("seq", 2, n_1).alias("b"),
+        )
+        best = (
+            seqs.select(F.explode(pair_stream).alias("p"), "n_word")
+            .select(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n_word"
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("n_word").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        def _fold(acc, x):
+            hit = (
+                (F.element_at(acc, -1) == F.col("a"))
+                & (x == F.col("b"))
+            )
+            grown = F.concat(acc, F.array(x))
+            return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+                F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.element_at(acc, -1), x)),
+                    ),
+                ).otherwise(grown)
+            )
+
+        seqs = (
+            seqs.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                "word",
+                "n_word",
+                F.aggregate(
+                    "seq", F.array().cast("array<string>"), _fold
+                ).alias("seq"),
+            )
+            .localCheckpoint()
+        )
+    return seqs.select(
+        "word", "n_word", F.concat_ws(" ", "seq").alias("seg")
+    )

@@ -132,7 +132,12 @@ whole chain replayed as five SQL CTEs — proves the stages
 compose, not just that each works), and file_metadata_events (the
 hidden `_metadata` lineage struct: one-file-per-partition layout,
 dense 0-based row_index proved by the triangular-number closed
-form; environment-dependent values carried as invariants).
+form; environment-dependent values carried as invariants), and
+bpe_train_documents (the FULL iterative BPE training loop —
+3 frequency-weighted merge rules learned over the distinct-word
+table, winning pair a 1-row broadcast per round, greedy
+left-to-right fold application; every word's final segmentation
+hash-exact vs a 3-round unrolled gaps-and-islands SQL replay).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -990,3 +990,114 @@ FROM k GROUP BY source
 
 QUERIES["curation_funnel_report"] = q_curation_funnel_report
 ORACLES["curation_funnel_report"] = ORACLE_CURATION_FUNNEL_REPORT
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training (the full iterative loop)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 3
+BPE_WORD_RE = "^[a-z]+$"
+
+
+def q_bpe_train_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL BPE training loop (extensions/vocab.py:
+    bpe_train_segments), not just one candidate round: 3 merge rules
+    learned corpus-wide (frequency-weighted over the distinct-word
+    table, ties broken (a, b)), each applied as a greedy
+    left-to-right fold; the gate returns every distinct word's final
+    segmentation, so a wrong rule, a wrong tiebreak, or a wrong
+    overlap resolution (greedy must give 'aaa' -> 'aa a') all change
+    the hash. The winning pair each round is a 1-row broadcast — no
+    collect, corpus never reshuffles after the word count."""
+    from ..extensions.vocab import bpe_train_segments
+
+    return bpe_train_segments(
+        _docs(spark, sf_dir),
+        n_merges=BPE_TRAIN_MERGES,
+        word_pattern=BPE_WORD_RE,
+    )
+
+
+def bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round as DuckDB CTEs: weighted pair counts
+    from seq{r-1}, deterministic argmax, then greedy merge
+    application via gaps-and-islands (consecutive match runs keep
+    odd offsets — only an a==b rule can ever overlap, and greedy
+    takes positions 1,3,5... of each run). Shared with
+    tests/test_function_gate_props.py so the tested fragment IS the
+    live oracle."""
+    p = r - 1
+    return f"""
+pairs{r} AS (
+  SELECT a, b, sum(n_word) AS n_pairs FROM (
+    SELECT word, n_word, tok AS a,
+           lead(tok) OVER (PARTITION BY word ORDER BY pos) AS b
+    FROM seq{p}
+  ) WHERE b IS NOT NULL GROUP BY a, b
+),
+best{r} AS (
+  SELECT a, b FROM pairs{r} ORDER BY n_pairs DESC, a, b LIMIT 1
+),
+m{r} AS (
+  SELECT word, n_word, pos, tok,
+         coalesce(
+           tok = (SELECT a FROM best{r})
+           AND lead(tok) OVER (PARTITION BY word ORDER BY pos)
+               = (SELECT b FROM best{r}), FALSE) AS m,
+         lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM seq{p}
+),
+g{r} AS (
+  SELECT *,
+         pos - row_number() OVER (PARTITION BY word, m ORDER BY pos)
+           AS grp
+  FROM m{r}
+),
+s{r} AS (
+  SELECT *,
+         m AND row_number()
+                 OVER (PARTITION BY word, m, grp ORDER BY pos)
+               % 2 = 1 AS start
+  FROM g{r}
+),
+seq{r} AS (
+  SELECT word, n_word,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN start THEN tok || nxt ELSE tok END AS tok
+  FROM (
+    SELECT *,
+           coalesce(lag(start) OVER (PARTITION BY word ORDER BY pos),
+                    FALSE) AS dropped
+    FROM s{r}
+  ) WHERE NOT dropped
+)"""
+
+
+def bpe_train_oracle_sql(n_merges: int) -> str:
+    rounds = ",".join(bpe_round_sql(r) for r in range(1, n_merges + 1))
+    return rf"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_word FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '{BPE_WORD_RE}') GROUP BY word
+),
+seq0 AS (
+  SELECT word, n_word, i AS pos, chars[i] AS tok
+  FROM (SELECT word, n_word, string_split(word, '') AS chars
+        FROM words),
+       unnest(range(1, len(chars) + 1)) AS t(i)
+),{rounds}
+SELECT word, n_word, string_agg(tok, ' ' ORDER BY pos) AS seg
+FROM seq{n_merges} GROUP BY word, n_word
+"""
+
+
+ORACLE_BPE_TRAIN_DOCUMENTS = bpe_train_oracle_sql(BPE_TRAIN_MERGES)
+
+QUERIES["bpe_train_documents"] = q_bpe_train_documents
+ORACLES["bpe_train_documents"] = ORACLE_BPE_TRAIN_DOCUMENTS

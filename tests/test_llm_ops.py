@@ -487,3 +487,68 @@ def test_readability_flesch_hand_computed(spark):
     expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert abs(r0.flesch - expect) < 1e-9
     assert rows[1].flesch is None and rows[1].n_sentences == 1
+
+
+def test_bpe_train_greedy_overlap_and_weighted_rules(spark):
+    """Hand-computed 3-round BPE train: weighted counts pick (a,a)
+    first (aaaa x3 contributes 9), greedy left-to-right resolves the
+    overlapping run ('aaa' -> 'aa a', never 'a aa'), and the round-2
+    tie between (a,b) and (a,n) at weight 4 breaks to (a,b) on the
+    (a, b) lexicographic tiebreak."""
+    from big_data_for_smart_houses_spark.extensions.vocab import (
+        bpe_train_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [("aaaa aaaa aaa ab ab ab",), ("banana bandana ab aaaa",)],
+        ["text"],
+    )
+    got = {
+        r.word: (r.n_word, r.seg)
+        for r in bpe_train_segments(docs, n_merges=3).collect()
+    }
+    assert got == {
+        "aaaa": (3, "aa aa"),
+        "aaa": (1, "aa a"),
+        "ab": (4, "ab"),
+        "banana": (1, "b an an a"),
+        "bandana": (1, "b an d an a"),
+    }
+
+
+def test_bpe_train_oracle_fragment_matches_engine(spark, tmp_path):
+    """The unrolled DuckDB oracle (queries/llm_ops.py:bpe_round_sql)
+    replays the same greedy-merge contract as the engine's
+    F.aggregate fold on a corpus engineered to hit every edge: a==b
+    overlap runs, a tie broken lexicographically, and 1-char words
+    that never pair."""
+    import duckdb
+
+    from big_data_for_smart_houses_spark.extensions.vocab import (
+        bpe_train_segments,
+    )
+    from big_data_for_smart_houses_spark.queries.llm_ops import (
+        bpe_train_oracle_sql,
+    )
+
+    rows = [
+        ("aaaa aaa a xyxyx xyxyxy",),
+        ("zz zz zz xy yx q aaaa",),
+    ]
+    docs = spark.createDataFrame(rows, ["text"])
+    engine = {
+        (r.word, r.n_word, r.seg)
+        for r in bpe_train_segments(docs, n_merges=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ",".join(f"('{t[0]}')" for t in rows)
+        + ") v(text)"
+    )
+    oracle = {
+        (w, int(n), s)
+        for w, n, s in con.execute(bpe_train_oracle_sql(4)).fetchall()
+    }
+    con.close()
+    assert engine == oracle and len(engine) == 9
