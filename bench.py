@@ -121,6 +121,7 @@ HEADLINE = [
     "bpe_pair_counts_documents",
     "bpe_train_documents",
     "inverted_index_documents",
+    "rollup_navigate_events",
     "pagerank_user_transitions",
     "regexp_functions_documents",
     "math_functions_events",

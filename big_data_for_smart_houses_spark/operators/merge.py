@@ -101,6 +101,37 @@ def partial_aggregate(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def reaggregate_rollup(
+    partial: DataFrame,
+    coarse_keys: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """Aggregate NAVIGATION: answer a coarser-grained rollup FROM a
+    finer materialized one (daily from hourly, monthly from daily)
+    instead of rescanning the fact table — the continuous-aggregate /
+    materialized-view rewrite every time-series store performs.
+
+    Only works because the stored measures are the MERGEABLE partial
+    forms (sum/count/min/max — the same monoids
+    ``merge_partial_aggs`` relies on): sums re-sum, counts re-sum,
+    min/max re-min/re-max; avg must be re-derived from sum/count at
+    the coarser grain, never averaged-of-averages. At 100 TB the win
+    is the input width: |hours x keys| rows instead of the fact
+    table, so a year-to-date query costs one exchange over ~10^4
+    rows per key.
+    """
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in (min_cols or [])]
+        + [F.max(c).alias(c) for c in (max_cols or [])]
+        + [F.sum(count_col).cast("long").alias(count_col)]
+    )
+    return partial.groupBy(*coarse_keys).agg(*aggs)
+
+
 def finalize_means(
     df: DataFrame, measures: list[str], count_col: str = "n"
 ) -> DataFrame:

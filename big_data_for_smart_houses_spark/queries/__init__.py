@@ -137,7 +137,14 @@ bpe_train_documents (the FULL iterative BPE training loop —
 3 frequency-weighted merge rules learned over the distinct-word
 table, winning pair a 1-row broadcast per round, greedy
 left-to-right fold application; every word's final segmentation
-hash-exact vs a 3-round unrolled gaps-and-islands SQL replay).
+hash-exact vs a 3-round unrolled gaps-and-islands SQL replay),
+and rollup_navigate_events (aggregate NAVIGATION: the daily rollup
+answered FROM the materialized hourly partial-aggregate table —
+sum/count/min/max monoids re-aggregated up the time hierarchy and
+avg re-derived at the coarse grain — while the oracle computes
+daily DIRECT from raw events; integer-cents measures make the
+identity associative-exact, so the green row is the
+materialized-view-rewrite correctness statement itself).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

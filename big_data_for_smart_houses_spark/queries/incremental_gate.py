@@ -631,3 +631,76 @@ def q_vacuum_retention_orders(
 
 QUERIES["vacuum_retention_orders"] = q_vacuum_retention_orders
 ORACLES["vacuum_retention_orders"] = ORACLE_TIME_TRAVEL_ORDERS
+
+
+def q_rollup_navigate_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate navigation (operators/merge.py:reaggregate_rollup):
+    the DAILY per-type rollup answered FROM the materialized HOURLY
+    partial-aggregate table — never rescanning the fact — while the
+    oracle computes the daily answer DIRECT from raw events. A green
+    hash row is therefore the materialized-view-rewrite correctness
+    statement itself: navigating sum/count/min/max monoids up the
+    time hierarchy loses nothing, and avg re-derived at the coarse
+    grain (sum/count, one double division) equals the direct avg.
+    Exactness: event values are 2-decimal by construction at every
+    SF, so integer CENTS make every stored measure associative-exact
+    (no float-sum ordering anywhere). Cost shape: one fact exchange
+    into |hours x types| rows, then one tiny exchange over the
+    partial table."""
+    from ..operators.merge import reaggregate_rollup
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.sum("cents").alias("total_cents"),
+        F.min("cents").alias("cents_min"),
+        F.max("cents").alias("cents_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    daily = reaggregate_rollup(
+        hourly.withColumn("day", F.to_date("hour")),
+        coarse_keys=["day", "event_type"],
+        sum_cols=["total_cents"],
+        min_cols=["cents_min"],
+        max_cols=["cents_max"],
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "total_cents",
+        "cents_min",
+        "cents_max",
+        (
+            F.col("total_cents").cast("double")
+            / (F.lit(100).cast("double") * F.col("n").cast("double"))
+        ).alias("avg_value"),
+    )
+
+
+ORACLE_ROLLUP_NAVIGATE_EVENTS = """
+WITH c AS (
+  SELECT ts, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       min(cents) AS cents_min,
+       max(cents) AS cents_max,
+       CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+         / (CAST(100 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+         AS avg_value
+FROM c
+GROUP BY 1, 2
+"""
+
+QUERIES["rollup_navigate_events"] = q_rollup_navigate_events
+ORACLES["rollup_navigate_events"] = ORACLE_ROLLUP_NAVIGATE_EVENTS

@@ -314,3 +314,56 @@ def test_expire_versions_preserves_later_states(spark):
     assert rows(aov(new_base, rest, 1, keys=["k"])) == rows(
         aov(base, batches, 2, keys=["k"])
     )
+
+
+def test_reaggregate_rollup_navigation_equals_direct(spark):
+    """Navigating a fine partial-aggregate table to a coarser grain
+    must equal aggregating the raw rows directly at that grain —
+    including min/max monoids — and the re-derived mean must equal
+    the direct mean (NOT the mean of hourly means, which differs
+    whenever group sizes differ)."""
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.operators.merge import (
+        partial_aggregate,
+        reaggregate_rollup,
+    )
+
+    rows = [
+        # (day, hour, key, v): day 1 has skewed hour sizes so
+        # avg-of-avgs would be wrong (hour 0: one row, hour 1: three)
+        (1, 0, "a", 10),
+        (1, 1, "a", 1),
+        (1, 1, "a", 2),
+        (1, 1, "a", 3),
+        (2, 0, "a", 7),
+        (1, 0, "b", -5),
+    ]
+    df = spark.createDataFrame(rows, ["day", "hour", "key", "v"])
+    hourly = partial_aggregate(
+        df, keys=["day", "hour", "key"], measures=["v"]
+    ).join(
+        df.groupBy("day", "hour", "key").agg(
+            F.min("v").alias("v_min"), F.max("v").alias("v_max")
+        ),
+        ["day", "hour", "key"],
+    )
+    daily = reaggregate_rollup(
+        hourly,
+        coarse_keys=["day", "key"],
+        sum_cols=["v"],
+        min_cols=["v_min"],
+        max_cols=["v_max"],
+    )
+    got = {
+        (r.day, r.key): (r.v, r.v_min, r.v_max, r.n, r.v / r.n)
+        for r in daily.collect()
+    }
+    assert got == {
+        (1, "a"): (16, 1, 10, 4, 4.0),
+        (2, "a"): (7, 7, 7, 1, 7.0),
+        (1, "b"): (-5, -5, -5, 1, -5.0),
+    }
+    # the trap the operator exists to avoid: mean of hourly means
+    # for (1, a) would be (10 + 2) / 2 = 6.0, not 4.0
+    assert got[(1, "a")][4] == 4.0
