@@ -113,6 +113,7 @@ HEADLINE = [
     "hof_functions_documents",
     "bloom_probe_customers",
     "editdist_recall_planted",
+    "ppjoin_pairs_documents",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

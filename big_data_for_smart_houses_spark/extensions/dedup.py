@@ -510,3 +510,109 @@ def editdist_blocked_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("id1", "id2", "edit_dist")
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Prefix-filtering exact set-similarity join (the All-Pairs /
+    PPJoin candidate scheme of Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08 — public algorithms).
+
+    Same output contract as :func:`ngram_jaccard_pairs` (every pair
+    with shingle-set Jaccard >= threshold), but candidate generation
+    touches only each set's PREFIX — the ``p = |s| - ceil(t*|s|) + 1``
+    globally-rarest shingles under a (document-frequency, shingle)
+    total order — instead of all shingles:
+
+    * prefix filter: two sets with ``J >= t`` must share at least one
+      prefix token (overlap >= ceil(t*max(|x|,|y|)) and the prefix
+      keeps every token that could start such an overlap);
+    * length filter: ``J >= t`` implies ``t*|x| <= |y| <= |x|/t``, so
+      candidate pairs outside that band are dropped before
+      verification.
+
+    Verification recomputes the EXACT intersection via
+    ``array_intersect`` on the full sorted shingle arrays, so the
+    result is identical to the exhaustive shared-shingle join — which
+    is exactly what the oracle replays, making the driver hash gate a
+    proof of the prefix filter's completeness, not just of the
+    verifier.
+
+    Scale shape: one document-frequency aggregate (shingle-keyed, never
+    broadcast), one per-doc window to rank tokens, a prefix-token
+    equi-join (candidate volume ~ (1-t) fraction of the full blocking
+    join), then an id-keyed join back to the packed shingle arrays.
+    ``ceil(t*|s|)`` is guarded with a 1e-9 epsilon: double rounding of
+    ``t*|s|`` UP past the true integer ceiling would shorten the prefix
+    and silently break completeness (e.g. 0.8*5 -> 4.0000000000000002).
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_df", "shingle")
+        ),
+    )
+    sizes = ranked.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    with_size = ranked.join(sizes, id_col)
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(float(threshold)) * F.col("set_size") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    pref = with_size.filter(F.col("_rn") <= prefix_len).select(
+        id_col, "shingle", "set_size"
+    )
+    p1 = pref.select(
+        F.col(id_col).alias("id1"),
+        F.col("shingle"),
+        F.col("set_size").alias("size1"),
+    )
+    p2 = pref.select(
+        F.col(id_col).alias("id2"),
+        F.col("shingle"),
+        F.col("set_size").alias("size2"),
+    )
+    cand = (
+        p1.join(p2, "shingle")
+        .filter(
+            (F.col("id1") < F.col("id2"))
+            # length filter: t*max(s1,s2) <= min(s1,s2), epsilon-guarded
+            # the same way as the prefix length
+            & (
+                F.least("size1", "size2").cast("double")
+                >= F.lit(float(threshold))
+                * F.greatest("size1", "size2").cast("double")
+                - F.lit(1e-9)
+            )
+        )
+        .select("id1", "id2", "size1", "size2")
+        .distinct()
+    )
+    packed = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle")).alias("_toks")
+    )
+    a1 = packed.select(F.col(id_col).alias("id1"), F.col("_toks").alias("_t1"))
+    a2 = packed.select(F.col(id_col).alias("id2"), F.col("_toks").alias("_t2"))
+    return (
+        cand.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_t1", "_t2")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size1") + F.col("size2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "n_inter", "size1", "size2", "jaccard")
+    )

@@ -86,8 +86,10 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared CTE chain: planted corpus -> shingles -> pairwise jaccard,
-# reused by the pair query and the connected-components oracle.
-_JACCARD_CTES = f"""{_PLANTED_CTE},
+# reused by the pair query, the connected-components oracle, and the
+# PPJoin completeness gate (same exhaustive join at its threshold).
+def _jaccard_ctes(threshold: float) -> str:
+    return f"""{_PLANTED_CTE},
 norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
@@ -113,11 +115,40 @@ jac AS (
   JOIN sizes s1 ON inter.id1 = s1.doc_id
   JOIN sizes s2 ON inter.id2 = s2.doc_id
   WHERE CAST(n_inter AS DOUBLE) / (s1.set_size + s2.set_size - n_inter)
-        >= {JACCARD_THRESHOLD}
+        >= {threshold}
 )"""
+
+
+_JACCARD_CTES = _jaccard_ctes(JACCARD_THRESHOLD)
 
 ORACLE_NGRAM_JACCARD_PAIRS = f"""
 WITH {_JACCARD_CTES}
+SELECT id1, id2, n_inter, size1, size2, jaccard FROM jac
+"""
+
+
+# ---------------------------------------------------------------------------
+# PPJoin: prefix-filtered exact set-similarity join
+# ---------------------------------------------------------------------------
+
+PPJOIN_THRESHOLD = 0.5
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (extensions/dedup.py:
+    ppjoin_pairs — All-Pairs/PPJoin candidate scheme). The oracle is
+    the EXHAUSTIVE shared-shingle join at the same threshold, so the
+    hash gate proves the prefix + length filters dropped no true pair
+    (completeness), not merely that the verifier computes Jaccard
+    correctly. Threshold 0.5 (vs the 0.2 blocking gate) so the prefix
+    is ~half of each set and the filter does real pruning."""
+    return dedup.ppjoin_pairs(
+        _docs_with_planted_dups(spark, sf_dir), threshold=PPJOIN_THRESHOLD
+    )
+
+
+ORACLE_PPJOIN_PAIRS = f"""
+WITH {_jaccard_ctes(PPJOIN_THRESHOLD)}
 SELECT id1, id2, n_inter, size1, size2, jaccard FROM jac
 """
 
@@ -937,6 +968,7 @@ FROM d
 QUERIES = {
     "dedup_exact_documents": q_dedup_exact_documents,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ppjoin_pairs_documents": q_ppjoin_pairs,
     "dedup_groups_documents": q_dedup_groups_documents,
     "dataset_split_documents": q_dataset_split_documents,
     "token_batch_packing": q_token_batch_packing,
@@ -968,6 +1000,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    "ppjoin_pairs_documents": ORACLE_PPJOIN_PAIRS,
     "dedup_groups_documents": ORACLE_DEDUP_GROUPS_DOCUMENTS,
     "dataset_split_documents": ORACLE_DATASET_SPLIT_DOCUMENTS,
     "token_batch_packing": ORACLE_TOKEN_BATCH_PACKING,

@@ -762,3 +762,49 @@ def test_kmeans_lloyd_empty_cluster_carries(spark):
         kmeans_lloyd(one, k=0, iters=1)
     with pytest.raises(ValueError):
         kmeans_lloyd(one, k=2, iters=0)
+
+
+def test_ppjoin_equals_exhaustive_join(planted):
+    """PPJoin's prefix+length filters must drop no true pair: output
+    == ngram_jaccard_pairs (exhaustive shared-shingle blocking) at the
+    same threshold, row-for-row."""
+    t = 0.5
+    exact = {
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(planted, threshold=t)
+        .select("id1", "id2", "n_inter", "size1", "size2")
+        .collect()
+    }
+    pp = {
+        tuple(r)
+        for r in dedup.ppjoin_pairs(planted, threshold=t)
+        .select("id1", "id2", "n_inter", "size1", "size2")
+        .collect()
+    }
+    assert pp == exact
+    assert len(pp) > 0
+
+
+def test_ppjoin_prefix_actually_prunes(planted):
+    """The prefix index must be materially smaller than the full
+    shingle index (that's the point of the filter): at t=0.5 each
+    set's prefix is ~half its shingles."""
+    sh = dedup.shingles(planted)
+    full = sh.count()
+    # replicate the operator's prefix selection
+    from pyspark.sql import Window
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "shingle")),
+    )
+    sizes = ranked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    pref = (
+        ranked.join(sizes, "doc_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("set_size") - F.ceil(0.5 * F.col("set_size") - 1e-9) + 1
+        )
+        .count()
+    )
+    assert pref < 0.6 * full
