@@ -114,6 +114,8 @@ HEADLINE = [
     "bloom_probe_customers",
     "editdist_recall_planted",
     "ppjoin_pairs_documents",
+    "global_rownum_orders",
+    "concurrency_sweepline_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",
@@ -380,6 +382,7 @@ SCALE10X_PROBES = [
     "bucketed_join_orders",
     "cms_token_counts",
     "editdist_recall_planted",
+    "ppjoin_pairs_documents",
     "bigram_lm_documents",
     "source_kl_documents",
     "dedup_exact_documents",

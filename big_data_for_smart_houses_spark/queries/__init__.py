@@ -144,7 +144,21 @@ sum/count/min/max monoids re-aggregated up the time hierarchy and
 avg re-derived at the coarse grain — while the oracle computes
 daily DIRECT from raw events; integer-cents measures make the
 identity associative-exact, so the green row is the
-materialized-view-rewrite correctness statement itself).
+materialized-view-rewrite correctness statement itself), and
+ppjoin_pairs_documents (prefix-filtered exact set-similarity join —
+All-Pairs/PPJoin candidate generation touching only each set's
+(1-t)-fraction prefix under a global document-frequency token
+order, length-filter banded, verified by exact array_intersect;
+the oracle replays the EXHAUSTIVE shared-shingle join at the same
+threshold, so the green row proves filter completeness), and
+global_rownum_orders + concurrency_sweepline_events (the
+distributed global prefix scan, operators/scan.py — two-level
+Blelloch scan: range partition → local window → ≤num_partitions-row
+offsets table broadcast back; the oracles are the single-reducer
+`row_number() OVER (ORDER BY ...)` / `SUM(delta) OVER (ORDER BY
+...)` formulations, so the green rows state the scalable plan
+computes exactly what the unscalable one computes; plan test pins
+zero data-sized SinglePartition exchanges).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

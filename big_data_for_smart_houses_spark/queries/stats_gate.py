@@ -3130,3 +3130,120 @@ FROM base, unnest(range(1, greatest(n, 1) + 1)) AS t(i)
 
 QUERIES["explode_outer_events"] = q_explode_outer_events
 ORACLES["explode_outer_events"] = ORACLE_EXPLODE_OUTER_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Distributed global prefix scan (operators/scan.py)
+# ---------------------------------------------------------------------------
+
+def q_global_rownum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based global row numbers over orders, ordered by
+    (o_orderdate, o_orderkey), via the two-level Blelloch scan
+    (operators/scan.py:global_row_number) — range partition, local
+    window, tiny per-partition offsets table broadcast back. The
+    oracle is the textbook single-reducer ``row_number() OVER (ORDER
+    BY ...)``, so the green row states the distributed scan computes
+    EXACTLY what the unscalable formulation computes. The output
+    re-derives a per-date check (rownum of each date's first order)
+    plus the raw numbering on a 1-in-7 slice so the gate carries both
+    the global density proof and spot values."""
+    from ..operators.scan import global_row_number
+
+    o = _orders(spark, sf_dir)
+    numbered = global_row_number(
+        o, ["o_orderdate", "o_orderkey"], out_col="rownum"
+    )
+    return numbered.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "rownum"
+    )
+
+
+ORACLE_GLOBAL_ROWNUM_ORDERS = """
+WITH n AS (
+  SELECT o_orderkey,
+         CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+              AS BIGINT) AS rownum
+  FROM orders
+)
+SELECT o_orderkey, rownum FROM n WHERE o_orderkey % 7 = 0
+"""
+
+QUERIES["global_rownum_orders"] = q_global_rownum_orders
+ORACLES["global_rownum_orders"] = ORACLE_GLOBAL_ROWNUM_ORDERS
+
+
+SWEEP_BASE_MIN = 5
+SWEEP_MOD_MIN = 56
+
+
+def q_concurrency_sweepline_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval sweep line: peak concurrent open intervals per hour.
+    Each event opens a half-open interval [ts, ts + (5 + event_id %
+    56) minutes); the +1/-1 boundary points are scanned globally by
+    (t, delta, id) through the distributed prefix scan — the oracle
+    replays the same running sum with the single-reducer ``SUM(delta)
+    OVER (ORDER BY ...)``. Ends sort before starts at equal t
+    (delta -1 < +1), so touching intervals never count as
+    overlapping. Integer deltas make the scan associative-exact."""
+    from ..operators.scan import sweepline_concurrency
+
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + F.make_interval(
+                mins=(
+                    F.lit(SWEEP_BASE_MIN)
+                    + (F.col("event_id") % SWEEP_MOD_MIN)
+                ).cast("int")
+            )
+        ).alias("end_ts"),
+    )
+    pts = sweepline_concurrency(
+        iv, start_col="start_ts", end_col="end_ts", id_col="event_id"
+    )
+    return pts.groupBy(
+        F.date_trunc("hour", F.col("t")).alias("hour")
+    ).agg(
+        F.max("concurrency").alias("peak_concurrency"),
+        F.min("concurrency").alias("min_concurrency"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )
+
+
+ORACLE_CONCURRENCY_SWEEPLINE_EVENTS = f"""
+WITH iv AS (
+  SELECT event_id,
+         ts AS s,
+         ts + to_microseconds(
+           CAST({SWEEP_BASE_MIN} + event_id % {SWEEP_MOD_MIN} AS BIGINT)
+           * 60 * 1000000
+         ) AS e
+  FROM events
+),
+pts AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS delta, event_id AS id FROM iv
+  UNION ALL
+  SELECT e AS t, CAST(-1 AS BIGINT) AS delta, event_id AS id FROM iv
+),
+run AS (
+  SELECT t,
+         SUM(delta) OVER (
+           ORDER BY t, delta, id ROWS UNBOUNDED PRECEDING
+         ) AS conc
+  FROM pts
+)
+SELECT date_trunc('hour', t) AS hour,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(MIN(conc) AS BIGINT) AS min_concurrency,
+       COUNT(*) AS n_boundaries
+FROM run
+GROUP BY 1
+"""
+
+QUERIES["concurrency_sweepline_events"] = q_concurrency_sweepline_events
+ORACLES["concurrency_sweepline_events"] = ORACLE_CONCURRENCY_SWEEPLINE_EVENTS

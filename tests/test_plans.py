@@ -848,3 +848,55 @@ def test_sssp_round_plan_shape(spark):
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_global_scan_no_data_sized_single_partition(spark):
+    """The distributed prefix scan's whole point: the data path is
+    range-partitioned + hash-by-pid windowed, and the ONLY
+    SinglePartition exchange feeds on the per-partition totals
+    aggregate (<= num_partitions rows), never the raw data. The naive
+    `row_number() OVER (ORDER BY ...)` formulation this replaces
+    funnels every row through one reducer."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from big_data_for_smart_houses_spark.operators.scan import (
+        global_row_number,
+    )
+    from big_data_for_smart_houses_spark.sources.parquet import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    plan = (
+        global_row_number(o, ["o_orderdate", "o_orderkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the single-partition stage consumes the pid-keyed aggregate, not
+    # the data: its immediate child (next plan line) is HashAggregate
+    lines = plan.splitlines()
+    idx = next(
+        i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln
+    )
+    assert "HashAggregate" in lines[idx + 1], plan
+
+    # contrast: the naive global window IS the single-reducer plan
+    naive = (
+        o.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy("o_orderdate", "o_orderkey")
+            ),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    nlines = naive.splitlines()
+    nidx = next(
+        i for i, ln in enumerate(nlines) if "Exchange SinglePartition" in ln
+    )
+    assert "HashAggregate" not in nlines[nidx + 1], naive

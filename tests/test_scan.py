@@ -1,0 +1,108 @@
+"""Distributed prefix scan (operators/scan.py): exactness vs the
+single-reducer window, partition-count independence, half-open
+sweep-line semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_for_smart_houses_spark.operators.scan import (
+    global_row_number,
+    global_running_sum,
+    sweepline_concurrency,
+)
+
+
+def _rows(n, spark):
+    # keys deliberately NOT in insertion order; values small ints
+    return spark.createDataFrame(
+        [(int((i * 7) % n), int(i % 5)) for i in range(n)],
+        "k long, v long",
+    )
+
+
+def test_running_sum_matches_naive_window(spark):
+    df = _rows(500, spark)
+    got = {
+        (r.k, r.running)
+        for r in global_running_sum(
+            df, ["k"], "v", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.running)
+        for r in df.withColumn("running", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_running_sum_partition_count_invariant(spark):
+    """Output must not depend on where range boundaries land."""
+    df = _rows(300, spark)
+    a = sorted(
+        (r.k, r.running)
+        for r in global_running_sum(df, ["k"], "v", num_partitions=2).collect()
+    )
+    b = sorted(
+        (r.k, r.running)
+        for r in global_running_sum(
+            df, ["k"], "v", num_partitions=17
+        ).collect()
+    )
+    assert a == b
+
+
+def test_exclusive_prefix_starts_at_zero(spark):
+    df = _rows(100, spark)
+    out = global_running_sum(
+        df, ["k"], "v", num_partitions=4, inclusive=False
+    )
+    first = out.orderBy("k").first()
+    assert first.running == 0
+
+
+def test_row_number_dense_zero_based(spark):
+    df = _rows(257, spark)
+    nums = sorted(
+        r.rownum
+        for r in global_row_number(df, ["k"], num_partitions=9).collect()
+    )
+    assert nums == list(range(257))
+
+
+def test_requires_order(spark):
+    df = _rows(10, spark)
+    with pytest.raises(ValueError):
+        global_running_sum(df, [], "v")
+
+
+def test_sweepline_half_open_touch(spark):
+    """[0,10) and [10,20) touch but never overlap: concurrency must
+    never exceed 1, and the -1 boundary sorts before the +1 at t=10."""
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20)],
+        "event_id long, start_ts long, end_ts long",
+    )
+    pts = sweepline_concurrency(iv, "start_ts", "end_ts").collect()
+    assert max(p.concurrency for p in pts) == 1
+    assert min(p.concurrency for p in pts) == 0
+    at_10 = sorted(
+        (p.delta, p.concurrency) for p in pts if p.t == 10
+    )
+    # end applies first (conc 1->0), then the next start (0->1)
+    assert at_10 == [(-1, 0), (1, 1)]
+
+
+def test_sweepline_nested_intervals(spark):
+    iv = spark.createDataFrame(
+        [(1, 0, 100), (2, 10, 20), (3, 15, 30)],
+        "event_id long, start_ts long, end_ts long",
+    )
+    pts = sweepline_concurrency(iv, "start_ts", "end_ts")
+    assert pts.agg(F.max("concurrency")).first()[0] == 3
+    # conservation: final running value returns to zero
+    last = pts.orderBy(F.desc("t"), F.desc("delta"), F.desc("id")).first()
+    assert last.concurrency == 0
