@@ -116,6 +116,7 @@ HEADLINE = [
     "ppjoin_pairs_documents",
     "global_rownum_orders",
     "concurrency_sweepline_events",
+    "skyline_parts",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -40,22 +40,36 @@ _LOCAL = "_scan_local"
 _OFF = "_scan_off"
 
 
-def global_running_sum(
+_AGGS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def global_running_agg(
     df: DataFrame,
     order_cols: Sequence[str],
     value: Column | str,
+    agg: str = "sum",
     out_col: str = "running",
     num_partitions: int | None = None,
     inclusive: bool = True,
 ) -> DataFrame:
-    """Exact global running sum of ``value`` under the total order
-    ``order_cols``, with no data-sized single-partition stage.
+    """Exact global running ``sum``/``min``/``max`` of ``value`` under
+    the total order ``order_cols``, with no data-sized
+    single-partition stage (any commutative-associative aggregate
+    fits the two-level scheme; these three cover the query surface).
 
-    ``inclusive=False`` gives the exclusive prefix (0 for the first
-    row). Adds ``out_col``; all scan scaffolding columns are dropped.
+    ``inclusive=False`` gives the exclusive prefix: 0 for the first
+    row under ``sum``, NULL (no predecessor) under ``min``/``max``.
+    Adds ``out_col``; all scan scaffolding columns are dropped.
     """
     if not order_cols:
-        raise ValueError("global_running_sum needs a total order")
+        raise ValueError("global_running_agg needs a total order")
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    agg_fn = _AGGS[agg]
     spark = df.sparkSession
     n = int(
         num_partitions
@@ -76,31 +90,57 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    local = pid.withColumn(
-        _LOCAL, F.coalesce(F.sum(val).over(w_local), F.lit(0).cast("long"))
-    )
+    local = pid.withColumn(_LOCAL, agg_fn(val).over(w_local))
 
     # Stage 3: one total per partition (map-side combined — the
     # shuffle moves <= n pre-aggregated rows), exclusively scanned.
     # This window IS single-partition, over <= num_partitions rows:
     # bounded by cluster parallelism, not by data volume.
-    totals = pid.groupBy(_PID).agg(F.sum(val).alias("_ptot"))
+    totals = pid.groupBy(_PID).agg(agg_fn(val).alias("_ptot"))
     w_off = (
         Window.orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        _PID,
-        F.coalesce(F.sum("_ptot").over(w_off), F.lit(0).cast("long")).alias(
-            _OFF
-        ),
+        _PID, agg_fn("_ptot").over(w_off).alias(_OFF)
     )
 
     # Stage 4: broadcast the tiny offsets table back onto the data.
+    # sum combines by +  (absent prefix = 0); min/max combine by
+    # least/greatest, which skip NULLs — so a NULL exclusive prefix
+    # (first partition / first row) falls through to the other side.
+    if agg == "sum":
+        combined = F.coalesce(F.col(_LOCAL), F.lit(0).cast("long")) + (
+            F.coalesce(F.col(_OFF), F.lit(0).cast("long"))
+        )
+    elif agg == "min":
+        combined = F.least(F.col(_LOCAL), F.col(_OFF))
+    else:
+        combined = F.greatest(F.col(_LOCAL), F.col(_OFF))
     return (
         local.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, F.col(_LOCAL) + F.col(_OFF))
+        .withColumn(out_col, combined)
         .drop(_PID, _LOCAL, _OFF)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value: Column | str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global running sum — see :func:`global_running_agg`."""
+    return global_running_agg(
+        df,
+        order_cols,
+        value,
+        agg="sum",
+        out_col=out_col,
+        num_partitions=num_partitions,
+        inclusive=inclusive,
     )
 
 
@@ -123,6 +163,62 @@ def global_row_number(
         inclusive=False,
     )
     return numbered
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al., ICDE'01 — the
+    classic operator the skyline literature defines): the distinct
+    points ``(x, y)`` not dominated by any other point, where
+    domination means ``x' <= x AND y' >= y`` with at least one strict
+    (x minimized — price; y maximized — quality).
+
+    The textbook evaluation is the quadratic NOT EXISTS self-join;
+    the 2-D case collapses to a sort + running max: under the lex
+    order ``(x ASC, y DESC)``, a point is dominated iff some
+    predecessor has ``y' >= y`` (same-x predecessors have strictly
+    larger y; smaller-x predecessors dominate at any ``y' >= y``) —
+    so the skyline is exactly the strict running-maximum frontier of
+    ``y``. Running max runs through :func:`global_running_agg`, so
+    the whole operator is two balanced shuffles + a distinct, never
+    a self-join and never a single-reducer sort. For d > 2 the
+    sort trick no longer applies — the scale path is local skyline
+    per partition, then a second pass over the (small) union of
+    local skylines; not needed for the gated 2-D surface.
+
+    Returns the distinct skyline points ``(minimize_col,
+    maximize_col)``.
+    """
+    pts = df.select(minimize_col, maximize_col).distinct()
+    # orderBy y DESC needs an expression column name; alias it.
+    ordered = pts.select(
+        F.col(minimize_col).alias("_sky_x"),
+        F.col(maximize_col).alias("_sky_y"),
+        (-F.col(maximize_col)).alias("_sky_yneg"),
+    )
+    scanned = global_running_agg(
+        ordered,
+        ["_sky_x", "_sky_yneg"],
+        F.col("_sky_y"),
+        agg="max",
+        out_col="_sky_maxexcl",
+        num_partitions=num_partitions,
+        inclusive=False,
+    )
+    return (
+        scanned.filter(
+            F.col("_sky_maxexcl").isNull()
+            | (F.col("_sky_maxexcl") < F.col("_sky_y"))
+        )
+        .select(
+            F.col("_sky_x").alias(minimize_col),
+            F.col("_sky_y").alias(maximize_col),
+        )
+    )
 
 
 def sweepline_concurrency(

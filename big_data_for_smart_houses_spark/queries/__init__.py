@@ -158,7 +158,12 @@ offsets table broadcast back; the oracles are the single-reducer
 `row_number() OVER (ORDER BY ...)` / `SUM(delta) OVER (ORDER BY
 ...)` formulations, so the green rows state the scalable plan
 computes exactly what the unscalable one computes; plan test pins
-zero data-sized SinglePartition exchanges).
+zero data-sized SinglePartition exchanges), and skyline_parts (the
+2-D skyline / Pareto-frontier operator, Börzsönyi ICDE'01 —
+engine runs the sort-based strict running-max formulation through
+the same distributed scan, two balanced shuffles and no self-join;
+the oracle is the quadratic NOT EXISTS dominance DEFINITION, a
+different algorithm, so the green row certifies semantics).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3247,3 +3247,38 @@ GROUP BY 1
 
 QUERIES["concurrency_sweepline_events"] = q_concurrency_sweepline_events
 ORACLES["concurrency_sweepline_events"] = ORACLE_CONCURRENCY_SWEEPLINE_EVENTS
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier over parts: cheapest-for-the-size
+    frontier (minimize p_retailprice, maximize p_size). The engine
+    runs the sort-based strict running-max formulation through the
+    distributed scan (operators/scan.py:skyline_2d — two balanced
+    shuffles, no self-join); the oracle is the DEFINITION, the
+    quadratic NOT EXISTS dominance anti-join — a different algorithm
+    entirely, so the hash row certifies the semantics, not the code
+    path. Raw value pass-through (comparisons only), so doubles gate
+    exactly."""
+    from ..operators.scan import skyline_2d
+
+    configure_for_oracle_parity(spark)
+    p = load_table(spark, sf_dir, "part")
+    return skyline_2d(p, "p_retailprice", "p_size")
+
+
+ORACLE_SKYLINE_PARTS = """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice, p_size FROM part
+)
+SELECT p_retailprice, p_size
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+QUERIES["skyline_parts"] = q_skyline_parts
+ORACLES["skyline_parts"] = ORACLE_SKYLINE_PARTS

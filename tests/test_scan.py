@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from big_data_for_smart_houses_spark.operators.scan import (
     global_row_number,
+    global_running_agg,
     global_running_sum,
+    skyline_2d,
     sweepline_concurrency,
 )
 
@@ -106,3 +108,74 @@ def test_sweepline_nested_intervals(spark):
     # conservation: final running value returns to zero
     last = pts.orderBy(F.desc("t"), F.desc("delta"), F.desc("id")).first()
     assert last.concurrency == 0
+
+
+def test_running_min_max_match_naive(spark):
+    df = _rows(400, spark)
+    for agg, fn in (("min", F.min), ("max", F.max)):
+        got = sorted(
+            (r.k, r.running)
+            for r in global_running_agg(
+                df, ["k"], "v", agg=agg, num_partitions=7
+            ).collect()
+        )
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        want = sorted(
+            (r.k, r.running)
+            for r in df.withColumn("running", fn("v").over(w)).collect()
+        )
+        assert got == want, agg
+
+
+def test_running_min_exclusive_first_is_null(spark):
+    df = _rows(50, spark)
+    first = (
+        global_running_agg(
+            df, ["k"], "v", agg="min", num_partitions=4, inclusive=False
+        )
+        .orderBy("k")
+        .first()
+    )
+    assert first.running is None
+
+
+def test_running_agg_rejects_unknown(spark):
+    df = _rows(10, spark)
+    with pytest.raises(ValueError):
+        global_running_agg(df, ["k"], "v", agg="median")
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Sort-based skyline == the NOT EXISTS definition, on a point set
+    with duplicates, dominance ties on each axis, and a single
+    all-dominating point scenario."""
+    import random
+
+    rng = random.Random(42)
+    pts = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(300)]
+    pts += pts[:20]  # duplicates
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y)
+        for r in skyline_2d(df, "x", "y", num_partitions=5).collect()
+    }
+    uniq = set(pts)
+    want = {
+        (x, y)
+        for (x, y) in uniq
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for (qx, qy) in uniq
+        )
+    }
+    assert got == want
+    # frontier sanity: strictly increasing y along increasing x
+    sky = sorted(want)
+    assert all(a[1] < b[1] for a, b in zip(sky, sky[1:]))
+
+
+def test_skyline_single_dominator(spark):
+    df = spark.createDataFrame(
+        [(0, 100), (1, 99), (5, 5), (0, 100)], "x long, y long"
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {(0, 100)}
