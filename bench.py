@@ -117,6 +117,7 @@ HEADLINE = [
     "global_rownum_orders",
     "concurrency_sweepline_events",
     "skyline_parts",
+    "stream_semi_join_availablenow",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -163,7 +163,11 @@ zero data-sized SinglePartition exchanges), and skyline_parts (the
 engine runs the sort-based strict running-max formulation through
 the same distributed scan, two balanced shuffles and no self-join;
 the oracle is the quadratic NOT EXISTS dominance DEFINITION, a
-different algorithm, so the green row certifies semantics).
+different algorithm, so the green row certifies semantics), and
+stream_semi_join_availablenow (LEFT SEMI stream-stream interval
+join — the streaming EXISTS: emits each matched left row exactly
+once, left columns only, no finality wait, completing the
+inner/left-outer/full-outer/semi join-mode matrix).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

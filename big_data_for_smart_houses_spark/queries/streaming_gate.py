@@ -2,8 +2,8 @@
 actual Structured Streaming runs, not batch plans. Started round 5
 with the stateful LOCF gate; the family now covers stateful
 EWMA/LOCF/session ops, watermarked tumbling aggregation (default AND
-RocksDB state stores), stream-stream interval joins (inner and
-left-outer), cross-batch dedup, stream-static enrichment,
+RocksDB state stores), stream-stream interval joins (inner,
+left-outer, full-outer, and left-semi), cross-batch dedup, stream-static enrichment,
 foreachBatch MERGE and multi-sink fanout, per-batch observe metrics,
 the Python data source's streaming reader, and two crash-injected
 restart-recovery gates (SQL state and applyInPandasWithState).
@@ -2497,6 +2497,87 @@ QUERIES["stream_fullouter_join_availablenow"] = (
 )
 ORACLES["stream_fullouter_join_availablenow"] = (
     ORACLE_STREAM_FULLOUTER_JOIN_AVAILABLENOW
+)
+
+
+def q_stream_semi_join_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join — the streaming EXISTS,
+    completing the join-mode matrix (inner / left-outer / full-outer
+    / semi). Each purchase emits (left columns only, exactly once) as
+    soon as one same-user click from the preceding six hours is in
+    state; no row is ever null-padded and no duplication occurs no
+    matter how many clicks match. Unlike the outer gates, emission
+    needs NO finality decision, so with both sides arriving in one
+    micro-batch the emitted set is the complete batch EXISTS answer —
+    nothing trails the watermark — which is exactly what the oracle
+    states."""
+    configure_for_oracle_parity(spark)
+    from ..streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sjoin_gate_")
+    out_dir = f"{tmp}/out"
+
+    def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        side = ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+        path = f"{tmp}/staged_{kind}"
+        side.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.readStream.schema(side.schema).parquet(path)
+
+    joined = stream_interval_join(
+        _side("purchase", "purchase_id", "purchase_ts"),
+        _side("click", "click_id", "click_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback_seconds=STREAM_JOIN_LOOKBACK_S,
+        watermark_delay="6 hours",
+        how="left_semi",
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"left-semi stream join run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "purchase_id", "purchase_ts"
+    )
+
+
+ORACLE_STREAM_SEMI_JOIN_AVAILABLENOW = f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+      AND c.ts <= p.ts)
+"""
+
+QUERIES["stream_semi_join_availablenow"] = q_stream_semi_join_availablenow
+ORACLES["stream_semi_join_availablenow"] = (
+    ORACLE_STREAM_SEMI_JOIN_AVAILABLENOW
 )
 
 

@@ -48,10 +48,25 @@ def stream_interval_join(
     watermark by the lookback on top of the delay. ``right_outer``
     is the mirror image.
 
+    ``how='left_semi'`` emits each left row (left columns only, no
+    duplication) as soon as ONE in-window right match is in state —
+    the streaming EXISTS. Emission needs no finality decision (a
+    match is a match the moment it arrives), so unlike the outer
+    modes nothing trails the watermark; the watermark still GCs
+    state. Spark has no stream-stream left_anti (NOT EXISTS would
+    need per-row finality like outer, but with nothing to emit it
+    on match — express it as left_outer + IS NULL downstream).
+
     Both inputs must be streaming DataFrames with distinct column
     names apart from ``on``. The two-sided time bound plus the
     watermarks is what lets Spark GC join state."""
-    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+    if how not in (
+        "inner",
+        "left_outer",
+        "right_outer",
+        "full_outer",
+        "left_semi",
+    ):
         raise ValueError(f"unsupported stream join type: {how}")
     l = left.withWatermark(left_ts, watermark_delay)
     r = right.withWatermark(right_ts, watermark_delay)
@@ -70,4 +85,6 @@ def stream_interval_join(
             .drop(r[on])
             .withColumnRenamed("__on", on)
         )
+    if how == "left_semi":
+        return joined  # left columns only; nothing of r survives
     return joined.drop(r[on])

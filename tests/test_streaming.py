@@ -503,3 +503,55 @@ def test_stream_interval_join_full_outer_key_survives(spark):
             ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
             lookback_seconds=60, how="cross",
         )
+
+
+def test_stream_interval_join_left_semi(spark):
+    """Semi join: multi-match purchase emits exactly ONCE with left
+    columns only; unmatched purchase never emits; left_anti raises."""
+    import datetime as dt
+
+    import pytest
+
+    from big_data_for_smart_houses_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    purchases = spark.createDataFrame(
+        [("u1", ts(100), "p1"), ("u2", ts(200), "p2")],
+        "user_id string, p_ts timestamp, purchase_id string",
+    )
+    clicks = spark.createDataFrame(
+        [
+            ("u1", ts(40), "c1"),  # both inside p1's 60s lookback:
+            ("u1", ts(99), "c2"),  # two matches, must emit p1 ONCE
+            ("u2", ts(100), "c4"),  # outside p2's window
+        ],
+        "user_id string, c_ts timestamp, click_id string",
+    )
+    purchases.write.mode("append").parquet(f"{tmp}/p")
+    clicks.write.mode("append").parquet(f"{tmp}/c")
+    ps = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/p")
+    cs = spark.readStream.schema(clicks.schema).parquet(f"{tmp}/c")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=60, how="left_semi",
+        ),
+        "sssemi",
+    )
+    assert sorted(r.purchase_id for r in out) == ["p1"]
+    assert set(out[0].asDict()) == {"user_id", "p_ts", "purchase_id"}
+
+    with pytest.raises(ValueError):
+        stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=60, how="left_anti",
+        )
