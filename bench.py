@@ -118,6 +118,9 @@ HEADLINE = [
     "concurrency_sweepline_events",
     "skyline_parts",
     "stream_semi_join_availablenow",
+    "weighted_quantiles_orders",
+    "gini_customer_orders",
+    "ks_statistic_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

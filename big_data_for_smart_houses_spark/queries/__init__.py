@@ -167,7 +167,16 @@ different algorithm, so the green row certifies semantics), and
 stream_semi_join_availablenow (LEFT SEMI stream-stream interval
 join — the streaming EXISTS: emits each matched left row exactly
 once, left columns only, no finality wait, completing the
-inner/left-outer/full-outer/semi join-mode matrix).
+inner/left-outer/full-outer/semi join-mode matrix), and the
+distributed order-statistics trio on the scan
+(weighted_quantiles_orders — exact weighted lower-quantiles, one
+scan serves every q via integer cross-multiplied threshold
+crossings; gini_customer_orders — Gini of orders-per-customer,
+Σi·x and Σx integer to the end, two final IEEE divisions;
+ks_statistic_events — two-sample Kolmogorov-Smirnov distance
+click-vs-purchase, CDFs at distinct values only, sup as an
+integer argmax of |cA·nB−cB·nA|; each oracle is the
+single-reducer running-total window the operator replaces).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3282,3 +3282,150 @@ WHERE NOT EXISTS (
 
 QUERIES["skyline_parts"] = q_skyline_parts
 ORACLES["skyline_parts"] = ORACLE_SKYLINE_PARTS
+
+
+# ---------------------------------------------------------------------------
+# Distributed order statistics (operators/orderstats.py): weighted
+# quantiles / Gini / two-sample KS on the global scan — integer
+# running quantities, cross-multiplied thresholds, one final IEEE
+# division, so every statistic gates hash-exact.
+# ---------------------------------------------------------------------------
+
+WQ_QUANTILES = [(1, 4), (1, 2), (9, 10)]
+
+
+def q_weighted_quantiles_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact weighted lower-quantiles of o_totalprice, weighted by
+    the deterministic integer weight (o_orderkey % 7 + 1). One scan
+    serves all three quantiles; threshold crossings are integer
+    cross-multiplications; the value column passes through untouched
+    so doubles hash exactly. The oracle is the single-reducer
+    running-weight window this operator exists to replace."""
+    configure_for_oracle_parity(spark)
+    from ..operators.orderstats import weighted_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 7 + 1).alias("wt"),
+    )
+    return weighted_quantiles(
+        o, "o_totalprice", "wt", WQ_QUANTILES, id_col="o_orderkey"
+    )
+
+
+ORACLE_WEIGHTED_QUANTILES_ORDERS = """
+WITH w AS (
+  SELECT o_totalprice AS v, o_orderkey % 7 + 1 AS wt, o_orderkey AS id
+  FROM orders
+),
+run AS (
+  SELECT v, wt,
+         SUM(wt) OVER (ORDER BY v, id ROWS UNBOUNDED PRECEDING) AS cw
+  FROM w
+),
+tot AS (SELECT SUM(wt) AS W FROM w),
+q AS (SELECT * FROM (VALUES (1, 4), (1, 2), (9, 10)) AS t(q_num, q_den))
+SELECT q.q_num, q.q_den, run.v AS value
+FROM run CROSS JOIN tot CROSS JOIN q
+WHERE run.cw * q.q_den >= q.q_num * tot.W
+  AND (run.cw - run.wt) * q.q_den < q.q_num * tot.W
+"""
+
+QUERIES["weighted_quantiles_orders"] = q_weighted_quantiles_orders
+ORACLES["weighted_quantiles_orders"] = ORACLE_WEIGHTED_QUANTILES_ORDERS
+
+
+def q_gini_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the orders-per-customer distribution —
+    inequality of customer activity. Amounts are counts (integers by
+    construction), Σ i·x and Σx stay integer to the end, the final
+    expression is two IEEE divisions on exact integers — identical
+    in any engine, so the statistic itself hash-gates, not a
+    tolerance band around it."""
+    configure_for_oracle_parity(spark)
+    from ..operators.orderstats import gini_coefficient
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return gini_coefficient(counts, "n_orders", id_col="o_custkey")
+
+
+ORACLE_GINI_CUSTOMER_ORDERS = """
+WITH counts AS (
+  SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x,
+         ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+  FROM counts
+),
+agg AS (
+  SELECT CAST(SUM(i * x) AS BIGINT) AS six,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS total
+  FROM ranked
+)
+SELECT (2.0 * six) / (n * total) - CAST(n + 1 AS DOUBLE) / n AS gini,
+       n AS n_rows,
+       total AS total_amount
+FROM agg
+"""
+
+QUERIES["gini_customer_orders"] = q_gini_customer_orders
+ORACLES["gini_customer_orders"] = ORACLE_GINI_CUSTOMER_ORDERS
+
+
+def q_ks_statistic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of click vs purchase events. CDFs evaluated at
+    distinct values only (mid-tie prefixes are not CDF values); the
+    sup is an integer argmax of |cA·nB − cB·nA|; D is one exact
+    division. The oracle replays the same construction through the
+    single-reducer window."""
+    configure_for_oracle_parity(spark)
+    from ..operators.orderstats import ks_two_sample
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").isNotNull())
+    )
+    return ks_two_sample(ev, "value", F.col("event_type") == "click")
+
+
+ORACLE_KS_STATISTIC_EVENTS = """
+WITH e AS (
+  SELECT value AS v, event_type = 'click' AS is_a
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT v,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+  FROM e GROUP BY v
+),
+run AS (
+  SELECT v,
+         SUM(a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM pv
+),
+tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM pv)
+SELECT CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+         / CAST(na * nb AS DOUBLE) AS d_stat,
+       CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d_num,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b
+FROM run CROSS JOIN tot
+GROUP BY na, nb
+"""
+
+QUERIES["ks_statistic_events"] = q_ks_statistic_events
+ORACLES["ks_statistic_events"] = ORACLE_KS_STATISTIC_EVENTS
