@@ -121,6 +121,8 @@ HEADLINE = [
     "weighted_quantiles_orders",
     "gini_customer_orders",
     "ks_statistic_events",
+    "percentile_within_group_events",
+    "bitwise_aggs_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",
@@ -416,6 +418,16 @@ SCALE10X_PROBES = [
     "sssp_weighted_transitions",
     "cogroup_asof_events",
     "stream_fullouter_join_availablenow",
+    # round-7 sixth wave: prefix-filter candidate volume (PPJoin),
+    # the distributed scan family (2 balanced shuffles — must stay
+    # linear), and its order-statistics/skyline riders
+    "ppjoin_pairs_documents",
+    "global_rownum_orders",
+    "concurrency_sweepline_events",
+    "skyline_parts",
+    "weighted_quantiles_orders",
+    "gini_customer_orders",
+    "ks_statistic_events",
 ]
 
 

@@ -176,7 +176,12 @@ crossings; gini_customer_orders — Gini of orders-per-customer,
 ks_statistic_events — two-sample Kolmogorov-Smirnov distance
 click-vs-purchase, CDFs at distinct values only, sup as an
 integer argmax of |cA·nB−cB·nA|; each oracle is the
-single-reducer running-total window the operator replaces).
+single-reducer running-total window the operator replaces), and
+percentile_within_group_events (the ANSI ordered-set aggregates
+percentile_cont/percentile_disc WITHIN GROUP — disc is raw value
+selection, cont rides the float32 quantize bridge) and
+bitwise_aggs_events (bit_and/bit_or/bit_xor aggregate folding,
+integer-exact by algebra).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

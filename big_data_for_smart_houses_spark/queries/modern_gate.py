@@ -3249,3 +3249,99 @@ GROUP BY event_type
 
 QUERIES["file_metadata_events"] = q_file_metadata_events
 ORACLES["file_metadata_events"] = ORACLE_FILE_METADATA_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates: percentile_cont / percentile_disc WITHIN GROUP
+# ---------------------------------------------------------------------------
+
+def q_percentile_within_group_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`percentile_cont` / `percentile_disc ... WITHIN GROUP (ORDER BY
+    ...)` (Spark 4 ordered-set aggregates) per event type — the ANSI
+    inverse-distribution functions next to the exact `percentile` the
+    engine already gates. percentile_disc SELECTS an input value
+    (raw double pass-through, exact); percentile_cont INTERPOLATES
+    (lower + (upper-lower)*frac at rank (n-1)*q — same definition in
+    DuckDB's quantile_cont), so its columns ride the float32 quantize
+    bridge like every reassociated double."""
+    from ..functions.numeric import quantize_cols
+
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_pwg_events")
+    out = spark.sql(
+        """
+        SELECT event_type,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS p25c,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY value) AS p50c,
+               percentile_cont(0.9)  WITHIN GROUP (ORDER BY value) AS p90c,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50d,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90d,
+               count(value) AS n
+        FROM _pwg_events
+        GROUP BY event_type
+        """
+    )
+    return quantize_cols(out, "p25c", "p50c", "p90c")
+
+
+ORACLE_PERCENTILE_WITHIN_GROUP_EVENTS = """
+SELECT event_type,
+       CAST(CAST(quantile_cont(value, 0.25) AS REAL) AS DOUBLE) AS p25c,
+       CAST(CAST(quantile_cont(value, 0.5)  AS REAL) AS DOUBLE) AS p50c,
+       CAST(CAST(quantile_cont(value, 0.9)  AS REAL) AS DOUBLE) AS p90c,
+       quantile_disc(value, 0.5) AS p50d,
+       quantile_disc(value, 0.9) AS p90d,
+       count(value) AS n
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["percentile_within_group_events"] = q_percentile_within_group_events
+ORACLES["percentile_within_group_events"] = (
+    ORACLE_PERCENTILE_WITHIN_GROUP_EVENTS
+)
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates: bit_and / bit_or / bit_xor
+# ---------------------------------------------------------------------------
+
+def q_bitwise_aggs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bit_and` / `bit_or` / `bit_xor` aggregates per event type over
+    a 16-bit field derived from user_id — permission-mask folding
+    (AND), capability union (OR), and parity checksum (XOR), all
+    integer-exact and order-insensitive by algebra. The same
+    function names exist in DuckDB, so the oracle is a literal
+    replay."""
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        ((F.col("user_id") * 2654435761) % 65536).alias("mask"),
+    )
+    return masked.groupBy("event_type").agg(
+        F.bit_and("mask").alias("mask_and"),
+        F.bit_or("mask").alias("mask_or"),
+        F.bit_xor("mask").alias("mask_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE_BITWISE_AGGS_EVENTS = """
+WITH m AS (
+  SELECT event_type,
+         (user_id * 2654435761) % 65536 AS mask
+  FROM events
+)
+SELECT event_type,
+       CAST(bit_and(mask) AS BIGINT) AS mask_and,
+       CAST(bit_or(mask) AS BIGINT) AS mask_or,
+       CAST(bit_xor(mask) AS BIGINT) AS mask_xor,
+       count(*) AS n
+FROM m
+GROUP BY event_type
+"""
+
+QUERIES["bitwise_aggs_events"] = q_bitwise_aggs_events
+ORACLES["bitwise_aggs_events"] = ORACLE_BITWISE_AGGS_EVENTS
