@@ -123,6 +123,7 @@ HEADLINE = [
     "ks_statistic_events",
     "percentile_within_group_events",
     "bitwise_aggs_events",
+    "csv_malformed_modes_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -181,7 +181,13 @@ percentile_within_group_events (the ANSI ordered-set aggregates
 percentile_cont/percentile_disc WITHIN GROUP — disc is raw value
 selection, cont rides the float32 quantize bridge) and
 bitwise_aggs_events (bit_and/bit_or/bit_xor aggregate folding,
-integer-exact by algebra).
+integer-exact by algebra), and csv_malformed_modes_events (the
+CSV PERMISSIVE/DROPMALFORMED/FAILFAST parser-mode matrix over a
+deterministically corrupted serialization — integer-only
+accounting; the gate pins the two production traps: CSV column
+pruning silently defeats malformed detection in every mode, and
+the corrupt-record column may only be queried off a cached parse,
+per Spark's own contract).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

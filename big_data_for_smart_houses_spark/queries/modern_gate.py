@@ -3345,3 +3345,147 @@ GROUP BY event_type
 
 QUERIES["bitwise_aggs_events"] = q_bitwise_aggs_events
 ORACLES["bitwise_aggs_events"] = ORACLE_BITWISE_AGGS_EVENTS
+
+
+# ---------------------------------------------------------------------------
+# CSV malformed-row modes: PERMISSIVE / DROPMALFORMED / FAILFAST
+# ---------------------------------------------------------------------------
+
+def q_csv_malformed_modes_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema enforcement on messy CSV — the three parser modes in
+    one accounting row. Events are serialized to raw CSV text with a
+    DETERMINISTIC corruption (every event_id % 13 == 0 row gets a
+    non-numeric value field), then read back three ways: PERMISSIVE
+    captures each bad row in columnNameOfCorruptRecord while keeping
+    its parseable fields (corrupt rows still contribute their
+    event_id), DROPMALFORMED silently sheds them, FAILFAST raises on
+    first touch. All accounting is INTEGER (counts + event_id sums —
+    the corrupted field never aggregates), so the closed-form oracle
+    replays the corruption rule on the parquet table and the gate is
+    hash-exact with zero float round-trip risk."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.utils import CapturedException
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="csv_modes_gate_")
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.col("user_id"),
+            F.when(
+                F.col("event_id") % 13 == 0,
+                F.concat(F.lit("oops"), F.col("user_id")),
+            ).otherwise(F.col("value").cast("string")),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").format("text").save(f"{tmp}/csv")
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+
+    def _read(mode: str):
+        return (
+            spark.read.schema(schema)
+            .option("mode", mode)
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(f"{tmp}/csv")
+        )
+
+    # CSV column pruning (on by default) silently defeats ALL THREE
+    # modes here: any plan that doesn't read the double column never
+    # parses it, so no row is ever malformed — _bad stays NULL,
+    # DROPMALFORMED drops nothing, FAILFAST never fires. The knob is
+    # the point of this gate as much as the modes are; a production
+    # job validating messy feeds must turn it off (or touch every
+    # column) or its quarantine counts read zero.
+    # Second trap: Spark DISALLOWS querying the corrupt column off a
+    # raw CSV scan (it would see post-pruning NULLs) — the documented
+    # contract is cache/persist the parsed frame FIRST, then query.
+    # At cluster scale the analog is writing the parsed+quarantined
+    # frame to a table and counting from there, which is what a real
+    # ingestion boundary does anyway.
+    prune_conf = "spark.sql.csv.parser.columnPruning.enabled"
+    prev = spark.conf.get(prune_conf)
+    spark.conf.set(prune_conf, "false")
+    perm_df = _read("PERMISSIVE").cache()
+    try:
+        perm = perm_df.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupt"),
+            F.sum(F.when(F.col("_bad").isNull(), F.col("event_id")))
+            .alias("sum_ids_clean"),
+            F.sum(F.when(F.col("_bad").isNotNull(), F.col("event_id")))
+            .alias("sum_ids_corrupt"),
+        )
+        # count() alone short-circuits the parse even with pruning
+        # off; aggregating the value column forces every row through
+        # the converter so malformed rows actually drop
+        n_drop = (
+            _read("DROPMALFORMED")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("_f"))
+            .first()
+            .n
+        )
+        try:
+            _read("FAILFAST").agg(F.sum("value")).collect()
+            failfast_raised = False
+        except Exception as exc:  # noqa: BLE001 — Py4JJavaError, not
+            # a CapturedException: the malformed-record SparkException
+            # surfaces from the executor wrapped at the Py4J boundary
+            failfast_raised = "MALFORMED" in str(exc).upper() or (
+                "FAILFAST" in str(exc).upper()
+            )
+            if not failfast_raised:
+                raise
+        out = perm.select(
+            "n_total",
+            "n_corrupt",
+            "sum_ids_clean",
+            "sum_ids_corrupt",
+            F.lit(int(n_drop)).cast("long").alias("n_dropmalformed"),
+            F.lit(failfast_raised).alias("failfast_raised"),
+        )
+        # materialize before the conf is restored: the returned frame
+        # must not depend on session state the caller no longer holds
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        perm_df.unpersist()
+        spark.conf.set(prune_conf, prev)
+
+
+ORACLE_CSV_MALFORMED_MODES_EVENTS = """
+SELECT count(*) AS n_total,
+       CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN event_id END) AS BIGINT)
+         AS sum_ids_clean,
+       CAST(SUM(CASE WHEN event_id % 13 = 0 THEN event_id END) AS BIGINT)
+         AS sum_ids_corrupt,
+       CAST(SUM(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropmalformed,
+       TRUE AS failfast_raised
+FROM events
+"""
+
+QUERIES["csv_malformed_modes_events"] = q_csv_malformed_modes_events
+ORACLES["csv_malformed_modes_events"] = ORACLE_CSV_MALFORMED_MODES_EVENTS
