@@ -124,6 +124,7 @@ HEADLINE = [
     "percentile_within_group_events",
     "bitwise_aggs_events",
     "csv_malformed_modes_events",
+    "asof_nearest_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -156,3 +156,89 @@ def asof_join(
         out = out.withColumn(name, F.col(f"_f{fill_src[c]}"))
         keep.append(name)
     return out.select(*keep)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """Nearest as-of join: every left row gains the temporally CLOSEST
+    right row per key — either direction, ties to the earlier
+    (backward) side. The sensor-fusion alignment mode pandas calls
+    ``merge_asof(direction='nearest')``; backward/forward alone
+    cannot express it.
+
+    Same single-shuffle union form as :func:`asof_join`, evaluated
+    once: both directional fills are windows over the SAME
+    ``partitionBy(on)`` exchange (one shuffle, two within-partition
+    sorts), then the per-row winner is pure column arithmetic on the
+    microsecond deltas. Adds ``{col}{suffix}`` for each right payload
+    column, ``{right_ts}{suffix}``, and ``asof_direction``
+    ('backward' / 'forward' / NULL when the key has no right rows at
+    all)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r = right.groupBy(on, right_ts).agg(
+        *[F.max(c).alias(c) for c in right_cols]
+    )
+    ts_out = f"{right_ts}{suffix}"
+    payload = [*right_cols, ts_out]
+    l_tagged = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_ts", F.col(left_ts)
+    )
+    r_tagged = r.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(right_ts).alias(f"_r_{ts_out}"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts"), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").desc(), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u
+    for c in payload:
+        filled = filled.withColumn(
+            f"_b_{c}", F.last(f"_r_{c}", ignorenulls=True).over(wb)
+        ).withColumn(
+            f"_f_{c}", F.last(f"_r_{c}", ignorenulls=True).over(wf)
+        )
+    out = filled.filter(F.col("_tag") == 1)
+    db = F.unix_micros(F.col(left_ts)) - F.unix_micros(
+        F.col(f"_b_{ts_out}")
+    )
+    dfwd = F.unix_micros(F.col(f"_f_{ts_out}")) - F.unix_micros(
+        F.col(left_ts)
+    )
+    # backward wins ties and any case where forward is absent
+    pick_b = F.col(f"_b_{ts_out}").isNotNull() & (
+        F.col(f"_f_{ts_out}").isNull() | (db <= dfwd)
+    )
+    keep = list(left.columns)
+    for c in payload:
+        name = c if c not in left.columns else f"{c}{suffix}"
+        out = out.withColumn(
+            name, F.when(pick_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        )
+        keep.append(name)
+    out = out.withColumn(
+        "asof_direction",
+        F.when(pick_b, F.lit("backward")).otherwise(
+            F.when(F.col(f"_f_{ts_out}").isNotNull(), F.lit("forward"))
+        ),
+    )
+    return out.select(*keep, "asof_direction")

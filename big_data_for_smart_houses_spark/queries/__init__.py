@@ -187,7 +187,11 @@ deterministically corrupted serialization — integer-only
 accounting; the gate pins the two production traps: CSV column
 pruning silently defeats malformed detection in every mode, and
 the corrupt-record column may only be queried off a cached parse,
-per Spark's own contract).
+per Spark's own contract), and asof_nearest_events (nearest-mode
+as-of join — pandas merge_asof(direction='nearest') semantics:
+closest right row either side, ties backward, single-shuffle
+two-window union form vs the min-over-all-pairs DEFINITION
+oracle).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

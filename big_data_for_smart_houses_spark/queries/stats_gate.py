@@ -3429,3 +3429,71 @@ GROUP BY na, nb
 
 QUERIES["ks_statistic_events"] = q_ks_statistic_events
 ORACLES["ks_statistic_events"] = ORACLE_KS_STATISTIC_EVENTS
+
+
+def q_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/joins.py:asof_join_nearest —
+    pandas merge_asof(direction='nearest') semantics): each purchase
+    aligned to the temporally closest same-user click, either
+    direction, ties to the backward side. The engine runs the
+    single-shuffle two-window union form; the oracle computes the
+    DEFINITION — min over ALL (purchase, click) pairs of the
+    composite integer key |Δt_µs|·2 + is_forward — a different
+    algorithm, so the hash row certifies the nearest semantics
+    including tie direction and the no-click NULL contract."""
+    configure_for_oracle_parity(spark)
+    from ..operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return asof_join_nearest(
+        p, c, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        right_cols=["click_id"],
+    )
+
+
+ORACLE_ASOF_NEAREST_EVENTS = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c0 AS (
+  SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, p.p_ts, c0.c_ts, c0.click_id,
+         ABS(epoch_us(p.p_ts) - epoch_us(c0.c_ts)) * 2
+           + (CASE WHEN c0.c_ts > p.p_ts THEN 1 ELSE 0 END) AS k
+  FROM p JOIN c0 ON c0.user_id = p.user_id
+),
+best AS (
+  SELECT user_id, purchase_id, p_ts,
+         min_by(click_id, k) AS click_id,
+         min_by(c_ts, k) AS c_ts_near,
+         MIN(k) AS k
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT user_id, purchase_id, p_ts, click_id, c_ts_near,
+       CASE WHEN k % 2 = 0 THEN 'backward' ELSE 'forward' END
+         AS asof_direction
+FROM best
+UNION ALL
+SELECT p.user_id, p.purchase_id, p.p_ts,
+       CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS VARCHAR)
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM c0 WHERE c0.user_id = p.user_id)
+"""
+
+QUERIES["asof_nearest_events"] = q_asof_nearest_events
+ORACLES["asof_nearest_events"] = ORACLE_ASOF_NEAREST_EVENTS

@@ -624,3 +624,50 @@ def test_timeout_sessions_stream_boundary(spark):
         for r in spark.read.parquet(f"{tmp}/out").collect()
     }
     assert got == {(2, "timeout"), (4, "gap")}
+
+
+def test_asof_join_nearest_contract(spark):
+    """Nearest mode: closest right row either direction; equal
+    distance -> backward; forward-only match works; keys with no
+    right rows keep NULLs and a NULL direction."""
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [
+            ("a", ts(100), "L1"),  # clicks at 90 & 105 -> forward (5<10)
+            ("a", ts(200), "L2"),  # clicks at 195 & 205 -> TIE -> backward
+            ("b", ts(50), "L3"),   # only click at 80 -> forward-only
+            ("c", ts(10), "L4"),   # no clicks at all -> NULLs
+        ],
+        "k string, lts timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", ts(90), "R90"),
+            ("a", ts(105), "R105"),
+            ("a", ts(195), "R195"),
+            ("a", ts(205), "R205"),
+            ("b", ts(80), "R80"),
+        ],
+        "k string, rts timestamp, rid string",
+    )
+    out = {
+        r.lid: (r.rid, r.asof_direction)
+        for r in asof_join_nearest(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"],
+        ).collect()
+    }
+    assert out["L1"] == ("R105", "forward")
+    assert out["L2"] == ("R195", "backward")
+    assert out["L3"] == ("R80", "forward")
+    assert out["L4"] == (None, None)
