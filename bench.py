@@ -125,6 +125,7 @@ HEADLINE = [
     "bitwise_aggs_events",
     "csv_malformed_modes_events",
     "asof_nearest_events",
+    "trailing_active_users_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -191,7 +191,11 @@ per Spark's own contract), and asof_nearest_events (nearest-mode
 as-of join — pandas merge_asof(direction='nearest') semantics:
 closest right row either side, ties backward, single-shuffle
 two-window union form vs the min-over-all-pairs DEFINITION
-oracle).
+oracle), and trailing_active_users_events (exact DAU/7-day-WAU
+per day — COUNT(DISTINCT) OVER is illegal SQL; the bounded
+fan-out replicates deduplicated (day,user) pairs to their window
+anchors, shuffle ~ W×|active pairs| independent of raw volume,
+vs the day-range-join definition oracle).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

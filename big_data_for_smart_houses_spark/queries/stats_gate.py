@@ -3497,3 +3497,39 @@ WHERE NOT EXISTS (SELECT 1 FROM c0 WHERE c0.user_id = p.user_id)
 
 QUERIES["asof_nearest_events"] = q_asof_nearest_events
 ORACLES["asof_nearest_events"] = ORACLE_ASOF_NEAREST_EVENTS
+
+
+def q_trailing_active_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact DAU + trailing-7-day WAU per active day
+    (operators/windows.py:trailing_window_distinct). COUNT(DISTINCT)
+    OVER a window is illegal SQL; the engine's bounded fan-out
+    replicates each deduplicated (day, user) pair to its 7 window
+    anchors and hash-aggregates — shuffle ~ 7×|active pairs|,
+    independent of raw event volume. The oracle computes the
+    DEFINITION as a day-range join, a different algorithm."""
+    configure_for_oracle_parity(spark)
+    from ..operators.windows import trailing_window_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return trailing_window_distinct(ev, "ts", "user_id", window_days=7)
+
+
+ORACLE_TRAILING_ACTIVE_USERS_EVENTS = """
+WITH acts AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d AS w_day FROM acts)
+SELECT dd.w_day,
+       COUNT(DISTINCT CASE WHEN a.d = dd.w_day THEN a.user_id END) AS dau,
+       COUNT(DISTINCT a.user_id) AS wau
+FROM days dd
+JOIN acts a ON a.d BETWEEN dd.w_day - 6 AND dd.w_day
+GROUP BY 1
+"""
+
+QUERIES["trailing_active_users_events"] = q_trailing_active_users_events
+ORACLES["trailing_active_users_events"] = (
+    ORACLE_TRAILING_ACTIVE_USERS_EVENTS
+)

@@ -179,3 +179,38 @@ def test_skyline_single_dominator(spark):
     )
     got = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
     assert got == {(0, 100)}
+
+
+def test_trailing_window_distinct_bruteforce(spark):
+    """Fan-out WAU == the definition computed in Python, including a
+    user active on multiple days inside one window (counted once)."""
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.operators.windows import (
+        trailing_window_distinct,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 active days 0,1,2; user 2 day 0 only; user 3 days 5,9
+    for d, u in [(0, 1), (1, 1), (2, 1), (0, 2), (5, 3), (9, 3)]:
+        # two raw events per active pair: dedup must collapse them
+        rows.append((t0 + dt.timedelta(days=d, hours=1), u))
+        rows.append((t0 + dt.timedelta(days=d, hours=2), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        str(r.w_day): (r.dau, r.wau)
+        for r in trailing_window_distinct(df, "ts", "user_id", 7).collect()
+    }
+    active = {(0, 1), (1, 1), (2, 1), (0, 2), (5, 3), (9, 3)}
+    days = sorted({d for d, _ in active})
+    want = {}
+    for d in days:
+        dau = len({u for (ad, u) in active if ad == d})
+        wau = len({u for (ad, u) in active if d - 6 <= ad <= d})
+        want[str((t0 + dt.timedelta(days=d)).date())] = (dau, wau)
+    assert got == want
+    # the interesting values: day 2 window holds users 1,2; day 9
+    # window holds only user 3 (day-5 activity is 4 days back -> in)
+    assert got[str((t0 + dt.timedelta(days=2)).date())] == (1, 2)
+    assert got[str((t0 + dt.timedelta(days=9)).date())] == (1, 1)
