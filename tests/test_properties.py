@@ -715,3 +715,35 @@ def test_scale_up_tables_invariants(spark):
     src_hist = {r[0]: r[1] for r in src_groups}
     dst_hist = {r[0]: r[1] for r in dst_groups}
     assert dst_hist == {k: 3 * v for k, v in src_hist.items()}
+
+
+class TestGlobalScanProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-100, max_value=100),
+            min_size=1,
+            max_size=80,
+        ),
+        nparts=st.integers(min_value=1, max_value=9),
+    )
+    def test_running_sum_is_accumulate(self, spark, vals, nparts):
+        """Distributed scan == itertools.accumulate under any
+        partition count, including negative values and duplicates in
+        the order key's value column (keys stay unique)."""
+        import itertools
+
+        from big_data_for_smart_houses_spark.operators.scan import (
+            global_running_sum,
+        )
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r.k: r.running
+            for r in global_running_sum(
+                df, ["k"], "v", num_partitions=nparts
+            ).collect()
+        }
+        want = dict(enumerate(itertools.accumulate(vals)))
+        assert got == want
