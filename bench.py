@@ -126,6 +126,7 @@ HEADLINE = [
     "csv_malformed_modes_events",
     "asof_nearest_events",
     "trailing_active_users_events",
+    "mad_outliers_events",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -195,7 +195,10 @@ oracle), and trailing_active_users_events (exact DAU/7-day-WAU
 per day — COUNT(DISTINCT) OVER is illegal SQL; the bounded
 fan-out replicates deduplicated (day,user) pairs to their window
 anchors, shuffle ~ W×|active pairs| independent of raw volume,
-vs the day-range-join definition oracle).
+vs the day-range-join definition oracle), and mad_outliers_events
+(robust MAD outlier detection with the 1.4826 consistency constant
+— both medians percentile_disc, pure value selection, hash-exact
+with no quantizing; the robust sibling of the z-score gate).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3533,3 +3533,79 @@ QUERIES["trailing_active_users_events"] = q_trailing_active_users_events
 ORACLES["trailing_active_users_events"] = (
     ORACLE_TRAILING_ACTIVE_USERS_EVENTS
 )
+
+
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute
+    deviation (MAD) with the 1.4826 normal-consistency constant —
+    the robust alternative to the z-score gate (which a single wild
+    value can poison through the mean AND the stddev; the MAD
+    breaks down only past 50% contamination). Both medians are
+    percentile_disc — pure VALUE SELECTION, no interpolation, so
+    every number here is either a selected input double or one
+    deterministic IEEE expression on selected inputs; the gate is
+    hash-exact without quantizing. Two tiny per-type aggregates
+    broadcast back onto the rows (5-row joins), one pass each."""
+    configure_for_oracle_parity(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    ev.createOrReplaceTempView("_mad_events")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+          FROM _mad_events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS absdev
+          FROM _mad_events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)
+                   AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               any_value(d.med) AS med,
+               any_value(f.mad) AS mad,
+               sum(CASE WHEN d.absdev > 3.0D * 1.4826D * f.mad
+                        THEN 1 ELSE 0 END) AS n_outliers,
+               count(*) AS n
+        FROM dev d JOIN mad f ON d.event_type = f.event_type
+        GROUP BY d.event_type
+        """
+    )
+
+
+ORACLE_MAD_OUTLIERS_EVENTS = """
+WITH e AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+  FROM e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_disc(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       any_value(d.med) AS med,
+       any_value(f.mad) AS mad,
+       CAST(SUM(CASE WHEN d.absdev > 3.0 * 1.4826 * f.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM dev d JOIN mad f ON d.event_type = f.event_type
+GROUP BY d.event_type
+"""
+
+QUERIES["mad_outliers_events"] = q_mad_outliers_events
+ORACLES["mad_outliers_events"] = ORACLE_MAD_OUTLIERS_EVENTS
