@@ -127,6 +127,7 @@ HEADLINE = [
     "asof_nearest_events",
     "trailing_active_users_events",
     "mad_outliers_events",
+    "ntile_scan_orders",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",
@@ -432,6 +433,9 @@ SCALE10X_PROBES = [
     "weighted_quantiles_orders",
     "gini_customer_orders",
     "ks_statistic_events",
+    "ntile_scan_orders",
+    "trailing_active_users_events",
+    "asof_nearest_events",
 ]
 
 

@@ -263,3 +263,47 @@ def sweepline_concurrency(
         num_partitions=num_partitions,
         inclusive=True,
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``NTILE(B) OVER (ORDER BY ...)`` — equi-depth
+    bucketing of the WHOLE table, the second classic global-window
+    casualty after row_number (quantile binning, decile reports,
+    equal-size shard assignment all reach for it).
+
+    NTILE's exact contract: with ``n`` rows and ``B`` buckets,
+    ``q = n div B``, ``r = n mod B``, the first ``r`` buckets hold
+    ``q+1`` rows, the rest ``q``. That is pure integer arithmetic on
+    the dense rank, so the operator is :func:`global_row_number`
+    plus a closed-form expression — the row count comes from the
+    scan's own totals (a 1-row broadcast), nothing re-sorts. Buckets
+    are 1-based like the SQL function.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    numbered = global_row_number(
+        df, order_cols, out_col="_rn", num_partitions=num_partitions
+    )
+    total = numbered.agg(F.count(F.lit(1)).alias("_n"))
+    # integer `div` throughout — exact at any n (double division
+    # would start rounding past 2^53 rows). CASE evaluates lazily,
+    # so the q=0 branch (n < B: every row its own bucket) never
+    # divides by zero.
+    b = int(buckets)
+    bucket = F.expr(
+        f"CASE WHEN _rn < (_n % {b}) * ((_n div {b}) + 1) "
+        f"THEN _rn div ((_n div {b}) + 1) "
+        f"ELSE (_n % {b}) + (_rn - (_n % {b}) * ((_n div {b}) + 1)) "
+        f"div (_n div {b}) END + 1L"
+    )
+    return (
+        numbered.crossJoin(F.broadcast(total))
+        .withColumn(out_col, bucket)
+        .drop("_rn", "_n")
+    )

@@ -198,7 +198,11 @@ anchors, shuffle ~ W×|active pairs| independent of raw volume,
 vs the day-range-join definition oracle), and mad_outliers_events
 (robust MAD outlier detection with the 1.4826 consistency constant
 — both medians percentile_disc, pure value selection, hash-exact
-with no quantizing; the robust sibling of the z-score gate).
+with no quantizing; the robust sibling of the z-score gate), and
+ntile_scan_orders (distributed NTILE — equi-depth bucketing of the
+whole table from the scan's dense rank with NTILE's exact integer
+contract, integer `div` throughout; the oracle IS the
+single-reducer NTILE() OVER window).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3609,3 +3609,52 @@ GROUP BY d.event_type
 
 QUERIES["mad_outliers_events"] = q_mad_outliers_events
 ORACLES["mad_outliers_events"] = ORACLE_MAD_OUTLIERS_EVENTS
+
+
+NTILE_BUCKETS = 16
+
+
+def q_ntile_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed NTILE (operators/scan.py:global_ntile): equi-depth
+    16-bucket binning of ALL orders by (o_totalprice, o_orderkey) —
+    the quantile-binning / decile-report / equal-shard classic that
+    SQL writes as the single-reducer `NTILE(16) OVER (ORDER BY ...)`.
+    The engine derives the bucket from the scan's dense rank with
+    NTILE's exact integer contract (first n%B buckets take one extra
+    row, integer `div` throughout); the oracle IS the window
+    function. Per-bucket count/min/max/id-sum make the whole
+    assignment observable in 16 hashed rows."""
+    configure_for_oracle_parity(spark)
+    from ..operators.scan import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    binned = global_ntile(
+        o, ["o_totalprice", "o_orderkey"], NTILE_BUCKETS, out_col="bucket"
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum("o_orderkey").alias("sum_keys"),
+    )
+
+
+ORACLE_NTILE_SCAN_ORDERS = f"""
+WITH b AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(NTILE({NTILE_BUCKETS})
+              OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS bucket
+  FROM orders
+)
+SELECT bucket,
+       count(*) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM b
+GROUP BY bucket
+"""
+
+QUERIES["ntile_scan_orders"] = q_ntile_scan_orders
+ORACLES["ntile_scan_orders"] = ORACLE_NTILE_SCAN_ORDERS

@@ -214,3 +214,39 @@ def test_trailing_window_distinct_bruteforce(spark):
     # window holds only user 3 (day-5 activity is 4 days back -> in)
     assert got[str((t0 + dt.timedelta(days=2)).date())] == (1, 2)
     assert got[str((t0 + dt.timedelta(days=9)).date())] == (1, 1)
+
+
+def test_global_ntile_matches_window(spark):
+    """global_ntile == NTILE() OVER for n%B != 0 (uneven buckets) and
+    n < B (every row its own bucket, no div-by-zero)."""
+    from big_data_for_smart_houses_spark.operators.scan import global_ntile
+
+    # 103 rows, 8 buckets: first 103%8=7 buckets get 13 rows, last 12
+    df = _rows(103, spark)
+    got = {
+        r.k: r.bucket
+        for r in global_ntile(df, ["k"], 8, num_partitions=5).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        r.k: r.nt
+        for r in df.withColumn("nt", F.ntile(8).over(w)).collect()
+    }
+    assert got == want
+    sizes = sorted(
+        [list(got.values()).count(b) for b in set(got.values())],
+        reverse=True,
+    )
+    assert sizes == [13] * 7 + [12]
+
+    # n < B: 3 rows into 10 buckets -> buckets 1,2,3
+    small = _rows(3, spark)
+    got_small = sorted(
+        r.bucket for r in global_ntile(small, ["k"], 10).collect()
+    )
+    assert got_small == [1, 2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_ntile(df, ["k"], 0)
