@@ -77,8 +77,26 @@ def global_running_agg(
     )
     val = F.col(value) if isinstance(value, str) else value
 
+    # CORRECTNESS-CRITICAL: the local-prefix branch and the totals
+    # branch below each instantiate the range exchange. Spark's
+    # RangePartitioner seeds its boundary sample with the RDD id, so
+    # two PHYSICAL instances of the "same" repartitionByRange pick
+    # DIFFERENT boundaries unless Catalyst's ReuseExchange replaces
+    # one with the other — and reuse requires the two subtrees to be
+    # canonically IDENTICAL after optimization. Any carried column
+    # that column-pruning strips from the totals branch but not the
+    # data branch breaks that equality, the branches split into two
+    # inconsistent partitionings, and the scan silently corrupts
+    # (offsets keyed to boundaries the local prefixes never saw).
+    # Therefore: run ALL scaffolding on a minimal (order, value)
+    # projection — both branches read exactly these columns, nothing
+    # can prune differently, reuse is structural — and join carried
+    # columns back on the total-order key (unique by contract).
+    carried = [c for c in df.columns if c not in order_cols]
+    mini = df.select(*order_cols, val.alias("_scan_val"))
+
     # Stage 1: range layout — partition i entirely precedes i+1.
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    ranged = mini.repartitionByRange(n, *[F.col(c) for c in order_cols])
     pid = ranged.withColumn(_PID, F.spark_partition_id())
 
     # Stage 2: local prefix within each former range partition. The
@@ -90,13 +108,15 @@ def global_running_agg(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    local = pid.withColumn(_LOCAL, agg_fn(val).over(w_local))
+    local = pid.withColumn(_LOCAL, agg_fn(F.col("_scan_val")).over(w_local))
 
     # Stage 3: one total per partition (map-side combined — the
     # shuffle moves <= n pre-aggregated rows), exclusively scanned.
     # This window IS single-partition, over <= num_partitions rows:
     # bounded by cluster parallelism, not by data volume.
-    totals = pid.groupBy(_PID).agg(agg_fn(val).alias("_ptot"))
+    totals = pid.groupBy(_PID).agg(
+        agg_fn(F.col("_scan_val")).alias("_ptot")
+    )
     w_off = (
         Window.orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -117,11 +137,16 @@ def global_running_agg(
         combined = F.least(F.col(_LOCAL), F.col(_OFF))
     else:
         combined = F.greatest(F.col(_LOCAL), F.col(_OFF))
-    return (
+    scanned = (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out_col, combined)
-        .drop(_PID, _LOCAL, _OFF)
+        .drop(_PID, _LOCAL, _OFF, "_scan_val")
     )
+    if not carried:
+        return scanned
+    # join carried columns back on the unique total-order key; the
+    # scan side holds only (order, running)
+    return df.join(scanned, list(order_cols))
 
 
 def global_running_sum(

@@ -250,3 +250,34 @@ def test_global_ntile_matches_window(spark):
 
     with _pytest.raises(ValueError):
         global_ntile(df, ["k"], 0)
+
+
+def test_scan_carried_columns_all_partition_counts(spark):
+    """REGRESSION (round 7): a carried column beyond (order, value)
+    used to break ReuseExchange between the scan's two branches —
+    RangePartitioner seeds its boundary sample with the RDD id, so
+    unreused twin exchanges pick different boundaries and the scan
+    silently corrupts. The minimal-projection + join-back fix must
+    hold at every partition count, including chained scans."""
+    import itertools
+
+    rows = [(float(i % 97) + i * 0.001, 1, 2, "x") for i in range(2000)]
+    df = spark.createDataFrame(rows, "v double, a long, b long, c string")
+    ta = list(itertools.accumulate([1] * 2000))
+    tb = list(itertools.accumulate([2] * 2000))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "11", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            chained = global_running_sum(
+                global_running_sum(df, ["v"], F.col("a"), out_col="ca"),
+                ["v"],
+                F.col("b"),
+                out_col="cb",
+            )
+            out = sorted((r.v, r.ca, r.cb) for r in chained.collect())
+            assert all(
+                r[1] == ta[i] and r[2] == tb[i] for i, r in enumerate(out)
+            ), f"scan corrupt at shuffle.partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
