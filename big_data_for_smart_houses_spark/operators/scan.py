@@ -17,6 +17,10 @@ bounded by cluster size not data size), and broadcast the offsets
 back. Every full-data stage is JVM-side whole-stage-codegen window /
 aggregate work; the data shuffles twice (once by range, once by
 partition id for the local window) and never converges on one task.
+When the input carries payload columns beyond (order, value) they
+are joined back on the unique order key afterwards — see the
+CORRECTNESS-CRITICAL note in :func:`global_running_agg` for why the
+scaffolding must run on the minimal projection.
 
 Determinism: the OUTPUT is independent of where the range boundaries
 land — a global running sum under a total order does not care how the
