@@ -128,6 +128,7 @@ HEADLINE = [
     "trailing_active_users_events",
     "mad_outliers_events",
     "ntile_scan_orders",
+    "skyline3d_parts",
     "session_stream_availablenow",
     "setops_events",
     "stream_join_availablenow",

@@ -336,3 +336,91 @@ def global_ntile(
         .withColumn(out_col, bucket)
         .drop("_rn", "_n")
     )
+
+
+MAX_FRONTIER = 100_000
+
+
+def skyline_nd(
+    df: DataFrame,
+    minimize_cols: Sequence[str],
+    maximize_cols: Sequence[str] = (),
+    max_frontier: int = MAX_FRONTIER,
+) -> DataFrame:
+    """d-dimensional skyline — the d > 2 scale path the sort-based
+    :func:`skyline_2d` cannot take (no single order linearizes
+    dominance past two dimensions).
+
+    Two-phase local/merge (the distributed block-nested-loop of the
+    skyline literature): a point dominated globally is dominated by
+    some global skyline point, and every global skyline point
+    survives its own partition's local skyline — so phase 1 computes
+    per-partition local skylines (vectorized numpy dominance inside
+    ``mapInPandas``, O(k²) per partition on the DISTINCT points
+    only), and phase 2 re-runs the same kernel once over the union
+    of survivors. The union is bounded by ``max_frontier`` with a
+    hard raise — skylines are small by nature (dominance kills
+    almost everything in correlated data); a frontier past the cap
+    means the dimensions are anti-correlated enough that no skyline
+    algorithm returns a usefully small answer, and the caller should
+    hear that, not receive a silent truncation.
+
+    All dimensions are normalized to MINIMIZE internally
+    (``maximize_cols`` are negated in, un-negated out). Returns the
+    distinct frontier points with their original columns/signs.
+    """
+    import pandas as pd
+
+    mins = list(minimize_cols)
+    maxs = list(maximize_cols)
+    if not mins and not maxs:
+        raise ValueError("skyline_nd needs at least one dimension")
+    norm = [F.col(c).alias(f"_s{i}") for i, c in enumerate(mins)] + [
+        (-F.col(c)).alias(f"_s{len(mins) + i}") for i, c in enumerate(maxs)
+    ]
+    d = len(mins) + len(maxs)
+    cols = [f"_s{i}" for i in range(d)]
+    pts = df.select(*norm).distinct()
+
+    def _local(batches):
+        import numpy as np
+
+        chunk = [b for b in batches]
+        if not chunk:
+            return
+        data = pd.concat(chunk, ignore_index=True)
+        a = data.to_numpy(dtype="float64")
+        k = a.shape[0]
+        keep = np.ones(k, dtype=bool)
+        # vectorized block-nested-loop: point i dominated iff some j
+        # has all coords <= and any <
+        for i in range(k):
+            if not keep[i]:
+                continue
+            le = (a <= a[i]).all(axis=1)
+            lt = (a < a[i]).any(axis=1)
+            dom = le & lt
+            if dom.any():
+                keep[i] = False
+            else:
+                # i survives; kill everything i dominates (all >= and
+                # any >) so later rows skip work
+                ge = (a >= a[i]).all(axis=1)
+                gt = (a > a[i]).any(axis=1)
+                keep &= ~(ge & gt & (np.arange(k) != i))
+        yield data[keep]
+
+    schema = pts.schema
+    local = pts.mapInPandas(_local, schema=schema)
+    n_cand = local.count()
+    if n_cand > max_frontier:
+        raise ValueError(
+            f"skyline candidate union {n_cand} exceeds max_frontier="
+            f"{max_frontier}: the dimensions are too anti-correlated "
+            "for a small skyline; tighten dimensions or raise the cap"
+        )
+    final = local.coalesce(1).mapInPandas(_local, schema=schema)
+    out = [F.col(f"_s{i}").alias(c) for i, c in enumerate(mins)] + [
+        (-F.col(f"_s{len(mins) + i}")).alias(c) for i, c in enumerate(maxs)
+    ]
+    return final.select(*out)

@@ -202,7 +202,10 @@ with no quantizing; the robust sibling of the z-score gate), and
 ntile_scan_orders (distributed NTILE — equi-depth bucketing of the
 whole table from the scan's dense rank with NTILE's exact integer
 contract, integer `div` throughout; the oracle IS the
-single-reducer NTILE() OVER window).
+single-reducer NTILE() OVER window), and skyline3d_parts (the
+d>2 skyline scale path — per-partition numpy local skylines via
+mapInPandas then one bounded merge pass, hard raise past the
+frontier cap instead of silent truncation; 3-D NOT EXISTS oracle).
 
 After this window certifies, EVERY oracle-backed query in the
 registry will have had a green driver row at least once. The

@@ -3658,3 +3658,49 @@ GROUP BY bucket
 
 QUERIES["ntile_scan_orders"] = q_ntile_scan_orders
 ORACLES["ntile_scan_orders"] = ORACLE_NTILE_SCAN_ORDERS
+
+
+def q_skyline3d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (operators/scan.py:skyline_nd — the d>2 scale path
+    skyline_2d's sort trick cannot take): minimize price, maximize
+    size, maximize a derived quality tier. Local per-partition
+    skylines (vectorized numpy dominance over DISTINCT points via
+    mapInPandas) then one bounded merge pass over the survivor
+    union — the distributed block-nested-loop of the skyline
+    literature, with a hard raise if the frontier exceeds the cap
+    instead of a silent truncation. Oracle: the 3-D NOT EXISTS
+    dominance definition. Values pass through untouched."""
+    configure_for_oracle_parity(spark)
+    from ..operators.scan import skyline_nd
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_retailprice",
+        "p_size",
+        (F.col("p_partkey") % 10).alias("quality"),
+    )
+    return skyline_nd(
+        p, minimize_cols=["p_retailprice"],
+        maximize_cols=["p_size", "quality"],
+    )
+
+
+ORACLE_SKYLINE3D_PARTS = """
+WITH pts AS (
+  SELECT DISTINCT p_retailprice, p_size, p_partkey % 10 AS quality
+  FROM part
+)
+SELECT p_retailprice, p_size, quality
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND q.quality >= p.quality
+    AND (q.p_retailprice < p.p_retailprice
+         OR q.p_size > p.p_size
+         OR q.quality > p.quality)
+)
+"""
+
+QUERIES["skyline3d_parts"] = q_skyline3d_parts
+ORACLES["skyline3d_parts"] = ORACLE_SKYLINE3D_PARTS

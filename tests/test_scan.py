@@ -281,3 +281,72 @@ def test_scan_carried_columns_all_partition_counts(spark):
             ), f"scan corrupt at shuffle.partitions={parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_skyline_nd_matches_bruteforce_3d(spark):
+    import random
+
+    from big_data_for_smart_houses_spark.operators.scan import skyline_nd
+
+    rng = random.Random(19)
+    pts = [
+        (rng.randint(0, 12), rng.randint(0, 12), rng.randint(0, 12))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(pts, "x long, y long, z long")
+    got = {
+        (r.x, r.y, r.z)
+        for r in skyline_nd(
+            df, minimize_cols=["x"], maximize_cols=["y", "z"]
+        ).collect()
+    }
+    uniq = set(pts)
+    want = {
+        p
+        for p in uniq
+        if not any(
+            q[0] <= p[0]
+            and q[1] >= p[1]
+            and q[2] >= p[2]
+            and (q[0] < p[0] or q[1] > p[1] or q[2] > p[2])
+            for q in uniq
+        )
+    }
+    assert got == want and len(got) > 0
+
+
+def test_skyline_nd_2d_consistent_with_sort_based(spark):
+    import random
+
+    from big_data_for_smart_houses_spark.operators.scan import (
+        skyline_2d,
+        skyline_nd,
+    )
+
+    rng = random.Random(23)
+    pts = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    a = {
+        (r.x, r.y)
+        for r in skyline_nd(
+            df, minimize_cols=["x"], maximize_cols=["y"]
+        ).collect()
+    }
+    b = {(r.x, r.y) for r in skyline_2d(df, "x", "y").collect()}
+    assert a == b
+
+
+def test_skyline_nd_frontier_cap_raises(spark):
+    import pytest as _pytest
+
+    from big_data_for_smart_houses_spark.operators.scan import skyline_nd
+
+    # perfectly anti-correlated: every point is on the frontier
+    pts = [(i, -i) for i in range(50)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    with _pytest.raises(ValueError, match="max_frontier"):
+        skyline_nd(
+            df, minimize_cols=["x", "y"], max_frontier=10
+        )
+    with _pytest.raises(ValueError):
+        skyline_nd(df, minimize_cols=[], maximize_cols=[])
