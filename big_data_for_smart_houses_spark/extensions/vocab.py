@@ -173,6 +173,12 @@ def bpe_train_segments(
             .limit(1)
             .localCheckpoint()
         )
+        # No candidate pair left (every word already collapsed to a
+        # single token, or a single-char-word corpus): `best` is
+        # empty and the broadcast cross join below would annihilate
+        # `seqs` — stop merging and return the current segmentation.
+        if not best.take(1):
+            break
         def _fold(acc, x):
             hit = (
                 (F.element_at(acc, -1) == F.col("a"))

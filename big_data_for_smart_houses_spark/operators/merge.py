@@ -203,18 +203,26 @@ def snapshot_diff(
         raise ValueError(
             "snapshot_diff needs at least one key and one compare column"
         )
+    # Literal presence markers, NOT key-nullability: detecting side
+    # presence via `keys[0] IS NOT NULL` misclassifies rows whose key
+    # itself is NULL (an A-only NULL-key row would report 'insert'
+    # instead of 'delete'). The join is also null-SAFE so a NULL key
+    # present in both snapshots diffs as one row (update/unchanged),
+    # not a spurious delete+insert pair.
     ka = a.select(
         *[F.col(k).alias(f"_ka_{k}") for k in keys],
         *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+        F.lit(True).alias("_in_a"),
     )
     kb = b.select(
         *[F.col(k).alias(f"_kb_{k}") for k in keys],
         *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+        F.lit(True).alias("_in_b"),
     )
-    cond = [ka[f"_ka_{k}"] == kb[f"_kb_{k}"] for k in keys]
+    cond = [ka[f"_ka_{k}"].eqNullSafe(kb[f"_kb_{k}"]) for k in keys]
     j = ka.join(kb, cond, "full_outer")
-    in_a = F.col(f"_ka_{keys[0]}").isNotNull()
-    in_b = F.col(f"_kb_{keys[0]}").isNotNull()
+    in_a = F.col("_in_a").isNotNull()
+    in_b = F.col("_in_b").isNotNull()
     changed = None
     for c in compare_cols:
         ne = ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))

@@ -149,8 +149,21 @@ def global_running_agg(
     if not carried:
         return scanned
     # join carried columns back on the unique total-order key; the
-    # scan side holds only (order, running)
-    return df.join(scanned, list(order_cols))
+    # scan side holds only (order, running). Null-SAFE equality: a
+    # plain equi-join would silently drop rows whose order key
+    # contains NULL (the scan side computes them, the join-back
+    # loses them) — eqNullSafe keys stay hash-partitionable, so the
+    # plan is the same shuffle join either way.
+    left = df.alias("_gra_l")
+    right = scanned.alias("_gra_r")
+    cond = None
+    for c in order_cols:
+        clause = F.col(f"_gra_l.{c}").eqNullSafe(F.col(f"_gra_r.{c}"))
+        cond = clause if cond is None else (cond & clause)
+    return left.join(right, cond).select(
+        *[F.col(f"_gra_l.{c}") for c in df.columns],
+        F.col(f"_gra_r.{out_col}"),
+    )
 
 
 def global_running_sum(
@@ -411,7 +424,10 @@ def skyline_nd(
         yield data[keep]
 
     schema = pts.schema
-    local = pts.mapInPandas(_local, schema=schema)
+    # localCheckpoint: phase 1 (distinct + per-partition numpy
+    # skylines) must run ONCE — both the cap count and phase 2 read
+    # the materialized survivors instead of recomputing the lineage.
+    local = pts.mapInPandas(_local, schema=schema).localCheckpoint()
     n_cand = local.count()
     if n_cand > max_frontier:
         raise ValueError(
@@ -419,7 +435,11 @@ def skyline_nd(
             f"{max_frontier}: the dimensions are too anti-correlated "
             "for a small skyline; tighten dimensions or raise the cap"
         )
-    final = local.coalesce(1).mapInPandas(_local, schema=schema)
+    # repartition(1), NOT coalesce(1): coalesce is a narrow
+    # dependency that would fuse phase 1 into a single task,
+    # defeating its per-partition parallelism — shuffle only the
+    # bounded (<= max_frontier) survivor set to one task instead.
+    final = local.repartition(1).mapInPandas(_local, schema=schema)
     out = [F.col(f"_s{i}").alias(c) for i, c in enumerate(mins)] + [
         (-F.col(f"_s{len(mins) + i}")).alias(c) for i, c in enumerate(maxs)
     ]

@@ -363,7 +363,7 @@ def q_value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIST_WIDTH = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLE_VALUE_HISTOGRAM_EVENTS = f"""
-SELECT bin, {HIST_LO!r} + bin * {_HIST_WIDTH!r} AS bin_lo,
+SELECT bin, CAST({HIST_LO!r} + bin * {_HIST_WIDTH!r} AS DOUBLE) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n
 FROM (
   SELECT least({HIST_BINS - 1}, greatest(0,

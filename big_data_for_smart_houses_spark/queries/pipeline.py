@@ -161,7 +161,8 @@ windowed AS (
 ORACLE_SILVER_PIPELINE_EVENTS = f"""
 WITH {_BRONZE_CTE}
 SELECT device_id, timestamp, temperature, power_usage, energy_consumption_wh,
-       quality_score, is_valid, processing_delay_hours, is_late_event,
+       CAST(quality_score AS DOUBLE) AS quality_score,
+       is_valid, processing_delay_hours, is_late_event,
        CAST(CAST(temp_1h_avg AS REAL) AS DOUBLE) AS temp_1h_avg,
        CAST(CAST(power_1h_avg AS REAL) AS DOUBLE) AS power_1h_avg,
        energy_efficiency, has_alert,

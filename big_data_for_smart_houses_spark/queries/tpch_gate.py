@@ -460,10 +460,10 @@ Q12_LATE_DAYS = 365
 
 _Q12_SQL = f"""
 SELECT l_returnflag AS ship_class,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM %T%lineitem JOIN %T%orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
   AND o_orderdate <  TIMESTAMP '1998-01-01'

@@ -69,20 +69,31 @@ def _track_sessions(gap_seconds: int):
             start_us = last_us = None
             n = 0
         closed: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf["timestamp"]).astype("int64") // 1000
-            ).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if last_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us = max(last_us, t)
-                    n += 1
+        # A key's micro-batch may arrive as SEVERAL Arrow chunks;
+        # sorting within each chunk alone lets cross-chunk
+        # out-of-order events split sessions at the wrong place —
+        # concatenate every chunk for the key and sort ONCE before
+        # the gap walk.
+        chunks = [pd.to_datetime(pdf["timestamp"]) for pdf in pdfs]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.Series([], dtype="datetime64[us]")
+        )
+        ts_us = (all_ts.astype("int64") // 1000).sort_values()
+        for t in ts_us:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                # an out-of-order event above the watermark can sort
+                # before the restored session start — min-fold it
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
         if last_us is not None:
             state.update((int(start_us), int(last_us), int(n)))
         if closed:
@@ -172,20 +183,26 @@ def _track_sessions_timeout(gap_seconds: int):
             start_us = last_us = None
             n = 0
         closed: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            ).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if last_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us = max(last_us, t)
-                    n += 1
+        # same cross-chunk discipline as _track_sessions: concat every
+        # Arrow chunk for the key and sort once before the gap walk
+        chunks = [pd.to_datetime(pdf["ts"]) for pdf in pdfs]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.Series([], dtype="datetime64[us]")
+        )
+        ts_us = (all_ts.astype("int64") // 1000).sort_values()
+        for t in ts_us:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
         if last_us is not None:
             state.update((int(start_us), int(last_us), int(n)))
             # event-time timeout: fire once the watermark passes the

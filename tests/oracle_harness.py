@@ -83,6 +83,32 @@ def _normalize(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+# DuckDB types the driver's type-tagged hash will always reject, even
+# when every value matches Spark bit-for-bit: DuckDB widens integer
+# sums to HUGEINT (and DECIMAL for some aggregates) while Spark stays
+# BIGINT/DOUBLE. _normalize below coerces both to int64, so without
+# this guard the local mirror passes a query the driver fails (this
+# exact blind spot shipped tpch_q12 red in round 7).
+_WIDE_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def assert_oracle_types_narrow(rel) -> None:
+    """Fail fast if any oracle result column has a DuckDB-only wide
+    numeric type — the oracle SQL must CAST it (AS BIGINT / AS DOUBLE)
+    so both engines hash the same physical type."""
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper().startswith(_WIDE_DUCK_TYPES)
+    ]
+    assert not bad, (
+        f"oracle type-parity: DuckDB returns wide columns {bad}; "
+        "CAST them in the oracle SQL (sum(int) -> CAST(... AS BIGINT)) "
+        "or the driver's type-tagged hash will reject the row even "
+        "when values are bit-identical"
+    )
+
+
 def compare(
     spark_df,
     oracle_sql: str,
@@ -101,7 +127,9 @@ def compare(
     sp = _normalize(spark_df.toPandas(), exact=exact)
     con = duck_con(sf_dir)
     try:
-        du = _normalize(con.execute(oracle_sql).df(), exact=exact)
+        rel = con.sql(oracle_sql)
+        assert_oracle_types_narrow(rel)
+        du = _normalize(rel.df(), exact=exact)
     finally:
         con.close()
 

@@ -552,3 +552,32 @@ def test_bpe_train_oracle_fragment_matches_engine(spark, tmp_path):
     }
     con.close()
     assert engine == oracle and len(engine) == 9
+
+
+def test_bpe_train_exhausted_corpus_stops_cleanly(spark):
+    """REGRESSION (round-8 advice): when a merge round finds no
+    candidate pair (single-char-word corpus, or every word already
+    collapsed), `best` is empty and the broadcast cross join used to
+    annihilate the working table, returning an EMPTY frame instead of
+    the trained segmentation. The loop must break and return the
+    current segmentation."""
+    from big_data_for_smart_houses_spark.extensions.vocab import (
+        bpe_train_segments,
+    )
+
+    # single-char words: zero adjacent pairs from round 1
+    docs = spark.createDataFrame([("a b a c",)], ["text"])
+    got = {
+        r.word: (r.n_word, r.seg)
+        for r in bpe_train_segments(docs, n_merges=3).collect()
+    }
+    assert got == {"a": (2, "a"), "b": (1, "b"), "c": (1, "c")}
+
+    # pairs exhaust MID-training: 'ab' collapses in round 1, rounds
+    # 2-3 find nothing — the round-1 result must survive
+    docs2 = spark.createDataFrame([("ab ab a",)], ["text"])
+    got2 = {
+        r.word: r.seg
+        for r in bpe_train_segments(docs2, n_merges=3).collect()
+    }
+    assert got2 == {"ab": "ab", "a": "a"}

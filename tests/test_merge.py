@@ -367,3 +367,32 @@ def test_reaggregate_rollup_navigation_equals_direct(spark):
     # the trap the operator exists to avoid: mean of hourly means
     # for (1, a) would be (10 + 2) / 2 = 6.0, not 4.0
     assert got[(1, "a")][4] == 4.0
+
+
+def test_snapshot_diff_null_keys_classify_correctly(spark):
+    """REGRESSION (round-8 advice): side presence was detected via
+    keys[0] IS NOT NULL, so a NULL-key row never joined and an
+    A-only NULL-key row misreported 'insert'. Literal presence
+    markers + null-safe key join: A-only NULL key = delete, and a
+    NULL key present in BOTH snapshots diffs as one row."""
+    from big_data_for_smart_houses_spark.operators.merge import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(None, 40.0), (1, 10.0)], "k long, price double"
+    )
+    b = spark.createDataFrame([(1, 10.0)], "k long, price double")
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(a, b, keys=["k"], compare_cols=["price"])
+        .collect()
+    }
+    assert got == {None: "delete"}
+
+    b2 = spark.createDataFrame(
+        [(None, 45.0), (1, 10.0)], "k long, price double"
+    )
+    diff2 = snapshot_diff(a, b2, keys=["k"], compare_cols=["price"])
+    rows = diff2.collect()
+    assert len(rows) == 1
+    assert rows[0].k is None and rows[0].change_type == "update"
+    assert rows[0].price_old == 40.0 and rows[0].price_new == 45.0

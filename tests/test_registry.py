@@ -66,3 +66,29 @@ def test_rows_only_queries_are_the_documented_sketch_set():
         "minhash_dedup_documents",
         "simhash_dedup_documents",
     ], rows_only
+
+
+def test_all_oracles_return_narrow_types():
+    """Plan (not execute) every registered oracle in DuckDB and assert
+    no result column is HUGEINT/UHUGEINT/DECIMAL — DuckDB-only wide
+    types the driver's type-tagged hash rejects even when values match
+    Spark bit-for-bit (the round-7 tpch_q12 red row). Planning is
+    cheap, so this audits the full registry in seconds."""
+    import os
+
+    from tests.oracle_harness import assert_oracle_types_narrow, duck_con
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001"
+    )
+    con = duck_con(sf_dir)
+    try:
+        offenders = []
+        for name, sql in sorted(ORACLES.items()):
+            try:
+                assert_oracle_types_narrow(con.sql(sql))
+            except AssertionError as exc:
+                offenders.append((name, str(exc).split(";")[0]))
+        assert not offenders, offenders
+    finally:
+        con.close()

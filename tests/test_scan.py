@@ -350,3 +350,44 @@ def test_skyline_nd_frontier_cap_raises(spark):
         )
     with _pytest.raises(ValueError):
         skyline_nd(df, minimize_cols=[], maximize_cols=[])
+
+
+def test_running_agg_preserves_null_order_keys(spark):
+    """REGRESSION (round-8 advice): the carried-column join-back used
+    a plain equi-join on the order key, silently dropping rows whose
+    key is NULL — the scan computes them, the join-back lost them.
+    Null-safe keys must keep every row (NULLS FIRST under the
+    window's default ascending order)."""
+    df = spark.createDataFrame(
+        [(None, 1, "a"), (2.0, 10, "b"), (5.0, 100, "c")],
+        "v double, x long, c string",
+    )
+    out = {
+        (r.v, r.c): r.run
+        for r in global_running_sum(
+            df, ["v"], F.col("x"), out_col="run"
+        ).collect()
+    }
+    assert len(out) == 3, "NULL-key row dropped by the join-back"
+    # NULLS FIRST: the NULL row is the first prefix
+    assert out[(None, "a")] == 1
+    assert out[(2.0, "b")] == 11
+    assert out[(5.0, "c")] == 111
+
+
+def test_skyline_nd_merge_pass_shuffles_not_coalesces(spark):
+    """REGRESSION (round-8 advice): phase 2 must repartition(1) — a
+    coalesce(1) is a narrow dependency that fuses phase 1's
+    per-partition local skylines into ONE task, defeating the
+    documented parallelism. The bounded survivor set shuffles; the
+    distinct+local stage must not collapse."""
+    from big_data_for_smart_houses_spark.operators.scan import skyline_nd
+
+    df = spark.createDataFrame(
+        [(float(i % 13), float((i * 7) % 11), float(i % 5)) for i in range(200)],
+        "x double, y double, z double",
+    )
+    sky = skyline_nd(df, ["x", "y", "z"])
+    plan = sky._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" not in plan, plan
+    sky.collect()

@@ -671,3 +671,96 @@ def test_asof_join_nearest_contract(spark):
     assert out["L2"] == ("R195", "backward")
     assert out["L3"] == ("R80", "forward")
     assert out["L4"] == (None, None)
+
+
+def test_sessions_cross_chunk_out_of_order():
+    """A key's micro-batch may span several Arrow chunks; the gap
+    walk must behave as if the key's events were concatenated and
+    sorted ONCE. Chunk 2 here holds timestamps EARLIER than chunk 1 —
+    per-chunk sorting would close a phantom session and split the
+    real one."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    fn = _track_sessions(100)
+    # global order: 1, 50, 90, 1000 → one closed session [1, 90] (3
+    # events), open tail at 1000. Chunked as [90, 1000] + [1, 50]:
+    # per-chunk walks would emit [90, 90] then misplace the rest.
+    c1 = pd.DataFrame(
+        {"timestamp": pd.to_datetime([90.0, 1000.0], unit="s")}
+    )
+    c2 = pd.DataFrame({"timestamp": pd.to_datetime([1.0, 50.0], unit="s")})
+    state = FakeState()
+    out = list(fn(("d1",), iter([c1, c2]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["session_start"] == pd.Timestamp(1.0, unit="s")
+    assert row["session_end"] == pd.Timestamp(90.0, unit="s")
+    assert int(row["n_events"]) == 3
+    assert state.get == (1_000_000_000, 1_000_000_000, 1)
+
+
+def test_sessions_out_of_order_min_folds_session_start():
+    """An out-of-order event above the watermark can land BEFORE the
+    restored session start; the within-gap branch must min-fold
+    start_us so session_start is the true earliest event."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions_timeout,
+    )
+
+    class FakeState:
+        def __init__(self, v):
+            self._v = v
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    fn = _track_sessions_timeout(100)
+    # restored open session [100 s, 100 s]; a 60 s event arrives
+    # (within gap of 100 s looking backward) — the open session must
+    # become [60 s, 100 s] with 2 events, not keep start at 100 s.
+    state = FakeState((100_000_000, 100_000_000, 1))
+    pdf = pd.DataFrame({"ts": pd.to_datetime([60.0], unit="s")})
+    out = list(fn((7,), iter([pdf]), state))
+    assert out == []
+    assert state.get == (60_000_000, 100_000_000, 2)
