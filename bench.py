@@ -444,10 +444,14 @@ def _bench_scale10x(spark) -> dict:
     """Nonlinear-blowup sweep (env SPARK_GRAFT_SCALE10X=1): run each
     probe query at 1x and at a deterministic 10x scale-up
     (sources/synthetic.py:scale_up_tables — 10x the keys, constant
-    per-key density, linear dup structure) and report the wall-time
-    ratio. rows x10 with ratio > SCALE10X_FLAG_RATIO flags a
-    superlinear query for SCALE.md. One timed run per side — the
-    signal sought is 15x-vs-10x, far above run noise."""
+    per-key density, linear dup structure) and report BOTH the
+    wall-time ratio and the shuffle-write-bytes ratio. rows x10 with
+    wall ratio > SCALE10X_FLAG_RATIO flags a superlinear query;
+    shuffle growth > row-growth x 1.5 (same 15x bar) with a
+    non-trivial absolute size flags a scale-killer hiding behind
+    local[32]'s free shuffle — bytes that become NETWORK at 1000
+    executors even when local wall time stays flat. One timed run
+    per side — the signal sought is 15x-vs-10x, far above noise."""
     import shutil
     import tempfile
     import time
@@ -459,6 +463,8 @@ def _bench_scale10x(spark) -> dict:
 
     root = tempfile.mkdtemp(prefix="bench_scale10x_")
     out: dict = {}
+    poll = _stage_metrics_poller(spark)
+    last_stage, _ = poll(-1)
     # Streaming gates memoize per (gate, sf_dir); the headline pass
     # already ran them at SF_DIR, so without this the 1x timing below
     # would be a memo hit (~0s) and the ratio meaningless.
@@ -471,29 +477,48 @@ def _bench_scale10x(spark) -> dict:
             if fn is None:
                 continue
             try:
+                last_stage, _ = poll(last_stage)
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 t1 = round(time.perf_counter() - t0, 3)
+                last_stage, io1 = poll(last_stage)
                 t0 = time.perf_counter()
                 fn(spark, f"{root}/x10").write.mode(
                     "overwrite"
                 ).format("noop").save()
                 t10 = round(time.perf_counter() - t0, 3)
+                last_stage, io10 = poll(last_stage)
             except Exception as exc:  # noqa: BLE001
                 out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
                 continue
             ratio = round(t10 / t1, 2) if t1 > 0 else None
+            sw1 = io1["shuffle_write_mb"]
+            sw10 = io10["shuffle_write_mb"]
+            # shuffle growth bar: row-growth (10x) x 1.5 — but only at
+            # a non-trivial absolute size, so a 0.01->0.3 MB startup
+            # artifact can't flag
+            sw_ratio = round(sw10 / sw1, 2) if sw1 > 0.05 else None
+            sw_flag = bool(
+                sw_ratio
+                and sw_ratio > SCALE10X_FACTOR * 1.5
+                and sw10 > 10.0
+            )
             out[name] = {
                 "t1": t1,
                 "t10": t10,
                 "ratio": ratio,
+                "shuffle_mb_1x": sw1,
+                "shuffle_mb_10x": sw10,
+                "shuffle_ratio": sw_ratio,
                 "flagged": bool(ratio and ratio > SCALE10X_FLAG_RATIO),
+                "shuffle_flagged": sw_flag,
             }
             print(
                 f"  scale10x {name}: {t1:.2f}s -> {t10:.2f}s"
-                f" ({ratio}x)",
+                f" ({ratio}x); shuffle {sw1:.1f} -> {sw10:.1f} MB"
+                f" ({sw_ratio}x)",
                 file=sys.stderr,
             )
         return out
@@ -743,15 +768,38 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     payload = json.dumps(out)
-    # The driver keeps only the TAIL of stdout (~2000 chars), which can
-    # orphan the first ~20 per-query timings from its artifact. Persist
-    # the complete JSON next to this script (committed per round) so
-    # round-over-round comparisons never depend on the tail window.
+    # The driver keeps only the TAIL of stdout (~2000 chars) and
+    # parses the FINAL line: the full per-query JSON (250+ timings +
+    # query_io) blew past that window in rounds 6-7, leaving the round
+    # artifact with "parsed": null. Persist the complete JSON next to
+    # this script (committed per round), then print a compact summary
+    # — same schema, "queries" trimmed to the slowest 5 — as the LAST
+    # stdout line so the driver's parse always succeeds.
     local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LOCAL.json")
     with open(local, "w") as fh:
         fh.write(payload + "\n")
-    print(payload)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_note": "slowest 5 of "
+        f"{len(timings)}; full per-query timings + query_io in "
+        "BENCH_LOCAL.json",
+    }
+    if "silver_throughput_events_per_s" in out:
+        compact["silver_throughput_events_per_s"] = out[
+            "silver_throughput_events_per_s"
+        ]
+    if errors:
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact))
     if not timings:
         sys.exit(1)
 

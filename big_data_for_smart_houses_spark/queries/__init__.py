@@ -18,7 +18,10 @@ as-of, trailing-distinct), the graph gates, the LLM-pipeline
 composition and sketch gates, the four highest-semantic-value
 streaming-execution gates (statestore_join, upsert_restart,
 timeout_sessions, sliding) and the join-mode matrix completions,
-the incremental/storage gates, and the source round-trips.
+the incremental/storage gates, and the source round-trips —
+plus cdc_crossdoc_documents, whose gate corpus round 8 trimmed to
+the deterministic even-doc_id half (re-certification of edited
+behavior, same rule round 7 applied to its own edits).
 
 ROUND-9 ROTATION QUEUE (the 14 never-certified entries that did not
 fit the 50-slot window — all low-risk function-surface gates, all
@@ -29,7 +32,8 @@ transpose_summary_lineitem, pipe_syntax_lineitem,
 parameterized_sql_orders, identifier_clause_orders,
 sugar_syntax_orders, session_variables_orders, sql_scripting_orders,
 datetime_functions_events, array_sort_hof_documents,
-map_hof_functions_events, approx_topk_events, and
+map_hof_functions_events, approx_topk_events, explode_outer_events
+(displaced by the cdc_crossdoc_documents re-certification), and
 tpch_q1_pricing_summary (a registry alias of the long-certified
 pricing_summary).
 
@@ -183,8 +187,11 @@ _CERTIFICATION_FRONT = [
     "binaryfile_bmp_assets",
     "csv_malformed_modes_events",
     "join_types_orders",
-    "explode_outer_events",
     "polymorphic_udtf_events",
+    # --- re-certification: round 8 trimmed this gate's corpus to the
+    #     deterministic even-doc_id half (same per-doc semantics,
+    #     planted copies still shared_frac = 1.0) ---
+    "cdc_crossdoc_documents",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -126,9 +126,17 @@ def q_cdc_crossdoc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extensions/text.py:cdc_crossdoc_stats): content-defined chunks,
     md5 fingerprints, per-doc shared-chunk fractions — the scalable
     stand-in for suffix-array substring dedup. Planted verbatim copies
-    must surface with shared_frac = 1.0."""
+    must surface with shared_frac = 1.0.
+
+    Gate corpus: the deterministic EVEN-doc_id half (round-8 trim) —
+    the chunk/fingerprint/df pipeline is linear in corpus size and
+    its semantics are per-doc, so halving the corpus halves the gate
+    cost with an identical proof (planted even-id copies still report
+    shared_frac = 1.0 against their even-id sources)."""
     return text.cdc_crossdoc_stats(
-        _docs_with_planted_copies(spark, sf_dir)
+        _docs_with_planted_copies(spark, sf_dir).filter(
+            F.col("doc_id") % 2 == 0
+        )
     )
 
 
@@ -139,7 +147,8 @@ WITH docs2 AS (
   SELECT doc_id + {CDC_PLANT_OFFSET} AS doc_id, text FROM documents
   WHERE doc_id >= 1 AND doc_id <= {CDC_PLANT_N}
 ),
-t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs2),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs2
+      WHERE doc_id % 2 = 0),
 b AS (
   SELECT doc_id, toks, len(toks) AS n,
          [i for i in range({text.CDC_WINDOW}, len(toks) + 1)
