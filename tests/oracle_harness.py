@@ -139,6 +139,11 @@ def compare(
     )
     assert len(sp) == len(du), f"row count: spark={len(sp)} duck={len(du)}"
 
+    # Check EVERY column before raising: failing on the first
+    # mismatch (alphabetically) hides later ones, so a "fixed" error
+    # could just unmask the next — one run should show the full
+    # damage report.
+    failures: list[str] = []
     for c in sp.columns:
         a, b = sp[c], du[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
@@ -148,10 +153,11 @@ def compare(
             close = np.isclose(av, bv, rtol=float_rtol, atol=float_atol) | both_nan
             if not close.all():
                 bad = np.where(~close)[0][:5]
-                raise AssertionError(
+                failures.append(
                     f"float mismatch in {c} at rows {bad}: "
                     f"spark={av[bad]} duck={bv[bad]}"
                 )
+                continue
             with np.errstate(divide="ignore", invalid="ignore"):
                 rel = np.abs(av - bv) / np.maximum(np.abs(bv), 1e-300)
             rel = rel[~both_nan]
@@ -163,10 +169,15 @@ def compare(
             eq = (a == b) | (a.isna() & b.isna())
             if not eq.all():
                 bad = np.where(~eq.to_numpy())[0][:5]
-                raise AssertionError(
+                failures.append(
                     f"value mismatch in {c} at rows {bad}: "
                     f"spark={a.iloc[bad].tolist()} duck={b.iloc[bad].tolist()}"
                 )
+    if failures:
+        raise AssertionError(
+            f"{len(failures)} mismatching column(s):\n"
+            + "\n".join(failures)
+        )
     return result
 
 
