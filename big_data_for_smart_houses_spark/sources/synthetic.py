@@ -237,12 +237,26 @@ def scale_up_tables(
                     col, F.col(col) + F.lit(i * SCALE_KEY_STRIDE)
                 )
             if t == "documents" and i > 0:
-                suffix = F.lit(f" c{i}")
+                # Suffix the copy tag onto EVERY word, not just the
+                # document end: a trailing suffix leaves cross-copy
+                # shingle sets ~90% shared, so at any realistic
+                # near-dup threshold every doc still acquired
+                # factor-1 twins and pair counts grew QUADRATICALLY
+                # (round 8 measured 311 → 251k true pairs at 10×) —
+                # exactly the data-shape change this generator
+                # documents avoiding. Per-word tagging keeps the
+                # within-copy shingle structure ISOMORPHIC to copy 0
+                # (same blocking-bucket sizes, planted dups stay
+                # near-dups) while making cross-copy shingles
+                # disjoint (jaccard 0), so dup structure replicates
+                # linearly. (An interleaved standalone tag token was
+                # tried and rejected: every 2-gram then contains the
+                # tag, degenerating shingle blocking to unigram
+                # buckets — OOM at 10×.)
                 c = c.withColumn(
-                    "text", F.concat(F.col("text"), suffix)
-                ).withColumn(
-                    "n_chars", F.col("n_chars") + F.length(suffix)
-                )
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1c{i}"),
+                ).withColumn("n_chars", F.length(F.col("text")))
             if t == "embeddings" and i > 0:
                 c = c.withColumn(
                     "embedding",

@@ -716,6 +716,21 @@ def test_scale_up_tables_invariants(spark):
     dst_hist = {r[0]: r[1] for r in dst_groups}
     assert dst_hist == {k: 3 * v for k, v in src_hist.items()}
 
+    # NEAR-dup structure replicates linearly too (round-8 regression):
+    # the old end-of-document suffix left cross-copy shingle sets ~90%
+    # shared, so every doc acquired factor-1 near-dup twins at any
+    # realistic threshold and the 10x sweep measured a quadratic
+    # corpus-shape artifact instead of the algorithm. Per-word tags
+    # must make cross-copy pairs IMPOSSIBLE at even a loose threshold.
+    from big_data_for_smart_houses_spark.extensions import dedup as _dd
+
+    pairs = _dd.ngram_jaccard_pairs(docs, threshold=0.2)
+    cross = pairs.filter(
+        (F.col("id1") / SCALE_KEY_STRIDE).cast("int")
+        != (F.col("id2") / SCALE_KEY_STRIDE).cast("int")
+    ).count()
+    assert cross == 0, f"{cross} cross-copy near-dup pairs"
+
 
 class TestGlobalScanProperty:
     @settings(max_examples=10, deadline=None)
