@@ -127,6 +127,12 @@ def bfs_distances(
     )
     for hop in range(1, max_hops + 1):
         frontier = dist.filter(F.col("dist") == hop - 1)
+        # empty frontier = no node improved last round, so no further
+        # round can change anything — stop instead of running
+        # max_hops no-op union+agg supersteps (dist is
+        # localCheckpointed, so take(1) is a cheap local scan)
+        if not frontier.take(1):
+            break
         candidates = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .select(
@@ -309,6 +315,12 @@ def sssp_weighted(
     )
     for k in range(1, max_rounds + 1):
         frontier = dist.filter(F.col("rnd") == k - 1)
+        # same early exit as bfs_distances: an empty frontier can
+        # never produce another relaxation, and skipping the no-op
+        # rounds does not change the ≤k-edges fold (results are
+        # identical, by construction)
+        if not frontier.take(1):
+            break
         candidates = e.join(
             frontier.withColumnRenamed("id", "src"), "src"
         ).select(
