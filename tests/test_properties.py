@@ -410,7 +410,10 @@ def test_pack_offsets_match_python_running_sum(spark, tokens, budget):
 # --- snapshot_diff roundtrip: A + diff(A,B) reconstructs B exactly ---
 
 _snapshot = st.dictionaries(
-    st.integers(min_value=0, max_value=20),
+    # None is a legal key since round 8 (null-safe diff join +
+    # literal presence markers): a NULL-key row must classify and
+    # round-trip like any other
+    st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
     st.tuples(
         st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
                                        width=32)),
@@ -762,3 +765,76 @@ class TestGlobalScanProperty:
         }
         want = dict(enumerate(itertools.accumulate(vals)))
         assert got == want
+
+
+# --- streaming session tracker: chunking-invariance (round-8 fix) ---
+
+_session_events = st.lists(
+    st.integers(min_value=0, max_value=2_000),  # seconds
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ts_seconds=_session_events,
+    cuts=st.lists(st.integers(min_value=0, max_value=29), max_size=4),
+)
+def test_session_tracker_is_chunking_invariant(ts_seconds, cuts):
+    """The applyInPandasWithState session walker must produce the SAME
+    closed sessions and open-tail state however Arrow happens to split
+    the key's micro-batch into chunks (including out-of-order,
+    duplicate-timestamp, and single-event chunks) — the property
+    behind the round-8 cross-chunk fix, stated over arbitrary
+    chunkings instead of one example."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    def run(chunks):
+        fn = _track_sessions(100)
+        state = FakeState()
+        out = list(fn(("d",), iter(chunks), state))
+        closed = sorted(
+            (r.session_start, r.session_end, r.n_events)
+            for pdf in out
+            for r in pdf.itertuples()
+        )
+        return closed, state.get
+
+    def chunk(ts, idxs):
+        bounds = sorted({i for i in idxs if i < len(ts)} | {0, len(ts)})
+        return [
+            pd.DataFrame(
+                {"timestamp": pd.to_datetime(ts[a:b], unit="s")}
+            )
+            for a, b in zip(bounds, bounds[1:])
+            if b > a
+        ]
+
+    # reference: the whole batch as ONE sorted chunk
+    want = run(chunk(sorted(ts_seconds), []))
+    got = run(chunk(ts_seconds, cuts))
+    assert got == want
