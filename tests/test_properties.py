@@ -838,3 +838,100 @@ def test_session_tracker_is_chunking_invariant(ts_seconds, cuts):
     want = run(chunk(sorted(ts_seconds), []))
     got = run(chunk(ts_seconds, cuts))
     assert got == want
+
+
+# --- as-of family: randomized differential vs the documented contract ---
+
+_asof_left = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(min_value=0, max_value=100)),
+    min_size=1, max_size=15,
+)
+_asof_right = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(min_value=0, max_value=100),
+              st.integers(min_value=0, max_value=9)),
+    min_size=0, max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_asof_left, rrows=_asof_right)
+def test_asof_family_matches_reference(spark, lrows, rrows):
+    """asof_join backward/forward and asof_join_nearest vs a
+    pure-Python statement of the documented contract (inclusive
+    match both directions; right deduped to max payload per (key,
+    ts); nearest tie -> backward; no right rows -> NULLs) on random
+    key/timestamp/payload data, including duplicate left rows and
+    duplicate right timestamps."""
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.operators.joins import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, i, t0 + dt.timedelta(seconds=s))
+         for i, (k, s) in enumerate(lrows)],
+        "k string, lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), p) for k, s, p in rrows],
+        "k string, rts timestamp, payload long",
+    )
+
+    # reference: right deduped to max payload per (key, ts)
+    rmap: dict[str, dict[int, int]] = {}
+    for k, s, p in rrows:
+        cur = rmap.setdefault(k, {})
+        cur[s] = max(cur.get(s, -1), p)
+
+    def ref(k, s, direction):
+        ts_avail = rmap.get(k, {})
+        back = max((t for t in ts_avail if t <= s), default=None)
+        fwd = min((t for t in ts_avail if t >= s), default=None)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        else:  # nearest, tie -> backward
+            if back is None:
+                pick = fwd
+            elif fwd is None:
+                pick = back
+            else:
+                pick = back if (s - back) <= (fwd - s) else fwd
+        return (pick, ts_avail[pick]) if pick is not None else (None, None)
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: (
+                None if r.rts_asof is None
+                else int((r.rts_asof - t0).total_seconds()),
+                r.payload,
+            )
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts",
+                right_cols=["payload"], direction=direction,
+            ).collect()
+        }
+        want = {
+            i: ref(k, s, direction) for i, (k, s) in enumerate(lrows)
+        }
+        assert got == want, direction
+
+    got_n = {
+        r.lid: (
+            None if r.rts_near is None
+            else int((r.rts_near - t0).total_seconds()),
+            r.payload,
+        )
+        for r in asof_join_nearest(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["payload"],
+        ).collect()
+    }
+    want_n = {i: ref(k, s, "nearest") for i, (k, s) in enumerate(lrows)}
+    assert got_n == want_n
