@@ -935,3 +935,49 @@ def test_asof_family_matches_reference(spark, lrows, rrows):
     }
     want_n = {i: ref(k, s, "nearest") for i, (k, s) in enumerate(lrows)}
     assert got_n == want_n
+
+
+# --- weighted quantiles: random data x random partition counts ---
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # value grid (ties!)
+            st.integers(min_value=1, max_value=9),   # weight
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+def test_weighted_quantiles_property(spark, rows, nparts):
+    """Exact weighted lower-quantiles == the sequential definition for
+    ANY data (heavy ties included) at ANY partition count — the
+    scan-consumer partition-invariance discipline stated as a
+    property (the operator rides global_running_agg's range
+    exchange)."""
+    from big_data_for_smart_houses_spark.operators.orderstats import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v), w) for i, (v, w) in enumerate(rows)],
+        "id long, v double, wt long",
+    )
+    qs = [(1, 4), (1, 2), (3, 4), (1, 1)]
+    got = {
+        (r.q_num, r.q_den): r.value
+        for r in weighted_quantiles(
+            df, "v", "wt", qs, id_col="id", num_partitions=nparts
+        ).collect()
+    }
+    ordered = sorted((float(v), i, w) for i, (v, w) in enumerate(rows))
+    total = sum(w for _, w in rows)
+    for num, den in qs:
+        cw = 0
+        for v, _, w in ordered:
+            cw += w
+            if cw * den >= num * total:
+                assert got[(num, den)] == v, (num, den, rows, nparts)
+                break
