@@ -981,3 +981,45 @@ def test_weighted_quantiles_property(spark, rows, nparts):
             if cw * den >= num * total:
                 assert got[(num, den)] == v, (num, den, rows, nparts)
                 break
+
+
+# --- distributed NTILE: random data x random partition counts ---
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=30),  # ties likely
+        min_size=1,
+        max_size=60,
+    ),
+    n_tiles=st.integers(min_value=1, max_value=7),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+def test_global_ntile_property(spark, vals, n_tiles, nparts):
+    """Distributed NTILE == the single-reducer NTILE() OVER contract
+    (first n % k buckets get one extra row, assignment follows the
+    total order) for any data and any partition count — same
+    scan-consumer discipline as the quantiles property."""
+    from big_data_for_smart_houses_spark.operators.scan import global_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.tile
+        for r in global_ntile(
+            df, ["v", "id"], n_tiles, out_col="tile",
+            num_partitions=nparts,
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    base, extra = divmod(n, n_tiles)
+    want = {}
+    pos = 0
+    for t in range(1, n_tiles + 1):
+        size = base + (1 if t <= extra else 0)
+        for _ in range(size):
+            if pos < n:
+                want[order[pos][0]] = t
+                pos += 1
+    assert got == want, (vals, n_tiles, nparts)
