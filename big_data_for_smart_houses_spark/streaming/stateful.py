@@ -68,32 +68,41 @@ def _track_sessions(gap_seconds: int):
         else:
             start_us = last_us = None
             n = 0
-        closed: list[tuple[int, int, int]] = []
-        # A key's micro-batch may arrive as SEVERAL Arrow chunks;
-        # sorting within each chunk alone lets cross-chunk
-        # out-of-order events split sessions at the wrong place —
-        # concatenate every chunk for the key and sort ONCE before
-        # the gap walk.
+        # A key's micro-batch may arrive as SEVERAL Arrow chunks with
+        # no cross-chunk order; concatenate and sort ONCE, then
+        # gap-merge INTERVALS: each event is a point interval and the
+        # restored open session participates as the [start, last]
+        # interval it is. This handles every out-of-order case in one
+        # rule — an event inside the open session folds in, one within
+        # the gap extends (min/max bounds), and one more than a gap
+        # BELOW the restored start closes as its own earlier session
+        # instead of silently merging. Batch-split invariance falls
+        # out: processing a set of events as one batch or several
+        # (state carried between) yields the same session set.
         chunks = [pd.to_datetime(pdf["timestamp"]) for pdf in pdfs]
-        all_ts = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.Series([], dtype="datetime64[us]")
+        items = sorted(
+            (int(t), int(t), 1)
+            for t in (
+                pd.concat(chunks, ignore_index=True).astype("int64")
+                // 1000
+                if chunks
+                else ()
+            )
         )
-        ts_us = (all_ts.astype("int64") // 1000).sort_values()
-        for t in ts_us:
-            t = int(t)
+        if last_us is not None:
+            items = sorted(items + [(start_us, last_us, n)])
+        closed: list[tuple[int, int, int]] = []
+        start_us = last_us = None
+        n = 0
+        for s, e, c in items:
             if last_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
+                start_us, last_us, n = s, e, c
+            elif s - last_us > gap_us:
                 closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+                start_us, last_us, n = s, e, c
             else:
-                # an out-of-order event above the watermark can sort
-                # before the restored session start — min-fold it
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
+                last_us = max(last_us, e)
+                n += c
         if last_us is not None:
             state.update((int(start_us), int(last_us), int(n)))
         if closed:
@@ -182,27 +191,32 @@ def _track_sessions_timeout(gap_seconds: int):
         else:
             start_us = last_us = None
             n = 0
-        closed: list[tuple[int, int, int]] = []
-        # same cross-chunk discipline as _track_sessions: concat every
-        # Arrow chunk for the key and sort once before the gap walk
+        # same cross-chunk + interval gap-merge discipline as
+        # _track_sessions (see the comment there)
         chunks = [pd.to_datetime(pdf["ts"]) for pdf in pdfs]
-        all_ts = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.Series([], dtype="datetime64[us]")
+        items = sorted(
+            (int(t), int(t), 1)
+            for t in (
+                pd.concat(chunks, ignore_index=True).astype("int64")
+                // 1000
+                if chunks
+                else ()
+            )
         )
-        ts_us = (all_ts.astype("int64") // 1000).sort_values()
-        for t in ts_us:
-            t = int(t)
+        if last_us is not None:
+            items = sorted(items + [(start_us, last_us, n)])
+        closed: list[tuple[int, int, int]] = []
+        start_us = last_us = None
+        n = 0
+        for s, e, c in items:
             if last_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
+                start_us, last_us, n = s, e, c
+            elif s - last_us > gap_us:
                 closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+                start_us, last_us, n = s, e, c
             else:
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
+                last_us = max(last_us, e)
+                n += c
         if last_us is not None:
             state.update((int(start_us), int(last_us), int(n)))
             # event-time timeout: fire once the watermark passes the

@@ -1023,3 +1023,73 @@ def test_global_ntile_property(spark, vals, n_tiles, nparts):
                 want[order[pos][0]] = t
                 pos += 1
     assert got == want, (vals, n_tiles, nparts)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ts_seconds=_session_events,
+    split=st.integers(min_value=0, max_value=29),
+)
+def test_session_tracker_is_batch_split_invariant(ts_seconds, split):
+    """Processing a key's events as ONE batch or as TWO state-carrying
+    batches yields the same total session set (closed-so-far + open
+    tail), provided batch 2 honors the watermark contract: events no
+    older than batch 1's max minus the gap (delay <= gap — the
+    operator's documented feeding discipline). Within that contract
+    batch 2 may still sort BELOW the restored session start, which is
+    the case the round-8 interval gap-merge refactor handles. Events
+    behind an already-EMITTED session can never be invariant in
+    append mode — that is what watermarks are for, hence the clamp."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    def run(batches):
+        fn = _track_sessions(100)
+        state = FakeState()
+        sessions = []
+        for b in batches:
+            if not b:
+                continue
+            out = list(fn(("d",), iter(
+                [pd.DataFrame({"timestamp": pd.to_datetime(b, unit="s")})]
+            ), state))
+            sessions.extend(
+                (r.session_start, r.session_end, r.n_events)
+                for pdf in out
+                for r in pdf.itertuples()
+            )
+        if state.get is not None:
+            s, e, c = state.get
+            sessions.append(
+                (pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), c)
+            )
+        return sorted(sessions)
+
+    b1 = ts_seconds[:split]
+    floor = max(b1) - 100 if b1 else 0
+    b2 = [max(t, floor) for t in ts_seconds[split:]]
+    one = run([b1 + b2])
+    two = run([b1, b2])
+    assert one == two
