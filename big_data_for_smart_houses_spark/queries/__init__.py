@@ -23,32 +23,31 @@ plus cdc_crossdoc_documents, whose gate corpus round 8 trimmed to
 the deterministic even-doc_id half (re-certification of edited
 behavior, same rule round 7 applied to its own edits).
 
-ROUND-9 ROTATION QUEUE (the 14 never-certified entries that did not
-fit the 50-slot window — all low-risk function-surface gates, all
-passing the sf0.01 exact mirror and the oracle type audit
-(tests/test_registry.py::test_all_oracles_return_narrow_types)):
-agg_completeness_lineitem, url_functions_orders,
-transpose_summary_lineitem, pipe_syntax_lineitem,
-parameterized_sql_orders, identifier_clause_orders,
-sugar_syntax_orders, session_variables_orders, sql_scripting_orders,
-datetime_functions_events, array_sort_hof_documents,
-map_hof_functions_events, approx_topk_events, explode_outer_events
-(displaced by the cdc_crossdoc_documents re-certification), and
-tpch_q1_pricing_summary (a registry alias of the long-certified
-pricing_summary).
+Round 9's `_CERTIFICATION_FRONT`:
 
-Round 8 also re-verified (sf0.01 exact mirror) the two oracles whose
-declared output type was narrowed this round —
-silver_pipeline_events (quality_score DECIMAL(7,1) → explicit CAST
-AS DOUBLE) and value_histogram_events (bin_lo DECIMAL literal
-arithmetic → CAST AS DOUBLE). Both were already driver-green: the
-cast makes explicit the exact decimal→float64 conversion the
-DuckDB→pandas bridge was already performing, so values are
-unchanged; they are not re-queued.
+* slots 1-15: the ENTIRE round-8 rotation queue (the last
+  never-certified oracle-backed entries) — once green, every
+  oracle-backed query in the registry has had a green driver row;
+* slot 16: stream_timeout_sessions_availablenow RE-certification —
+  round 9 fixed the premature-emission bug in both session trackers
+  (streaming/stateful.py: watermark-gated emission over a
+  pending-interval state list) and re-built this gate's corpus to
+  PLANT the bridging pattern the judge's counterexample exposed (a
+  batch-2 event admissible under the watermark that bridges a
+  batch-1 gap-closed session to the open tail) across two
+  mtime-ordered trigger files;
+* slots 17-25: the near-dup family re-certification the round-8
+  verdict asked for (ask #3) after the scale-sweep corpus-shape fix
+  (sources/synthetic.py per-word copy tags): dedup_groups,
+  contrastive_triplets, the four recall companions, editdist
+  recall, embedding_neardup_pairs, semantic_dedup. (The gate
+  corpora at certification SF were never touched by that fix — it
+  altered only the 10x sweep's scaled copies — so these rows are
+  expected green; the re-cert makes that evidence, not inference.)
+* slots 26-50: round-9 additions and refresh re-certifications
+  (see the list's inline comments).
 
-After the round-9 queue certifies, EVERY oracle-backed query in the
-registry will have had a green driver row at least once. The
-remaining rows-only entries are the 4 structural sketches
+The remaining rows-only entries are the 4 structural sketches
 (minhash/simhash/ann_lsh/ann_ivf), each carrying a hash-gated recall
 companion that IS driver-certified.
 """
@@ -126,72 +125,70 @@ ORACLES = {
 }
 
 _CERTIFICATION_FRONT = [
-    # --- the round-7 red row: oracle-type bug fixed (both
-    #     sum(CASE) columns CAST AS BIGINT; engine values were
-    #     already bit-identical per the round-7 verdict) ---
-    "tpch_q12_priority_shipping",
-    # --- seventh-wave distributed-operator gates: scan family,
-    #     order statistics, robust stats, as-of, trailing windows ---
-    "global_rownum_orders",
-    "concurrency_sweepline_events",
-    "ntile_scan_orders",
-    "skyline_parts",
-    "skyline3d_parts",
-    "weighted_quantiles_orders",
-    "gini_customer_orders",
-    "ks_statistic_events",
-    "mad_outliers_events",
-    "percentile_within_group_events",
-    "asof_nearest_events",
-    "cogroup_asof_events",
-    "trailing_active_users_events",
-    "bitwise_aggs_events",
-    # --- graph supersteps ---
-    "bfs_distances_transitions",
-    "sssp_weighted_transitions",
-    "triangle_count_transitions",
-    # --- LLM-pipeline / similarity / sketch gates ---
-    "ppjoin_pairs_documents",
-    "kmeans_embeddings",
-    "bpe_train_documents",
-    "llm_corpus_pipeline_documents",
-    "copurchase_lift_parts",
-    "kmv_distinct_events",
-    "kmv_merge_events",
-    "kmv_jaccard_events",
-    "theta_sketch_events",
-    "mapinarrow_tokens_documents",
-    # --- streaming-execution gates: the four highest-semantic-
-    #     value first (state read-back, idempotent re-apply after
-    #     mid-commit crash, event-time timeout, overlapping-window
-    #     closure), then the join-mode matrix completions ---
-    "statestore_join_availablenow",
-    "stream_upsert_restart_availablenow",
+    # --- slots 1-15: the round-8 rotation queue — the last
+    #     never-certified oracle-backed entries in the registry ---
+    "agg_completeness_lineitem",
+    "url_functions_orders",
+    "transpose_summary_lineitem",
+    "pipe_syntax_lineitem",
+    "parameterized_sql_orders",
+    "identifier_clause_orders",
+    "sugar_syntax_orders",
+    "session_variables_orders",
+    "sql_scripting_orders",
+    "datetime_functions_events",
+    "array_sort_hof_documents",
+    "map_hof_functions_events",
+    "approx_topk_events",
+    "explode_outer_events",
+    "tpch_q1_pricing_summary",
+    # --- slot 16: re-certification after the round-9 session-tracker
+    #     fix (watermark-gated emission, pending-interval state) on
+    #     the NEW two-batch gate corpus that plants the judge's
+    #     bridging counterexample ---
     "stream_timeout_sessions_availablenow",
-    "stream_sliding_availablenow",
-    "stream_chained_availablenow",
-    "stream_multiwatermark_availablenow",
-    "stream_update_mode_availablenow",
-    "stream_fullouter_join_availablenow",
-    "stream_semi_join_availablenow",
-    "stream_interval_enrich_availablenow",
-    # --- incremental / storage-layout gates ---
-    "vacuum_retention_orders",
-    "rollup_navigate_events",
-    "dynamic_partition_overwrite_events",
-    "agg_pushdown_events",
-    "file_metadata_events",
-    # --- source/sink round-trips + remaining surface gates ---
-    "xml_roundtrip_events",
-    "json_roundtrip_events",
-    "binaryfile_bmp_assets",
-    "csv_malformed_modes_events",
-    "join_types_orders",
-    "polymorphic_udtf_events",
-    # --- re-certification: round 8 trimmed this gate's corpus to the
-    #     deterministic even-doc_id half (same per-doc semantics,
-    #     planted copies still shared_frac = 1.0) ---
+    # --- slots 17-25: near-dup family re-certification (round-8
+    #     verdict ask #3, after the scale-sweep corpus-shape fix) ---
+    "dedup_groups_documents",
+    "contrastive_triplets_documents",
+    "minhash_recall_exact_dups",
+    "simhash_recall_exact_dups",
+    "ann_lsh_recall_planted",
+    "ann_ivf_recall_planted",
+    "editdist_recall_planted",
+    "embedding_neardup_pairs",
+    "semantic_dedup_embeddings",
+    # --- slots 26-50: round-9 refresh re-certifications — the
+    #     wider dedup surface sharing code paths with the family
+    #     above, the q17 phase-transition gate now pinned by a
+    #     plan-shape test, and the earliest-certified (r3/r4)
+    #     high-traffic gates whose green rows predate four rounds
+    #     of refactors ---
+    "dedup_exact_documents",
+    "minhash_dedup_documents",
+    "simhash_dedup_documents",
+    "sentence_dedup_documents",
+    "dedup_incremental_documents",
+    "stream_dedup_availablenow",
+    "cdc_chunk_documents",
+    "tpch_q17_small_qty_revenue",
+    "pricing_summary",
+    "silver_pipeline_events",
+    "session_window_events",
+    "dynamic_session_window_events",
+    "gapfill_locf_events",
+    "locf_stream_availablenow",
+    "ewma_events",
+    "ewma_stream_availablenow",
+    "pagerank_user_transitions",
+    "logreg_quality_planted",
+    "purchase_asof_click",
+    "click_asof_next_purchase",
+    "scd2_asof_lookup",
+    "analytics_kpi_chain_silver",
+    "pricing_rollup",
     "cdc_crossdoc_documents",
+    "ppjoin_pairs_documents",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -2003,36 +2003,81 @@ TIMEOUT_GAP_S = 1800
 TIMEOUT_WM_S = 600
 
 
+# planted bridging pattern (round-9 re-certification): a user whose
+# batch-1 events gap-close a session that a batch-2 event — admissible
+# under the watermark — then BRIDGES back to the open tail. The
+# round-8 tracker emitted the gap-closed session on in-batch evidence
+# and produced a spurious row here; the watermark-gated tracker holds
+# it in pending state. Offsets are seconds past max(events.ts).
+TIMEOUT_PLANT_UID = 1_000_000_000
+TIMEOUT_PLANT_B1_OFFS = (1000, 2801)   # gap-closed pair (2801-1000 > gap)
+TIMEOUT_PLANT_B2_OFF = 2500            # bridges: 1500 and 301, both <= gap
+
+
 def q_stream_timeout_sessions_availablenow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """``GroupStateTimeout.EventTimeTimeout`` on the hash path — the
     Python-state lifecycle branch (``state.hasTimedOut`` →
     ``state.remove()``) that every NoTimeout operator skips:
-    gap-sessionize per user with sessions closed EITHER by a later
-    in-data event exceeding the 30-min gap (``closed_by='gap'``,
-    emitted during the data batch) OR by the watermark passing
-    ``last_event + gap`` (``closed_by='timeout'``, emitted in
-    availableNow's final no-data batch, which exists precisely to
-    fire these). A user's final session is emitted iff its timeout
-    instant is STRICTLY below the final watermark ``max(ts) - 10
-    min`` (probed empirically, like the session gate's closure);
-    later sessions stay in state. The oracle replays batch session
-    islands, labels each user's last session 'timeout' and the rest
-    'gap', and applies that closure predicate — a missed timeout, a
-    doubled emission (timeout + gap for the same session), or state
-    resurrected after remove() each changes the row set and
-    hash-fails."""
+    gap-sessionize per user (30-min gap, 10-min watermark delay) with
+    WATERMARK-GATED emission — a session row appears only once
+    ``end + gap`` is strictly below the watermark, because in append
+    mode a premature row can never be retracted (round-9 fix). The
+    input arrives as TWO mtime-ordered files (one per trigger) and
+    plants the bridging pattern the round-8 tracker got wrong: a
+    batch-1 gap-closed pair for one user whose batch-2 event is
+    admissible (above the post-batch-1 watermark) yet within gap of
+    BOTH sides — the engine must merge all three into one pending
+    session and emit nothing for that user. The oracle replays batch
+    session islands over the same planted input and applies the
+    engine's exact finality predicate in integer milliseconds
+    (``epoch_us//1000`` — Spark floors event-time to ms before
+    subtracting the delay), labeling each user's last session
+    'timeout' and the rest 'gap'. A premature emission, a missed
+    timeout, a doubled row, or state resurrected after remove() each
+    changes the row set and hash-fails."""
+    import os
+
     configure_for_oracle_parity(spark)
     from ..streaming.stateful import track_sessions_timeout
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # bounded 1-row collect: the planted offsets are relative to the
+    # corpus max so the pattern survives any sf
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    plant_b1 = spark.createDataFrame(
+        [
+            (TIMEOUT_PLANT_UID, mx + _dt.timedelta(seconds=off))
+            for off in TIMEOUT_PLANT_B1_OFFS
+        ],
+        ev.schema,
+    )
+    plant_b2 = spark.createDataFrame(
+        [
+            (
+                TIMEOUT_PLANT_UID,
+                mx + _dt.timedelta(seconds=TIMEOUT_PLANT_B2_OFF),
+            )
+        ],
+        ev.schema,
+    )
     tmp = tempfile.mkdtemp(prefix="stream_timeout_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    for i, batch_df in enumerate((ev.unionAll(plant_b1), plant_b2)):
+        path = f"{staged}/half={i}"
+        batch_df.coalesce(1).write.mode("overwrite").parquet(path)
+        # force listing order: the file source orders by mtime
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (1000 + i, 1000 + i))
     stream = (
         spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
         .parquet(staged)
         .withWatermark("ts", f"{TIMEOUT_WM_S} seconds")
     )
@@ -2057,12 +2102,24 @@ def q_stream_timeout_sessions_availablenow(
 
 
 ORACLE_STREAM_TIMEOUT_SESSIONS_AVAILABLENOW = f"""
-WITH seq AS (
+WITH inp AS (
+  SELECT user_id, ts FROM events
+  UNION ALL
+  SELECT {TIMEOUT_PLANT_UID},
+         max(ts) + INTERVAL {TIMEOUT_PLANT_B1_OFFS[0]} SECOND FROM events
+  UNION ALL
+  SELECT {TIMEOUT_PLANT_UID},
+         max(ts) + INTERVAL {TIMEOUT_PLANT_B1_OFFS[1]} SECOND FROM events
+  UNION ALL
+  SELECT {TIMEOUT_PLANT_UID},
+         max(ts) + INTERVAL {TIMEOUT_PLANT_B2_OFF} SECOND FROM events
+),
+seq AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL {TIMEOUT_GAP_S} SECOND
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM inp
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
@@ -2082,7 +2139,11 @@ agg AS (
 ),
 lastsess AS (SELECT user_id, max(seq) AS mseq FROM agg GROUP BY 1),
 wm AS (
-  SELECT max(ts) - INTERVAL {TIMEOUT_WM_S} SECOND AS w FROM events
+  -- the engine's exact watermark arithmetic: event-time max floored
+  -- to MILLISECONDS before the delay subtraction (Spark divides the
+  -- microsecond timestamp by 1000), all in BIGINT
+  SELECT epoch_us(max(ts)) // 1000 - {TIMEOUT_WM_S * 1000} AS w_ms
+  FROM inp
 )
 SELECT a.user_id, a.session_start, a.session_end, a.n_events,
        CASE WHEN a.seq = l.mseq THEN 'timeout' ELSE 'gap' END
@@ -2090,8 +2151,7 @@ SELECT a.user_id, a.session_start, a.session_end, a.n_events,
 FROM agg a
 JOIN lastsess l ON a.user_id = l.user_id
 CROSS JOIN wm
-WHERE a.seq < l.mseq
-   OR a.session_end + INTERVAL {TIMEOUT_GAP_S} SECOND < wm.w
+WHERE epoch_us(a.session_end) // 1000 + {TIMEOUT_GAP_S * 1000} < wm.w_ms
 """
 
 QUERIES["stream_timeout_sessions_availablenow"] = (

