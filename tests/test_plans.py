@@ -900,3 +900,50 @@ def test_global_scan_no_data_sized_single_partition(spark):
         i for i, ln in enumerate(nlines) if "Exchange SinglePartition" in ln
     )
     assert "HashAggregate" not in nlines[nidx + 1], naive
+
+
+def test_tpch_q17_broadcast_to_shuffle_phase_transition(spark):
+    """Pin the q17 join phase transition the 10x sweep adjudicated
+    (SCALE.md round-8): at gate SF the decorrelated per-partkey AVG
+    side sits far below the broadcast threshold and the join-back is
+    a BroadcastHashJoin; once the side outgrows the threshold the
+    SAME query must plan the keyed exchange its docstring promises at
+    100 TB. The big side is emulated by disabling the static AND
+    adaptive broadcast thresholds (the size-relative condition, in
+    milliseconds, instead of materializing 10x data): the final
+    adaptive plan must carry SortMergeJoin/ShuffledHashJoin and ZERO
+    BroadcastHashJoins — a future broadcast() hint in the query or an
+    AQE conf change that forces broadcast regardless of size fails
+    one direction or the other."""
+    p = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in p, p
+
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe_thr = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        df = QUERIES["tpch_q17_small_qty_revenue"](spark, SF_DIR)
+        df.collect()
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        plan = df._jdf.queryExecution().explainString(
+            jmode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        if prev_aqe_thr is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                prev_aqe_thr,
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
