@@ -2043,41 +2043,57 @@ def q_stream_timeout_sessions_availablenow(
     from ..streaming.stateful import track_sessions_timeout
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    # bounded 1-row collect: the planted offsets are relative to the
-    # corpus max so the pattern survives any sf
-    mx = ev.agg(F.max("ts")).collect()[0][0]
-    import datetime as _dt
+    # Stage the two trigger files DRIVER-LOCALLY with pyarrow: the
+    # input is gate-scale (it feeds a single-directory file stream
+    # either way), and staging through Spark jobs (union +
+    # createDataFrame + coalesce(1) x2) costs seconds per run where
+    # arrow is milliseconds. The planted offsets are relative to the
+    # corpus max so the pattern survives any sf.
+    import glob as _glob
 
-    plant_b1 = spark.createDataFrame(
-        [
-            (TIMEOUT_PLANT_UID, mx + _dt.timedelta(seconds=off))
-            for off in TIMEOUT_PLANT_B1_OFFS
-        ],
-        ev.schema,
-    )
-    plant_b2 = spark.createDataFrame(
-        [
-            (
-                TIMEOUT_PLANT_UID,
-                mx + _dt.timedelta(seconds=TIMEOUT_PLANT_B2_OFF),
-            )
-        ],
-        ev.schema,
-    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = pa.concat_tables(
+        pq.read_table(f, columns=["user_id", "ts"])
+        for f in sorted(
+            _glob.glob(f"{sf_dir}/events.parquet/*.parquet")
+            or [f"{sf_dir}/events.parquet"]
+        )
+    ).combine_chunks()
+    ts_type = src.schema.field("ts").type
+    mx_us = pc.max(src.column("ts")).cast(pa.timestamp("us")).value
+
+    def _plant(offsets):
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [TIMEOUT_PLANT_UID] * len(offsets), pa.int64()
+                ),
+                "ts": pa.array(
+                    [mx_us + off * 1_000_000 for off in offsets],
+                    pa.timestamp("us"),
+                ).cast(ts_type),
+            }
+        )
+
     tmp = tempfile.mkdtemp(prefix="stream_timeout_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    for i, batch_df in enumerate((ev.unionAll(plant_b1), plant_b2)):
-        path = f"{staged}/half={i}"
-        batch_df.coalesce(1).write.mode("overwrite").parquet(path)
+    batches = (
+        pa.concat_tables([src, _plant(TIMEOUT_PLANT_B1_OFFS)]),
+        _plant((TIMEOUT_PLANT_B2_OFF,)),
+    )
+    os.makedirs(staged)
+    for i, tbl in enumerate(batches):
+        path = f"{staged}/batch{i}.parquet"
+        pq.write_table(tbl, path)
         # force listing order: the file source orders by mtime
-        for root, _dirs, files in os.walk(path):
-            for fname in files:
-                os.utime(os.path.join(root, fname), (1000 + i, 1000 + i))
+        os.utime(path, (1000 + i, 1000 + i))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
         .parquet(staged)
         .withWatermark("ts", f"{TIMEOUT_WM_S} seconds")
     )

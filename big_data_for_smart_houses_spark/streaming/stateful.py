@@ -295,15 +295,30 @@ def _track_sessions_timeout(gap_seconds: int):
             if closed:
                 yield _emit(user_id, closed, pending[-1])
             return
-        items = sorted(pending + _batch_points(pdfs, "ts"))
-        merged = _gap_merge(items, gap_us)
+        # Spark does NOT late-filter input to this operator (verified
+        # empirically: rows far below the watermark reach the
+        # function) — drop them here, or an ultra-late row could
+        # bridge a session already emitted as final and silently
+        # corrupt the append-mode output. Standard late-data
+        # semantics: admissible means strictly above the watermark.
+        points = [
+            p
+            for p in _batch_points(pdfs, "ts")
+            if p[0] > wm_ms * 1000
+        ]
+        merged = _gap_merge(sorted(pending + points), gap_us)
         if not merged:
             return
         closed, keep = _split_safe(merged, wm_ms)
-        # the tail's end is the key's max seen event time, which is
-        # > wm (late rows are dropped on input), so keep is never
-        # empty on the data path
-        _park(state, keep, wm_ms)
+        if keep:
+            # any surviving point is > wm, so whenever this batch
+            # contributed data the tail lands in keep
+            _park(state, keep, wm_ms)
+        else:
+            # every input row was late and every pending session is
+            # already watermark-final (its timeout just hadn't fired
+            # yet — data invocations preempt the timeout path)
+            state.remove()
         if closed:
             yield _emit(user_id, closed, merged[-1])
 
