@@ -187,8 +187,13 @@ _CERTIFICATION_FRONT = [
     "scd2_asof_lookup",
     "analytics_kpi_chain_silver",
     "pricing_rollup",
-    "cdc_crossdoc_documents",
-    "ppjoin_pairs_documents",
+    # --- round-9 NEW gates (within the free-slot budget): the
+    #     session family's two remaining surfaces — the NoTimeout
+    #     tracker on the hash path with the planted bridge, and the
+    #     statestore read-back of the pending-interval LIST state
+    #     (exact complement of the emission gate) ---
+    "stream_device_sessions_availablenow",
+    "statestore_sessions_availablenow",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -2014,6 +2014,60 @@ TIMEOUT_PLANT_B1_OFFS = (1000, 2801)   # gap-closed pair (2801-1000 > gap)
 TIMEOUT_PLANT_B2_OFF = 2500            # bridges: 1500 and 301, both <= gap
 
 
+def _arrow_events(sf_dir: str, columns):
+    """Read the events table driver-locally with pyarrow (staging
+    through Spark jobs costs seconds per gate where arrow is
+    milliseconds; the input is gate-scale — it feeds a
+    single-directory file stream either way)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pa.concat_tables(
+        pq.read_table(f, columns=list(columns))
+        for f in sorted(
+            _glob.glob(f"{sf_dir}/events.parquet/*.parquet")
+            or [f"{sf_dir}/events.parquet"]
+        )
+    ).combine_chunks()
+
+
+def _arrow_stage(staged: str, batches) -> None:
+    """Write each pyarrow table as ONE parquet file with forced
+    mtimes (the file source lists by modification time), so
+    maxFilesPerTrigger=1 delivers them as consecutive micro-batches
+    in order."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(staged)
+    for i, tbl in enumerate(batches):
+        path = f"{staged}/batch{i}.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (1000 + i, 1000 + i))
+
+
+def _plant_rows(src, offsets, uid=TIMEOUT_PLANT_UID):
+    """Rows for the planted bridge device: (uid, max(src.ts) + off)
+    for each offset, in the src schema's own timestamp type."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts_type = src.schema.field("ts").type
+    mx_us = pc.max(src.column("ts")).cast(pa.timestamp("us")).value
+    return pa.table(
+        {
+            "user_id": pa.array([uid] * len(offsets), pa.int64()),
+            "ts": pa.array(
+                [mx_us + off * 1_000_000 for off in offsets],
+                pa.timestamp("us"),
+            ).cast(ts_type),
+        }
+    )
+
+
 def q_stream_timeout_sessions_availablenow(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2037,60 +2091,27 @@ def q_stream_timeout_sessions_availablenow(
     'timeout' and the rest 'gap'. A premature emission, a missed
     timeout, a doubled row, or state resurrected after remove() each
     changes the row set and hash-fails."""
-    import os
-
     configure_for_oracle_parity(spark)
+    import pyarrow as pa
+
     from ..streaming.stateful import track_sessions_timeout
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    # Stage the two trigger files DRIVER-LOCALLY with pyarrow: the
-    # input is gate-scale (it feeds a single-directory file stream
-    # either way), and staging through Spark jobs (union +
-    # createDataFrame + coalesce(1) x2) costs seconds per run where
-    # arrow is milliseconds. The planted offsets are relative to the
-    # corpus max so the pattern survives any sf.
-    import glob as _glob
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    src = pa.concat_tables(
-        pq.read_table(f, columns=["user_id", "ts"])
-        for f in sorted(
-            _glob.glob(f"{sf_dir}/events.parquet/*.parquet")
-            or [f"{sf_dir}/events.parquet"]
-        )
-    ).combine_chunks()
-    ts_type = src.schema.field("ts").type
-    mx_us = pc.max(src.column("ts")).cast(pa.timestamp("us")).value
-
-    def _plant(offsets):
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [TIMEOUT_PLANT_UID] * len(offsets), pa.int64()
-                ),
-                "ts": pa.array(
-                    [mx_us + off * 1_000_000 for off in offsets],
-                    pa.timestamp("us"),
-                ).cast(ts_type),
-            }
-        )
-
+    # arrow-staged two trigger files; planted offsets are relative to
+    # the corpus max so the pattern survives any sf
+    src = _arrow_events(sf_dir, ["user_id", "ts"])
     tmp = tempfile.mkdtemp(prefix="stream_timeout_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    batches = (
-        pa.concat_tables([src, _plant(TIMEOUT_PLANT_B1_OFFS)]),
-        _plant((TIMEOUT_PLANT_B2_OFF,)),
+    _arrow_stage(
+        staged,
+        (
+            pa.concat_tables(
+                [src, _plant_rows(src, TIMEOUT_PLANT_B1_OFFS)]
+            ),
+            _plant_rows(src, (TIMEOUT_PLANT_B2_OFF,)),
+        ),
     )
-    os.makedirs(staged)
-    for i, tbl in enumerate(batches):
-        path = f"{staged}/batch{i}.parquet"
-        pq.write_table(tbl, path)
-        # force listing order: the file source orders by mtime
-        os.utime(path, (1000 + i, 1000 + i))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -2175,6 +2196,241 @@ QUERIES["stream_timeout_sessions_availablenow"] = (
 )
 ORACLES["stream_timeout_sessions_availablenow"] = (
     ORACLE_STREAM_TIMEOUT_SESSIONS_AVAILABLENOW
+)
+
+
+# ---------------------------------------------------------------------------
+# NoTimeout session tracker on the hash path + statestore read-back of
+# the pending-interval state (round 9: the session family's two
+# remaining surfaces — track_device_sessions had only unit coverage,
+# and the new LIST-state schema deserves its own state-level gate)
+# ---------------------------------------------------------------------------
+
+DEVSESS_GAP_S = 1800
+
+
+def q_stream_device_sessions_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NoTimeout session tracker (streaming/stateful.py:
+    track_device_sessions — reference semantics from the unused
+    DEVICE_OFFLINE_THRESHOLD, reference config/config.py:83) executed
+    on the hash path: gap-sessionize per device (user_id cast to the
+    tracker's string key) with the 2*gap SAFE-CLOSURE frontier — a
+    session is emitted only once its end is more than 2*gap behind
+    the device's max seen timestamp, because the feeding contract
+    admits events up to gap late and such an event can bridge
+    anything closer (the round-9 fix). The input arrives as two
+    mtime-ordered trigger files planting the same bridging pattern as
+    the timeout gate: a batch-1 gap-closed pair whose batch-2 event
+    (admissible: 1500 s <= gap behind the device max) rejoins all
+    three events into ONE pending session — a tracker that emits on
+    in-batch gap evidence produces a spurious row and hash-fails.
+    The oracle replays batch session islands per device and applies
+    the frontier predicate in integer microseconds — exact, no
+    float, no watermark rounding (this variant has no watermark)."""
+    configure_for_oracle_parity(spark)
+    import pyarrow as pa
+
+    from ..streaming.stateful import track_device_sessions
+
+    src = _arrow_events(sf_dir, ["user_id", "ts"])
+    tmp = tempfile.mkdtemp(prefix="stream_devsess_gate_")
+    staged = f"{tmp}/staged"
+    out_dir = f"{tmp}/out"
+    _arrow_stage(
+        staged,
+        (
+            pa.concat_tables(
+                [src, _plant_rows(src, TIMEOUT_PLANT_B1_OFFS)]
+            ),
+            _plant_rows(src, (TIMEOUT_PLANT_B2_OFF,)),
+        ),
+    )
+    schema = "user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select(
+            F.col("user_id").cast("string").alias("device_id"),
+            F.col("ts").alias("timestamp"),
+        )
+    )
+    with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
+        q = (
+            track_device_sessions(stream, DEVSESS_GAP_S)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"device-session availableNow run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "device_id", "session_start", "session_end", "n_events"
+    )
+
+
+_DEVSESS_INP = f"""
+  SELECT CAST(user_id AS VARCHAR) AS device_id, ts FROM events
+  UNION ALL
+  SELECT CAST({TIMEOUT_PLANT_UID} AS VARCHAR),
+         max(ts) + INTERVAL {TIMEOUT_PLANT_B1_OFFS[0]} SECOND FROM events
+  UNION ALL
+  SELECT CAST({TIMEOUT_PLANT_UID} AS VARCHAR),
+         max(ts) + INTERVAL {TIMEOUT_PLANT_B1_OFFS[1]} SECOND FROM events
+  UNION ALL
+  SELECT CAST({TIMEOUT_PLANT_UID} AS VARCHAR),
+         max(ts) + INTERVAL {TIMEOUT_PLANT_B2_OFF} SECOND FROM events
+"""
+
+_DEVSESS_ISLANDS = f"""
+seq AS (
+  SELECT device_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {DEVSESS_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM inp
+  WINDOW w AS (PARTITION BY device_id ORDER BY ts)
+),
+sess AS (
+  SELECT device_id, ts,
+         sum(new_s) OVER (
+           PARTITION BY device_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS seq
+  FROM seq
+),
+agg AS (
+  SELECT device_id, seq,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+),
+mx AS (SELECT device_id, max(ts) AS m FROM inp GROUP BY 1)
+"""
+
+ORACLE_STREAM_DEVICE_SESSIONS_AVAILABLENOW = f"""
+WITH inp AS ({_DEVSESS_INP}),
+{_DEVSESS_ISLANDS}
+SELECT a.device_id, a.session_start, a.session_end, a.n_events
+FROM agg a JOIN mx ON a.device_id = mx.device_id
+WHERE epoch_us(a.session_end)
+      < epoch_us(mx.m) - {2 * DEVSESS_GAP_S * 1_000_000}
+"""
+
+QUERIES["stream_device_sessions_availablenow"] = (
+    q_stream_device_sessions_availablenow
+)
+ORACLES["stream_device_sessions_availablenow"] = (
+    ORACLE_STREAM_DEVICE_SESSIONS_AVAILABLENOW
+)
+
+
+def q_statestore_sessions_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-LEVEL gate for the round-9 pending-interval schema: run
+    the NoTimeout session tracker over the planted corpus as ONE
+    micro-batch, then read the checkpoint back with
+    ``spark.read.format("statestore")`` and EXPLODE the array-typed
+    group state (starts_us/lasts_us/counts parallel arrays) into one
+    row per pending session. The oracle is the exact complement of
+    the emission gate: per-device session islands whose end is
+    WITHIN 2*gap of the device max — so emitted + pending must
+    partition the island set, and a tracker that drops a pending
+    session (or emits it early) fails one gate or the other. Also
+    the driver-visible proof that list-valued Python group state
+    round-trips the state store intact (values, not just counts)."""
+    configure_for_oracle_parity(spark)
+    import pyarrow as pa
+
+    from ..streaming.stateful import track_device_sessions
+
+    src = _arrow_events(sf_dir, ["user_id", "ts"])
+    tmp = tempfile.mkdtemp(prefix="statestore_sess_gate_")
+    staged = f"{tmp}/staged"
+    _arrow_stage(
+        staged,
+        (
+            pa.concat_tables(
+                [
+                    src,
+                    _plant_rows(
+                        src,
+                        TIMEOUT_PLANT_B1_OFFS
+                        + (TIMEOUT_PLANT_B2_OFF,),
+                    ),
+                ]
+            ),
+        ),
+    )
+    schema = "user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(staged)
+        .select(
+            F.col("user_id").cast("string").alias("device_id"),
+            F.col("ts").alias("timestamp"),
+        )
+    )
+    ck = f"{tmp}/ckpt"
+    with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
+        q = (
+            track_device_sessions(stream, DEVSESS_GAP_S)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"statestore-session availableNow run exceeded {_AWAIT_S}s"
+            )
+    st = spark.read.format("statestore").option("path", ck).load()
+    return (
+        st.select(
+            F.col("key.device_id").alias("device_id"),
+            F.arrays_zip(
+                F.col("value.groupState.starts_us").alias("s"),
+                F.col("value.groupState.lasts_us").alias("e"),
+                F.col("value.groupState.counts").alias("c"),
+            ).alias("z"),
+        )
+        .select("device_id", F.explode("z").alias("p"))
+        .select(
+            "device_id",
+            F.timestamp_micros(F.col("p.s")).alias("session_start"),
+            F.timestamp_micros(F.col("p.e")).alias("session_end"),
+            F.col("p.c").alias("n_events"),
+        )
+    )
+
+
+ORACLE_STATESTORE_SESSIONS_AVAILABLENOW = f"""
+WITH inp AS ({_DEVSESS_INP}),
+{_DEVSESS_ISLANDS}
+SELECT a.device_id, a.session_start, a.session_end, a.n_events
+FROM agg a JOIN mx ON a.device_id = mx.device_id
+WHERE epoch_us(a.session_end)
+      >= epoch_us(mx.m) - {2 * DEVSESS_GAP_S * 1_000_000}
+"""
+
+QUERIES["statestore_sessions_availablenow"] = (
+    q_statestore_sessions_availablenow
+)
+ORACLES["statestore_sessions_availablenow"] = (
+    ORACLE_STATESTORE_SESSIONS_AVAILABLENOW
 )
 
 

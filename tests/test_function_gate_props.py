@@ -11,6 +11,14 @@ import datetime as dt
 import duckdb
 import pytest
 from hypothesis import given, settings
+
+import os
+
+# round-9 deep pass: these are pure-Python/DuckDB properties
+# (microseconds per example) — HYPOTHESIS_PROFILE=deep doubles the
+# already-dense 300-example default to 600
+_DEEP = os.environ.get("HYPOTHESIS_PROFILE", "") == "deep"
+_N = 600 if _DEEP else 300
 from hypothesis import strategies as st
 
 
@@ -28,7 +36,7 @@ def _luhn_ref(s: str) -> bool:
 
 
 @given(st.integers(min_value=0, max_value=999_999_999_999))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=_N, deadline=None)
 def test_luhn_oracle_emulation_matches_reference(n):
     # the LIVE fragment the gate oracle is built from — not a copy
     from big_data_for_smart_houses_spark.queries.modern_gate import (
@@ -57,7 +65,7 @@ def _width_bucket_ref(x: float, lo: float, hi: float, n: int) -> int:
 
 @given(st.floats(min_value=-10.0, max_value=80.0,
                  allow_nan=False, allow_infinity=False))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=_N, deadline=None)
 def test_width_bucket_oracle_emulation_matches_reference(x):
     # the LIVE fragment the gate oracle is built from — not a copy
     from big_data_for_smart_houses_spark.queries.stats_gate import (
@@ -80,7 +88,7 @@ def _next_monday_ref(d: dt.date) -> dt.date:
 
 @given(st.dates(min_value=dt.date(1990, 1, 1),
                 max_value=dt.date(2100, 12, 31)))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=_N, deadline=None)
 def test_next_day_oracle_arithmetic_matches_reference(d):
     # the LIVE fragment the gate oracle is built from — not a copy
     from big_data_for_smart_houses_spark.queries.stats_gate import (

@@ -6,8 +6,26 @@ input diversity, not example count."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from hypothesis import example, given, settings, strategies as st
+# Deep pass (round-9 verdict ask #4): HYPOTHESIS_PROFILE=deep raises
+# every property's example count — >=500 for pure-Python properties
+# (microseconds per example), 4x for Spark-bound ones (each example
+# pays a Spark job) — so a lucky default draw can't ship a latent
+# counterexample. Run once per round before submitting; result
+# recorded in COVERAGE.md. Previously-found counterexamples are ALSO
+# pinned as @example()s, so regressions stay deterministic even in
+# the default profile.
+_DEEP = os.environ.get("HYPOTHESIS_PROFILE", "") == "deep"
+
+
+def _ex(base: int, pure: bool = False) -> int:
+    if not _DEEP:
+        return base
+    return max(500, base) if pure else base * 4
+
+
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -54,7 +72,7 @@ events_strategy = st.lists(
 
 
 class TestSessionizeProperty:
-    @settings(max_examples=12, deadline=None)
+    @settings(max_examples=_ex(12), deadline=None)
     @given(rows=events_strategy)
     def test_matches_python_reference(self, spark, rows):
         schema = StructType(
@@ -83,7 +101,7 @@ class TestSessionizeProperty:
 
 
 class TestDedupKeepFirstProperty:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=_ex(10), deadline=None)
     @given(
         rows=st.lists(
             st.tuples(
@@ -130,7 +148,7 @@ class TestSamplingProperties:
         ),
         salt=st.integers(min_value=0, max_value=5),
     )
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=_ex(8), deadline=None)
     def test_split_matches_python_and_ignores_other_rows(
         self, spark, ids, salt
     ):
@@ -164,7 +182,7 @@ class TestSamplingProperties:
             unique=True,
         )
     )
-    @settings(max_examples=6, deadline=None)
+    @settings(max_examples=_ex(6), deadline=None)
     def test_shuffle_is_stable_under_corpus_growth_prefix(self, spark, ids):
         """Relative order of two ids depends only on their own keys:
         shuffling a SUBSET preserves the relative order those ids have
@@ -203,7 +221,7 @@ _doc = st.lists(_token, min_size=1, max_size=30).map(" ".join)
 _corpus = st.lists(_doc, min_size=1, max_size=8)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(_corpus)
 def test_cdc_chunks_tile_every_document(spark, docs):
     """CDC invariant: chunks, joined in chunk_id order, reproduce the
@@ -226,7 +244,7 @@ def test_cdc_chunks_tile_every_document(spark, docs):
         assert " ".join(chunks) == doc
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(_corpus, st.integers(min_value=1, max_value=5))
 def test_heavy_hitters_match_python_counter(spark, docs, k):
     """Heavy hitters == collections.Counter with (count desc, token
@@ -250,7 +268,7 @@ def test_heavy_hitters_match_python_counter(spark, docs, k):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(st.lists(st.floats(min_value=-100, max_value=100,
                           allow_nan=False, allow_infinity=False),
                 min_size=1, max_size=20))
@@ -296,7 +314,7 @@ def test_ewma_stays_inside_running_envelope(spark, values):
         max_size=40,
     )
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 def test_gapfill_grid_is_exact_and_locf_holds(spark, rows):
     """For any input: per key the grid is every hour bucket from
     floor(min/3600) to floor(max/3600) inclusive; non-gap rows carry
@@ -353,7 +371,7 @@ def test_gapfill_grid_is_exact_and_locf_holds(spark, rows):
         unique=True,
     )
 )
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 def test_zorder_interleave_matches_python(spark, pairs):
     from pyspark.sql import functions as F
 
@@ -384,7 +402,7 @@ def test_zorder_interleave_matches_python(spark, pairs):
     ),
     st.integers(min_value=50, max_value=400),
 )
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 def test_pack_offsets_match_python_running_sum(spark, tokens, budget):
     from pyspark.sql import functions as F
 
@@ -423,7 +441,7 @@ _snapshot = st.dictionaries(
 )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 @given(a_rows=_snapshot, b_rows=_snapshot)
 def test_snapshot_diff_roundtrips_to_b(spark, a_rows, b_rows):
     """Applying snapshot_diff's output to A (delete the deletes, upsert
@@ -468,7 +486,7 @@ _edges = st.lists(
 )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(edges=_edges)
 def test_pagerank_is_a_distribution_with_floor(spark, edges):
     """For ANY edge list (self-loops, dangling nodes, disconnected
@@ -497,7 +515,7 @@ _side = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(a_old=_side, da=_side, b_old=_side, db=_side)
 def test_incremental_join_matches_recompute(spark, a_old, da, b_old, db):
     from big_data_for_smart_houses_spark.operators.merge import (
@@ -518,7 +536,7 @@ def test_incremental_join_matches_recompute(spark, a_old, da, b_old, db):
     assert sorted(map(tuple, maintained)) == sorted(map(tuple, recomputed))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(_corpus)
 def test_sliding_chunks_cover_and_overlap(spark, docs):
     """Sliding-window chunking invariants (modern_gate): every token
@@ -554,7 +572,7 @@ def test_sliding_chunks_cover_and_overlap(spark, docs):
         assert covered == set(range(len(toks)))
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=_ex(6), deadline=None)
 @given(st.integers(min_value=1, max_value=6))
 def test_compaction_preserves_rows_and_reduces_files(spark, n_small):
     """compact_files: content identical under any input fragmentation;
@@ -583,7 +601,7 @@ def test_compaction_preserves_rows_and_reduces_files(spark, n_small):
     assert got == [(i, 2 * i) for i in range(2000)]
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 @given(
     st.integers(min_value=1, max_value=16),
     st.integers(min_value=1, max_value=12),
@@ -605,7 +623,7 @@ def test_bmp_codec_roundtrip(spark, width, height, rgb):
     assert (m["mean_r"], m["mean_g"], m["mean_b"]) == rgb
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 @given(
     st.integers(min_value=2, max_value=400),
     st.integers(min_value=1, max_value=30000),
@@ -632,7 +650,7 @@ def test_wav_codec_roundtrip(spark, n_frames, amplitude, period):
     assert {abs(s) for s in samples} == {amplitude}
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     st.integers(min_value=1, max_value=10),
     st.integers(min_value=1, max_value=6),
@@ -736,7 +754,7 @@ def test_scale_up_tables_invariants(spark):
 
 
 class TestGlobalScanProperty:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=_ex(10), deadline=None)
     @given(
         vals=st.lists(
             st.integers(min_value=-100, max_value=100),
@@ -776,7 +794,7 @@ _session_events = st.lists(
 )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30, pure=True), deadline=None)
 @given(
     ts_seconds=_session_events,
     cuts=st.lists(st.integers(min_value=0, max_value=29), max_size=4),
@@ -855,7 +873,7 @@ _asof_right = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(lrows=_asof_left, rrows=_asof_right)
 def test_asof_family_matches_reference(spark, lrows, rrows):
     """asof_join backward/forward and asof_join_nearest vs a
@@ -939,7 +957,7 @@ def test_asof_family_matches_reference(spark, lrows, rrows):
 
 # --- weighted quantiles: random data x random partition counts ---
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     rows=st.lists(
         st.tuples(
@@ -985,7 +1003,7 @@ def test_weighted_quantiles_property(spark, rows, nparts):
 
 # --- distributed NTILE: random data x random partition counts ---
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     vals=st.lists(
         st.integers(min_value=0, max_value=30),  # ties likely
@@ -1025,7 +1043,7 @@ def test_global_ntile_property(spark, vals, n_tiles, nparts):
     assert got == want, (vals, n_tiles, nparts)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25, pure=True), deadline=None)
 @example(ts_seconds=[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 101, 0], split=11)
 @example(ts_seconds=[0, 201, 99], split=2)
 @given(
@@ -1102,7 +1120,7 @@ def test_session_tracker_is_batch_split_invariant(ts_seconds, split):
     assert one == two
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25, pure=True), deadline=None)
 @example(ts_seconds=[0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 101, 0], split=11,
          delay=100)
 @example(ts_seconds=[0, 201, 99], split=2, delay=100)
