@@ -616,3 +616,75 @@ def ppjoin_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "n_inter", "size1", "size2", "jaccard")
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """COMPLETE edit-distance-1 pair mining via SymSpell-style
+    deletion neighborhoods (Garbe's symmetric delete algorithm,
+    public): each string's blocking keys are itself plus every
+    single-character deletion, so any two DISTINCT strings within one
+    edit share a key structurally —
+
+    * substitution at position i: deleting i from each side yields
+      the SAME string, present in both neighborhoods;
+    * insertion/deletion (lengths differ by 1): the shorter string IS
+      a member of the longer one's deletion neighborhood and of its
+      own (identity key);
+    * equal strings share the identity key.
+
+    This closes the recall hole :func:`editdist_blocked_pairs`
+    documents honestly but cannot avoid: its (prefix|suffix, LENGTH)
+    blocks can never collide strings of different lengths, so
+    insert/delete typos are invisible there. Here completeness is by
+    construction, gated against an exhaustive O(n^2) oracle join
+    (queries/extensions.py:edit1_neighborhood_customer).
+
+    Scale shape (100 TB): a string of length L emits L+1 keys — the
+    corpus explodes ~|text|-fold into (key, id) rows, shuffles ONCE
+    on the key, and buckets are capped at MAX_BUCKET_SIZE like every
+    LSH path (a degenerate shared neighborhood cannot go quadratic);
+    the exact ``levenshtein`` verification runs per CANDIDATE pair
+    only, never all-pairs. Intended for short join keys (names, SKUs,
+    emails — entity resolution), not documents: neighborhood fan-out
+    is linear in string length, so shingle/MinHash modalities stay
+    the right tool above ~100 chars.
+    """
+    t = F.col(text_col)
+    neigh = F.array_distinct(
+        F.concat(
+            F.array(t),
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    F.substring(t, F.lit(1), i - 1),
+                    F.substring(t, i + 1, F.length(t)),
+                ),
+            ),
+        )
+    )
+    blocks = df.select(
+        F.col(id_col).alias("_id"), F.explode(neigh).alias("_k")
+    )
+    cand = (
+        blocks.groupBy("_k")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
+        .distinct()
+    )
+    t1 = df.select(F.col(id_col).alias("id1"), t.alias("_t1"))
+    t2 = df.select(F.col(id_col).alias("id2"), t.alias("_t2"))
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn(
+            "edit_dist", F.levenshtein("_t1", "_t2").cast("bigint")
+        )
+        .filter(F.col("edit_dist") <= 1)
+        .select("id1", "id2", "edit_dist")
+    )

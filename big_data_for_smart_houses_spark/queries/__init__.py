@@ -6,22 +6,7 @@ tables (TESTDATA.md). Queries without an oracle are genuinely
 non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 
 ORDER MATTERS: the external driver certifies the first 50 entries by
-insertion order. Round 8's `_CERTIFICATION_FRONT` is a pure
-certification rotation (no new gates this round, per the round-7
-verdict): the round-7 red row `tpch_q12_priority_shipping` (oracle
-HUGEINT bug fixed — CAST both sum(CASE) columns AS BIGINT; engine
-values were already bit-identical) plus 49 of the 63 never-certified
-round-7 gates, prioritized exactly as the round-7 verdict asked:
-the seventh-wave distributed-operator gates (scan family, skylines,
-NTILE, order statistics, MAD, percentile WITHIN GROUP, nearest
-as-of, trailing-distinct), the graph gates, the LLM-pipeline
-composition and sketch gates, the four highest-semantic-value
-streaming-execution gates (statestore_join, upsert_restart,
-timeout_sessions, sliding) and the join-mode matrix completions,
-the incremental/storage gates, and the source round-trips —
-plus cdc_crossdoc_documents, whose gate corpus round 8 trimmed to
-the deterministic even-doc_id half (re-certification of edited
-behavior, same rule round 7 applied to its own edits).
+insertion order.
 
 Round 9's `_CERTIFICATION_FRONT`:
 
@@ -186,14 +171,16 @@ _CERTIFICATION_FRONT = [
     "click_asof_next_purchase",
     "scd2_asof_lookup",
     "analytics_kpi_chain_silver",
-    "pricing_rollup",
     # --- round-9 NEW gates (within the free-slot budget): the
     #     session family's two remaining surfaces — the NoTimeout
     #     tracker on the hash path with the planted bridge, and the
     #     statestore read-back of the pending-interval LIST state
-    #     (exact complement of the emission gate) ---
+    #     (exact complement of the emission gate) — plus the
+    #     SymSpell deletion-neighborhood edit-1 join, whose
+    #     completeness gate is an exhaustive O(n^2) oracle ---
     "stream_device_sessions_availablenow",
     "statestore_sessions_availablenow",
+    "edit1_neighborhood_customer",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

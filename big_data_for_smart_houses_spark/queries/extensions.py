@@ -1096,6 +1096,42 @@ QUERIES["editdist_recall_planted"] = q_editdist_recall_planted
 ORACLES["editdist_recall_planted"] = ORACLE_EDITDIST_RECALL_PLANTED
 
 
+def q_edit1_neighborhood_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPLETENESS gate for the SymSpell deletion-neighborhood join
+    (extensions/dedup.py:deletion_neighborhood_pairs, round 9): ALL
+    edit-distance<=1 customer-name pairs — including the
+    insertion/deletion pairs the (prefix|suffix, length) blocking of
+    editdist_blocked_pairs structurally cannot see — against an
+    EXHAUSTIVE O(n^2) levenshtein self-join oracle, the same
+    proof-shape as the PPJoin gate. TPC-H names ('Customer#...') are
+    dense in Hamming-1 neighbors, so the truth set is large and
+    non-trivial (one digit substitution apart), while the engine
+    never materializes an all-pairs join: candidates come only from
+    shared deletion-neighborhood keys."""
+    configure_for_oracle_parity(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return dedup.deletion_neighborhood_pairs(
+        c, id_col="c_custkey", text_col="c_name"
+    ).select("id1", "id2", "edit_dist")
+
+
+ORACLE_EDIT1_NEIGHBORHOOD_CUSTOMER = """
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+QUERIES["edit1_neighborhood_customer"] = q_edit1_neighborhood_customer
+ORACLES["edit1_neighborhood_customer"] = (
+    ORACLE_EDIT1_NEIGHBORHOOD_CUSTOMER
+)
+
+
 PR_ITERS = 5
 PR_DAMPING = 0.85
 
