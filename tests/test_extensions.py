@@ -808,3 +808,56 @@ def test_ppjoin_prefix_actually_prunes(planted):
         .count()
     )
     assert pref < 0.6 * full
+
+
+def test_deletion_neighborhood_pairs_complete_vs_exhaustive(spark):
+    """SymSpell deletion-neighborhood join (round 9): the candidate
+    blocking is COMPLETE for edit distance <= 1 — verified against a
+    pure-Python exhaustive levenshtein over a corpus that plants all
+    three edit kinds (substitution, end-insertion, mid-deletion) plus
+    unrelated strings. Also pins the documented recall hole of the
+    (prefix|suffix, length)-blocked variant: insert/delete pairs have
+    different lengths, so editdist_blocked_pairs must MISS them —
+    which is exactly why the neighborhood operator exists."""
+    import itertools
+
+    from big_data_for_smart_houses_spark.extensions.dedup import (
+        deletion_neighborhood_pairs,
+        editdist_blocked_pairs,
+    )
+
+    rows = [
+        (1, "jonathan"), (2, "jonathon"),   # substitution
+        (3, "smith"), (4, "smiths"),        # insertion at the end
+        (5, "colour"), (6, "color"),        # deletion mid-string
+        (7, "abcdefgh"), (8, "abXdefgh"),   # substitution mid
+        (9, "totally-different"), (10, "unrelated"),
+        (11, "xy"), (12, "x"),              # short strings
+    ]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id1, r.id2, r.edit_dist)
+        for r in deletion_neighborhood_pairs(df).collect()
+    )
+    want = sorted(
+        (a, b, lev(ta, tb))
+        for (a, ta), (b, tb) in itertools.combinations(rows, 2)
+        if lev(ta, tb) <= 1
+    )
+    assert got == want
+    # the blocked variant finds only the equal-length substitutions
+    blocked = sorted(
+        (r.id1, r.id2)
+        for r in editdist_blocked_pairs(df, block_chars=2).collect()
+    )
+    assert blocked == [(1, 2), (7, 8)]
