@@ -170,7 +170,6 @@ _CERTIFICATION_FRONT = [
     "purchase_asof_click",
     "click_asof_next_purchase",
     "scd2_asof_lookup",
-    "analytics_kpi_chain_silver",
     # --- round-9 NEW gates (within the free-slot budget): the
     #     session family's two remaining surfaces — the NoTimeout
     #     tracker on the hash path with the planted bridge, and the
@@ -180,6 +179,7 @@ _CERTIFICATION_FRONT = [
     #     completeness gate is an exhaustive O(n^2) oracle ---
     "stream_device_sessions_availablenow",
     "statestore_sessions_availablenow",
+    "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
 ]
 

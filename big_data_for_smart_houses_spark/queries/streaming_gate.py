@@ -2229,6 +2229,10 @@ def q_stream_device_sessions_availablenow(
     The oracle replays batch session islands per device and applies
     the frontier predicate in integer microseconds — exact, no
     float, no watermark rounding (this variant has no watermark)."""
+    return _run_device_sessions(spark, sf_dir)
+
+
+def _run_device_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle_parity(spark)
     import pyarrow as pa
 
@@ -2330,6 +2334,37 @@ QUERIES["stream_device_sessions_availablenow"] = (
     q_stream_device_sessions_availablenow
 )
 ORACLES["stream_device_sessions_availablenow"] = (
+    ORACLE_STREAM_DEVICE_SESSIONS_AVAILABLENOW
+)
+
+
+def q_rocksdb_pysessions_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The pending-interval Python session state on the **RocksDB
+    state store provider**: identical two-batch planted run and
+    oracle as ``stream_device_sessions_availablenow``, executed on
+    the production state backend — provider swap-equivalence for
+    applyInPandasWithState with ARRAY-typed state (the existing
+    RocksDB gate covers only JVM aggregation state; list-valued
+    Python state crossing the Arrow boundary into RocksDB and back
+    across micro-batches is a different serialization path, and at
+    100 TB key rates the disk-backed store is the one that
+    matters). Conf binds at stream start, restored after; fresh
+    checkpoint per call."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    try:
+        return _run_device_sessions(spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+QUERIES["rocksdb_pysessions_availablenow"] = (
+    q_rocksdb_pysessions_availablenow
+)
+ORACLES["rocksdb_pysessions_availablenow"] = (
     ORACLE_STREAM_DEVICE_SESSIONS_AVAILABLENOW
 )
 
