@@ -224,6 +224,7 @@ HEADLINE = [
     "statestore_sessions_availablenow",
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
+    "pysink_roundtrip_orders",
     "copurchase_lift_parts",
     "agg_pushdown_events",
     "stream_sliding_availablenow",

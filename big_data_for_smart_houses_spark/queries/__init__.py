@@ -163,7 +163,6 @@ _CERTIFICATION_FRONT = [
     "dynamic_session_window_events",
     "gapfill_locf_events",
     "locf_stream_availablenow",
-    "ewma_events",
     "ewma_stream_availablenow",
     "pagerank_user_transitions",
     "logreg_quality_planted",
@@ -181,6 +180,11 @@ _CERTIFICATION_FRONT = [
     "statestore_sessions_availablenow",
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
+    # --- plus the Python Data Source WRITER round-trip (the
+    #     write-side API the synthetic source's reader gates leave
+    #     uncovered: executor part-writes, rename-on-success,
+    #     manifest commit) ---
+    "pysink_roundtrip_orders",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

@@ -15,6 +15,8 @@ every scan carries column pruning + predicate pushdown.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1607,6 +1609,50 @@ FROM (SELECT unnest(generate_series(0, {SYNTH_N - 1})) AS i)
 
 QUERIES["synthetic_source_telemetry"] = q_synthetic_source_telemetry
 ORACLES["synthetic_source_telemetry"] = ORACLE_SYNTHETIC_SOURCE_TELEMETRY
+
+
+def q_pysink_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source WRITER on the hash path
+    (sources/pysink.py:JsonlSinkDataSource — the write-side API the
+    synthetic source's reader gates leave uncovered): write the
+    orders projection through ``format("jsonl_sink")`` (per-partition
+    executor writes, rename-on-success, driver commit writing a
+    ``_SUCCESS`` manifest), assert the manifest's committed row count,
+    then read the part files back with the ordinary JSON reader. The
+    oracle is the identity projection — any row lost, duplicated, or
+    mangled across the write -> commit -> read-back loop hash-fails.
+    Integer and string columns only: the gate pins the write
+    protocol, not JSON float formatting."""
+    import json as _json
+    import os as _os
+
+    configure_for_oracle_parity(spark)
+    from ..sources.pysink import register as _register_sink
+
+    _register_sink(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="pysink_gate_")
+    out = f"{tmp}/out"
+    o.write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    with open(f"{out}/_SUCCESS") as fh:
+        manifest = _json.load(fh)
+    n_expected = o.count()
+    assert manifest["rows"] == n_expected, (manifest, n_expected)
+    assert _os.path.exists(f"{out}/_SUCCESS")
+    return spark.read.schema(o.schema).json(f"{out}/part-*.jsonl")
+
+
+ORACLE_PYSINK_ROUNDTRIP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+"""
+
+QUERIES["pysink_roundtrip_orders"] = q_pysink_roundtrip_orders
+ORACLES["pysink_roundtrip_orders"] = ORACLE_PYSINK_ROUNDTRIP_ORDERS
 
 
 # ---------------------------------------------------------------------------
