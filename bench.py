@@ -442,6 +442,14 @@ SCALE10X_PROBES = [
     "ntile_scan_orders",
     "trailing_active_users_events",
     "asof_nearest_events",
+    # round 9: the deletion-neighborhood join's candidate volume
+    # (L+1 keys per string — must stay linear in rows), the
+    # pending-interval session trackers' state growth, and the
+    # Python-writer sink's per-partition fan-out
+    "edit1_neighborhood_customer",
+    "stream_device_sessions_availablenow",
+    "stream_timeout_sessions_availablenow",
+    "pysink_roundtrip_orders",
 ]
 
 

@@ -257,6 +257,25 @@ def scale_up_tables(
                     "text",
                     F.regexp_replace(F.col("text"), r"(\S+)", f"$1c{i}"),
                 ).withColumn("n_chars", F.length(F.col("text")))
+            if t == "customer" and i > 0:
+                # Same linear-dup contract for NAME strings (round 9
+                # — the 10x sweep caught edit-distance pair counts
+                # going quadratic because verbatim c_name copies gave
+                # every name factor-1 identical twins and every
+                # edit-1 pair a full copy x copy cross product):
+                # append a DOUBLED-digit copy tag ("1" -> "11",
+                # "12" -> "1122"). Any two distinct copy tags differ
+                # by >= 2 edits (same length: one differing source
+                # digit occupies two positions; different lengths:
+                # >= 2 appended chars), and copy 0 is untagged (>= 2
+                # appended chars away) — so cross-copy edit distance
+                # is >= 2 everywhere and edit-1 structure replicates
+                # EXACTLY per copy, while within-copy pairwise
+                # distances are untouched (common suffix).
+                tag = "".join(ch * 2 for ch in str(i))
+                c = c.withColumn(
+                    "c_name", F.concat(F.col("c_name"), F.lit(tag))
+                )
             if t == "embeddings" and i > 0:
                 c = c.withColumn(
                     "embedding",

@@ -752,6 +752,29 @@ def test_scale_up_tables_invariants(spark):
     ).count()
     assert cross == 0, f"{cross} cross-copy near-dup pairs"
 
+    # EDIT-distance structure replicates linearly too (round-9
+    # regression): verbatim c_name copies gave every name factor-1
+    # identical twins and every edit-1 pair a copy x copy cross
+    # product — quadratic pair growth the sweep flagged at 26.7x
+    # wall. Doubled-digit copy tags must push every cross-copy name
+    # pair to distance >= 2, and replicate within-copy pair counts
+    # exactly per copy.
+    cust = spark.read.parquet(f"{dst}/customer.parquet")
+    e1 = _dd.deletion_neighborhood_pairs(
+        cust, id_col="c_custkey", text_col="c_name"
+    )
+    cross_e1 = e1.filter(
+        (F.col("id1") / SCALE_KEY_STRIDE).cast("int")
+        != (F.col("id2") / SCALE_KEY_STRIDE).cast("int")
+    ).count()
+    assert cross_e1 == 0, f"{cross_e1} cross-copy edit-1 pairs"
+    n_src_pairs = _dd.deletion_neighborhood_pairs(
+        spark.read.parquet(f"{src}/customer.parquet"),
+        id_col="c_custkey",
+        text_col="c_name",
+    ).count()
+    assert e1.count() == 3 * n_src_pairs
+
 
 class TestGlobalScanProperty:
     @settings(max_examples=_ex(10), deadline=None)
