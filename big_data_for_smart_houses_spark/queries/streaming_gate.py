@@ -89,7 +89,9 @@ def q_locf_stream_availablenow(
     tmp = tempfile.mkdtemp(prefix="locf_stream_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 9): same bytes, milliseconds instead of a
+    # Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ["user_id", "ts", "value"]),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
         q = (
@@ -172,7 +174,10 @@ def q_ewma_stream_availablenow(
     tmp = tempfile.mkdtemp(prefix="ewma_stream_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    _arrow_stage(
+        staged,
+        (_arrow_events(sf_dir, ["user_id", "ts", "value", "event_id"]),),
+    )
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     with _stream_state_partitions(spark, PYSTATE_STREAM_PARTITIONS):
         q = (
@@ -495,12 +500,11 @@ def q_stream_dedup_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_dedup_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=1")
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=2")
+    _src = _arrow_events(sf_dir)
+    _arrow_stage(staged, (_src, _src))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
         .parquet(staged)
     )
     deduped = dedup_stream_within_watermark(
@@ -2014,18 +2018,19 @@ TIMEOUT_PLANT_B1_OFFS = (1000, 2801)   # gap-closed pair (2801-1000 > gap)
 TIMEOUT_PLANT_B2_OFF = 2500            # bridges: 1500 and 301, both <= gap
 
 
-def _arrow_events(sf_dir: str, columns):
+def _arrow_events(sf_dir: str, columns=None):
     """Read the events table driver-locally with pyarrow (staging
     through Spark jobs costs seconds per gate where arrow is
     milliseconds; the input is gate-scale — it feeds a
-    single-directory file stream either way)."""
+    single-directory file stream either way). ``columns=None`` reads
+    every column in parquet order."""
     import glob as _glob
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     return pa.concat_tables(
-        pq.read_table(f, columns=list(columns))
+        pq.read_table(f, columns=list(columns) if columns else None)
         for f in sorted(
             _glob.glob(f"{sf_dir}/events.parquet/*.parquet")
             or [f"{sf_dir}/events.parquet"]
