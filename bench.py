@@ -222,6 +222,7 @@ HEADLINE = [
     "stream_timeout_sessions_availablenow",
     "stream_device_sessions_availablenow",
     "statestore_sessions_availablenow",
+    "statestore_timeout_rearm_availablenow",
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
     "pysink_roundtrip_orders",

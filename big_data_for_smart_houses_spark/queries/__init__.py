@@ -167,7 +167,6 @@ _CERTIFICATION_FRONT = [
     "pagerank_user_transitions",
     "logreg_quality_planted",
     "purchase_asof_click",
-    "click_asof_next_purchase",
     "scd2_asof_lookup",
     # --- round-9 NEW gates (within the free-slot budget): the
     #     session family's two remaining surfaces — the NoTimeout
@@ -178,6 +177,7 @@ _CERTIFICATION_FRONT = [
     #     completeness gate is an exhaustive O(n^2) oracle ---
     "stream_device_sessions_availablenow",
     "statestore_sessions_availablenow",
+    "statestore_timeout_rearm_availablenow",
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
     # --- plus the Python Data Source WRITER round-trip (the

@@ -2017,6 +2017,49 @@ TIMEOUT_PLANT_UID = 1_000_000_000
 TIMEOUT_PLANT_B1_OFFS = (1000, 2801)   # gap-closed pair (2801-1000 > gap)
 TIMEOUT_PLANT_B2_OFF = 2500            # bridges: 1500 and 301, both <= gap
 
+# Additional batch-1 plants (round 9, for the re-arm state gate):
+# offsets chosen against wm = max+2801s floored to ms minus 600 s, so
+# with gap = 1800 s a session's finality instant fin = off + 1800 s
+# compares to wm = +2201 s EXACTLY in integer milliseconds (offsets
+# are whole seconds added to the corpus max, so the sub-ms fraction
+# cancels):
+#   uid+1 (500, 2700): two islands, both pending (fins 2300/4500 s),
+#     min_fin strictly above wm — the plain re-arm branch, with a
+#     multi-interval state row;
+#   uid+2 (100, 2750): island one EMITS at the firing (fin 1900 <
+#     2201), island two stays pending — re-arm AFTER a firing;
+#   uid+3 (401,): single island with fin == wm to the millisecond —
+#     the strict-> boundary: the timeout armed at fin never fires
+#     (wm is not > fin) and the session stays pending forever, the
+#     documented "later sessions stay in state".
+TIMEOUT_EXTRA_B1 = (
+    (TIMEOUT_PLANT_UID + 1, (500, 2700)),
+    (TIMEOUT_PLANT_UID + 2, (100, 2750)),
+    (TIMEOUT_PLANT_UID + 3, (401,)),
+)
+
+
+def _timeout_inp_sql() -> str:
+    """The planted input as a DuckDB CTE body — generated from the
+    SAME plant spec the arrow staging uses, so the two can never
+    drift."""
+    rows = [
+        (TIMEOUT_PLANT_UID, off) for off in TIMEOUT_PLANT_B1_OFFS
+    ]
+    rows += [
+        (uid, off) for uid, offs in TIMEOUT_EXTRA_B1 for off in offs
+    ]
+    rows.append((TIMEOUT_PLANT_UID, TIMEOUT_PLANT_B2_OFF))
+    unions = "\n".join(
+        f"  UNION ALL SELECT {uid}, max(ts) + INTERVAL {off} SECOND"
+        f" FROM events"
+        for uid, off in rows
+    )
+    return f"SELECT user_id, ts FROM events\n{unions}"
+
+
+_TIMEOUT_INP = _timeout_inp_sql()
+
 
 def _arrow_events(sf_dir: str, columns=None):
     """Read the events table driver-locally with pyarrow (staging
@@ -2096,6 +2139,13 @@ def q_stream_timeout_sessions_availablenow(
     'timeout' and the rest 'gap'. A premature emission, a missed
     timeout, a doubled row, or state resurrected after remove() each
     changes the row set and hash-fails."""
+    out_dir, _ck = _run_timeout_sessions(spark, sf_dir)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start", "session_end", "n_events", "closed_by"
+    )
+
+
+def _run_timeout_sessions(spark: SparkSession, sf_dir: str):
     configure_for_oracle_parity(spark)
     import pyarrow as pa
 
@@ -2108,11 +2158,16 @@ def q_stream_timeout_sessions_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_timeout_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
+    ck = f"{tmp}/ckpt"
     _arrow_stage(
         staged,
         (
             pa.concat_tables(
                 [src, _plant_rows(src, TIMEOUT_PLANT_B1_OFFS)]
+                + [
+                    _plant_rows(src, offs, uid=uid)
+                    for uid, offs in TIMEOUT_EXTRA_B1
+                ]
             ),
             _plant_rows(src, (TIMEOUT_PLANT_B2_OFF,)),
         ),
@@ -2128,7 +2183,7 @@ def q_stream_timeout_sessions_availablenow(
             track_sessions_timeout(stream, TIMEOUT_GAP_S)
             .writeStream.format("parquet")
             .option("path", out_dir)
-            .option("checkpointLocation", f"{tmp}/ckpt")
+            .option("checkpointLocation", ck)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
@@ -2138,23 +2193,12 @@ def q_stream_timeout_sessions_availablenow(
             raise TimeoutError(
                 f"timeout-session availableNow run exceeded {_AWAIT_S}s"
             )
-    return spark.read.parquet(out_dir).select(
-        "user_id", "session_start", "session_end", "n_events", "closed_by"
-    )
+    return out_dir, ck
 
 
 ORACLE_STREAM_TIMEOUT_SESSIONS_AVAILABLENOW = f"""
 WITH inp AS (
-  SELECT user_id, ts FROM events
-  UNION ALL
-  SELECT {TIMEOUT_PLANT_UID},
-         max(ts) + INTERVAL {TIMEOUT_PLANT_B1_OFFS[0]} SECOND FROM events
-  UNION ALL
-  SELECT {TIMEOUT_PLANT_UID},
-         max(ts) + INTERVAL {TIMEOUT_PLANT_B1_OFFS[1]} SECOND FROM events
-  UNION ALL
-  SELECT {TIMEOUT_PLANT_UID},
-         max(ts) + INTERVAL {TIMEOUT_PLANT_B2_OFF} SECOND FROM events
+{_TIMEOUT_INP}
 ),
 seq AS (
   SELECT user_id, ts,
@@ -2201,6 +2245,112 @@ QUERIES["stream_timeout_sessions_availablenow"] = (
 )
 ORACLES["stream_timeout_sessions_availablenow"] = (
     ORACLE_STREAM_TIMEOUT_SESSIONS_AVAILABLENOW
+)
+
+
+def q_statestore_timeout_rearm_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """State-level verification of the timeout tracker's RE-ARM
+    logic — the subtlest part of the round-9 fix: after the same
+    two-file planted run as ``stream_timeout_sessions_availablenow``,
+    read the checkpoint back through the ``statestore`` source and
+    return every PENDING session together with the key's ARMED
+    ``timeoutTimestamp`` (ms). The oracle derives both in closed
+    form: pending = session islands with ``end_ms + gap_ms >= wm``
+    (the exact complement of the emission gate), and the armed
+    instant replays the operator's ``max(min pending finality,
+    wm + 1)`` rule — ``min_fin`` when it is strictly above the final
+    watermark; ``wm + 1`` when a key whose earliest pending finality
+    EQUALS the watermark was re-armed during a firing or a data call
+    (it emitted something, or is the planted batch-2 user); and
+    ``wm`` itself for a key armed once at watermark 0 whose timeout
+    then never fired (strict ``>``). A wrong clamp, a re-arm at the
+    wrong minimum, or a timeout surviving state removal each changes
+    a value and hash-fails."""
+    _out, ck = _run_timeout_sessions(spark, sf_dir)
+    st = spark.read.format("statestore").option("path", ck).load()
+    return (
+        st.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.timeoutTimestamp").alias("timeout_ms"),
+            F.arrays_zip(
+                F.col("value.groupState.starts_us").alias("s"),
+                F.col("value.groupState.lasts_us").alias("e"),
+                F.col("value.groupState.counts").alias("c"),
+            ).alias("z"),
+        )
+        .select("user_id", "timeout_ms", F.explode("z").alias("p"))
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("p.s")).alias("session_start"),
+            F.timestamp_micros(F.col("p.e")).alias("session_end"),
+            F.col("p.c").alias("n_events"),
+            "timeout_ms",
+        )
+    )
+
+
+ORACLE_STATESTORE_TIMEOUT_REARM = f"""
+WITH inp AS (
+{_TIMEOUT_INP}
+),
+seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {TIMEOUT_GAP_S} SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM inp
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS seq
+  FROM seq
+),
+agg AS (
+  SELECT user_id, seq,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         epoch_us(max(ts)) // 1000 + {TIMEOUT_GAP_S * 1000} AS fin_ms
+  FROM sess GROUP BY 1, 2
+),
+wm AS (
+  SELECT epoch_us(max(ts)) // 1000 - {TIMEOUT_WM_S * 1000} AS w_ms
+  FROM inp
+),
+pend AS (
+  SELECT a.* FROM agg a CROSS JOIN wm WHERE a.fin_ms >= wm.w_ms
+),
+per_user AS (
+  SELECT user_id, min(fin_ms) AS min_fin FROM pend GROUP BY 1
+),
+fired AS (
+  SELECT DISTINCT a.user_id
+  FROM agg a CROSS JOIN wm WHERE a.fin_ms < wm.w_ms
+)
+SELECT p.user_id, p.session_start, p.session_end, p.n_events,
+       CASE
+         WHEN u.min_fin > wm.w_ms THEN u.min_fin
+         WHEN f.user_id IS NOT NULL
+              OR p.user_id = {TIMEOUT_PLANT_UID} THEN wm.w_ms + 1
+         ELSE wm.w_ms
+       END AS timeout_ms
+FROM pend p
+JOIN per_user u ON p.user_id = u.user_id
+LEFT JOIN fired f ON p.user_id = f.user_id
+CROSS JOIN wm
+"""
+
+QUERIES["statestore_timeout_rearm_availablenow"] = (
+    q_statestore_timeout_rearm_availablenow
+)
+ORACLES["statestore_timeout_rearm_availablenow"] = (
+    ORACLE_STATESTORE_TIMEOUT_REARM
 )
 
 
