@@ -225,6 +225,7 @@ HEADLINE = [
     "statestore_timeout_rearm_availablenow",
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
+    "minhash_incremental_recall",
     "pysink_roundtrip_orders",
     "copurchase_lift_parts",
     "agg_pushdown_events",
@@ -448,6 +449,7 @@ SCALE10X_PROBES = [
     # pending-interval session trackers' state growth, and the
     # Python-writer sink's per-partition fan-out
     "edit1_neighborhood_customer",
+    "minhash_incremental_recall",
     "stream_device_sessions_availablenow",
     "stream_timeout_sessions_availablenow",
     "pysink_roundtrip_orders",

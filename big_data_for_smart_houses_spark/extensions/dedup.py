@@ -186,12 +186,13 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: signatures split into bands; docs
-    colliding on any band hash become candidates. Sub-quadratic: the
-    only join is a self-join on (band_id, band_hash) buckets."""
+    """(id, band_id, band_hash) rows — the LSH index content. This is
+    ALSO the persistable band-bucket STORE for incremental ingestion:
+    ~LSH_BANDS * 16 bytes per document, so billions of docs fit as an
+    ordinary parquet table keyed on (band_id, band_hash)."""
     sig = minhash_signatures(df, id_col, text_col, n)
     bands = F.array(
         *[
@@ -204,9 +205,12 @@ def minhash_lsh_pairs(
             for b in range(LSH_BANDS)
         ]
     )
-    exploded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def _bucket_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
     return (
         exploded.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -215,6 +219,62 @@ def minhash_lsh_pairs(
         .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signatures split into bands; docs
+    colliding on any band hash become candidates. Sub-quadratic: the
+    only join is a self-join on (band_id, band_hash) buckets."""
+    return _bucket_pairs(minhash_band_rows(df, id_col, text_col, n), id_col)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates — the production mode for a
+    continuously growing corpus, completing the exact-dedup
+    counterpart :func:`dedup_against_history`: the history side is
+    NEVER re-shingled or re-hashed. ``band_store`` is the persisted
+    :func:`minhash_band_rows` output of all prior batches (append
+    each batch's rows after processing); the new batch contributes
+
+    * new-vs-new pairs via the usual capped bucket fold, and
+    * new-vs-history pairs via ONE equi-join on (band_id, band_hash)
+      — the store side shuffles only its matching band keys, and at
+      100 TB the store is a bucketed table on exactly that key so
+      even the shuffle is co-located.
+
+    Candidate semantics are IDENTICAL to running
+    :func:`minhash_lsh_pairs` over history + batch and keeping only
+    pairs that touch the batch (same hash functions, same banding),
+    which is what the recall gate asserts structurally. Pairs are
+    canonical (id1 < id2) regardless of which side is older."""
+    nb = minhash_band_rows(new_docs, id_col, text_col, n)
+    within = _bucket_pairs(nb, id_col)
+    cross = (
+        nb.select(
+            F.col(id_col).alias("_new_id"), "band_id", "band_hash"
+        )
+        .join(
+            band_store.select(
+                F.col(id_col).alias("_old_id"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("_new_id") != F.col("_old_id"))
+        .select(
+            F.least("_new_id", "_old_id").alias("id1"),
+            F.greatest("_new_id", "_old_id").alias("id2"),
+        )
+        .distinct()
+    )
+    return within.unionByName(cross).distinct()
 
 
 def boilerplate_ngram_stats(

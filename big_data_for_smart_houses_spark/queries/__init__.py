@@ -159,7 +159,6 @@ _CERTIFICATION_FRONT = [
     "tpch_q17_small_qty_revenue",
     "pricing_summary",
     "silver_pipeline_events",
-    "session_window_events",
     "dynamic_session_window_events",
     "gapfill_locf_events",
     "locf_stream_availablenow",
@@ -180,6 +179,7 @@ _CERTIFICATION_FRONT = [
     "statestore_timeout_rearm_availablenow",
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
+    "minhash_incremental_recall",
     # --- plus the Python Data Source WRITER round-trip (the
     #     write-side API the synthetic source's reader gates leave
     #     uncovered: executor part-writes, rename-on-success,

@@ -870,6 +870,85 @@ def q_dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_minhash_incremental_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MinHash-LSH recall gate (extensions/dedup.py:
+    minhash_lsh_pairs_incremental — the NEAR-dup counterpart of the
+    exact fingerprint store above): history persists only its band
+    rows (minhash_band_rows, never re-shingled); the incoming batch
+    carries planted identical copies of 1) HISTORY docs — the
+    cross-boundary class, findable only through the store equi-join —
+    and 2) its own docs — the within-batch class, findable only
+    through the batch's bucket fold. Identical texts give identical
+    signatures, so every truth pair collides in EVERY band on its
+    respective path: recall 1.0 structurally for both classes. Spark
+    returns truth ∩ candidates labeled by class; the oracle
+    enumerates the planted pairs; one missed pair on either path
+    fails the row gate."""
+    d = _docs(spark, sf_dir)
+    history = d.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    store = dedup.minhash_band_rows(history)
+    plants_hist = (
+        d.filter(
+            (F.col("doc_id") < PLANT_N)
+            & (F.col("doc_id") % INCR_BATCH_MOD != 0)
+        )
+        .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
+    )
+    plants_batch = (
+        d.filter(
+            (F.col("doc_id") < PLANT_N)
+            & (F.col("doc_id") % INCR_BATCH_MOD == 0)
+        )
+        .withColumn("doc_id", F.col("doc_id") + 2 * PLANT_OFFSET)
+    )
+    incoming = (
+        d.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        .unionByName(plants_hist)
+        .unionByName(plants_batch)
+    )
+    cands = dedup.minhash_lsh_pairs_incremental(incoming, store).select(
+        "id1", "id2"
+    )
+    truth = (
+        d.filter(
+            (F.col("doc_id") < PLANT_N)
+            & (F.col("doc_id") % INCR_BATCH_MOD != 0)
+        )
+        .select(
+            F.col("doc_id").alias("id1"),
+            (F.col("doc_id") + PLANT_OFFSET).alias("id2"),
+            F.lit("history").alias("via"),
+        )
+        .unionByName(
+            d.filter(
+                (F.col("doc_id") < PLANT_N)
+                & (F.col("doc_id") % INCR_BATCH_MOD == 0)
+            ).select(
+                F.col("doc_id").alias("id1"),
+                (F.col("doc_id") + 2 * PLANT_OFFSET).alias("id2"),
+                F.lit("batch").alias("via"),
+            )
+        )
+    )
+    return truth.join(cands, ["id1", "id2"]).select("id1", "id2", "via")
+
+
+ORACLE_MINHASH_INCREMENTAL_RECALL = f"""
+SELECT doc_id AS id1, doc_id + {PLANT_OFFSET} AS id2,
+       'history' AS via
+FROM documents
+WHERE doc_id < {PLANT_N} AND doc_id % {INCR_BATCH_MOD} <> 0
+UNION ALL
+SELECT doc_id AS id1, doc_id + {2 * PLANT_OFFSET} AS id2,
+       'batch' AS via
+FROM documents
+WHERE doc_id < {PLANT_N} AND doc_id % {INCR_BATCH_MOD} = 0
+"""
+
+
+
 ORACLE_DEDUP_INCREMENTAL_DOCUMENTS = f"""
 WITH hist AS (
   SELECT DISTINCT {_FP_SQL} AS fp FROM documents
@@ -1094,6 +1173,8 @@ FROM documents WHERE doc_id < {PLANT_N}
 
 QUERIES["editdist_recall_planted"] = q_editdist_recall_planted
 ORACLES["editdist_recall_planted"] = ORACLE_EDITDIST_RECALL_PLANTED
+QUERIES["minhash_incremental_recall"] = q_minhash_incremental_recall
+ORACLES["minhash_incremental_recall"] = ORACLE_MINHASH_INCREMENTAL_RECALL
 
 
 def q_edit1_neighborhood_customer(
