@@ -803,3 +803,129 @@ def test_sessions_out_of_order_min_folds_session_start():
     out = list(fn((7,), iter([pdf]), state))
     assert out == []
     assert state.get == ([60_000_000], [100_000_000], [2])
+
+
+def test_timeout_tracker_state_survives_crash_restart(spark):
+    """Crash-recovery for the round-9 pending-interval LIST state: the
+    timeout tracker's two-batch planted run is killed by an injected
+    foreachBatch failure AFTER batch 0 committed its offsets and
+    Arrow-serialized the array-typed state; the restarted query must
+    restore every key's pending intervals, replay batch 1 (the
+    bridging event), and finish with EXACTLY the rows and final state
+    of an uninterrupted run — lost or corrupted array state would
+    double-emit, drop the bridge merge, or resurrect removed keys."""
+    import os
+    import tempfile
+
+    from pyspark.errors import StreamingQueryException
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        track_sessions_timeout,
+    )
+
+    # user 1's first event sits at 5 s, NOT epoch 0: the operator's
+    # own late-drop (ts <= watermark, initial wm = 0) would silently
+    # eat a t=0 row — the documented epoch-0 edge
+    rows_b1 = [(1, 5.0), (1, 10.0), (2, 840.0), (3, 5000.0), (3, 6801.0)]
+    rows_b2 = [(3, 6500.0)]  # bridges 3's gap-closed (5000) to (6801)
+
+    def stage(tmp):
+        staged = f"{tmp}/staged"
+        for i, rows in enumerate((rows_b1, rows_b2)):
+            df = spark.createDataFrame(
+                rows, "user_id long, sec double"
+            ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+            p = f"{staged}/half={i}"
+            df.coalesce(1).write.parquet(p)
+            for root, _d, files in os.walk(p):
+                for fname in files:
+                    os.utime(
+                        os.path.join(root, fname), (1000 + i, 1000 + i)
+                    )
+        return staged
+
+    def run(tmp, crash_once):
+        staged = stage(tmp)
+        out_dir = f"{tmp}/out"
+        marker = f"{tmp}/crashed"
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(staged)
+            .withWatermark("ts", "600 seconds")
+        )
+
+        def sink(batch_df, batch_id):
+            if crash_once and batch_id == 1 and not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("x")
+                raise RuntimeError("injected crash at batch 1")
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
+
+        def start():
+            return (
+                track_sessions_timeout(stream, 1800)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q = start()
+        if crash_once:
+            try:
+                q.awaitTermination(120)
+                raise AssertionError("injected crash never fired")
+            except StreamingQueryException:
+                pass
+            assert os.path.exists(marker)
+            q = start()
+        assert q.awaitTermination(300)
+        rows = sorted(
+            (
+                r.user_id,
+                r.session_start,
+                r.session_end,
+                r.n_events,
+                r.closed_by,
+            )
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .collect()
+        )
+        state = sorted(
+            (r["key"]["user_id"], tuple(r["value"]["groupState"]["starts_us"]),
+             tuple(r["value"]["groupState"]["lasts_us"]),
+             tuple(r["value"]["groupState"]["counts"]))
+            for r in spark.read.format("statestore")
+            .option("path", f"{tmp}/ckpt")
+            .load()
+            .collect()
+        )
+        return rows, state
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        clean = run(tempfile.mkdtemp(prefix="sessrestart_clean_"), False)
+        crashed = run(tempfile.mkdtemp(prefix="sessrestart_crash_"), True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert crashed == clean
+    rows, state = clean
+    # wm_final = 6801 - 600 = 6201 s: user 1's island (0,10) is final
+    # (10 + 1800 < 6201, non-tail would be 'gap' but it IS the tail ->
+    # emitted by timeout), user 2's single event likewise; user 3's
+    # bridged (5000..6801, 3 events) stays pending with nothing
+    # emitted — the bridge merge across the crash boundary.
+    assert [(u, n, c) for u, _s, _e, n, c in rows] == [
+        (1, 2, "timeout"),
+        (2, 1, "timeout"),
+    ]
+    assert state == [
+        (3, (5_000_000_000,), (6_801_000_000,), (3,))
+    ]
