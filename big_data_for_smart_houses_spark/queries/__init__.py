@@ -149,13 +149,11 @@ _CERTIFICATION_FRONT = [
     #     plan-shape test, and the earliest-certified (r3/r4)
     #     high-traffic gates whose green rows predate four rounds
     #     of refactors ---
-    "dedup_exact_documents",
     "minhash_dedup_documents",
     "simhash_dedup_documents",
     "sentence_dedup_documents",
     "dedup_incremental_documents",
     "stream_dedup_availablenow",
-    "cdc_chunk_documents",
     "tpch_q17_small_qty_revenue",
     "pricing_summary",
     "silver_pipeline_events",
@@ -185,6 +183,11 @@ _CERTIFICATION_FRONT = [
     #     uncovered: executor part-writes, rename-on-success,
     #     manifest commit) ---
     "pysink_roundtrip_orders",
+    # --- re-certification of the two crash-recovery gates whose
+    #     staging round 9 moved to arrow (and whose LOCF fold was
+    #     vectorized) ---
+    "stream_restart_pystate_availablenow",
+    "stream_torture_availablenow",
 ]
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)

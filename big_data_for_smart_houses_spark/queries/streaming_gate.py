@@ -1072,6 +1072,7 @@ ORACLES["synthetic_stream_availablenow"] = (
 
 
 LOCF_SPLIT_TS = "2024-01-15"
+STREAM_SPLIT_TS = "2024-01-15"
 
 
 def q_stream_restart_pystate_availablenow(
@@ -1106,20 +1107,19 @@ def q_stream_restart_pystate_availablenow(
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
     marker = f"{tmp}/crashed_once"
-    split = F.lit(LOCF_SPLIT_TS).cast("timestamp")
-    for i, cond in enumerate(
-        (F.col("ts") < split, F.col("ts") >= split)
-    ):
-        path = f"{staged}/half={i}"
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(path)
-        # force listing order: the file source orders by mtime
-        for root, _dirs, files in os.walk(path):
-            for fname in files:
-                os.utime(os.path.join(root, fname), (1000 + i, 1000 + i))
+    # arrow staging (round 9): same time-split bytes, milliseconds
+    # instead of two Spark write jobs
+    _arrow_stage(
+        staged,
+        _arrow_time_split(
+            _arrow_events(sf_dir, ["user_id", "ts", "value"]),
+            "ts",
+            LOCF_SPLIT_TS,
+        ),
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
         .parquet(staged)
     )
 
@@ -1305,29 +1305,31 @@ def q_stream_torture_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_torture_gate_")
     out_dir = f"{tmp}/out"
     marker = f"{tmp}/crashed_once"
-    split = F.lit("2024-01-15").cast("timestamp")
+
+    import pyarrow.compute as pc
+
+    src = _arrow_events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type"]
+    )
 
     def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
-        side = ev.filter(F.col("event_type") == kind).select(
-            "user_id",
-            F.col("event_id").alias(id_alias),
-            F.col("ts").alias(ts_alias),
+        # arrow staging (round 9): filter/project/rename driver-side,
+        # then two mtime-ordered time-split trigger files — replaces
+        # four Spark write jobs
+        tbl = (
+            src.filter(pc.equal(src.column("event_type"), kind))
+            .select(["user_id", "event_id", "ts"])
+            .rename_columns(["user_id", id_alias, ts_alias])
         )
         root = f"{tmp}/staged_{kind}"
-        for i, cond in enumerate(
-            (F.col(ts_alias) < split, F.col(ts_alias) >= split)
-        ):
-            path = f"{root}/half={i}"
-            side.filter(cond).coalesce(1).write.mode("overwrite").parquet(
-                path
-            )
-            for r, _d, files in os.walk(path):
-                for fname in files:
-                    os.utime(os.path.join(r, fname), (1000 + i, 1000 + i))
+        _arrow_stage(
+            root, _arrow_time_split(tbl, ts_alias, str(STREAM_SPLIT_TS))
+        )
         return (
-            spark.readStream.schema(side.schema)
+            spark.readStream.schema(
+                f"user_id long, {id_alias} long, {ts_alias} timestamp"
+            )
             .option("maxFilesPerTrigger", "1")
-            .option("recursiveFileLookup", "true")
             .parquet(root)
         )
 
@@ -2095,6 +2097,22 @@ def _arrow_stage(staged: str, batches) -> None:
         path = f"{staged}/batch{i}.parquet"
         pq.write_table(tbl, path)
         os.utime(path, (1000 + i, 1000 + i))
+
+
+def _arrow_time_split(tbl, ts_col: str, split_iso: str):
+    """Split an arrow table into (< split, >= split) halves — the
+    driver-local form of the gates' two-trigger time staging."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    split = pa.scalar(
+        _dt.datetime.fromisoformat(split_iso),
+        type=tbl.schema.field(ts_col).type,
+    )
+    mask = pc.less(tbl.column(ts_col), split)
+    return tbl.filter(mask), tbl.filter(pc.invert(mask))
 
 
 def _plant_rows(src, offsets, uid=TIMEOUT_PLANT_UID):
