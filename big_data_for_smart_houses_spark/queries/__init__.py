@@ -35,6 +35,13 @@ Round 9's `_CERTIFICATION_FRONT`:
 The remaining rows-only entries are the 4 structural sketches
 (minhash/simhash/ann_lsh/ann_ivf), each carrying a hash-gated recall
 companion that IS driver-certified.
+
+ROUND-10 STATE: once this front lands green, every oracle-backed
+query in the registry (304) has a green driver row, including all 9
+round-9 additions and every gate whose mechanics round 9 edited
+(timeout/device/locf/ewma/dedup/restart/torture staging, LOCF fold).
+No rotation backlog remains; future fronts are free for new gates +
+refresh re-certification of the oldest green rows.
 """
 
 from __future__ import annotations
