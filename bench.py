@@ -226,6 +226,7 @@ HEADLINE = [
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
     "minhash_incremental_recall",
+    "bpe_apply_documents",
     "pysink_roundtrip_orders",
     "copurchase_lift_parts",
     "agg_pushdown_events",
@@ -450,6 +451,7 @@ SCALE10X_PROBES = [
     # Python-writer sink's per-partition fan-out
     "edit1_neighborhood_customer",
     "minhash_incremental_recall",
+    "bpe_apply_documents",
     "stream_device_sessions_availablenow",
     "stream_timeout_sessions_availablenow",
     "pysink_roundtrip_orders",

@@ -209,3 +209,165 @@ def bpe_train_segments(
     return seqs.select(
         "word", "n_word", F.concat_ws(" ", "seq").alias("seg")
     )
+
+
+def bpe_merge_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    word_pattern: str = "^[a-z]+$",
+) -> list[tuple[str, str]]:
+    """The rank-ordered merge-rule LIST a trained tokenizer ships:
+    re-runs the :func:`bpe_train_segments` loop but collects the
+    winning (a, b) pair per round — n_merges 1-row collects, the same
+    bounded driver traffic as the training loop's emptiness probe.
+    This is the artifact :func:`bpe_apply_tokens` consumes."""
+    if n_merges < 1:
+        raise ValueError("bpe_merge_rules needs n_merges >= 1")
+    words = (
+        df.select(F.explode(_ws_tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike(word_pattern))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
+    seqs = words.select(
+        "word", "n_word", chars.alias("seq")
+    ).localCheckpoint()
+    rules: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        n_1 = F.greatest(F.size("seq") - 1, F.lit(0))
+        pair_stream = F.arrays_zip(
+            F.slice("seq", 1, n_1).alias("a"),
+            F.slice("seq", 2, n_1).alias("b"),
+        )
+        best = (
+            seqs.select(F.explode(pair_stream).alias("p"), "n_word")
+            .select(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n_word"
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("n_word").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        rules.append((a, b))
+        seqs = seqs.select(
+            "word", "n_word", _merge_fold_expr("seq", a, b).alias("seq")
+        ).localCheckpoint()
+    return rules
+
+
+def _merge_fold_expr(seq_col: str, a: str, b: str):
+    """One BPE merge round as a native sequential fold: greedy
+    left-to-right, merging every non-overlapping (a, b) adjacency —
+    a merged token ``a||b`` is strictly longer than ``a``, so it can
+    never re-trigger the same rule on its own output within the
+    round (the training loop's exact fold, parameterized by rule
+    LITERALS instead of a broadcast row)."""
+    la, lb = F.lit(a), F.lit(b)
+
+    def _fold(acc, x):
+        hit = (F.element_at(acc, -1) == la) & (x == lb)
+        grown = F.concat(acc, F.array(x))
+        return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(grown)
+        )
+
+    return F.aggregate(
+        seq_col, F.array().cast("array<string>"), _fold
+    )
+
+
+def bpe_apply_tokens(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """Tokenize a corpus with a TRAINED merge-rule list — the
+    inference half of the BPE story (:func:`bpe_train_segments` /
+    :func:`bpe_merge_rules` are the training half): per document,
+    every whitespace word is segmented by applying the rules in rank
+    order, words outside ``word_pattern`` pass through as single
+    opaque tokens (punctuation/number handling is the caller's
+    pre-tokenizer, as in real tokenizers).
+
+    Spark-first and fully JVM-side: the corpus collapses to the
+    DISTINCT-word table (per-TYPE work — the same production
+    optimization the trainer uses), each rule is one literal
+    sequential-fold projection over it (no Python, no UDF; plan
+    depth = |rules|, lineage flattened by localCheckpoint every few
+    rounds — at real vocabulary sizes this driver-side rule loop is
+    the honest cost of BPE's inherent rank-sequential dependency and
+    runs over |vocab| rows, not the corpus), and the resulting
+    (word -> segmentation) map joins back to the POSITIONALLY
+    exploded corpus so each document reassembles its token stream in
+    word order.
+
+    Returns ``(id_col, n_tokens, stream)``: the total token count
+    and the full stream with tokens joined by ``\\x1f`` within a
+    word and words by ``\\x1e`` — byte-exact, so the gate can hash
+    it against an independent SQL replay of the same greedy fold.
+    """
+    # SINGLE-SPACE word split on BOTH the vocab and the positional
+    # explode (not the trainer's \s+): the two splits must agree
+    # byte-for-byte or a word seen by one and not the other would
+    # silently pass through unsegmented
+    words = (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike(word_pattern))
+        .distinct()
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
+    seqs = words.select("word", chars.alias("seq"))
+    for i, (a, b) in enumerate(rules):
+        seqs = seqs.select(
+            "word", _merge_fold_expr("seq", a, b).alias("seq")
+        )
+        if (i + 1) % 4 == 0:
+            seqs = seqs.localCheckpoint()
+    seg = seqs.select(
+        "word",
+        F.concat_ws("\x1f", "seq").alias("_seg"),
+        F.size("seq").alias("_seg_n"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    return (
+        exploded.join(seg, "word", "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("_seg"), F.col("word")).alias("wseg"),
+            F.coalesce(F.col("_seg_n"), F.lit(1)).alias("wn"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("wn").alias("n_tokens"),
+            F.concat_ws(
+                "\x1e",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "wseg"))
+                    ),
+                    lambda s: s["wseg"],
+                ),
+            ).alias("stream"),
+        )
+    )

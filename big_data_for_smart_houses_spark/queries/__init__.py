@@ -157,7 +157,6 @@ _CERTIFICATION_FRONT = [
     #     high-traffic gates whose green rows predate four rounds
     #     of refactors ---
     "minhash_dedup_documents",
-    "simhash_dedup_documents",
     "sentence_dedup_documents",
     "dedup_incremental_documents",
     "stream_dedup_availablenow",
@@ -185,6 +184,7 @@ _CERTIFICATION_FRONT = [
     "rocksdb_pysessions_availablenow",
     "edit1_neighborhood_customer",
     "minhash_incremental_recall",
+    "bpe_apply_documents",
     # --- plus the Python Data Source WRITER round-trip (the
     #     write-side API the synthetic source's reader gates leave
     #     uncovered: executor part-writes, rename-on-success,

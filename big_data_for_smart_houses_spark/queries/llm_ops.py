@@ -1099,5 +1099,86 @@ FROM seq{n_merges} GROUP BY word, n_word
 
 ORACLE_BPE_TRAIN_DOCUMENTS = bpe_train_oracle_sql(BPE_TRAIN_MERGES)
 
+
+BPE_APPLY_MERGES = 4
+
+
+def q_bpe_apply_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INFERENCE half of BPE (extensions/vocab.py:
+    bpe_apply_tokens — training alone ships no tokenizer): learn
+    4 merge rules on the corpus (bpe_merge_rules, the same loop the
+    training gate certifies), then TOKENIZE every document with
+    them — per-word greedy rank-ordered folds over the distinct-word
+    table, joined back to the positionally exploded corpus, each
+    document's full token stream reassembled in word order and
+    hashed. The oracle replays training (the proven bpe_round_sql
+    rounds) to derive the SAME rules, maps every word of every
+    document through the resulting segmentation (non-[a-z]+ words
+    pass through as single tokens, the caller-side pre-tokenizer
+    contract), and md5s the identically-delimited stream — so a
+    wrong rule order, a wrong overlap resolution, a word silently
+    unsegmented, or a stream reassembled out of word order all
+    hash-fail. Byte-exact end to end: tokens are selections, never
+    arithmetic."""
+    from ..extensions.vocab import bpe_apply_tokens, bpe_merge_rules
+
+    d = _docs(spark, sf_dir)
+    rules = bpe_merge_rules(
+        d, n_merges=BPE_APPLY_MERGES, word_pattern=BPE_WORD_RE
+    )
+    out = bpe_apply_tokens(d, rules, word_pattern=BPE_WORD_RE)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("stream")).alias("stream_md5"),
+    )
+
+
+def bpe_apply_oracle_sql(n_merges: int) -> str:
+    rounds = ",".join(bpe_round_sql(r) for r in range(1, n_merges + 1))
+    return rf"""
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_word FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '{BPE_WORD_RE}') GROUP BY word
+),
+seq0 AS (
+  SELECT word, n_word, i AS pos, chars[i] AS tok
+  FROM (SELECT word, n_word, string_split(word, '') AS chars
+        FROM words),
+       unnest(range(1, len(chars) + 1)) AS t(i)
+),{rounds},
+seg_map AS (
+  SELECT word, string_agg(tok, chr(31) ORDER BY pos) AS seg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq{n_merges} GROUP BY word
+),
+smap AS (
+  SELECT map(list(word), list(seg)) AS ms,
+         map(list(word), list(n)) AS mn
+  FROM seg_map
+)
+SELECT d.doc_id,
+       CAST(list_sum(
+         list_transform(d.ws, w -> coalesce(smap.mn[w][1], 1))
+       ) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         list_transform(d.ws, w -> coalesce(smap.ms[w][1], w)),
+         chr(30)
+       )) AS stream_md5
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+CROSS JOIN smap
+"""
+
+
+ORACLE_BPE_APPLY_DOCUMENTS = bpe_apply_oracle_sql(BPE_APPLY_MERGES)
+
+QUERIES["bpe_apply_documents"] = q_bpe_apply_documents
+ORACLES["bpe_apply_documents"] = ORACLE_BPE_APPLY_DOCUMENTS
+
 QUERIES["bpe_train_documents"] = q_bpe_train_documents
 ORACLES["bpe_train_documents"] = ORACLE_BPE_TRAIN_DOCUMENTS
