@@ -581,3 +581,51 @@ def test_bpe_train_exhausted_corpus_stops_cleanly(spark):
         for r in bpe_train_segments(docs2, n_merges=3).collect()
     }
     assert got2 == {"ab": "ab", "a": "a"}
+
+
+def test_bpe_apply_matches_python_reference_on_interacting_rules(spark):
+    """bpe_apply_tokens vs a pure-Python greedy BPE on rules that
+    INTERACT (a later rule consumes an earlier rule's output, and a
+    rule chain crosses word prefixes) — the case the gate's
+    corpus-derived rules may not exercise. Also pins pass-through of
+    non-pattern words and the exact stream delimiters."""
+    import re
+
+    from big_data_for_smart_houses_spark.extensions.vocab import (
+        bpe_apply_tokens,
+    )
+
+    def py_bpe_word(word, rules):
+        toks = list(word)
+        for a, b in rules:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = out[-1] + t
+                else:
+                    out.append(t)
+            toks = out
+        return toks
+
+    rules = [("l", "o"), ("lo", "w"), ("e", "r")]
+    docs = [
+        (1, "lower slower flow"),
+        (2, "l o lol 42x lowerer"),
+        (3, "below low"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.stream)
+        for r in bpe_apply_tokens(df, rules).collect()
+    }
+    for i, text in docs:
+        segs, n = [], 0
+        for w in text.split(" "):
+            toks = (
+                py_bpe_word(w, rules)
+                if re.fullmatch(r"[a-z]+", w)
+                else [w]
+            )
+            n += len(toks)
+            segs.append("\x1f".join(toks))
+        assert got[i] == (n, "\x1e".join(segs)), i
