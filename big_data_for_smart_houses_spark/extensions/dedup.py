@@ -682,6 +682,8 @@ def deletion_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    on_overcap: str = "error",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """COMPLETE edit-distance-1 pair mining via SymSpell-style
     deletion neighborhoods (Garbe's symmetric delete algorithm,
@@ -705,14 +707,26 @@ def deletion_neighborhood_pairs(
 
     Scale shape (100 TB): a string of length L emits L+1 keys — the
     corpus explodes ~|text|-fold into (key, id) rows, shuffles ONCE
-    on the key, and buckets are capped at MAX_BUCKET_SIZE like every
-    LSH path (a degenerate shared neighborhood cannot go quadratic);
-    the exact ``levenshtein`` verification runs per CANDIDATE pair
-    only, never all-pairs. Intended for short join keys (names, SKUs,
-    emails — entity resolution), not documents: neighborhood fan-out
-    is linear in string length, so shingle/MinHash modalities stay
-    the right tool above ~100 chars.
+    on the key, and buckets are capped at ``max_bucket_size`` like
+    every LSH path (a degenerate shared neighborhood cannot go
+    quadratic); the exact ``levenshtein`` verification runs per
+    CANDIDATE pair only, never all-pairs. Intended for short join
+    keys (names, SKUs, emails — entity resolution), not documents:
+    neighborhood fan-out is linear in string length, so
+    shingle/MinHash modalities stay the right tool above ~100 chars.
+
+    Because the function advertises COMPLETENESS, an over-cap bucket
+    must not vanish silently (round-10 advice): ``on_overcap='error'``
+    (default) plants an in-plan ``raise_error`` on the bucket branch
+    actually consumed downstream — prune-proof, zero cost on the
+    happy path — so a degenerate hot key fails the job loudly with
+    the key and its size; ``on_overcap='drop'`` restores the capped
+    LSH-style behavior for scale runs that prefer bounded work over
+    completeness, with :func:`deletion_neighborhood_overcap` as the
+    companion report that makes the dropped precondition observable.
     """
+    if on_overcap not in ("error", "drop"):
+        raise ValueError(f"on_overcap must be error|drop: {on_overcap}")
     t = F.col(text_col)
     neigh = F.array_distinct(
         F.concat(
@@ -729,10 +743,39 @@ def deletion_neighborhood_pairs(
     blocks = df.select(
         F.col(id_col).alias("_id"), F.explode(neigh).alias("_k")
     )
+    buckets = blocks.groupBy("_k").agg(
+        F.sort_array(F.collect_set("_id")).alias("_ids0")
+    )
+    if on_overcap == "error":
+        # the guard lives INSIDE the ids expression the pair
+        # generator consumes, so column pruning can never eliminate
+        # it; raise_error's NullType coerces to the array branch
+        ids = F.when(
+            F.size("_ids0") > max_bucket_size,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "deletion_neighborhood_pairs: bucket over "
+                        f"cap ({max_bucket_size}) — completeness "
+                        "precondition violated by key '"
+                    ),
+                    F.col("_k"),
+                    F.lit("' with "),
+                    F.size("_ids0").cast("string"),
+                    F.lit(
+                        " members; rerun with on_overcap='drop' to "
+                        "accept capped recall"
+                    ),
+                )
+            ),
+        ).otherwise(F.col("_ids0"))
+    else:
+        ids = F.when(
+            F.size("_ids0") <= max_bucket_size, F.col("_ids0")
+        )
     cand = (
-        blocks.groupBy("_k")
-        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE))
+        buckets.select(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(F.explode(_pairs_expr("ids")).alias("p"))
         .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
         .distinct()
@@ -747,4 +790,40 @@ def deletion_neighborhood_pairs(
         )
         .filter(F.col("edit_dist") <= 1)
         .select("id1", "id2", "edit_dist")
+    )
+
+
+def deletion_neighborhood_overcap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """The observable form of the completeness precondition
+    :func:`deletion_neighborhood_pairs` relies on: every deletion
+    key shared by more than ``max_bucket_size`` strings, with its
+    member count. Empty result == the 'error' mode cannot fire and
+    'drop' mode drops nothing; a non-empty result names exactly the
+    hot keys whose pairs a capped run loses. Same single shuffle
+    shape as the miner (explode -> groupBy key), count-only agg —
+    cheap enough to run as a pre-flight check at any scale."""
+    t = F.col(text_col)
+    neigh = F.array_distinct(
+        F.concat(
+            F.array(t),
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    F.substring(t, F.lit(1), i - 1),
+                    F.substring(t, i + 1, F.length(t)),
+                ),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(neigh).alias("key"))
+        .groupBy("key")
+        .agg(F.count_distinct("_id").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+        .select("key", "n_members")
     )

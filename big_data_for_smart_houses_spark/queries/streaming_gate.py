@@ -32,6 +32,7 @@ from __future__ import annotations
 import tempfile
 from contextlib import contextmanager
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +42,17 @@ from ..streaming.stateful import locf_stream
 
 LOCF_STEP_S = 3600
 _AWAIT_S = 300
+
+
+def _expect_injected_crash(exc: Exception) -> None:
+    """Swallow a StreamingQueryException ONLY when it wraps this
+    gate family's injected ``foreachBatch`` sentinel; anything else
+    re-raises. A blanket ``pass`` here would hide a genuine stream
+    failure behind the restart machinery — the reference's
+    blanket-except habit is exactly how its enrichment bug shipped
+    silently (SURVEY §1.3), and harness code shouldn't share it."""
+    if "injected crash" not in str(exc):
+        raise exc
 
 # Streaming state cost scales with the PARTITION count, not the data:
 # every stateful operator materializes one state store per shuffle
@@ -858,8 +870,8 @@ def q_stream_restart_availablenow(
             raise AssertionError(
                 "injected crash never fired — restart not exercised"
             )
-        except StreamingQueryException:
-            pass  # the intended mid-stream death
+        except StreamingQueryException as exc:
+            _expect_injected_crash(exc)
         if not os.path.exists(marker):
             raise AssertionError("query failed before the injected crash")
         second = _start()
@@ -1042,7 +1054,13 @@ def q_synthetic_stream_availablenow(
             try:
                 if spark.read.parquet(out_dir).count() >= SYNTH_STREAM_N:
                     break
-            except Exception:  # noqa: BLE001 - sink not created yet
+            except AnalysisException:
+                # Sink directory/metadata not created yet (PATH_NOT_
+                # FOUND / UNABLE_TO_INFER_SCHEMA before the first
+                # commit). After the first commit the file-sink
+                # _spark_metadata log makes reads consistent, so no
+                # broader swallow is needed — any other failure here
+                # is real and should surface.
                 pass
             time.sleep(0.1)
         else:
@@ -1157,8 +1175,8 @@ def q_stream_restart_pystate_availablenow(
             raise AssertionError(
                 "injected crash never fired — restart not exercised"
             )
-        except StreamingQueryException:
-            pass
+        except StreamingQueryException as exc:
+            _expect_injected_crash(exc)
         if not os.path.exists(marker):
             raise AssertionError("query failed before the injected crash")
         second = _start()
@@ -1378,8 +1396,8 @@ def q_stream_torture_availablenow(
                 raise AssertionError(
                     "injected crash never fired — restart not exercised"
                 )
-            except StreamingQueryException:
-                pass
+            except StreamingQueryException as exc:
+                _expect_injected_crash(exc)
             if not os.path.exists(marker):
                 raise AssertionError(
                     "query failed before the injected crash"
@@ -1700,8 +1718,8 @@ def q_stream_upsert_restart_availablenow(
             raise AssertionError(
                 "injected crash never fired — restart not exercised"
             )
-        except StreamingQueryException:
-            pass
+        except StreamingQueryException as exc:
+            _expect_injected_crash(exc)
         if not os.path.exists(marker):
             raise AssertionError(
                 "query failed before the injected crash"
@@ -2068,19 +2086,40 @@ def _arrow_events(sf_dir: str, columns=None):
     through Spark jobs costs seconds per gate where arrow is
     milliseconds; the input is gate-scale — it feeds a
     single-directory file stream either way). ``columns=None`` reads
-    every column in parquet order."""
+    every column in parquet order.
+
+    Timestamp columns are normalized to ``timestamp[us, UTC]`` before
+    staging — the SAME ns->µs truncation + naive->UTC interpretation
+    ``load_table`` applies on the Spark side — so the staged file
+    always matches ``ev.schema`` (TimestampType, epoch µs) regardless
+    of the source parquet's flavor (TIMESTAMP(NANOS), naive µs, or
+    tz-adjusted). Without this, a ns-flavored driver parquet would be
+    re-staged as ns and the file stream would error or read 1000x-off
+    values where the old Spark-write staging path was robust."""
     import glob as _glob
 
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    return pa.concat_tables(
+    tbl = pa.concat_tables(
         pq.read_table(f, columns=list(columns) if columns else None)
         for f in sorted(
             _glob.glob(f"{sf_dir}/events.parquet/*.parquet")
             or [f"{sf_dir}/events.parquet"]
         )
     ).combine_chunks()
+    target = pa.timestamp("us", tz="UTC")
+    for i, field in enumerate(tbl.schema):
+        if pa.types.is_timestamp(field.type) and field.type != target:
+            # safe=False permits ns->µs truncation (epochs here are
+            # positive, so truncation == the floor division DuckDB
+            # and load_table apply); a naive source gains tz=UTC,
+            # preserving the epoch exactly like load_table's
+            # UTC-session NTZ->TZ cast.
+            col = pc.cast(tbl.column(i), target, safe=False)
+            tbl = tbl.set_column(i, field.with_type(target), col)
+    return tbl
 
 
 def _arrow_stage(staged: str, batches) -> None:
@@ -2156,10 +2195,22 @@ def q_stream_timeout_sessions_availablenow(
     subtracting the delay), labeling each user's last session
     'timeout' and the rest 'gap'. A premature emission, a missed
     timeout, a doubled row, or state resurrected after remove() each
-    changes the row set and hash-fails."""
+    changes the row set and hash-fails.
+
+    ``closed_by`` is deliberately NOT hashed (round-10, advice):
+    the label is emission-time lifecycle metadata — 'timeout' means
+    the key's state fully drained at emission — and in append mode no
+    split-invariant, future-proof labeling exists (a key that drains
+    mid-stream and later receives admissible data gets a second
+    'timeout' row, where a whole-corpus oracle would call the first
+    one 'gap'). Hashing it would bind the gate to an UNOBSERVABLE
+    corpus precondition (no post-drain data for any emitting key).
+    The label's semantics are pinned by unit tests instead
+    (tests/test_sessions.py, including the multi-batch divergence
+    shape)."""
     out_dir, _ck = _run_timeout_sessions(spark, sf_dir)
     return spark.read.parquet(out_dir).select(
-        "user_id", "session_start", "session_end", "n_events", "closed_by"
+        "user_id", "session_start", "session_end", "n_events"
     )
 
 
@@ -2241,7 +2292,6 @@ agg AS (
          CAST(count(*) AS BIGINT) AS n_events
   FROM sess GROUP BY 1, 2
 ),
-lastsess AS (SELECT user_id, max(seq) AS mseq FROM agg GROUP BY 1),
 wm AS (
   -- the engine's exact watermark arithmetic: event-time max floored
   -- to MILLISECONDS before the delay subtraction (Spark divides the
@@ -2249,11 +2299,8 @@ wm AS (
   SELECT epoch_us(max(ts)) // 1000 - {TIMEOUT_WM_S * 1000} AS w_ms
   FROM inp
 )
-SELECT a.user_id, a.session_start, a.session_end, a.n_events,
-       CASE WHEN a.seq = l.mseq THEN 'timeout' ELSE 'gap' END
-         AS closed_by
+SELECT a.user_id, a.session_start, a.session_end, a.n_events
 FROM agg a
-JOIN lastsess l ON a.user_id = l.user_id
 CROSS JOIN wm
 WHERE epoch_us(a.session_end) // 1000 + {TIMEOUT_GAP_S * 1000} < wm.w_ms
 """

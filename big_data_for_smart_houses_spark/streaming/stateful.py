@@ -335,9 +335,16 @@ def track_sessions_timeout(
     ``ts <= watermark``, so nothing admissible can still bridge it);
     until then it stays in state as a pending interval, because in
     append mode an emitted row can never be retracted. ``closed_by``
-    records WHY the session ended: ``'gap'`` when a later in-data
-    event proved the gap, ``'timeout'`` when the key simply went
-    quiet (the key's last session). Emission happens on whichever
+    is EMISSION-TIME lifecycle metadata: ``'gap'`` when a later
+    interval for the key was still pending at emission, ``'timeout'``
+    when the emission fully drained the key's state. It is NOT a
+    retrodictable whole-stream fact — in append mode no label can be
+    (a key that drains and later receives admissible data gets a
+    second 'timeout' row; a bounded-corpus replay would call the
+    first one 'gap'). Treat it as monitoring metadata; the hash gate
+    deliberately excludes it (round-10 advice), and the multi-batch
+    divergence shape is pinned in tests/test_sessions.py. Emission
+    happens on whichever
     side sees the watermark pass first: the key's next data batch, or
     the EVENT-TIME TIMEOUT set to the earliest pending finality
     instant — the ``GroupStateTimeout.EventTimeTimeout`` lifecycle

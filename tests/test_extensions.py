@@ -861,3 +861,51 @@ def test_deletion_neighborhood_pairs_complete_vs_exhaustive(spark):
         for r in editdist_blocked_pairs(df, block_chars=2).collect()
     )
     assert blocked == [(1, 2), (7, 8)]
+
+
+def test_deletion_neighborhood_overcap_is_loud_not_silent(spark):
+    """Round-10 advice: an over-cap deletion bucket must be
+    observable, never a silent recall loss. 'error' mode (the
+    default) fails the job in-plan naming the hot key; 'drop' mode
+    caps the bucket but the companion report names exactly what was
+    dropped; an under-cap corpus is untouched by either mode."""
+    import pytest
+
+    from big_data_for_smart_houses_spark.extensions.dedup import (
+        deletion_neighborhood_pairs,
+        deletion_neighborhood_overcap,
+    )
+
+    # five strings sharing the deletion key 'ab' (cap=4 overflows):
+    # 'ab' itself + every single-insertion variant xab/axb/abx
+    hot = [(1, "ab"), (2, "xab"), (3, "aXb"), (4, "abZ"), (5, "Qab")]
+    df = spark.createDataFrame(hot, "doc_id long, text string")
+
+    with pytest.raises(Exception, match="bucket over cap"):
+        deletion_neighborhood_pairs(df, max_bucket_size=4).collect()
+
+    # drop mode: the hot bucket's pairs vanish — but observably so
+    dropped = deletion_neighborhood_pairs(
+        df, on_overcap="drop", max_bucket_size=4
+    )
+    report = deletion_neighborhood_overcap(df, max_bucket_size=4)
+    rep = {(r.key, r.n_members) for r in report.collect()}
+    assert ("ab", 5) in rep
+    # every surviving pair is still a true edit<=1 pair
+    for r in dropped.collect():
+        assert r.edit_dist <= 1
+
+    # under-cap corpus: identical results in both modes, empty report
+    cold = df.limit(3)
+    a = sorted(
+        (r.id1, r.id2)
+        for r in deletion_neighborhood_pairs(cold).collect()
+    )
+    b = sorted(
+        (r.id1, r.id2)
+        for r in deletion_neighborhood_pairs(
+            cold, on_overcap="drop"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    assert deletion_neighborhood_overcap(cold).count() == 0

@@ -619,6 +619,80 @@ def test_timeout_session_fold_offline():
     assert not state.exists  # removed — no re-fire, no resurrection
 
 
+def test_timeout_label_is_emission_time_metadata():
+    """Pins the multi-batch divergence shape that makes ``closed_by``
+    un-hashable (round-10 advice): a key whose state fully DRAINS
+    ('timeout' emitted, state removed) and then receives admissible
+    data forming a newer session carries TWO 'timeout' rows — the
+    label records the emission-time lifecycle fact (state drained),
+    not the whole-corpus retrodiction (a bounded replay would call
+    the first session 'gap' because a later session exists). If this
+    test starts failing, the label semantics changed and the gate
+    docstring + oracle exclusion in queries/streaming_gate.py must be
+    revisited together."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import (
+        _track_sessions_timeout,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+            self.wm_ms = 0
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+    fn = _track_sessions_timeout(100)
+    state = FakeState()
+    # batch 1: one event at 1 s; wm=0 → pending
+    pdf = pd.DataFrame({"ts": pd.to_datetime([1.0], unit="s")})
+    assert list(fn((7,), iter([pdf]), state)) == []
+    # timeout fires at wm=500 s: session final, state DRAINS
+    state.hasTimedOut = True
+    state.wm_ms = 500_000
+    first = list(fn((7,), iter([]), state))
+    assert len(first) == 1
+    assert list(first[0]["closed_by"]) == ["timeout"]
+    assert not state.exists
+    # batch 2: admissible event at 1000 s (> wm) → NEW session
+    state.hasTimedOut = False
+    pdf2 = pd.DataFrame({"ts": pd.to_datetime([1000.0], unit="s")})
+    assert list(fn((7,), iter([pdf2]), state)) == []
+    assert state.exists
+    # final timeout: the newer session also drains as 'timeout'
+    state.hasTimedOut = True
+    state.wm_ms = 2_000_000
+    second = list(fn((7,), iter([]), state))
+    assert len(second) == 1
+    assert list(second[0]["closed_by"]) == ["timeout"]
+    assert not state.exists
+    # the divergence: two 'timeout' rows for one key — a whole-corpus
+    # replay would label the 1 s session 'gap'
+    labels = list(first[0]["closed_by"]) + list(second[0]["closed_by"])
+    assert labels == ["timeout", "timeout"]
+
+
 def test_timeout_sessions_stream_boundary(spark):
     """EventTimeTimeout boundary semantics on a real availableNow
     run, pinned for the gate oracle's closure predicate: a timeout at

@@ -555,3 +555,43 @@ def test_stream_interval_join_left_semi(spark):
             ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
             lookback_seconds=60, how="left_anti",
         )
+
+
+def test_arrow_events_normalizes_timestamp_flavors(tmp_path):
+    """_arrow_events must stage timestamp[us, UTC] regardless of the
+    source parquet's flavor (round-10 advice): a ns-flavored driver
+    parquet — the case load_table explicitly defends against on the
+    Spark side — would otherwise be re-staged as ns and read 1000x
+    off (or error) by the gates' fixed ev.schema file streams."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_for_smart_houses_spark.queries.streaming_gate import (
+        _arrow_events,
+    )
+
+    base_us = 1_700_000_000_000_000  # epoch µs
+    for flavor, vals in [
+        (pa.timestamp("ns"), [base_us * 1000 + 999, base_us * 1000]),
+        (pa.timestamp("us"), [base_us + 1, base_us]),
+        (pa.timestamp("us", tz="UTC"), [base_us + 2, base_us]),
+    ]:
+        d = tmp_path / f"src_{flavor.unit}_{flavor.tz or 'ntz'}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(vals, flavor),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+        got = _arrow_events(str(d))
+        assert got.schema.field("ts").type == pa.timestamp(
+            "us", tz="UTC"
+        ), flavor
+        got_us = [v.value for v in got.column("ts")]
+        # ns truncates (floor for positive epochs), us passes through
+        want = [
+            v // 1000 if flavor.unit == "ns" else v for v in vals
+        ]
+        assert got_us == want, flavor
