@@ -8,40 +8,26 @@ non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 ORDER MATTERS: the external driver certifies the first 50 entries by
 insertion order.
 
-Round 9's `_CERTIFICATION_FRONT`:
+ROUND-10 ROTATION POLICY (verdict ask #1): the front is COMPUTED by
+``certification.next_front`` from per-query provenance, not curated —
 
-* slots 1-15: the ENTIRE round-8 rotation queue (the last
-  never-certified oracle-backed entries) — once green, every
-  oracle-backed query in the registry has had a green driver row;
-* slot 16: stream_timeout_sessions_availablenow RE-certification —
-  round 9 fixed the premature-emission bug in both session trackers
-  (streaming/stateful.py: watermark-gated emission over a
-  pending-interval state list) and re-built this gate's corpus to
-  PLANT the bridging pattern the judge's counterexample exposed (a
-  batch-2 event admissible under the watermark that bridges a
-  batch-1 gap-closed session to the open tail) across two
-  mtime-ordered trigger files;
-* slots 17-25: the near-dup family re-certification the round-8
-  verdict asked for (ask #3) after the scale-sweep corpus-shape fix
-  (sources/synthetic.py per-word copy tags): dedup_groups,
-  contrastive_triplets, the four recall companions, editdist
-  recall, embedding_neardup_pairs, semantic_dedup. (The gate
-  corpora at certification SF were never touched by that fix — it
-  altered only the 10x sweep's scaled copies — so these rows are
-  expected green; the re-cert makes that evidence, not inference.)
-* slots 26-50: round-9 additions and refresh re-certifications
-  (see the list's inline comments).
+1. every gate whose code or corpus this round TOUCHED (the
+   ``_TOUCHED_R10`` list below is the one per-round human input);
+2. every never-certified query (new gates this round) — detected
+   mechanically as names absent from ``certification.LAST_CERTIFIED``;
+3. remaining slots fill oldest-green-first, so the r3/r4 rows that
+   predate five rounds of refactors rotate forward mechanically.
 
-The remaining rows-only entries are the 4 structural sketches
-(minhash/simhash/ann_lsh/ann_ivf), each carrying a hash-gated recall
-companion that IS driver-certified.
-
-ROUND-10 STATE: once this front lands green, every oracle-backed
-query in the registry (304) has a green driver row, including all 9
-round-9 additions and every gate whose mechanics round 9 edited
-(timeout/device/locf/ewma/dedup/restart/torture staging, LOCF fold).
-No rotation backlog remains; future fronts are free for new gates +
-refresh re-certification of the oldest green rows.
+``certification.LAST_CERTIFIED`` records, for every registered query,
+the most recent round with a green driver row in
+``CORRECTNESS_r{N}.json``; a registry test re-derives it from the
+artifacts so the static map can never drift. End-of-round-9 state:
+every oracle-backed query (305) has had a green row across r1-r9;
+the r10 front re-certifies the 13 touched gates, certifies the new
+gates, and refreshes the oldest r3 rows. The remaining rows-only
+entries are the 4 structural sketches (minhash/simhash/ann_lsh/
+ann_ivf), each carrying a hash-gated recall companion that IS
+driver-certified.
 """
 
 from __future__ import annotations
@@ -116,86 +102,37 @@ ORACLES = {
     **_TPCH_ORACLES,
 }
 
-_CERTIFICATION_FRONT = [
-    # --- slots 1-15: the round-8 rotation queue — the last
-    #     never-certified oracle-backed entries in the registry ---
-    "agg_completeness_lineitem",
-    "url_functions_orders",
-    "transpose_summary_lineitem",
-    "pipe_syntax_lineitem",
-    "parameterized_sql_orders",
-    "identifier_clause_orders",
-    "sugar_syntax_orders",
-    "session_variables_orders",
-    "sql_scripting_orders",
-    "datetime_functions_events",
-    "array_sort_hof_documents",
-    "map_hof_functions_events",
-    "approx_topk_events",
-    "explode_outer_events",
-    "tpch_q1_pricing_summary",
-    # --- slot 16: re-certification after the round-9 session-tracker
-    #     fix (watermark-gated emission, pending-interval state) on
-    #     the NEW two-batch gate corpus that plants the judge's
-    #     bridging counterexample ---
+# Round-10 rotation (verdict ask #1): the front is COMPUTED, not
+# curated — touched gates first, then never-certified new gates, then
+# oldest-green-first from certification.LAST_CERTIFIED. The touched
+# list is the one per-round input a human supplies: every gate whose
+# code or corpus this round edited.
+_TOUCHED_R10 = [
+    # closed_by dropped from the hash projection + oracle (advice:
+    # the label is emission-time metadata, not split-invariant)
     "stream_timeout_sessions_availablenow",
-    # --- slots 17-25: near-dup family re-certification (round-8
-    #     verdict ask #3, after the scale-sweep corpus-shape fix) ---
-    "dedup_groups_documents",
-    "contrastive_triplets_documents",
-    "minhash_recall_exact_dups",
-    "simhash_recall_exact_dups",
-    "ann_lsh_recall_planted",
-    "ann_ivf_recall_planted",
-    "editdist_recall_planted",
-    "embedding_neardup_pairs",
-    "semantic_dedup_embeddings",
-    # --- slots 26-50: round-9 refresh re-certifications — the
-    #     wider dedup surface sharing code paths with the family
-    #     above, the q17 phase-transition gate now pinned by a
-    #     plan-shape test, and the earliest-certified (r3/r4)
-    #     high-traffic gates whose green rows predate four rounds
-    #     of refactors ---
-    "minhash_dedup_documents",
-    "sentence_dedup_documents",
-    "dedup_incremental_documents",
-    "stream_dedup_availablenow",
-    "tpch_q17_small_qty_revenue",
-    "pricing_summary",
-    "silver_pipeline_events",
-    "dynamic_session_window_events",
-    "gapfill_locf_events",
+    # _arrow_events now normalizes timestamps to us/UTC before
+    # staging — every gate staging through it re-certifies
+    "statestore_timeout_rearm_availablenow",
+    "stream_device_sessions_availablenow",
+    "rocksdb_pysessions_availablenow",
+    "statestore_sessions_availablenow",
     "locf_stream_availablenow",
     "ewma_stream_availablenow",
-    "pagerank_user_transitions",
-    "logreg_quality_planted",
-    "purchase_asof_click",
-    "scd2_asof_lookup",
-    # --- round-9 NEW gates (within the free-slot budget): the
-    #     session family's two remaining surfaces — the NoTimeout
-    #     tracker on the hash path with the planted bridge, and the
-    #     statestore read-back of the pending-interval LIST state
-    #     (exact complement of the emission gate) — plus the
-    #     SymSpell deletion-neighborhood edit-1 join, whose
-    #     completeness gate is an exhaustive O(n^2) oracle ---
-    "stream_device_sessions_availablenow",
-    "statestore_sessions_availablenow",
-    "statestore_timeout_rearm_availablenow",
-    "rocksdb_pysessions_availablenow",
-    "edit1_neighborhood_customer",
-    "minhash_incremental_recall",
-    "bpe_apply_documents",
-    # --- plus the Python Data Source WRITER round-trip (the
-    #     write-side API the synthetic source's reader gates leave
-    #     uncovered: executor part-writes, rename-on-success,
-    #     manifest commit) ---
-    "pysink_roundtrip_orders",
-    # --- re-certification of the two crash-recovery gates whose
-    #     staging round 9 moved to arrow (and whose LOCF fold was
-    #     vectorized) ---
+    "stream_dedup_availablenow",
+    "stream_multiwatermark_availablenow",
     "stream_restart_pystate_availablenow",
     "stream_torture_availablenow",
+    # deletion_neighborhood_pairs gained the in-plan over-cap guard
+    # (default on_overcap='error') — the gate runs through it
+    "edit1_neighborhood_customer",
+    # sink-poll except narrowed to AnalysisException
+    "synthetic_stream_availablenow",
 ]
+
+from .certification import next_front as _next_front  # noqa: E402
+
+_CERTIFICATION_FRONT = _next_front(_ALL_QUERIES, _TOUCHED_R10, size=50)
 
 assert len(_CERTIFICATION_FRONT) == 50, len(_CERTIFICATION_FRONT)
 assert len(set(_CERTIFICATION_FRONT)) == 50

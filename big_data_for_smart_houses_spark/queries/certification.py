@@ -1,0 +1,416 @@
+"""Per-query certification provenance and the rotation policy
+(round-10 verdict ask #1).
+
+``LAST_CERTIFIED`` maps every registered query name to the most
+recent round in which the external driver recorded a GREEN row for it
+in ``CORRECTNESS_r{N}.json`` (green = ``hash_match`` true, or — for
+the four by-design rows-only sketches — ``err == "no_oracle"`` with
+``spark_rows > 0``). The map is STATIC so the registry import stays
+hermetic; :func:`compute_last_certified` is the derivation, and
+``tests/test_registry.py::test_last_certified_matches_artifacts``
+re-derives it from the artifacts on every run so the paste can never
+drift. Regenerate after a new CORRECTNESS artifact lands with::
+
+    python -m big_data_for_smart_houses_spark.queries.certification
+
+which prints the refreshed literal to stdout.
+
+The certification FRONT (the 50 entries the driver hashes each round)
+is COMPUTED from this map by :func:`next_front`, not curated:
+
+1. every gate whose code or corpus the current round TOUCHED
+   (re-certification of edits outranks everything — an edited gate's
+   old green row is evidence about code that no longer exists);
+2. every NEVER-certified query (new gates this round);
+3. the remaining slots fill oldest-green-first (name-ordered within
+   a round) so stale rows rotate forward mechanically.
+
+Names that once had green rows but are no longer registered
+(``business_summary_approx``, ``value_percentiles_approx`` — renamed
+in rounds 4-5) are excluded.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+# query name -> most recent round with a green driver row (r1-r9)
+LAST_CERTIFIED: dict[str, int] = {
+    "ab_lift_events": 6,
+    "abc_customers": 4,
+    "agg_completeness_lineitem": 9,
+    "agg_pushdown_events": 8,
+    "analytics_daily_cost_trend": 5,
+    "analytics_daily_energy_trend": 5,
+    "analytics_data_status": 5,
+    "analytics_energy_by_type": 4,
+    "analytics_health_scatter": 5,
+    "analytics_kpi_chain_gold": 5,
+    "analytics_kpi_chain_silver": 5,
+    "analytics_kpi_chain_summary": 5,
+    "analytics_kpi_day": 4,
+    "analytics_live_readings": 5,
+    "ann_ivf_recall_planted": 9,
+    "ann_lsh_recall_planted": 9,
+    "approx_topk_events": 9,
+    "argmax_functions_events": 7,
+    "array_functions_documents": 4,
+    "array_sort_hof_documents": 9,
+    "asof_nearest_events": 8,
+    "avi_frame_sample_assets": 7,
+    "bfs_distances_transitions": 8,
+    "bigram_lm_documents": 3,
+    "binaryfile_bmp_assets": 8,
+    "bitmap_distinct_events": 7,
+    "bitwise_aggs_events": 8,
+    "bloom_probe_customers": 5,
+    "bm25_documents": 3,
+    "bmp_decode_assets": 7,
+    "boilerplate_ngram_documents": 3,
+    "bpe_apply_documents": 9,
+    "bpe_pair_counts_documents": 6,
+    "bpe_train_documents": 8,
+    "bucketed_join_orders": 7,
+    "business_summary_approx_gate": 6,
+    "catalog_enrichment_events": 5,
+    "cdc_chunk_documents": 3,
+    "cdc_crossdoc_documents": 8,
+    "chunk_documents": 3,
+    "click_asof_next_purchase": 4,
+    "cms_token_counts": 4,
+    "cogroup_asof_events": 8,
+    "cohort_retention_events": 5,
+    "collation_group_events": 6,
+    "compaction_roundtrip_events": 7,
+    "concurrency_sweepline_events": 8,
+    "conditional_aggs_by_type": 4,
+    "conform_union_sources": 6,
+    "contamination_check_documents": 3,
+    "contrastive_triplets_documents": 9,
+    "copurchase_lift_parts": 8,
+    "corpus_shuffle_documents": 3,
+    "csv_malformed_modes_events": 8,
+    "csv_roundtrip_customers": 7,
+    "curation_funnel_report": 6,
+    "customer_enrichment": 4,
+    "customers_with_orders": 5,
+    "customers_without_orders": 5,
+    "daily_user_rollup": 4,
+    "daily_value_pop_change": 4,
+    "dataset_split_documents": 3,
+    "date_functions_events": 4,
+    "datetime_functions_events": 9,
+    "decontaminated_train_docs": 3,
+    "dedup_events_keepfirst": 4,
+    "dedup_exact_documents": 5,
+    "dedup_groups_documents": 9,
+    "dedup_incremental_documents": 9,
+    "doc_fingerprint": 3,
+    "dynamic_partition_overwrite_events": 8,
+    "dynamic_partition_pruning_events": 7,
+    "dynamic_session_window_events": 9,
+    "edit1_neighborhood_customer": 9,
+    "editdist_recall_planted": 9,
+    "embedding_ann_ivf": 3,
+    "embedding_ann_lsh": 3,
+    "embedding_cosine_topk": 3,
+    "embedding_int8_quantize": 7,
+    "embedding_neardup_pairs": 9,
+    "event_quality_score": 5,
+    "event_transition_counts": 5,
+    "event_type_pivot": 5,
+    "events_cube": 5,
+    "events_in_session_range": 5,
+    "ewma_events": 3,
+    "ewma_stream_availablenow": 9,
+    "expectations_events": 7,
+    "explode_outer_events": 9,
+    "file_metadata_events": 8,
+    "funnel_click_purchase": 5,
+    "funnel_three_step_events": 7,
+    "gapfill_linear_events": 7,
+    "gapfill_locf_events": 9,
+    "generator_functions_documents": 5,
+    "gini_customer_orders": 8,
+    "global_rownum_orders": 8,
+    "gold_business_summary_events": 4,
+    "gold_daily_energy_events": 4,
+    "gold_device_health_events": 4,
+    "gopher_quality_documents": 3,
+    "grouping_sets_events": 4,
+    "hash_sample_per_lang": 4,
+    "hll_reach_events": 6,
+    "hof_functions_documents": 5,
+    "hopping_window_events": 4,
+    "hourly_event_window": 5,
+    "identifier_clause_orders": 9,
+    "incremental_energy_state": 4,
+    "incremental_join_view_orders": 6,
+    "inverted_index_documents": 6,
+    "join_types_orders": 8,
+    "json_null_functions_events": 4,
+    "json_props_extract": 5,
+    "json_roundtrip_events": 8,
+    "json_schema_profile_events": 6,
+    "kmeans_embeddings": 8,
+    "kmv_distinct_events": 8,
+    "kmv_jaccard_events": 8,
+    "kmv_merge_events": 8,
+    "ks_statistic_events": 8,
+    "label_centroids_embeddings": 6,
+    "language_guess": 3,
+    "late_shipment_flag": 5,
+    "lateral_topk_orders": 6,
+    "latest_event_per_user": 5,
+    "latest_events_topk": 4,
+    "length_bucketed_packing": 3,
+    "listagg_events": 7,
+    "llm_corpus_pipeline_documents": 8,
+    "locf_stream_availablenow": 9,
+    "logreg_quality_planted": 9,
+    "mad_outliers_events": 8,
+    "map_functions_events": 5,
+    "map_hof_functions_events": 9,
+    "mapinarrow_tokens_documents": 8,
+    "math_functions_events": 6,
+    "merge_upsert_orders": 4,
+    "mergeschema_read_events": 7,
+    "minhash_dedup_documents": 9,
+    "minhash_incremental_recall": 9,
+    "minhash_recall_exact_dups": 9,
+    "mix_manifest_documents": 3,
+    "multimodal_decode": 3,
+    "multimodal_features": 3,
+    "multimodal_frame_sample": 3,
+    "navigation_functions_events": 6,
+    "ngram_jaccard_pairs": 5,
+    "ntile_scan_orders": 8,
+    "null_aware_notin_orders": 7,
+    "nullsafe_join_events": 7,
+    "observe_metrics_orders": 6,
+    "orc_roundtrip_events": 7,
+    "orders_business_summary": 4,
+    "packed_sequence_offsets": 4,
+    "pagerank_user_transitions": 9,
+    "pandas_udaf_geomean_events": 7,
+    "parameterized_sql_orders": 9,
+    "part_value_density": 6,
+    "percentile_within_group_events": 8,
+    "pii_scrub_documents": 3,
+    "pipe_syntax_lineitem": 9,
+    "polymorphic_udtf_events": 8,
+    "ppjoin_pairs_documents": 8,
+    "pricing_rollup": 5,
+    "pricing_summary": 9,
+    "profile_documents": 3,
+    "profile_drift_documents": 5,
+    "purchase_asof_click": 9,
+    "pysink_roundtrip_orders": 9,
+    "quality_topk_approx_pct": 5,
+    "quality_topk_per_lang": 3,
+    "quantile_normalize_events": 4,
+    "ranking_functions_events": 4,
+    "rate_of_change_events": 4,
+    "ratio_to_report_events": 4,
+    "readability_documents": 6,
+    "recursive_cte_hierarchy": 7,
+    "referential_check_orders": 7,
+    "regexp_functions_documents": 6,
+    "regression_drift_events": 4,
+    "revenue_vs_global": 5,
+    "rle_segments_events": 7,
+    "rocksdb_pysessions_availablenow": 9,
+    "rolling_event_metrics": 4,
+    "rolling_median_events": 6,
+    "rolling_time_window_events": 5,
+    "rollup_navigate_events": 8,
+    "runtime_bloom_join_lineitem": 7,
+    "salted_join_orders": 5,
+    "scd2_asof_lookup": 9,
+    "scd2_customer_orders": 4,
+    "semantic_dedup_embeddings": 9,
+    "sentence_dedup_documents": 9,
+    "session_paths": 4,
+    "session_stream_availablenow": 5,
+    "session_variables_orders": 9,
+    "session_window_events": 4,
+    "sessionize_events": 4,
+    "setops_events": 5,
+    "silver_pipeline_events": 9,
+    "simhash_dedup_documents": 3,
+    "simhash_recall_exact_dups": 9,
+    "skyline3d_parts": 8,
+    "skyline_parts": 8,
+    "sliding_chunks_documents": 6,
+    "snapshot_diff_orders": 6,
+    "source_cap_documents": 3,
+    "source_cap_two_phase": 3,
+    "source_kl_documents": 6,
+    "span_masks_documents": 6,
+    "sql_scripting_orders": 9,
+    "sql_udf_functions_events": 7,
+    "sssp_weighted_transitions": 8,
+    "statestore_join_availablenow": 8,
+    "statestore_read_availablenow": 7,
+    "statestore_sessions_availablenow": 9,
+    "statestore_timeout_rearm_availablenow": 9,
+    "stats_moments_lineitem": 6,
+    "stratified_sample_events": 3,
+    "stream_chained_availablenow": 8,
+    "stream_dedup_availablenow": 9,
+    "stream_device_sessions_availablenow": 9,
+    "stream_enrich_availablenow": 6,
+    "stream_fanout_availablenow": 6,
+    "stream_fullouter_join_availablenow": 8,
+    "stream_interval_enrich_availablenow": 8,
+    "stream_join_availablenow": 6,
+    "stream_merge_availablenow": 6,
+    "stream_multiwatermark_availablenow": 8,
+    "stream_observe_availablenow": 7,
+    "stream_outer_join_availablenow": 7,
+    "stream_restart_availablenow": 6,
+    "stream_restart_pystate_availablenow": 9,
+    "stream_rocksdb_availablenow": 6,
+    "stream_semi_join_availablenow": 8,
+    "stream_sliding_availablenow": 8,
+    "stream_timeout_sessions_availablenow": 9,
+    "stream_torture_availablenow": 9,
+    "stream_tumbling_availablenow": 6,
+    "stream_update_mode_availablenow": 8,
+    "stream_upsert_availablenow": 7,
+    "stream_upsert_restart_availablenow": 8,
+    "string_functions_documents": 4,
+    "sugar_syntax_orders": 9,
+    "supplier_health_scores": 6,
+    "synthetic_source_telemetry": 6,
+    "synthetic_stream_availablenow": 7,
+    "table_checksum_orders": 7,
+    "temperature_mix_documents": 3,
+    "text_quality_score": 3,
+    "text_stats": 3,
+    "tfidf_top_terms": 3,
+    "theta_sketch_events": 8,
+    "time_travel_orders": 7,
+    "time_weighted_avg_events": 4,
+    "token_batch_packing": 3,
+    "token_heavy_hitters": 3,
+    "token_stats_by_lang": 3,
+    "top_orders_per_customer": 5,
+    "tpch_q10_returned_items": 6,
+    "tpch_q11_important_stock": 7,
+    "tpch_q12_priority_shipping": 8,
+    "tpch_q13_order_distribution": 7,
+    "tpch_q14_promo_revenue": 6,
+    "tpch_q15_top_supplier": 7,
+    "tpch_q16_supplier_counts": 7,
+    "tpch_q17_small_qty_revenue": 9,
+    "tpch_q18_large_orders": 6,
+    "tpch_q19_disjunctive": 6,
+    "tpch_q1_pricing_summary": 9,
+    "tpch_q20_excess_supply": 7,
+    "tpch_q21_waiting_supplier": 7,
+    "tpch_q22_global_balance": 6,
+    "tpch_q2_min_acctbal_supplier": 7,
+    "tpch_q3_shipping_priority": 6,
+    "tpch_q4_order_priority": 6,
+    "tpch_q5_region_volume": 6,
+    "tpch_q6_forecast_revenue": 7,
+    "tpch_q7_volume_shipping": 6,
+    "tpch_q8_market_share": 7,
+    "tpch_q9_product_profit": 7,
+    "trailing_active_users_events": 8,
+    "transpose_summary_lineitem": 9,
+    "trending_types_hourly": 4,
+    "triangle_count_transitions": 8,
+    "try_functions_events": 6,
+    "two_phase_agg_orders": 5,
+    "udtf_sentences_documents": 7,
+    "union_dedup_orders": 5,
+    "unpivot_daily_metrics": 4,
+    "url_functions_orders": 9,
+    "user_event_type_sets": 5,
+    "vacuum_retention_orders": 8,
+    "value_histogram_events": 3,
+    "value_percentiles": 5,
+    "variant_functions_events": 6,
+    "wav_decode_assets": 7,
+    "weighted_corpus_mix": 3,
+    "weighted_quantiles_orders": 8,
+    "weighted_sample_wor_documents": 4,
+    "window_completeness_events": 7,
+    "winsorize_events": 3,
+    "xml_functions_events": 7,
+    "xml_roundtrip_events": 8,
+    "zipf_slope_documents": 6,
+    "zorder3_key_events": 4,
+    "zorder_key_events": 5,
+    "zscore_anomaly_events": 3,
+}
+
+
+def compute_last_certified(repo_root: str | None = None) -> dict[str, int]:
+    """Re-derive the map from the ``CORRECTNESS_r{N}.json`` artifacts
+    (the same rule the static literal was generated with). Names not
+    currently registered are NOT filtered here — the caller (test or
+    regeneration) intersects with the live registry."""
+    if repo_root is None:
+        repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(f) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def next_front(
+    all_names,
+    touched,
+    size: int = 50,
+    last_certified: dict[str, int] | None = None,
+) -> list[str]:
+    """The driver front for the coming round: touched gates first,
+    then never-certified (new) gates, then oldest-green-first. Raises
+    if touched+new alone exceed ``size`` — that is a real planning
+    problem (an edit backlog bigger than the driver can certify), not
+    something to truncate silently."""
+    lc = LAST_CERTIFIED if last_certified is None else last_certified
+    names = list(all_names)
+    name_set = set(names)
+    unknown = [t for t in touched if t not in name_set]
+    assert not unknown, f"touched names not registered: {unknown}"
+    front = list(dict.fromkeys(touched))
+    new = sorted(n for n in names if n not in lc and n not in front)
+    front += new
+    if len(front) > size:
+        raise ValueError(
+            f"touched+new = {len(front)} exceeds the driver front "
+            f"({size}); split the edit backlog across rounds"
+        )
+    rest = sorted(
+        (n for n in names if n not in front),
+        key=lambda n: (lc.get(n, 0), n),
+    )
+    front += rest[: size - len(front)]
+    return front
+
+
+if __name__ == "__main__":
+    derived = compute_last_certified()
+    print("LAST_CERTIFIED: dict[str, int] = {")
+    for k in sorted(derived):
+        print(f'    "{k}": {derived[k]},')
+    print("}")

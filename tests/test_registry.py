@@ -92,3 +92,50 @@ def test_all_oracles_return_narrow_types():
         assert not offenders, offenders
     finally:
         con.close()
+
+
+def test_last_certified_matches_artifacts():
+    """The static LAST_CERTIFIED literal must equal the map re-derived
+    from the CORRECTNESS_r{N}.json artifacts (intersected with the
+    live registry), so the rotation's provenance can never drift from
+    the evidence it claims to summarize. New queries registered this
+    round legitimately have no artifact row yet — they must be ABSENT
+    from the static map, never present with a guessed round."""
+    from big_data_for_smart_houses_spark.queries import _ALL_QUERIES
+    from big_data_for_smart_houses_spark.queries.certification import (
+        LAST_CERTIFIED,
+        compute_last_certified,
+    )
+
+    derived = {
+        k: v
+        for k, v in compute_last_certified().items()
+        if k in _ALL_QUERIES
+    }
+    assert LAST_CERTIFIED == derived
+    assert set(LAST_CERTIFIED) <= set(_ALL_QUERIES)
+
+
+def test_front_is_computed_touched_then_new_then_oldest():
+    """The driver front must follow the rotation policy mechanically:
+    _TOUCHED_R10 verbatim, then never-certified names (sorted), then
+    oldest-green-first fill."""
+    from big_data_for_smart_houses_spark import queries as q
+    from big_data_for_smart_houses_spark.queries.certification import (
+        LAST_CERTIFIED,
+        next_front,
+    )
+
+    front = q._CERTIFICATION_FRONT
+    assert len(front) == 50 and len(set(front)) == 50
+    assert front == next_front(q._ALL_QUERIES, q._TOUCHED_R10, size=50)
+    n_touch = len(q._TOUCHED_R10)
+    assert front[:n_touch] == q._TOUCHED_R10
+    new = sorted(
+        n for n in q._ALL_QUERIES
+        if n not in LAST_CERTIFIED and n not in q._TOUCHED_R10
+    )
+    assert front[n_touch : n_touch + len(new)] == new
+    tail = front[n_touch + len(new) :]
+    rounds = [LAST_CERTIFIED[n] for n in tail]
+    assert rounds == sorted(rounds)
