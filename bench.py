@@ -300,6 +300,14 @@ if _only:
 # n=3: with min-of-2, a single noisy run still sets half the floor.
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Pre-adjudicated round-over-round regression flags: queries whose
+# slowdown against the previous BENCH_LOCAL.json has a KNOWN cause
+# (a deliberate corpus/methodology change this round). Anything not
+# listed prints as UNEXPLAINED and must be attributed before the
+# round ships. Entries should be cleared once the new baseline is
+# committed (they adjudicate exactly one transition).
+_REGRESSION_ADJUDICATIONS: dict[str, str] = {}
+
 
 def _bench_stream_boot(spark) -> float:
     """Time a minimal availableNow stream (1-row parquet in, parquet
@@ -781,6 +789,16 @@ def main() -> None:
         out["query_io"] = query_io
     silver_t = timings.get("silver_pipeline_events")
     if silver_t:
+        # ADVICE r9: the best-of-6 figure is not comparable to prior
+        # rounds' min-of-3-interleaved numbers. Report BOTH for this
+        # transition round so round-over-round deltas are computed
+        # under a constant methodology.
+        n_ev_pre = spark.read.parquet(
+            f"{SF_DIR}/events.parquet"
+        ).count()
+        out["silver_throughput_interleaved_min3_events_per_s"] = round(
+            n_ev_pre / silver_t
+        )
         # Throughput is the one headline the baseline comparison
         # hangs on, so it gets tighter methodology than the per-query
         # table (round-8 verdict ask #8: the r7->r8 dip was run
@@ -794,7 +812,7 @@ def main() -> None:
                 "noop"
             ).save()
             silver_t = min(silver_t, time.perf_counter() - t0)
-        n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        n_events = n_ev_pre
         out["silver_throughput_events_per_s"] = round(n_events / silver_t)
         out["silver_throughput_methodology"] = (
             "events / best-of-6 silver_pipeline wall "
@@ -803,6 +821,44 @@ def main() -> None:
         )
     if errors:
         out["errors"] = errors
+    # Round-over-round per-query regression bar (round-10 verdict ask
+    # #2 — the same discipline the 10x sweep applies to shuffle,
+    # applied to time): diff against the PREVIOUS committed
+    # BENCH_LOCAL.json before overwriting it, and flag any query
+    # slower by BOTH >1.25x AND >+0.3 s. Flags are reported in the
+    # artifact and the compact summary so COVERAGE's round-over-round
+    # claims are generated from the artifact, never hand-computed.
+    # Known methodology deltas can be pre-adjudicated in
+    # _REGRESSION_ADJUDICATIONS; everything else prints as
+    # UNEXPLAINED and should be attributed (variance? plan flip?
+    # corpus edit?) before the round ships.
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json")
+    regressions = {}
+    try:
+        with open(local) as fh:
+            prev_q = json.load(fh).get("queries", {})
+        for name, t in timings.items():
+            p = prev_q.get(name)
+            if p and t > p * 1.25 and t - p > 0.3:
+                regressions[name] = {
+                    "prev_s": round(p, 3),
+                    "now_s": round(t, 3),
+                    "ratio": round(t / p, 2),
+                    "adjudication": _REGRESSION_ADJUDICATIONS.get(
+                        name, "UNEXPLAINED"
+                    ),
+                }
+    except (OSError, ValueError):
+        pass  # first run / no previous artifact: nothing to diff
+    if regressions:
+        out["regressions_vs_prev"] = regressions
+        for name, r in sorted(regressions.items()):
+            print(
+                f"  REGRESSION {name}: {r['prev_s']}s -> {r['now_s']}s "
+                f"({r['ratio']}x) [{r['adjudication']}]",
+                file=sys.stderr,
+            )
     payload = json.dumps(out)
     # The driver keeps only the TAIL of stdout (~2000 chars) and
     # parses the FINAL line: the full per-query JSON (250+ timings +
@@ -811,8 +867,6 @@ def main() -> None:
     # this script (committed per round), then print a compact summary
     # — same schema, "queries" trimmed to the slowest 5 — as the LAST
     # stdout line so the driver's parse always succeeds.
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json")
     with open(local, "w") as fh:
         fh.write(payload + "\n")
     slowest = dict(
@@ -835,6 +889,12 @@ def main() -> None:
         ]
     if errors:
         compact["n_errors"] = len(errors)
+    if regressions:
+        compact["n_regressions_vs_prev"] = len(regressions)
+        compact["regressions_unexplained"] = sorted(
+            n for n, r in regressions.items()
+            if r["adjudication"] == "UNEXPLAINED"
+        )[:5]
     print(json.dumps(compact))
     if not timings:
         sys.exit(1)
