@@ -235,6 +235,8 @@ HEADLINE = [
     "approx_topk_events",
     "identifier_clause_orders",
     "kmv_jaccard_events",
+    "hdr_quantile_sketch_events",
+    "hdr_quantile_error_bound_events",
     "stream_update_mode_availablenow",
     "xml_roundtrip_events",
     "json_roundtrip_events",

@@ -232,3 +232,145 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("bloom_word")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HdrHistogram-style mergeable quantile sketch (round 10)
+# ---------------------------------------------------------------------------
+#
+# The one standard 100 TB telemetry primitive the family above lacks:
+# percentiles over re-aggregatable partitions (the reference's KPI
+# queries — dashboard/app.py:300-351 — are exactly this shape at
+# scale). Design choice: a LOG-LINEAR bucket histogram (HdrHistogram,
+# Gil Tene, public) rather than KLL/t-digest, deliberately — KLL
+# needs coin flips and t-digest's centroids depend on merge order, so
+# neither can hash-gate bit-exactly across engines; the log-linear
+# histogram has the SAME contract that matters at scale (true monoid
+# state measured in KB per group, one-pass build, counter-sum merge,
+# bounded relative error 2^-(sub_bits+1)) with ALL-INTEGER semantics:
+# every bucket id, count, rank target, and estimate is replayable
+# verbatim in ANSI SQL (bit shifts + binary-string length), the same
+# portability property the CMS above gets from md5.
+#
+# Values are quantized to integers (``round(value * scale)``); bucket
+# magnitude for |m| is: e = floor(log2|m|) via bit length (EXACT —
+# no libm), shift = max(e - sub_bits, 0), base = |m| >> shift, id =
+# shift * 2^(sub_bits+1) + base, signed by sign(m). id is monotone in
+# m (negatives mirror below zero), so rank selection is a cumulative
+# sum over id order. Values with |m| < 2^sub_bits get unit buckets
+# (exact); larger buckets have width/|value| <= 2^-sub_bits, so the
+# midpoint estimate is within 2^-(sub_bits+1) relative error.
+
+HDR_SUB_BITS = 5
+_HDR_K = 1 << (HDR_SUB_BITS + 1)  # ids per shift level
+
+
+def hdr_bucket(m: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
+    """Signed log-linear bucket id of an integer-scaled value."""
+    k = 1 << (sub_bits + 1)
+    a = F.abs(m)
+    e = F.length(F.conv(a.cast("string"), 10, 2)) - 1
+    shift = F.greatest(e - F.lit(sub_bits), F.lit(0)).cast("int")
+    base = F.call_function("shiftright", a, shift)
+    mag = shift.cast("bigint") * k + base
+    sgn = (
+        F.when(m > 0, 1).when(m < 0, -1).otherwise(0).cast("bigint")
+    )
+    return (sgn * mag).alias("bucket")
+
+
+def hdr_estimate(bucket: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
+    """Integer midpoint of the bucket's value range (exact for unit
+    buckets, within 2^-(sub_bits+1) relative error otherwise)."""
+    k = 1 << (sub_bits + 1)
+    sgn = F.when(bucket < 0, -1).otherwise(1).cast("bigint")
+    idx = F.abs(bucket)
+    shift = F.floor(idx / k).cast("int")
+    base = F.pmod(idx, F.lit(k)).cast("bigint")
+    lo = F.call_function("shiftleft", base, shift)
+    hi = F.call_function("shiftleft", base + 1, shift) - 1
+    return (sgn * F.floor((lo + hi) / 2).cast("bigint")).alias(
+        "est_scaled"
+    )
+
+
+def hdr_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    scale: int = 100,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """One-pass sketch build: quantize, bucket (row-local), ONE
+    map-side-combined count aggregate down to at most a few hundred
+    (group, bucket) rows per group — the only shuffle, and it moves
+    counters, not values."""
+    m = F.round(F.col(value_col) * scale, 0).cast("bigint")
+    return (
+        df.select(*group_cols, hdr_bucket(m, sub_bits))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Counter-wise sum — sketches built on disjoint shards merge
+    into the sketch of the union (the monoid law the quantile gate
+    proves on driver data and the unit test proves on arbitrary
+    3-way splits). |buckets|-row shuffle, same contract as
+    cms_merge/bloom_merge."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    probes_pct: list[int],
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Rank-select integer percentiles from a sketch: cumulative
+    counts in bucket-id order (a window over the KB-scale per-group
+    sketch — never over raw data), target rank ceil(p*n/100) in
+    integer arithmetic, answer = first bucket whose cumulative count
+    reaches the target, reported as its midpoint estimate."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    probes = F.explode(
+        F.array(*[F.lit(p) for p in probes_pct])
+    ).alias("probe_pct")
+    hit = (
+        cum.select(*group_cols, "bucket", "cum", "n", probes)
+        .withColumn(
+            "target",
+            F.floor((F.col("probe_pct") * F.col("n") + 99) / 100).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "probe_pct")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("n").alias("n_rows"),
+        )
+    )
+    return hit.select(
+        *group_cols,
+        "probe_pct",
+        "n_rows",
+        "bucket",
+        hdr_estimate(F.col("bucket"), sub_bits),
+    )

@@ -909,3 +909,65 @@ def test_deletion_neighborhood_overcap_is_loud_not_silent(spark):
     )
     assert a == b and len(a) > 0
     assert deletion_neighborhood_overcap(cold).count() == 0
+
+
+def test_hdr_sketch_monoid_negatives_and_exact_smalls(spark):
+    """HDR quantile sketch (round 10): (1) merge is a true monoid —
+    sketches over an arbitrary 3-way split merge to the direct build,
+    including negative and zero values (the mirrored store); (2)
+    values with |m| < 2^sub_bits get UNIT buckets, so sketch
+    quantiles over a small-magnitude corpus are EXACT; (3) bucket ids
+    are monotone in the value, so rank selection is order-correct
+    across the sign boundary."""
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        hdr_build,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    vals = [-321.5, -31.0, -0.25, 0.0, 0.07, 0.31, 5.5, 17.0,
+            170.25, 9999.99, -9999.99, 0.31, 5.5, -31.0]
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    parts = [df.filter(F.col("id") % 3 == k) for k in range(3)]
+    split = hdr_merge(
+        hdr_merge(hdr_build(parts[0], "v", ["g"]),
+                  hdr_build(parts[1], "v", ["g"]), ["g"]),
+        hdr_build(parts[2], "v", ["g"]), ["g"],
+    )
+    direct = hdr_build(df, "v", ["g"])
+    assert split.exceptAll(direct).count() == 0
+    assert direct.exceptAll(split).count() == 0
+
+    # small-magnitude corpus (|value*100| < 32): unit buckets => the
+    # sketch median IS the exact order statistic
+    small = spark.createDataFrame(
+        [(i, "g", v) for i, v in
+         enumerate([-0.31, -0.05, 0.0, 0.01, 0.07, 0.12, 0.25])],
+        "id long, g string, v double",
+    )
+    got = {
+        r["probe_pct"]: r["est_scaled"]
+        for r in hdr_quantiles(
+            hdr_build(small, "v", ["g"]), ["g"], [50, 99]
+        ).collect()
+    }
+    # ceil(0.5*7)=4th of [-31,-5,0,1,7,12,25] -> 1; ceil(.99*7)=7 -> 25
+    assert got == {50: 1, 99: 25}
+
+
+def test_hdr_quantile_error_bound_gate_all_within(spark):
+    """The error-bound gate's contract column must be TRUE on every
+    row (the hash gate would also catch a drift, but this fails the
+    suite loudly if the 2^-(sub_bits+1) guarantee itself breaks)."""
+    from big_data_for_smart_houses_spark.queries.stats_gate import (
+        q_hdr_quantile_error_bound_events,
+    )
+
+    rows = q_hdr_quantile_error_bound_events(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20  # 5 event types x 4 probes
+    assert all(r["within_bound"] for r in rows)
