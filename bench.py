@@ -118,6 +118,7 @@ HEADLINE = [
     "concurrency_sweepline_events",
     "skyline_parts",
     "stream_semi_join_availablenow",
+    "stream_left_anti_availablenow",
     "weighted_quantiles_orders",
     "gini_customer_orders",
     "ks_statistic_events",

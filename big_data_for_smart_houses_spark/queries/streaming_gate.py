@@ -3168,6 +3168,114 @@ ORACLES["stream_semi_join_availablenow"] = (
 )
 
 
+def q_stream_left_anti_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT ANTI via the standard emulation (round-10
+    verdict ask #6) — the join mode Spark lacks natively and the
+    dedup/decontam streaming story hits the first time a user asks
+    'which events never matched': purchases with NO click in the
+    preceding 6 h window, as a real availableNow run through
+    streaming/joins.py's ``how='left_anti'`` (left_outer +
+    watermark-gated null-side filter on the right TIME column, which
+    the interval condition forces non-null on every match). FINALITY
+    SEMANTICS under test: an unmatched purchase emits exactly once
+    only when the final watermark (min of the two sides' max event
+    time, minus the 6 h delay) strictly exceeds its timestamp — the
+    same left-side rule the left-outer and full-outer gates pin —
+    and unmatched purchases at or above the bound stay withheld in
+    state: the correct streaming NOT EXISTS answer. The oracle
+    states that set in closed form; a premature emission, a doubled
+    row, a matched row leaking through, or a missing left-columns
+    projection each hash-fails."""
+    configure_for_oracle_parity(spark)
+    import pyarrow.compute as pc
+
+    from ..streaming.joins import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = _arrow_events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type"]
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_antijoin_gate_")
+    out_dir = f"{tmp}/out"
+
+    def _side(kind: str, id_alias: str, ts_alias: str) -> DataFrame:
+        tbl = (
+            src.filter(pc.equal(src.column("event_type"), kind))
+            .select(["user_id", "event_id", "ts"])
+            .rename_columns(["user_id", id_alias, ts_alias])
+        )
+        _arrow_stage(f"{tmp}/staged_{kind}", (tbl,))
+        schema = (
+            ev.filter(F.col("event_type") == kind)
+            .select(
+                "user_id",
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .schema
+        )
+        return spark.readStream.schema(schema).parquet(
+            f"{tmp}/staged_{kind}"
+        )
+
+    anti = stream_interval_join(
+        _side("purchase", "purchase_id", "purchase_ts"),
+        _side("click", "click_id", "click_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lookback_seconds=STREAM_JOIN_LOOKBACK_S,
+        watermark_delay="6 hours",
+        how="left_anti",
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            anti.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"left-anti stream join run exceeded {_AWAIT_S}s"
+            )
+    return spark.read.parquet(out_dir).select(
+        "user_id", "purchase_id", "purchase_ts"
+    )
+
+
+ORACLE_STREAM_LEFT_ANTI_AVAILABLENOW = f"""
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL 6 HOUR AS w)
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM p CROSS JOIN wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND
+      AND c.ts <= p.ts)
+"""
+
+QUERIES["stream_left_anti_availablenow"] = (
+    q_stream_left_anti_availablenow
+)
+ORACLES["stream_left_anti_availablenow"] = (
+    ORACLE_STREAM_LEFT_ANTI_AVAILABLENOW
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all

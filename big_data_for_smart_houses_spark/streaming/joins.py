@@ -53,9 +53,18 @@ def stream_interval_join(
     the streaming EXISTS. Emission needs no finality decision (a
     match is a match the moment it arrives), so unlike the outer
     modes nothing trails the watermark; the watermark still GCs
-    state. Spark has no stream-stream left_anti (NOT EXISTS would
-    need per-row finality like outer, but with nothing to emit it
-    on match — express it as left_outer + IS NULL downstream).
+    state. Spark has no NATIVE stream-stream left_anti (NOT EXISTS
+    needs per-row finality like outer, but with nothing to emit on
+    match), so ``how='left_anti'`` implements the standard emulation
+    here: left_outer + watermark-gated null-side filter. Each left
+    row with NO in-window right match emits EXACTLY ONCE (left
+    columns only) — but only after the watermark proves the absence
+    final (no admissible right row can still land in the window),
+    so like the outer modes anti results trail the watermark; rows
+    whose absence is not yet final stay in state, withheld. The
+    filter keys on the right TIME column, which the join condition
+    forces non-null on every matched row, so a null there is
+    unambiguously the watermark-proven no-match marker.
 
     Both inputs must be streaming DataFrames with distinct column
     names apart from ``on``. The two-sided time bound plus the
@@ -66,6 +75,7 @@ def stream_interval_join(
         "right_outer",
         "full_outer",
         "left_semi",
+        "left_anti",
     ):
         raise ValueError(f"unsupported stream join type: {how}")
     l = left.withWatermark(left_ts, watermark_delay)
@@ -75,6 +85,16 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
         & (r[right_ts] <= l[left_ts])
     )
+    if how == "left_anti":
+        # the standard emulation (Spark has no native stream-stream
+        # left_anti): left_outer emits each unmatched left row
+        # null-padded once the watermark makes the absence final;
+        # the null right_ts — impossible on a matched row, since the
+        # condition bounds it — is the no-match marker
+        joined = l.join(r, cond, "left_outer")
+        return joined.filter(r[right_ts].isNull()).select(
+            *[l[c] for c in left.columns]
+        )
     joined = l.join(r, cond, how)
     if how in ("right_outer", "full_outer"):
         # unmatched right rows carry a NULL left key — surface the

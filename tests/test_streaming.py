@@ -553,8 +553,56 @@ def test_stream_interval_join_left_semi(spark):
     with pytest.raises(ValueError):
         stream_interval_join(
             ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
-            lookback_seconds=60, how="left_anti",
+            lookback_seconds=60, how="cross",
         )
+
+
+def test_stream_interval_join_left_anti(spark):
+    """Anti join emulation (round 10): an unmatched-and-FINAL left
+    row emits exactly once with left columns only; a matched row
+    never emits; an unmatched row the watermark has not yet proven
+    final is withheld in state — the streaming NOT EXISTS."""
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # wm = min(max p_ts, max c_ts) - 10s = min(200, 100) - 10 = 90:
+    #   p0 (u3, t=5): unmatched, 5 < 90 final       -> EMITS
+    #   p1 (u1, t=100): matched by c1 in [40, 100]  -> never emits
+    #   p2 (u2, t=200): unmatched, 200 >= 90        -> withheld
+    purchases = spark.createDataFrame(
+        [("u3", ts(5), "p0"), ("u1", ts(100), "p1"),
+         ("u2", ts(200), "p2")],
+        "user_id string, p_ts timestamp, purchase_id string",
+    )
+    clicks = spark.createDataFrame(
+        [("u1", ts(40), "c1"), ("u2", ts(100), "c4")],
+        "user_id string, c_ts timestamp, click_id string",
+    )
+    purchases.write.mode("append").parquet(f"{tmp}/p")
+    clicks.write.mode("append").parquet(f"{tmp}/c")
+    ps = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/p")
+    cs = spark.readStream.schema(clicks.schema).parquet(f"{tmp}/c")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=60, watermark_delay="10 seconds",
+            how="left_anti",
+        ),
+        "ssanti",
+    )
+    assert [r.purchase_id for r in out] == ["p0"]
+    assert set(out[0].asDict()) == {"user_id", "p_ts", "purchase_id"}
 
 
 def test_arrow_events_normalizes_timestamp_flavors(tmp_path):
