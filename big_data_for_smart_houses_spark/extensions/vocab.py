@@ -334,11 +334,27 @@ def bpe_apply_tokens(
     )
     chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
     seqs = words.select("word", chars.alias("seq"))
-    for i, (a, b) in enumerate(rules):
-        seqs = seqs.select(
-            "word", _merge_fold_expr("seq", a, b).alias("seq")
-        )
-        if (i + 1) % 4 == 0:
+    # Rule loop cost envelope (round-10 measurement, SCALE.md
+    # §Round-10 bpe_apply): the cost is DRIVER-side per-rule plan
+    # analysis, ~55-60 ms/rule, linear in |rules| and independent of
+    # vocab size (50k-word table measured: 1k rules ≈ 60 s, 8k ≈
+    # 8 min; a 32k-merge production vocabulary ≈ 30 min of driver
+    # loop while executors stay ~idle). Fusing 4 folds per projection
+    # and checkpointing every 16 is the measured optimum — deeper
+    # fusion (k=16+) makes per-select HOF analysis superlinear and
+    # costs MORE, and an executor-side substring guard saves nothing
+    # (the fold over the KB-scale vocab table was never the
+    # bottleneck). Callers with vocabularies beyond ~10k merges
+    # should budget driver minutes accordingly; the per-TYPE design
+    # keeps that cost constant in corpus size.
+    _FUSE = 4
+    _CKPT = 16
+    for i in range(0, len(rules), _FUSE):
+        col = F.col("seq")
+        for a, b in rules[i : i + _FUSE]:
+            col = _merge_fold_expr(col, a, b)
+        seqs = seqs.select("word", col.alias("seq"))
+        if (i + _FUSE) % _CKPT == 0:
             seqs = seqs.localCheckpoint()
     seg = seqs.select(
         "word",

@@ -947,3 +947,19 @@ def test_tpch_q17_broadcast_to_shuffle_phase_transition(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hdr_sketch_shuffle_budget(spark):
+    """The HDR quantile gate's plan (round 10): each half-build is a
+    map-side-combined count aggregate (partial_count below the
+    exchange), the merge + quantile windows + probe agg all ride ONE
+    further counter-row exchange — 3 hash exchanges total, every one
+    of them moving (group, bucket, cnt) counters, never raw values.
+    A 4th exchange would mean the merge or the probe agg lost the
+    event_type partitioning; losing partial_count would mean the
+    build ships rows instead of counters."""
+    plan = _plan(spark, "hdr_quantile_sketch_events")
+    assert plan.count("Exchange hashpartitioning") == 3, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "partial_count" in plan, plan
