@@ -128,6 +128,9 @@ _TOUCHED_R10 = [
     "edit1_neighborhood_customer",
     # sink-poll except narrowed to AnalysisException
     "synthetic_stream_availablenow",
+    # bpe_apply_tokens now fuses 4 folds per projection (round-10
+    # cost-envelope work) — same semantics, re-certify the gate
+    "bpe_apply_documents",
 ]
 
 from .certification import next_front as _next_front  # noqa: E402
