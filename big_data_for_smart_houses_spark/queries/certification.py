@@ -409,7 +409,13 @@ def next_front(
 
 
 if __name__ == "__main__":
-    derived = compute_last_certified()
+    from . import _ALL_QUERIES
+
+    derived = {
+        k: v
+        for k, v in compute_last_certified().items()
+        if k in _ALL_QUERIES
+    }
     print("LAST_CERTIFIED: dict[str, int] = {")
     for k in sorted(derived):
         print(f'    "{k}": {derived[k]},')
