@@ -21,13 +21,23 @@ ROUND-10 ROTATION POLICY (verdict ask #1): the front is COMPUTED by
 ``certification.LAST_CERTIFIED`` records, for every registered query,
 the most recent round with a green driver row in
 ``CORRECTNESS_r{N}.json``; a registry test re-derives it from the
-artifacts so the static map can never drift. End-of-round-9 state:
-every oracle-backed query (305) has had a green row across r1-r9;
-the r10 front re-certifies the 13 touched gates, certifies the new
-gates, and refreshes the oldest r3 rows. The remaining rows-only
+artifacts so the static map can never drift. The remaining rows-only
 entries are the 4 structural sketches (minhash/simhash/ann_lsh/
 ann_ivf), each carrying a hash-gated recall companion that IS
 driver-certified.
+
+END-OF-ROUND-10 STATE: registry 312 queries / 308 oracles; the front
+= 14 touched (arrow-staging users, timeout-gate projection, edit-1
+over-cap guard, narrowed sink poll, fused bpe_apply) + 3 new
+(hdr_quantile_sketch_events, hdr_quantile_error_bound_events,
+stream_left_anti_availablenow) + 33 oldest-green refreshes (r3 rows).
+ROUND-11 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
+CORRECTNESS_r10.json (``python -m ...queries.certification``, paste,
+test re-derives); (2) replace _TOUCHED_R10 with the round-11 touched
+list; next_front() does the rest — the 6 r3 rows that missed this
+front (token_heavy_hitters, token_stats_by_lang,
+value_histogram_events, weighted_corpus_mix, winsorize_events,
+zscore_anomaly_events) rotate in first, then the r4 block.
 """
 
 from __future__ import annotations
