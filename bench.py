@@ -238,6 +238,7 @@ HEADLINE = [
     "kmv_jaccard_events",
     "hdr_quantile_sketch_events",
     "hdr_quantile_error_bound_events",
+    "hdr_sketch_stream_availablenow",
     "stream_update_mode_availablenow",
     "xml_roundtrip_events",
     "json_roundtrip_events",

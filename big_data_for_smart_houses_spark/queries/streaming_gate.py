@@ -3276,6 +3276,100 @@ ORACLES["stream_left_anti_availablenow"] = (
 )
 
 
+def q_hdr_sketch_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HDR quantile sketch doing its real streaming job (round
+    10): each micro-batch builds its OWN partial sketch in
+    ``foreachBatch`` (one map-side-combined count agg over the batch
+    — the only pass the batch was making anyway) and appends it to a
+    parquet sketch store; quantiles are answered at read time by
+    MERGING the partials (counter sums) and rank-selecting — no raw
+    value is ever re-read. Because the sketch is a monoid, the
+    merged result is BATCH-SPLIT INVARIANT: the oracle replays the
+    single-pass batch build (the same SQL as
+    ``hdr_quantile_sketch_events``), so a green row proves the
+    per-micro-batch partials merge to exactly the all-data sketch —
+    the re-aggregatable-percentiles contract a 100 TB telemetry
+    pipeline runs on (reference KPI shape dashboard/app.py:300-351).
+    The input arrives as two mtime-ordered files, one per trigger."""
+    configure_for_oracle_parity(spark)
+    from ..extensions.sketches import hdr_build, hdr_quantiles
+    from .stats_gate import HDR_PROBES
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    src = _arrow_events(sf_dir, ["event_id", "event_type", "value"])
+    tmp = tempfile.mkdtemp(prefix="hdr_stream_gate_")
+    staged = f"{tmp}/staged"
+    store = f"{tmp}/sketch_store"
+    import pyarrow.compute as pc
+
+    parity = pc.bit_wise_and(src.column("event_id"), 1)
+    _arrow_stage(
+        staged,
+        (
+            src.filter(pc.equal(parity, 0)).select(
+                ["event_type", "value"]
+            ),
+            src.filter(pc.equal(parity, 1)).select(
+                ["event_type", "value"]
+            ),
+        ),
+    )
+
+    def _append_partial(batch_df, batch_id: int) -> None:
+        hdr_build(batch_df, "value", ["event_type"]).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_append_partial)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"hdr sketch stream run exceeded {_AWAIT_S}s"
+            )
+    partials = spark.read.parquet(store)
+    n_batches = partials.select("batch_id").distinct().count()
+    assert n_batches >= 2, f"expected >=2 partial sketches, got {n_batches}"
+    merged = partials.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return hdr_quantiles(
+        merged, ["event_type"], list(HDR_PROBES)
+    ).select(
+        "event_type",
+        F.col("probe_pct").cast("int").alias("probe_pct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("est_scaled").cast("long").alias("est_scaled"),
+    )
+
+
+def _hdr_stream_oracle() -> str:
+    from .stats_gate import ORACLE_HDR_QUANTILE_SKETCH_EVENTS
+
+    return ORACLE_HDR_QUANTILE_SKETCH_EVENTS
+
+
+QUERIES["hdr_sketch_stream_availablenow"] = (
+    q_hdr_sketch_stream_availablenow
+)
+ORACLES["hdr_sketch_stream_availablenow"] = _hdr_stream_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all

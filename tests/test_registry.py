@@ -139,3 +139,23 @@ def test_front_is_computed_touched_then_new_then_oldest():
     tail = front[n_touch + len(new) :]
     rounds = [LAST_CERTIFIED[n] for n in tail]
     assert rounds == sorted(rounds)
+
+
+def test_next_front_edge_cases():
+    """next_front must raise on unregistered touched names and on a
+    touched+new backlog that exceeds the front — silently truncating
+    either would quietly drop driver evidence."""
+    import pytest
+
+    from big_data_for_smart_houses_spark.queries.certification import (
+        next_front,
+    )
+
+    names = [f"q{i}" for i in range(10)]
+    lc = {n: 3 for n in names[:8]}  # q8, q9 never certified
+    front = next_front(names, ["q5"], size=4, last_certified=lc)
+    assert front == ["q5", "q8", "q9", "q0"]
+    with pytest.raises(AssertionError):
+        next_front(names, ["nope"], size=4, last_certified=lc)
+    with pytest.raises(ValueError):
+        next_front(names, ["q0", "q1", "q2"], size=4, last_certified=lc)
