@@ -467,6 +467,13 @@ SCALE10X_PROBES = [
     "stream_device_sessions_availablenow",
     "stream_timeout_sessions_availablenow",
     "pysink_roundtrip_orders",
+    # round 10: the HDR sketch's counter volume (bucket count is
+    # bounded by the value RANGE, not rows — shuffle should grow
+    # sublinearly), its streaming partial-merge variant, and the
+    # left-anti join's state volume
+    "hdr_quantile_sketch_events",
+    "hdr_sketch_stream_availablenow",
+    "stream_left_anti_availablenow",
 ]
 
 

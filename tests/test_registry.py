@@ -128,12 +128,12 @@ def test_front_is_computed_touched_then_new_then_oldest():
 
     front = q._CERTIFICATION_FRONT
     assert len(front) == 50 and len(set(front)) == 50
-    assert front == next_front(q._ALL_QUERIES, q._TOUCHED_R10, size=50)
-    n_touch = len(q._TOUCHED_R10)
-    assert front[:n_touch] == q._TOUCHED_R10
+    assert front == next_front(q._ALL_QUERIES, q._TOUCHED_THIS_ROUND, size=50)
+    n_touch = len(q._TOUCHED_THIS_ROUND)
+    assert front[:n_touch] == q._TOUCHED_THIS_ROUND
     new = sorted(
         n for n in q._ALL_QUERIES
-        if n not in LAST_CERTIFIED and n not in q._TOUCHED_R10
+        if n not in LAST_CERTIFIED and n not in q._TOUCHED_THIS_ROUND
     )
     assert front[n_touch : n_touch + len(new)] == new
     tail = front[n_touch + len(new) :]
