@@ -447,7 +447,6 @@ SCALE10X_PROBES = [
     # round-7 sixth wave: prefix-filter candidate volume (PPJoin),
     # the distributed scan family (2 balanced shuffles — must stay
     # linear), and its order-statistics/skyline riders
-    "ppjoin_pairs_documents",
     "global_rownum_orders",
     "concurrency_sweepline_events",
     "skyline_parts",
