@@ -228,6 +228,7 @@ HEADLINE = [
     "edit1_neighborhood_customer",
     "minhash_incremental_recall",
     "bpe_apply_documents",
+    "bpe_rankmap_documents",
     "pysink_roundtrip_orders",
     "copurchase_lift_parts",
     "agg_pushdown_events",
@@ -463,6 +464,7 @@ SCALE10X_PROBES = [
     "edit1_neighborhood_customer",
     "minhash_incremental_recall",
     "bpe_apply_documents",
+    "bpe_rankmap_documents",
     "stream_device_sessions_availablenow",
     "stream_timeout_sessions_availablenow",
     "pysink_roundtrip_orders",

@@ -356,6 +356,18 @@ def bpe_apply_tokens(
         seqs = seqs.select("word", col.alias("seq"))
         if (i + _FUSE) % _CKPT == 0:
             seqs = seqs.localCheckpoint()
+    return _assemble_streams(df, seqs, text_col, id_col)
+
+
+def _assemble_streams(
+    df: DataFrame, seqs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared tail of both BPE inference operators: join the
+    (word -> token seq) table back to the POSITIONALLY exploded
+    corpus and reassemble each document's token stream in word order
+    (tokens joined by \\x1f within a word, words by \\x1e);
+    unmatched words (outside the word pattern) pass through as
+    single opaque tokens."""
     seg = seqs.select(
         "word",
         F.concat_ws("\x1f", "seq").alias("_seg"),
@@ -387,3 +399,77 @@ def bpe_apply_tokens(
             ).alias("stream"),
         )
     )
+
+
+def bpe_apply_rankmap(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_pattern: str = "^[a-z]+$",
+) -> DataFrame:
+    """BPE inference via the GREEDY RANK-MAP algorithm — the
+    real-vocabulary scale path :func:`bpe_apply_tokens` honestly
+    cannot be (its driver loop is linear in |rules|, ~60 ms/rule —
+    SCALE.md §Round-10): per word, repeatedly merge the
+    lowest-ranked adjacent pair present (leftmost on ties) until no
+    rule applies — the priority-queue inference every production BPE
+    tokenizer runs. Plan depth is O(1) REGARDLESS of |rules|: the
+    rank map ships once per worker inside an Arrow-batched
+    ``mapInPandas`` over the DISTINCT-WORD table (per-TYPE work, KB
+    per executor), so a 32k-merge vocabulary costs the same driver
+    time as a 4-merge one. Iterations per word are bounded by word
+    length, never by vocabulary size.
+
+    SEMANTICS: on a TRAINED merge list (each rule's constituent
+    tokens constructible from earlier rules — what
+    :func:`bpe_merge_rules` emits by construction), this equals the
+    rank-ordered global fold of :func:`bpe_apply_tokens`
+    (property-tested in tests/test_llm_ops.py); on an INCOHERENT
+    list (a rule referencing a token no earlier rule builds) the two
+    legitimately diverge — the fold never revisits earlier ranks,
+    the greedy loop can fire them late. Same output contract as
+    bpe_apply_tokens: ``(id_col, n_tokens, stream)``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rank = {tuple(r): i for i, r in enumerate(rules)}
+    out_schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("seq", ArrayType(StringType())),
+        ]
+    )
+
+    def _segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            segs = []
+            for w in pdf["word"]:
+                seq = list(w)
+                while len(seq) > 1:
+                    best = bi = None
+                    for i in range(len(seq) - 1):
+                        r = rank.get((seq[i], seq[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, bi = r, i
+                    if best is None:
+                        break
+                    seq[bi : bi + 2] = [seq[bi] + seq[bi + 1]]
+                segs.append(seq)
+            yield pd.DataFrame({"word": pdf["word"], "seq": segs})
+
+    words = (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike(word_pattern))
+        .distinct()
+    )
+    seqs = words.mapInPandas(_segment, schema=out_schema)
+    return _assemble_streams(df, seqs, text_col, id_col)

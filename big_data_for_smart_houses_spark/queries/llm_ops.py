@@ -1180,5 +1180,41 @@ ORACLE_BPE_APPLY_DOCUMENTS = bpe_apply_oracle_sql(BPE_APPLY_MERGES)
 QUERIES["bpe_apply_documents"] = q_bpe_apply_documents
 ORACLES["bpe_apply_documents"] = ORACLE_BPE_APPLY_DOCUMENTS
 
+
+def q_bpe_rankmap_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE inference through the RANK-MAP path (extensions/vocab.py:
+    bpe_apply_rankmap — the O(1)-plan-depth greedy lowest-rank
+    tokenizer that carries real 32k-merge vocabularies where the
+    fold path's per-rule driver loop cannot, SCALE.md §Round-10):
+    train the same rules as bpe_apply_documents, tokenize every
+    document via the Arrow-batched mapInPandas segmenter over the
+    distinct-word table, and hash the reassembled streams. On a
+    TRAINED merge list the greedy algorithm provably coincides with
+    the rank-ordered fold (each rule's constituents are built by
+    earlier rules, so no lower rank can ever become newly applicable
+    after a higher one fires — property-tested in
+    tests/test_llm_ops.py), so this gate reuses bpe_apply's
+    training-replay oracle VERBATIM: a green row certifies the
+    greedy implementation against independent SQL, and equality of
+    the two gates' hashes pins fold==greedy on driver data."""
+    from ..extensions.vocab import bpe_apply_rankmap, bpe_merge_rules
+
+    d = _docs(spark, sf_dir)
+    rules = bpe_merge_rules(
+        d, n_merges=BPE_APPLY_MERGES, word_pattern=BPE_WORD_RE
+    )
+    out = bpe_apply_rankmap(d, rules, word_pattern=BPE_WORD_RE)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("stream")).alias("stream_md5"),
+    )
+
+
+QUERIES["bpe_rankmap_documents"] = q_bpe_rankmap_documents
+ORACLES["bpe_rankmap_documents"] = ORACLE_BPE_APPLY_DOCUMENTS
+
 QUERIES["bpe_train_documents"] = q_bpe_train_documents
 ORACLES["bpe_train_documents"] = ORACLE_BPE_TRAIN_DOCUMENTS

@@ -629,3 +629,60 @@ def test_bpe_apply_matches_python_reference_on_interacting_rules(spark):
             n += len(toks)
             segs.append("\x1f".join(toks))
         assert got[i] == (n, "\x1e".join(segs)), i
+
+
+def test_bpe_rankmap_equals_fold_on_trained_rules(spark):
+    """The greedy lowest-rank tokenizer (bpe_apply_rankmap) must
+    coincide with the rank-ordered fold (bpe_apply_tokens) on
+    TRAINED merge lists — each rule's constituents are built by
+    earlier rules, so no lower rank becomes newly applicable after a
+    higher one fires. Checked end-to-end on the gate corpus at 8
+    merges (twice the gate's rule count, deeper interaction)."""
+    from big_data_for_smart_houses_spark.extensions.vocab import (
+        bpe_apply_rankmap,
+        bpe_apply_tokens,
+        bpe_merge_rules,
+    )
+    from big_data_for_smart_houses_spark.queries.llm_ops import (
+        BPE_WORD_RE,
+        _docs,
+    )
+
+    d = _docs(spark, "/root/testdata/sf0.001")
+    rules = bpe_merge_rules(d, n_merges=8, word_pattern=BPE_WORD_RE)
+    fold = {
+        r["doc_id"]: (r["n_tokens"], r["stream"])
+        for r in bpe_apply_tokens(
+            d, rules, word_pattern=BPE_WORD_RE
+        ).collect()
+    }
+    greedy = {
+        r["doc_id"]: (r["n_tokens"], r["stream"])
+        for r in bpe_apply_rankmap(
+            d, rules, word_pattern=BPE_WORD_RE
+        ).collect()
+    }
+    assert fold == greedy and len(fold) > 0
+
+
+def test_bpe_rankmap_diverges_on_incoherent_rules(spark):
+    """The documented semantic difference: on an INCOHERENT rule
+    list — rank 0 consumes a token only rank 1 builds — the fold
+    never revisits rank 0, but the greedy loop fires it late. This
+    divergence is WHY the rankmap gate is only valid on trained
+    lists; if this test starts passing with equal outputs, the
+    operators' contracts have drifted and both docstrings are
+    stale."""
+    from big_data_for_smart_houses_spark.extensions.vocab import (
+        bpe_apply_rankmap,
+        bpe_apply_tokens,
+    )
+
+    d = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    rules = [("ab", "c"), ("a", "b")]  # rank 0 needs rank 1's output
+    fold = bpe_apply_tokens(d, rules).collect()[0]
+    greedy = bpe_apply_rankmap(d, rules).collect()[0]
+    # fold: rule0 never matches chars, rule1 -> [ab, c]
+    assert fold["n_tokens"] == 2 and fold["stream"] == "ab\x1fc"
+    # greedy: rank1 (a,b) fires -> [ab, c]; now rank0 (ab, c) fires
+    assert greedy["n_tokens"] == 1 and greedy["stream"] == "abc"
