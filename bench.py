@@ -849,17 +849,37 @@ def main() -> None:
     regressions = {}
     try:
         with open(local) as fh:
-            prev_q = json.load(fh).get("queries", {})
+            prev = json.load(fh)
+        prev_q = prev.get("queries", {})
+        prev_io = prev.get("query_io", {})
         for name, t in timings.items():
             p = prev_q.get(name)
             if p and t > p * 1.25 and t - p > 0.3:
+                adjudication = _REGRESSION_ADJUDICATIONS.get(name)
+                if adjudication is None:
+                    # First-line auto-adjudication, the same evidence
+                    # the manual r9/r10 investigations used: if the
+                    # query moved EXACTLY the bytes it moved in the
+                    # baseline run (shuffle/spill/input identical at
+                    # 0.01 MB granularity), the plan did not change —
+                    # a plan flip, corpus edit, or superstep change
+                    # moves bytes; ambient machine slowness does not.
+                    # Anything whose io DID move stays UNEXPLAINED
+                    # and must be attributed by hand before shipping.
+                    pio, nio = prev_io.get(name), query_io.get(name)
+                    if pio and nio and pio == nio:
+                        adjudication = (
+                            "io-identical to baseline run (plan and "
+                            "data volume unchanged) — ambient "
+                            "machine variance"
+                        )
+                    else:
+                        adjudication = "UNEXPLAINED"
                 regressions[name] = {
                     "prev_s": round(p, 3),
                     "now_s": round(t, 3),
                     "ratio": round(t / p, 2),
-                    "adjudication": _REGRESSION_ADJUDICATIONS.get(
-                        name, "UNEXPLAINED"
-                    ),
+                    "adjudication": adjudication,
                 }
     except (OSError, ValueError):
         pass  # first run / no previous artifact: nothing to diff

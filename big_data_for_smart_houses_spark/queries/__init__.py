@@ -26,18 +26,20 @@ entries are the 4 structural sketches (minhash/simhash/ann_lsh/
 ann_ivf), each carrying a hash-gated recall companion that IS
 driver-certified.
 
-END-OF-ROUND-10 STATE: registry 312 queries / 308 oracles; the front
+END-OF-ROUND-10 STATE: registry 314 queries / 310 oracles; the front
 = 14 touched (arrow-staging users, timeout-gate projection, edit-1
-over-cap guard, narrowed sink poll, fused bpe_apply) + 3 new
+over-cap guard, narrowed sink poll, fused bpe_apply) + 5 new
 (hdr_quantile_sketch_events, hdr_quantile_error_bound_events,
-stream_left_anti_availablenow) + 33 oldest-green refreshes (r3 rows).
+hdr_sketch_stream_availablenow, stream_left_anti_availablenow,
+bpe_rankmap_documents) + 31 oldest-green refreshes (r3 rows).
 ROUND-11 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
 CORRECTNESS_r10.json (``python -m ...queries.certification``, paste,
 test re-derives); (2) replace _TOUCHED_R10 with the round-11 touched
-list; next_front() does the rest — the 6 r3 rows that missed this
-front (token_heavy_hitters, token_stats_by_lang,
-value_histogram_events, weighted_corpus_mix, winsorize_events,
-zscore_anomaly_events) rotate in first, then the r4 block.
+list; next_front() does the rest — the 8 r3 rows that missed this
+front (tfidf_top_terms, token_batch_packing, token_heavy_hitters,
+token_stats_by_lang, value_histogram_events, weighted_corpus_mix,
+winsorize_events, zscore_anomaly_events) rotate in first, then the
+r4 block.
 """
 
 from __future__ import annotations
