@@ -77,13 +77,13 @@ def _scale_fast(spark, src_dir, dst_dir, factor, tables):
         df = spark.read.parquet(f"{src_dir}/{t}.parquet")
         c = df.withColumn(
             "_copy",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(factor - 1))
-            ).cast("long"),
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))),
         )
         for col in _SCALE_ID_COLS.get(t, []):
             c = c.withColumn(
-                col, F.col(col) + F.col("_copy") * SCALE_KEY_STRIDE
+                col,
+                F.col(col)
+                + F.col("_copy").cast("long") * SCALE_KEY_STRIDE,
             )
         (
             c.drop("_copy")
