@@ -678,6 +678,28 @@ def ppjoin_pairs(
     )
 
 
+def _deletion_keys(t: F.Column) -> F.Column:
+    """The SymSpell blocking-key set of a string: itself plus every
+    single-character deletion. ONE definition shared by the miner
+    (:func:`deletion_neighborhood_pairs`) and the over-cap report
+    (:func:`deletion_neighborhood_overcap`) — the report is only a
+    faithful statement of the miner's completeness precondition
+    while the two key derivations are byte-identical, so they must
+    not be separately editable."""
+    return F.array_distinct(
+        F.concat(
+            F.array(t),
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(
+                    F.substring(t, F.lit(1), i - 1),
+                    F.substring(t, i + 1, F.length(t)),
+                ),
+            ),
+        )
+    )
+
+
 def deletion_neighborhood_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -727,21 +749,9 @@ def deletion_neighborhood_pairs(
     """
     if on_overcap not in ("error", "drop"):
         raise ValueError(f"on_overcap must be error|drop: {on_overcap}")
-    t = F.col(text_col)
-    neigh = F.array_distinct(
-        F.concat(
-            F.array(t),
-            F.transform(
-                F.sequence(F.lit(1), F.length(t)),
-                lambda i: F.concat(
-                    F.substring(t, F.lit(1), i - 1),
-                    F.substring(t, i + 1, F.length(t)),
-                ),
-            ),
-        )
-    )
     blocks = df.select(
-        F.col(id_col).alias("_id"), F.explode(neigh).alias("_k")
+        F.col(id_col).alias("_id"),
+        F.explode(_deletion_keys(F.col(text_col))).alias("_k"),
     )
     buckets = blocks.groupBy("_k").agg(
         F.sort_array(F.collect_set("_id")).alias("_ids0")
@@ -780,8 +790,12 @@ def deletion_neighborhood_pairs(
         .select(F.col("p.a").alias("id1"), F.col("p.b").alias("id2"))
         .distinct()
     )
-    t1 = df.select(F.col(id_col).alias("id1"), t.alias("_t1"))
-    t2 = df.select(F.col(id_col).alias("id2"), t.alias("_t2"))
+    t1 = df.select(
+        F.col(id_col).alias("id1"), F.col(text_col).alias("_t1")
+    )
+    t2 = df.select(
+        F.col(id_col).alias("id2"), F.col(text_col).alias("_t2")
+    )
     return (
         cand.join(t1, "id1")
         .join(t2, "id2")
@@ -807,21 +821,11 @@ def deletion_neighborhood_overcap(
     hot keys whose pairs a capped run loses. Same single shuffle
     shape as the miner (explode -> groupBy key), count-only agg —
     cheap enough to run as a pre-flight check at any scale."""
-    t = F.col(text_col)
-    neigh = F.array_distinct(
-        F.concat(
-            F.array(t),
-            F.transform(
-                F.sequence(F.lit(1), F.length(t)),
-                lambda i: F.concat(
-                    F.substring(t, F.lit(1), i - 1),
-                    F.substring(t, i + 1, F.length(t)),
-                ),
-            ),
-        )
-    )
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(neigh).alias("key"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_deletion_keys(F.col(text_col))).alias("key"),
+        )
         .groupBy("key")
         .agg(F.count_distinct("_id").alias("n_members"))
         .filter(F.col("n_members") > max_bucket_size)

@@ -281,17 +281,22 @@ def hdr_bucket(m: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
 
 def hdr_estimate(bucket: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
     """Integer midpoint of the bucket's value range (exact for unit
-    buckets, within 2^-(sub_bits+1) relative error otherwise)."""
-    k = 1 << (sub_bits + 1)
+    buckets, within 2^-(sub_bits+1) relative error otherwise). ALL
+    integer arithmetic — ``/`` on bigints would detour through
+    double and lose ulps past 2^53 (|value| >= ~4.5e13 at
+    scale=100), silently breaking the bit-exact SQL-replay contract;
+    k is a power of two, so both divisions are shifts."""
     sgn = F.when(bucket < 0, -1).otherwise(1).cast("bigint")
     idx = F.abs(bucket)
-    shift = F.floor(idx / k).cast("int")
-    base = F.pmod(idx, F.lit(k)).cast("bigint")
+    shift = F.call_function(
+        "shiftright", idx, F.lit(sub_bits + 1)
+    ).cast("int")
+    base = F.pmod(idx, F.lit(1 << (sub_bits + 1))).cast("bigint")
     lo = F.call_function("shiftleft", base, shift)
     hi = F.call_function("shiftleft", base + 1, shift) - 1
-    return (sgn * F.floor((lo + hi) / 2).cast("bigint")).alias(
-        "est_scaled"
-    )
+    return (
+        sgn * F.call_function("shiftright", lo + hi, F.lit(1))
+    ).alias("est_scaled")
 
 
 def hdr_build(
@@ -307,7 +312,14 @@ def hdr_build(
     counters, not values."""
     m = F.round(F.col(value_col) * scale, 0).cast("bigint")
     return (
-        df.select(*group_cols, hdr_bucket(m, sub_bits))
+        # NULL values are excluded, not absorbed: a NULL bucket row
+        # would count into n but sort engine-dependently (Spark
+        # windows order NULLS FIRST, DuckDB NULLS LAST), silently
+        # shifting every rank target the moment a corpus gains one
+        # NULL. Standard sketch semantics (CMS/KMV above): null is
+        # no observation.
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, hdr_bucket(m, sub_bits))
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -355,10 +367,11 @@ def hdr_quantiles(
     hit = (
         cum.select(*group_cols, "bucket", "cum", "n", probes)
         .withColumn(
+            # integer DIV, not '/': the double detour loses ulps for
+            # n past 2^53 rows/group (same contract note as
+            # hdr_estimate)
             "target",
-            F.floor((F.col("probe_pct") * F.col("n") + 99) / 100).cast(
-                "bigint"
-            ),
+            F.expr("(probe_pct * n + 99) DIV 100").cast("bigint"),
         )
         .filter(F.col("cum") >= F.col("target"))
         .groupBy(*group_cols, "probe_pct")

@@ -3756,6 +3756,7 @@ _HDR_SKETCH_SQL = """
 q AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS m
   FROM events
+  WHERE value IS NOT NULL
 ),
 bk AS (
   SELECT event_type, m,
@@ -3832,7 +3833,11 @@ def q_hdr_quantile_error_bound_events(
         ["event_type"],
         list(HDR_PROBES),
     )
-    m = ev.select(
+    # NULL values are no observation on BOTH sides (matching
+    # hdr_build's explicit drop): a NULL would order engine-
+    # dependently in the rank window (Spark NULLS FIRST, DuckDB
+    # NULLS LAST) and shift every target the day the corpus gains one
+    m = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("mv"),
     )
@@ -3852,8 +3857,7 @@ def q_hdr_quantile_error_bound_events(
     exact = (
         ranked.select("event_type", "mv", "rk", "n", probes)
         .filter(
-            F.col("rk")
-            >= F.floor((F.col("probe_pct") * F.col("n") + 99) / 100)
+            F.col("rk") >= F.expr("(probe_pct * n + 99) DIV 100")
         )
         .groupBy("event_type", "probe_pct")
         .agg(F.min("mv").alias("exact_scaled"))

@@ -468,8 +468,9 @@ WITH p AS (SELECT user_id, event_id, ts FROM events
            WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id, ts FROM events
       WHERE event_type = 'click'),
-wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-              - INTERVAL 6 HOUR AS w),
+wm AS (SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+                    (SELECT epoch_us(max(ts)) // 1000 FROM c))
+              * 1000 - {6 * 3600 * 1000000} AS w_us),
 matched AS (
   SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
          c.event_id AS click_id, c.ts AS click_ts
@@ -483,7 +484,7 @@ UNION ALL
 SELECT p.user_id, p.event_id, p.ts,
        CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
 FROM p CROSS JOIN wm
-WHERE p.ts < wm.w
+WHERE epoch_us(p.ts) <= wm.w_us - 1000
   AND NOT EXISTS (
     SELECT 1 FROM c
     WHERE c.user_id = p.user_id
@@ -3046,8 +3047,9 @@ WITH p AS (SELECT user_id, event_id, ts FROM events
            WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id, ts FROM events
       WHERE event_type = 'click'),
-wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-              - INTERVAL 6 HOUR AS w),
+wm AS (SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+                    (SELECT epoch_us(max(ts)) // 1000 FROM c))
+              * 1000 - {6 * 3600 * 1000000} AS w_us),
 matched AS (
   SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
          c.event_id AS click_id, c.ts AS click_ts
@@ -3061,7 +3063,7 @@ UNION ALL
 SELECT p.user_id, p.event_id, p.ts,
        CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
 FROM p CROSS JOIN wm
-WHERE p.ts < wm.w
+WHERE epoch_us(p.ts) <= wm.w_us - 1000
   AND NOT EXISTS (
     SELECT 1 FROM c
     WHERE c.user_id = p.user_id
@@ -3071,7 +3073,8 @@ UNION ALL
 SELECT c.user_id, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
        c.event_id, c.ts
 FROM c CROSS JOIN wm
-WHERE c.ts + INTERVAL {STREAM_JOIN_LOOKBACK_S} SECOND < wm.w
+WHERE epoch_us(c.ts)
+        <= wm.w_us - {STREAM_JOIN_LOOKBACK_S * 1000000} - 1000
   AND NOT EXISTS (
     SELECT 1 FROM p
     WHERE p.user_id = c.user_id
@@ -3179,15 +3182,19 @@ def q_stream_left_anti_availablenow(
     streaming/joins.py's ``how='left_anti'`` (left_outer +
     watermark-gated null-side filter on the right TIME column, which
     the interval condition forces non-null on every match). FINALITY
-    SEMANTICS under test: an unmatched purchase emits exactly once
-    only when the final watermark (min of the two sides' max event
-    time, minus the 6 h delay) strictly exceeds its timestamp — the
-    same left-side rule the left-outer and full-outer gates pin —
-    and unmatched purchases at or above the bound stay withheld in
+    SEMANTICS under test (measured to the microsecond — see
+    tests/test_streaming.py boundary test): an unmatched purchase
+    emits exactly once when ``epoch_us(ts) <= W*1000 - 1000``, where
+    ``W`` = min of the two sides' MILLISECOND-FLOORED max event
+    times minus the 6 h delay — Spark tracks event-time stats in ms
+    and its join state-watermark subtracts a further 1 ms of
+    conservatism — the same left-side rule the left-outer and
+    full-outer gates pin; rows above the bound stay withheld in
     state: the correct streaming NOT EXISTS answer. The oracle
-    states that set in closed form; a premature emission, a doubled
-    row, a matched row leaking through, or a missing left-columns
-    projection each hash-fails."""
+    states that set in closed form in the same integer-µs
+    arithmetic; a premature emission, a doubled row, a matched row
+    leaking through, or a missing left-columns projection each
+    hash-fails."""
     configure_for_oracle_parity(spark)
     import pyarrow.compute as pc
 
@@ -3256,11 +3263,12 @@ WITH p AS (SELECT user_id, event_id, ts FROM events
            WHERE event_type = 'purchase'),
 c AS (SELECT user_id, event_id, ts FROM events
       WHERE event_type = 'click'),
-wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
-              - INTERVAL 6 HOUR AS w)
+wm AS (SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM p),
+                    (SELECT epoch_us(max(ts)) // 1000 FROM c))
+              * 1000 - {6 * 3600 * 1000000} AS w_us)
 SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts
 FROM p CROSS JOIN wm
-WHERE p.ts < wm.w
+WHERE epoch_us(p.ts) <= wm.w_us - 1000
   AND NOT EXISTS (
     SELECT 1 FROM c
     WHERE c.user_id = p.user_id
@@ -3343,7 +3351,16 @@ def q_hdr_sketch_stream_availablenow(
             )
     partials = spark.read.parquet(store)
     n_batches = partials.select("batch_id").distinct().count()
-    assert n_batches >= 2, f"expected >=2 partial sketches, got {n_batches}"
+    if n_batches < 2:
+        # explicit raise, not assert: under `python -O` an assert is
+        # stripped and a single-batch run would certify green while
+        # no longer proving the merge (the invariant this gate exists
+        # to test)
+        raise AssertionError(
+            f"expected >=2 partial sketches, got {n_batches} — "
+            "batch admission coalesced the staged files; the merge "
+            "path was not exercised"
+        )
     merged = partials.groupBy("event_type", "bucket").agg(
         F.sum("cnt").alias("cnt")
     )

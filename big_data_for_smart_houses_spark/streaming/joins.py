@@ -66,6 +66,20 @@ def stream_interval_join(
     forces non-null on every matched row, so a null there is
     unambiguously the watermark-proven no-match marker.
 
+    FINALITY BOUNDS, measured to the microsecond (pinned by the
+    boundary test in tests/test_streaming.py): Spark tracks
+    event-time stats in MILLISECONDS, so the global watermark is
+    ``W = floor_ms(min(max_l, max_r)) - delay``, and the join
+    state-watermark subtracts one further millisecond of
+    conservatism (StreamingJoinHelper). An unmatched LEFT row
+    therefore emits iff ``l_ts <= W - 1ms`` (µs comparison), and an
+    unmatched RIGHT row iff ``r_ts <= W - lookback - 1ms``. Rows
+    inside the trailing (sub-ms + 1 ms) slice stay withheld even
+    though their raw event time is below ``min(max) - delay`` —
+    oracles replaying these joins must model the ms-floor and the
+    -1 ms or they over-emit on corpora with sub-millisecond
+    timestamps.
+
     Both inputs must be streaming DataFrames with distinct column
     names apart from ``on``. The two-sided time bound plus the
     watermarks is what lets Spark GC join state."""

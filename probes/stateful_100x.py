@@ -103,8 +103,6 @@ def main() -> None:
         print(f"scale-up materialized in "
               f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
-    ev_schema = "user_id long, ts timestamp, value double"
-
     def sessions_build(events_dir):
         s = (
             spark.readStream.schema(

@@ -971,3 +971,64 @@ def test_hdr_quantile_error_bound_gate_all_within(spark):
     ).collect()
     assert len(rows) == 20  # 5 event types x 4 probes
     assert all(r["within_bound"] for r in rows)
+
+
+def test_hdr_estimate_integer_exact_past_double_precision(spark):
+    """Round-10 review fix: hdr_estimate's midpoint must be ALL
+    integer arithmetic. The old `floor((lo+hi)/2)` detoured through
+    double, and for quantized magnitudes past 2^53 (|value| >=
+    ~4.5e13 at scale=100) the double rounds to a multiple of
+    2^(bits-52) — est_scaled drifted from the SQL oracle's exact
+    `//` midpoint by hundreds and the hash gate would fail. This
+    pins the engine's estimate to the pure-Python integer replay of
+    the bucket/midpoint algebra at magnitudes around 2^53..2^60."""
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        HDR_SUB_BITS,
+        hdr_build,
+        hdr_quantiles,
+    )
+
+    def py_est(m: int, sub_bits: int = HDR_SUB_BITS) -> int:
+        k = 1 << (sub_bits + 1)
+        a = abs(m)
+        e = a.bit_length() - 1
+        shift = max(e - sub_bits, 0)
+        idx = shift * k + (a >> shift)
+        lo, hi = (idx % k) << shift, (((idx % k) + 1) << shift) - 1
+        return (1 if m >= 0 else -1) * ((lo + hi) // 2)
+
+    # values whose cent-quantization lands near/past 2^53
+    big = [9.0e13, 9.007199254740993e13, 1.8e14, 7.3e15, 1.15e16]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(big + [-v for v in big])],
+        "id long, g string, v double",
+    )
+    rows = hdr_quantiles(
+        hdr_build(df, "v", ["g"]), ["g"], [10, 50, 90]
+    ).collect()
+    assert rows, "no quantile rows"
+    for r in rows:
+        # replay the midpoint from the BUCKET id in pure ints
+        b = r["bucket"]
+        k = 1 << (HDR_SUB_BITS + 1)
+        idx = abs(b)
+        shift = idx // k
+        base = idx % k
+        lo, hi = base << shift, ((base + 1) << shift) - 1
+        want = (1 if b >= 0 else -1) * ((lo + hi) // 2)
+        assert r["est_scaled"] == want, (b, r["est_scaled"], want)
+    # and the bucket->estimate algebra agrees with the from-value
+    # replay for each planted magnitude
+    from pyspark.sql import functions as F
+    m_col = F.round(F.col("v") * 100, 0).cast("bigint")
+    ms = [r[0] for r in df.select(m_col).collect()]
+    from big_data_for_smart_houses_spark.extensions.sketches import (
+        hdr_bucket,
+        hdr_estimate,
+    )
+    got = (
+        df.select(hdr_estimate(hdr_bucket(m_col)))
+        .toPandas()["est_scaled"]
+        .tolist()
+    )
+    assert got == [py_est(m) for m in ms]

@@ -643,3 +643,60 @@ def test_arrow_events_normalizes_timestamp_flavors(tmp_path):
             v // 1000 if flavor.unit == "ns" else v for v in vals
         ]
         assert got_us == want, flavor
+
+
+def test_stream_interval_join_watermark_boundary_microseconds(spark):
+    """Pin the join finality bounds to the MICROSECOND (round 10,
+    measured): Spark tracks event-time stats in ms, so the global
+    watermark is floor_ms(min(max_l, max_r)) - delay, and the join
+    state-watermark subtracts one further millisecond
+    (StreamingJoinHelper's conservatism). An unmatched left row
+    emits iff l_ts <= W - 1ms; rows inside the trailing sub-ms + 1ms
+    slice stay withheld even though their raw event time is below
+    min(max) - delay. The three stream-join gate oracles model
+    exactly this bound in integer-µs arithmetic; this test is what
+    keeps engine and oracle pinned to the same microsecond."""
+    import datetime as dt
+
+    from big_data_for_smart_houses_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    tmp = tempfile.mkdtemp()
+    us = dt.datetime.fromisoformat
+    # max on both sides = ...00:00:00.000700 -> floored watermark
+    # W = 18:00:00.000; emission bound = W - 1ms = 17:59:59.999000
+    m = us("2024-01-10 00:00:00.000700")
+    purchases = spark.createDataFrame(
+        [
+            (1, "at_bound", us("2024-01-09 17:59:59.999000")),
+            (1, "in_slice", us("2024-01-09 17:59:59.999999")),
+            (1, "at_floor", us("2024-01-09 18:00:00.000000")),
+            (1, "below_raw", us("2024-01-09 18:00:00.000400")),
+            (9, "sets_max", m),
+        ],
+        "user_id long, purchase_id string, p_ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [(99, "c0", us("2024-01-09 00:00:00")), (98, "cmax", m)],
+        "user_id long, click_id string, c_ts timestamp",
+    )
+    purchases.write.mode("append").parquet(f"{tmp}/p")
+    clicks.write.mode("append").parquet(f"{tmp}/c")
+    ps = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/p")
+    cs = spark.readStream.schema(clicks.schema).parquet(f"{tmp}/c")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=3600, watermark_delay="6 hours",
+            how="left_anti",
+        ),
+        "ssantibound",
+    )
+    # ONLY the row at exactly W - 1ms is final; every row in the
+    # trailing slice — including ones below the raw (un-floored)
+    # min(max) - delay — is withheld. An oracle using the raw bound
+    # would expect in_slice/at_floor/below_raw here and hash-fail.
+    assert sorted(r.purchase_id for r in out) == ["at_bound"]
