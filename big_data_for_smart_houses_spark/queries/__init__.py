@@ -27,21 +27,24 @@ ann_ivf), each carrying a hash-gated recall companion that IS
 driver-certified.
 
 END-OF-ROUND-10 STATE: registry 314 queries / 310 oracles; the front
-= 16 touched (arrow-staging users, timeout-gate projection, edit-1
-over-cap guard, narrowed sink poll, fused bpe_apply, the two
-stream-join gates whose oracles now model the measured ms-floor +
-1 ms finality bound) + 5 new (hdr_quantile_sketch_events,
+= 17 touched (arrow-staging users, timeout-gate projection, edit-1
+over-cap guard, narrowed sink poll, fused bpe_apply, the three
+watermark-emission gates — outer/full-outer joins and session
+windows — whose oracles now model the MEASURED finality bounds:
+ms-floored watermark, -1 ms join-state conservatism, non-strict
+aggregate <=) + 5 new (hdr_quantile_sketch_events,
 hdr_quantile_error_bound_events, hdr_sketch_stream_availablenow,
-stream_left_anti_availablenow, bpe_rankmap_documents) + 29
+stream_left_anti_availablenow, bpe_rankmap_documents) + 28
 oldest-green refreshes (r3 rows).
 ROUND-11 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
 CORRECTNESS_r10.json (``python -m ...queries.certification``, paste,
 test re-derives); (2) replace _TOUCHED_R10 with the round-11 touched
 list; next_front() does the rest — the r3 rows that missed this
-front (text_quality_score, text_stats, tfidf_top_terms,
-token_batch_packing, token_heavy_hitters, token_stats_by_lang,
-value_histogram_events, weighted_corpus_mix, winsorize_events,
-zscore_anomaly_events) rotate in first, then the r4 block.
+front (temperature_mix_documents, text_quality_score, text_stats,
+tfidf_top_terms, token_batch_packing, token_heavy_hitters,
+token_stats_by_lang, value_histogram_events, weighted_corpus_mix,
+winsorize_events, zscore_anomaly_events) rotate in first, then the
+r4 block.
 """
 
 from __future__ import annotations
@@ -146,6 +149,10 @@ _TOUCHED_R10 = [
     # min(max)-delay — robust to sub-ms corpora; re-certify both
     "stream_outer_join_availablenow",
     "stream_fullouter_join_availablenow",
+    # same class: the session-window oracle now models the ms-floored
+    # watermark against the µs-precision session ends (aggregates:
+    # non-strict <=, no -1 ms — measured and boundary-tested)
+    "session_stream_availablenow",
     # sink-poll except narrowed to AnalysisException
     "synthetic_stream_availablenow",
     # bpe_apply_tokens now fuses 4 folds per projection (round-10

@@ -311,11 +311,21 @@ sessions AS (
   GROUP BY user_id, session_seq
 ),
 wm AS (
-  SELECT max(ts) - INTERVAL {SESSION_WM_S} SECOND AS w FROM events
+  -- the ENGINE's bound, measured at sub-ms (see the session-window
+  -- boundary test in tests/test_streaming.py): Spark's event-time
+  -- stats are MILLISECONDS, so the watermark is the ms-FLOORED max
+  -- minus the delay, and a closed session emits iff its µs-precision
+  -- end is <= that (non-strict; aggregates carry no -1 ms join-state
+  -- conservatism). session_end = last event + gap has µs precision,
+  -- so the raw max(ts)-delay form would over-emit sessions ending in
+  -- the trailing sub-ms slice.
+  SELECT (epoch_us(max(ts)) // 1000) * 1000
+           - {SESSION_WM_S * 1000000} AS w_us
+  FROM events
 )
 SELECT s.user_id, s.session_start, s.session_end, s.n_events
 FROM sessions s CROSS JOIN wm
-WHERE s.session_end <= wm.w
+WHERE epoch_us(s.session_end) <= wm.w_us
 """
 
 STREAM_JOIN_LOOKBACK_S = 6 * 3600

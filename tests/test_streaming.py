@@ -700,3 +700,46 @@ def test_stream_interval_join_watermark_boundary_microseconds(spark):
     # min(max) - delay — is withheld. An oracle using the raw bound
     # would expect in_slice/at_floor/below_raw here and hash-fail.
     assert sorted(r.purchase_id for r in out) == ["at_bound"]
+
+
+def test_session_window_watermark_boundary_microseconds(spark):
+    """Pin the session-window finality bound at sub-ms (round 10,
+    measured): a closed session emits iff its µs-precision end is
+    <= the MILLISECOND-FLOORED watermark (floor_ms(max ts) - delay),
+    NON-strict — aggregates carry no -1 ms join-state conservatism.
+    Session ends inside the trailing sub-ms slice stay withheld even
+    though they are below the raw max(ts) - delay; the session gate
+    oracle models exactly this bound in integer-µs arithmetic."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    us = dt.datetime.fromisoformat
+    m = us("2024-01-10 12:00:00.000700")  # floored wm = 11:00:00.000
+    ends = {
+        "below": "2024-01-10 10:59:59.999999",
+        "at_floor": "2024-01-10 11:00:00.000000",
+        "in_slice": "2024-01-10 11:00:00.000400",
+        "at_raw": "2024-01-10 11:00:00.000700",
+    }
+    rows = [
+        (k, us(v) - dt.timedelta(seconds=60)) for k, v in ends.items()
+    ] + [("zmax", m)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    tmp = tempfile.mkdtemp()
+    df.write.parquet(f"{tmp}/in")
+    s = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: (
+            s.withWatermark("ts", "3600 seconds")
+            .groupBy(
+                "user_id", F.session_window("ts", "60 seconds")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id")
+        ),
+        "swbound",
+    )
+    assert sorted(r.user_id for r in out) == ["at_floor", "below"]
