@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Knuth's multiplicative-hash constant (2^32 / phi). id * KNUTH stays
-# within int64 for ids < ~3.5e9; document-scale ids fit with room.
+# Knuth's multiplicative-hash constant (2^32 / phi). The bucketing
+# computes (id * KNUTH) mod B on residues (see _salted_bucket), so no
+# id can overflow the arithmetic.
 KNUTH = 2654435761
 
 SPLIT_BUCKETS = 1000
@@ -24,9 +25,9 @@ DEFAULT_SPLIT = (("train", 900), ("val", 950), ("test", SPLIT_BUCKETS))
 # salt-0 bucketing rotated by `salt`, so "salted" splits would be
 # near-identical rotations (only boundary-crossing ids move) — not
 # independent draws. Striding the multiplier picks an unrelated
-# multiplicative permutation per salt. Keep salts small (epoch/ablation
-# counters) so id * (KNUTH + salt * STRIDE) stays inside int64:
-# safe for id < 2^63 / (KNUTH + salt*STRIDE) ≈ 4e9 at salt ≤ 1000.
+# multiplicative permutation per salt. _salted_bucket computes the
+# product on residues mod the bucket count, so the arithmetic never
+# leaves int64 at ANY id or salt (see its docstring).
 SALT_STRIDE = 2_246_822_519
 
 
@@ -38,9 +39,24 @@ def _salted_bucket(id_col: str, salt: int, buckets: int) -> Column:
     share the salt-0 hash BY DESIGN (consistent hashing: a doc's sample
     membership nests inside its split membership, which is what you
     want for leak-free eval slices); pass distinct salts where
-    statistically independent draws are required."""
+    statistically independent draws are required.
+
+    OVERFLOW-FREE BY CONSTRUCTION (round-10 review): mod distributes
+    over multiplication — ``(id*mult) mod B == ((id mod B) *
+    (mult mod B)) mod B`` — so the product is computed on residues
+    (< B each, <= ~1e12 at the largest modulus) and can never leave
+    int64, for ANY int64 id. The naive ``id * mult`` overflows at
+    id > 2^63/multiplier (≈ 4.1e6 at salt=1000 — reachable by real
+    corpus ids, and by the 100x scale probes' strided ids), silently
+    wrapping with ANSI off and throwing with ANSI on; the factored
+    form yields BIT-IDENTICAL buckets inside that envelope and stays
+    correct beyond it. Oracles replaying ``(id * K) % B`` in SQL are
+    unaffected at gate-scale ids (DuckDB would error loudly on a
+    genuine overflow, not drift)."""
+    mult = KNUTH + salt * SALT_STRIDE
     return F.pmod(
-        F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE), F.lit(buckets)
+        F.pmod(F.col(id_col), F.lit(buckets)) * F.lit(mult % buckets),
+        F.lit(buckets),
     )
 
 
@@ -89,7 +105,12 @@ def weighted_mix(
     for df, weight, label in sources:
         bucket = _salted_bucket(id_col, salt, SPLIT_BUCKETS)
         parts.append(
-            df.filter(bucket < int(weight * SPLIT_BUCKETS)).withColumn(
+            df.filter(
+                # round, not int(): float products truncate
+                # (0.7 * 1000 == 699.999...; int() keeps 699 buckets
+                # = 69.9%, a silently excluded bucket per weight)
+                bucket < round(weight * SPLIT_BUCKETS)
+            ).withColumn(
                 "source", F.lit(label)
             )
         )
@@ -121,12 +142,12 @@ def stratified_sample(
     frac = None
     for name, f in sorted(fractions.items()):
         cond = F.col(strata_col) == name
-        bound = F.lit(int(f * SPLIT_BUCKETS))
+        bound = F.lit(round(f * SPLIT_BUCKETS))  # round, not int(): see weighted_mix
         frac = F.when(cond, bound) if frac is None else frac.when(cond, bound)
     frac = (
-        frac.otherwise(F.lit(int(default_fraction * SPLIT_BUCKETS)))
+        frac.otherwise(F.lit(round(default_fraction * SPLIT_BUCKETS)))
         if frac is not None
-        else F.lit(int(default_fraction * SPLIT_BUCKETS))
+        else F.lit(round(default_fraction * SPLIT_BUCKETS))
     )
     return df.filter(bucket < frac)
 
@@ -179,10 +200,7 @@ def deterministic_shuffle(
     Striding the multiplier by a large constant per salt yields
     unrelated multiplicative permutations (M is prime, so any
     multiplier not divisible by M is a bijection)."""
-    key = F.pmod(
-        F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE),
-        F.lit(SHUFFLE_BUCKETS),
-    )
+    key = _salted_bucket(id_col, salt, SHUFFLE_BUCKETS)
     keyed = df.withColumn("_sk", key)
     counts = keyed.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
@@ -291,6 +309,41 @@ def pack_length_bucketed(
     )
 
 
+def _packed_excl_sum(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    shard_col: str | None,
+    allow_single_shard: bool,
+    caller: str,
+) -> DataFrame:
+    """The packing core both packers share — shard guard, exclusive
+    running token sum, floor-division batch id — so the packing rule
+    has exactly ONE definition (a change to the window frame or the
+    division can never apply to one packer and not the other).
+    Returns the frame with ``_excl_tokens`` and ``batch_id``; callers
+    derive their extras and drop the scratch column."""
+    if shard_col is None and not allow_single_shard:
+        raise ValueError(
+            f"{caller} with shard_col=None runs a global "
+            "unpartitioned window — the whole corpus on one reducer. "
+            "Pass shard_col (e.g. a language or date column), or "
+            "allow_single_shard=True for small, known-bounded inputs."
+        )
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl_sum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("_excl_tokens", excl_sum).withColumn(
+        "batch_id",
+        F.floor(F.col("_excl_tokens") / F.lit(budget)).cast("long"),
+    )
+
+
 def pack_token_batches(
     df: DataFrame,
     token_col: str,
@@ -318,22 +371,9 @@ def pack_token_batches(
     and scans everything — the scale-killer shape), so it raises unless
     ``allow_single_shard=True`` is passed explicitly for small inputs.
     """
-    if shard_col is None and not allow_single_shard:
-        raise ValueError(
-            "pack_token_batches with shard_col=None runs a global "
-            "unpartitioned window — the whole corpus on one reducer. "
-            "Pass shard_col (e.g. a language or date column), or "
-            "allow_single_shard=True for small, known-bounded inputs."
-        )
-    part = [shard_col] if shard_col else []
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    excl_sum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
-    return df.withColumn("_excl_tokens", excl_sum).withColumn(
-        "batch_id", F.floor(F.col("_excl_tokens") / F.lit(budget)).cast("long")
+    return _packed_excl_sum(
+        df, token_col, budget, id_col, shard_col, allow_single_shard,
+        "pack_token_batches",
     ).drop("_excl_tokens")
 
 
@@ -352,10 +392,7 @@ def hash_sample_per_group(
     lowest-id-biased. Same window shape as the cap — one group-key
     shuffle; the skew mitigations in :func:`~..operators.skew.two_phase_topk`
     apply identically (top-K by hash is just as decomposable)."""
-    order = F.pmod(
-        F.col(id_col) * F.lit(KNUTH + salt * SALT_STRIDE),
-        F.lit(SHUFFLE_BUCKETS),
-    )
+    order = _salted_bucket(id_col, salt, SHUFFLE_BUCKETS)
     w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
@@ -489,25 +526,10 @@ def pack_with_offsets(
     batch id already paid for. A boundary-straddling document stays in
     the earlier batch (see pack_token_batches), so ``offset_in_batch +
     tokens`` may overshoot ``budget`` by at most that one document."""
-    if shard_col is None and not allow_single_shard:
-        raise ValueError(
-            "pack_with_offsets with shard_col=None runs a global "
-            "unpartitioned window — the whole corpus on one reducer. "
-            "Pass shard_col, or allow_single_shard=True for small, "
-            "known-bounded inputs."
-        )
-    part = [shard_col] if shard_col else []
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    excl_sum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     return (
-        df.withColumn("_excl_tokens", excl_sum)
-        .withColumn(
-            "batch_id",
-            F.floor(F.col("_excl_tokens") / F.lit(budget)).cast("long"),
+        _packed_excl_sum(
+            df, token_col, budget, id_col, shard_col,
+            allow_single_shard, "pack_with_offsets",
         )
         .withColumn(
             "offset_in_batch",

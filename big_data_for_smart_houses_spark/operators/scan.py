@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 _PID = "_scan_pid"
 _LOCAL = "_scan_local"
 _OFF = "_scan_off"
+_NNN = "_scan_nnn"
+_OFFN = "_scan_offn"
 
 
 _AGGS = {
@@ -49,6 +51,19 @@ _AGGS = {
     "min": F.min,
     "max": F.max,
 }
+
+
+def _default_scan_partitions(spark) -> int:
+    """Partition count for the range exchange when the caller does
+    not pass one. ``spark.sql.shuffle.partitions`` is NOT always an
+    int — deployments with auto-optimized shuffle set the literal
+    string ``"auto"`` — so fall back to the cluster's default
+    parallelism rather than crashing at plan-build time."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
 
 
 def global_running_agg(
@@ -65,8 +80,11 @@ def global_running_agg(
     single-partition stage (any commutative-associative aggregate
     fits the two-level scheme; these three cover the query surface).
 
-    ``inclusive=False`` gives the exclusive prefix: 0 for the first
-    row under ``sum``, NULL (no predecessor) under ``min``/``max``.
+    ``inclusive=False`` gives the exclusive prefix; a prefix with
+    ZERO non-null contributions (the first row, or a leading run of
+    NULL values) yields NULL under every agg — exactly
+    ``AGG(x) OVER (ORDER BY ... ROWS ...)`` semantics, where an
+    aggregate over no non-null inputs is NULL, never a fabricated 0.
     Adds ``out_col``; all scan scaffolding columns are dropped.
     """
     if not order_cols:
@@ -75,10 +93,7 @@ def global_running_agg(
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
     agg_fn = _AGGS[agg]
     spark = df.sparkSession
-    n = int(
-        num_partitions
-        or spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n = num_partitions or _default_scan_partitions(spark)
     val = F.col(value) if isinstance(value, str) else value
 
     # CORRECTNESS-CRITICAL: the local-prefix branch and the totals
@@ -112,30 +127,50 @@ def global_running_agg(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, frame_end)
     )
-    local = pid.withColumn(_LOCAL, agg_fn(F.col("_scan_val")).over(w_local))
+    local = pid.withColumn(
+        _LOCAL, agg_fn(F.col("_scan_val")).over(w_local)
+    ).withColumn(
+        # non-null contributions in the local prefix — rides the SAME
+        # window (no extra exchange); needed for exact SQL semantics
+        # under sum: an aggregate over zero non-null inputs is NULL,
+        # not 0 (leading-NULL prefixes, exclusive first row)
+        _NNN, F.count(F.col("_scan_val")).over(w_local)
+    )
 
     # Stage 3: one total per partition (map-side combined — the
     # shuffle moves <= n pre-aggregated rows), exclusively scanned.
     # This window IS single-partition, over <= num_partitions rows:
     # bounded by cluster parallelism, not by data volume.
     totals = pid.groupBy(_PID).agg(
-        agg_fn(F.col("_scan_val")).alias("_ptot")
+        agg_fn(F.col("_scan_val")).alias("_ptot"),
+        F.count(F.col("_scan_val")).alias("_pcnt"),
     )
     w_off = (
         Window.orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        _PID, agg_fn("_ptot").over(w_off).alias(_OFF)
+        _PID,
+        agg_fn("_ptot").over(w_off).alias(_OFF),
+        F.sum("_pcnt").over(w_off).alias(_OFFN),
     )
 
     # Stage 4: broadcast the tiny offsets table back onto the data.
-    # sum combines by +  (absent prefix = 0); min/max combine by
-    # least/greatest, which skip NULLs — so a NULL exclusive prefix
-    # (first partition / first row) falls through to the other side.
+    # min/max combine by least/greatest, which skip NULLs — so a NULL
+    # exclusive prefix (first partition / first row) falls through to
+    # the other side and an all-NULL prefix yields NULL, exactly the
+    # SQL window result. sum combines by + over coalesced halves, but
+    # guards on the total non-null count so a prefix with ZERO
+    # non-null contributions is NULL — SUM(x) OVER (...) semantics —
+    # instead of a fabricated 0.
     if agg == "sum":
-        combined = F.coalesce(F.col(_LOCAL), F.lit(0).cast("long")) + (
-            F.coalesce(F.col(_OFF), F.lit(0).cast("long"))
+        n_contrib = F.col(_NNN) + F.coalesce(
+            F.col(_OFFN), F.lit(0).cast("long")
+        )
+        combined = F.when(
+            n_contrib > 0,
+            F.coalesce(F.col(_LOCAL), F.lit(0).cast("long"))
+            + F.coalesce(F.col(_OFF), F.lit(0).cast("long")),
         )
     elif agg == "min":
         combined = F.least(F.col(_LOCAL), F.col(_OFF))
@@ -144,7 +179,7 @@ def global_running_agg(
     scanned = (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out_col, combined)
-        .drop(_PID, _LOCAL, _OFF, "_scan_val")
+        .drop(_PID, _LOCAL, _OFF, _NNN, _OFFN, "_scan_val")
     )
     if not carried:
         return scanned
@@ -204,7 +239,12 @@ def global_row_number(
         num_partitions=num_partitions,
         inclusive=False,
     )
-    return numbered
+    # the exclusive prefix of the FIRST row is empty, which the scan
+    # reports as NULL (exact SUM-over-empty-frame semantics); row 0's
+    # index is 0 by this function's 0-based contract
+    return numbered.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+    )
 
 
 def skyline_2d(

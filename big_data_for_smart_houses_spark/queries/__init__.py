@@ -27,24 +27,28 @@ ann_ivf), each carrying a hash-gated recall companion that IS
 driver-certified.
 
 END-OF-ROUND-10 STATE: registry 314 queries / 310 oracles; the front
-= 17 touched (arrow-staging users, timeout-gate projection, edit-1
-over-cap guard, narrowed sink poll, fused bpe_apply, the three
+= 36 touched (arrow-staging users, timeout-gate projection, edit-1
+over-cap guard, narrowed sink poll, fused bpe_apply; the three
 watermark-emission gates — outer/full-outer joins and session
-windows — whose oracles now model the MEASURED finality bounds:
-ms-floored watermark, -1 ms join-state conservatism, non-strict
-aggregate <=) + 5 new (hdr_quantile_sketch_events,
+windows — whose oracles now model the MEASURED finality bounds
+(ms-floored watermark, -1 ms join-state conservatism, non-strict
+aggregate <=); and the 19 gates running through the late-round
+operator review fixes — sampling envelope guard + round() buckets,
+shared packer core, scan NULL-prefix exactness, EWMA late-row
+cursor, LOCF gap cap) + 5 new (hdr_quantile_sketch_events,
 hdr_quantile_error_bound_events, hdr_sketch_stream_availablenow,
-stream_left_anti_availablenow, bpe_rankmap_documents) + 28
-oldest-green refreshes (r3 rows).
+stream_left_anti_availablenow, bpe_rankmap_documents) + 9
+oldest-green refreshes (r3 rows). Rotation takes the hit this round
+by design: a re-certification of edited code outranks a refresh of
+untouched code.
 ROUND-11 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
 CORRECTNESS_r10.json (``python -m ...queries.certification``, paste,
 test re-derives); (2) replace _TOUCHED_R10 with the round-11 touched
-list; next_front() does the rest — the r3 rows that missed this
-front (temperature_mix_documents, text_quality_score, text_stats,
-tfidf_top_terms, token_batch_packing, token_heavy_hitters,
-token_stats_by_lang, value_histogram_events, weighted_corpus_mix,
-winsorize_events, zscore_anomaly_events) rotate in first, then the
-r4 block.
+list; next_front() does the rest — the 25 r3 rows this front could
+not seat (tests/test_registry.py recomputes the exact set; the name-
+ordered head is embedding_ann_lsh, embedding_cosine_topk,
+ewma_events, gopher_quality_documents, language_guess, ...) rotate
+in first, then the r4 block.
 """
 
 from __future__ import annotations
@@ -158,6 +162,36 @@ _TOUCHED_R10 = [
     # bpe_apply_tokens now fuses 4 folds per projection (round-10
     # cost-envelope work) — same semantics, re-certify the gate
     "bpe_apply_documents",
+    # late-round review fixes (all re-mirrored bit-exact before
+    # shipping): every gate running through the edited operators —
+    # sampling's _salted_bucket now computes on residues (overflow-
+    # free at any id, bit-identical in the old envelope) and
+    # weighted_mix/stratified_sample switched int() -> round() on
+    # fraction buckets (weighted_corpus_mix VALUES change: 0.7 now
+    # keeps 700 buckets, not int(699.999...)=699; oracle updated
+    # identically); the packers share one core; scan's running sum
+    # gained exact SQL NULL-prefix semantics + a non-numeric
+    # shuffle-partitions fallback; the EWMA cursor now drops
+    # cross-batch late rows; LOCF gained a gap cap
+    "weighted_corpus_mix",
+    "stratified_sample_events",
+    "dataset_split_documents",
+    "corpus_shuffle_documents",
+    "hash_sample_per_lang",
+    "contrastive_triplets_documents",
+    "token_batch_packing",
+    "packed_sequence_offsets",
+    "inverted_index_documents",
+    "llm_corpus_pipeline_documents",
+    "global_rownum_orders",
+    "ntile_scan_orders",
+    "concurrency_sweepline_events",
+    "skyline_parts",
+    "skyline3d_parts",
+    "gini_customer_orders",
+    "weighted_quantiles_orders",
+    "ks_statistic_events",
+    "stream_rocksdb_availablenow",
 ]
 
 # round-agnostic alias: tests and tooling read this name, so next

@@ -261,10 +261,10 @@ def q_weighted_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WEIGHTED_CORPUS_MIX = f"""
 SELECT doc_id, lang, 'en' AS source FROM documents
-WHERE lang = 'en' AND (doc_id * 2654435761) % 1000 < {int(MIX_EN_WEIGHT * 1000)}
+WHERE lang = 'en' AND (doc_id * 2654435761) % 1000 < {round(MIX_EN_WEIGHT * 1000)}
 UNION ALL
 SELECT doc_id, lang, 'other' AS source FROM documents
-WHERE lang <> 'en' AND (doc_id * 2654435761) % 1000 < {int(MIX_OTHER_WEIGHT * 1000)}
+WHERE lang <> 'en' AND (doc_id * 2654435761) % 1000 < {round(MIX_OTHER_WEIGHT * 1000)}
 """
 
 

@@ -241,10 +241,10 @@ SELECT event_id, user_id, event_type, value
 FROM events
 WHERE (event_id * {KNUTH}) % {SPLIT_BUCKETS} <
       CASE event_type
-        WHEN 'click' THEN {int(0.5 * SPLIT_BUCKETS)}
+        WHEN 'click' THEN {round(0.5 * SPLIT_BUCKETS)}
         WHEN 'error' THEN {SPLIT_BUCKETS}
-        WHEN 'purchase' THEN {int(0.25 * SPLIT_BUCKETS)}
-        ELSE {int(0.1 * SPLIT_BUCKETS)}
+        WHEN 'purchase' THEN {round(0.25 * SPLIT_BUCKETS)}
+        ELSE {round(0.1 * SPLIT_BUCKETS)}
       END
 """
 

@@ -65,9 +65,12 @@ def configure_for_oracle_parity(spark: SparkSession) -> SparkSession:
     except Exception as exc:  # non-modifiable in some deployments
         # Don't swallow this silently: under ANSI, invalid casts THROW
         # instead of yielding null, which changes P2's coerce-to-null
-        # semantics. The hash-based operators are ANSI-safe by
-        # construction (xxhash64 rehash instead of multiply), so only
-        # the cast paths are affected — surface the condition.
+        # semantics. The dedup/sketch hash operators are ANSI-safe by
+        # construction (xxhash64 rehash instead of multiply), and the
+        # sampling module's multiplicative hashes compute on residues
+        # so they cannot overflow at any id (extensions/sampling.
+        # _salted_bucket) — only the cast paths are affected; surface
+        # the condition.
         import warnings
 
         warnings.warn(

@@ -197,7 +197,16 @@ def track_device_sessions(
     state as a pending-interval list. Processing a set of events as
     one micro-batch or several (state carried between) yields the
     same emitted sessions + pending state (batch-split invariance,
-    property-tested)."""
+    property-tested).
+
+    CONTRACT — quiet keys: emission is driven by DATA (the per-key
+    max-seen frontier), so a device that stops sending events
+    PERMANENTLY never has its final sessions emitted and its pending
+    intervals stay in state — the price of batch-split-invariant
+    exactness under NoTimeout. For corpora with device churn use
+    :func:`track_sessions_timeout`, whose processing-time timeout
+    drains quiet keys (emitting their tail with ``closed_by =
+    'timeout'``) and frees their state."""
     return stream.groupBy(key_col).applyInPandasWithState(
         _track_sessions(gap_seconds),
         outputStructType=SESSION_OUTPUT_SCHEMA,
@@ -217,13 +226,10 @@ TIMEOUT_SESSION_OUTPUT_SCHEMA = StructType(
     ]
 )
 
-TIMEOUT_STATE_SCHEMA = StructType(
-    [
-        StructField("starts_us", ArrayType(LongType())),
-        StructField("lasts_us", ArrayType(LongType())),
-        StructField("counts", ArrayType(LongType())),
-    ]
-)
+# same pending-interval list state as the NoTimeout tracker — one
+# definition, shared with _restore_pending/_save_pending, so a field
+# change cannot desynchronize the two trackers' (de)serialization
+TIMEOUT_STATE_SCHEMA = STATE_SCHEMA
 
 
 def _track_sessions_timeout(gap_seconds: int):
@@ -393,10 +399,10 @@ def _ewma_fn(alpha: float):
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            last, _, _ = state.get
+            last, cur_ts_us, cur_eid = state.get
         else:
-            last = None
-        rows: list[tuple[int, pd.Timestamp, float, float]] = []
+            last, cur_ts_us, cur_eid = None, None, None
+        rows: list[tuple[int, object, float, float]] = []
         # Arrow may deliver one key's micro-batch as SEVERAL chunks with
         # no ordering guarantee across them — sorting each chunk alone
         # would fold rows out of (ts, event_id) order whenever a key
@@ -408,10 +414,28 @@ def _ewma_fn(alpha: float):
             whole = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
-            for _, r in whole.iterrows():
-                v = float(r["value"])
+            # column-wise numpy iteration — bit-identical float fold,
+            # without iterrows' per-row Series boxing (the round-9
+            # LOCF lesson applied here)
+            eids = whole["event_id"].to_numpy()
+            tss = whole["ts"].to_numpy()
+            ts_us_arr = tss.astype("datetime64[us]").astype("int64")
+            vals = whole["value"].to_numpy()
+            for eid, ts, ts_us, v in zip(eids, tss, ts_us_arr, vals):
+                if cur_ts_us is not None and (
+                    ts_us, int(eid)
+                ) <= (cur_ts_us, cur_eid):
+                    # the carried (ts, event_id) cursor GUARDS the
+                    # documented late-row hazard: a row at or before
+                    # the last folded position cannot be inserted into
+                    # an already-emitted append-mode prefix, so it is
+                    # dropped rather than folded out of order (which
+                    # would silently poison every later ewma for the
+                    # key)
+                    continue
+                v = float(v)
                 last = v if last is None else alpha * v + beta * last
-                rows.append((int(r["event_id"]), r["ts"], v, last))
+                rows.append((int(eid), ts, v, last))
         if rows:
             last_eid, last_ts = rows[-1][0], rows[-1][1]
             state.update(
@@ -441,9 +465,13 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
     Within a micro-batch rows are folded in (ts, event_id) order —
     the same total order as the batch operator, so a stream replayed
     batch-wise produces exactly the batch answer (asserted in tests).
-    Late rows older than the carried (ts, event_id) cursor would fold
-    out of order; feed the operator from a watermarked source when
-    out-of-order arrival is possible."""
+    Rows at or before the carried (ts, event_id) cursor — late
+    arrivals from earlier micro-batches — are DROPPED, not folded:
+    in append mode the already-emitted prefix cannot be revised, and
+    folding a late row out of order would silently poison every
+    subsequent ewma for the key (unit-tested). Feed the operator
+    from a watermarked source to bound how much data that policy can
+    discard."""
     return stream.groupBy("user_id").applyInPandasWithState(
         _ewma_fn(alpha),
         outputStructType=EWMA_OUTPUT_SCHEMA,
@@ -474,7 +502,7 @@ LOCF_STATE_SCHEMA = StructType(
 )
 
 
-def _locf_fn(step_seconds: int):
+def _locf_fn(step_seconds: int, max_gap_buckets: int = 100_000):
     step_us = step_seconds * _US
 
     def fn(
@@ -518,6 +546,22 @@ def _locf_fn(step_seconds: int):
                     if (ts_us, v) > (obs_ts_us, value):
                         obs_ts_us, value = ts_us, v
                 elif b > bucket_s:
+                    # gap emission is O(gap length) PYTHON TUPLES
+                    # inside one task: a key resuming from a months-
+                    # stale checkpoint would materialize millions of
+                    # rows for ONE event. Fail loudly at the cap
+                    # (observable, like the edit-1 over-cap guard)
+                    # instead of stalling/OOMing the executor.
+                    n_gaps = (b - bucket_s) // step_seconds - 1
+                    if n_gaps > max_gap_buckets:
+                        raise ValueError(
+                            f"locf_stream: key {user_id} gap of "
+                            f"{n_gaps} buckets exceeds max_gap_"
+                            f"buckets={max_gap_buckets} (open bucket "
+                            f"{bucket_s}, next event bucket {b}); "
+                            "widen step_seconds, raise the cap, or "
+                            "expire stale keys upstream"
+                        )
                     out.append((bucket_s, value, False))
                     for g in range(
                         bucket_s + step_seconds, b, step_seconds
@@ -544,7 +588,9 @@ def _locf_fn(step_seconds: int):
 
 
 def locf_stream(
-    stream: DataFrame, step_seconds: int = 3600
+    stream: DataFrame,
+    step_seconds: int = 3600,
+    max_gap_buckets: int = 100_000,
 ) -> DataFrame:
     """Streaming gap-filled LOCF resampling — the incremental form of
     ``operators/stats.gap_fill_locf``: per key the state store holds
@@ -559,9 +605,13 @@ def locf_stream(
     the batch operator's exact tie rule.
 
     Late events older than the open bucket are dropped, not folded —
-    feed from a watermarked source (the ewma_stream contract)."""
+    feed from a watermarked source (the ewma_stream contract). A gap
+    longer than ``max_gap_buckets`` (default 100k — ~70 days at 60 s
+    steps) raises rather than materializing millions of gap rows in
+    one task: resuming a months-stale key is a capacity decision the
+    caller should make explicitly."""
     return stream.groupBy("user_id").applyInPandasWithState(
-        _locf_fn(step_seconds),
+        _locf_fn(step_seconds, max_gap_buckets),
         outputStructType=LOCF_OUTPUT_SCHEMA,
         stateStructType=LOCF_STATE_SCHEMA,
         outputMode="append",

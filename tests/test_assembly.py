@@ -241,3 +241,36 @@ def test_bloom_no_false_negatives_and_merge(spark):
         ~F.col("m.bits").eqNullSafe(F.col("w.bits"))
     )
     assert diff.count() == 0
+
+
+def test_salted_bucket_residue_math_matches_bigint_product(spark):
+    """Round-10 review fix: _salted_bucket computes (id*mult) mod B
+    on residues, so the arithmetic never leaves int64. Pin (1) bit-
+    identity with the naive product for in-envelope ids and (2)
+    correctness against Python big-int math for ids far PAST the old
+    2^63/multiplier envelope (where the naive multiply wraps)."""
+    from pyspark.sql import functions as F
+
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        KNUTH,
+        SALT_STRIDE,
+        SHUFFLE_BUCKETS,
+        SPLIT_BUCKETS,
+        _salted_bucket,
+    )
+
+    ids = [0, 1, 999, 12_345, 4_000_000, 3_400_000_000,
+           9_900_000_000, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for salt, buckets in ((0, SPLIT_BUCKETS), (7, SPLIT_BUCKETS),
+                          (1000, SHUFFLE_BUCKETS)):
+        mult = KNUTH + salt * SALT_STRIDE
+        got = {
+            r.doc_id: r.b
+            for r in df.select(
+                "doc_id",
+                _salted_bucket("doc_id", salt, buckets).alias("b"),
+            ).collect()
+        }
+        want = {i: (i * mult) % buckets for i in ids}
+        assert got == want, (salt, buckets)

@@ -57,13 +57,47 @@ def test_running_sum_partition_count_invariant(spark):
     assert a == b
 
 
-def test_exclusive_prefix_starts_at_zero(spark):
+def test_exclusive_prefix_first_row_is_null(spark):
+    """Round-10 semantics fix: an aggregate over an EMPTY (or
+    all-NULL) prefix is NULL, matching SUM(x) OVER (ORDER BY ...
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) — the old
+    behavior fabricated a 0. global_row_number coalesces at its own
+    call site to keep its documented 0-based contract."""
     df = _rows(100, spark)
     out = global_running_sum(
         df, ["k"], "v", num_partitions=4, inclusive=False
     )
     first = out.orderBy("k").first()
-    assert first.running == 0
+    assert first.running is None
+
+
+def test_running_sum_leading_nulls_match_sql_window(spark):
+    """Leading NULL values: the scan must agree with the SQL window
+    exactly — NULL while no non-null contribution exists, then the
+    plain sums — for both inclusive and exclusive frames."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5), (4, None), (5, 2)],
+        "k long, v long",
+    )
+    df.createOrReplaceTempView("_lead_nulls")
+    for inclusive, frame_end in ((True, "CURRENT ROW"),
+                                 (False, "1 PRECEDING")):
+        got = {
+            r.k: r.running
+            for r in global_running_sum(
+                df, ["k"], "v", num_partitions=3,
+                inclusive=inclusive,
+            ).collect()
+        }
+        want = {
+            r.k: r.w
+            for r in df.sparkSession.sql(
+                "SELECT k, SUM(v) OVER (ORDER BY k ROWS BETWEEN "
+                f"UNBOUNDED PRECEDING AND {frame_end}) AS w "
+                "FROM _lead_nulls"
+            ).collect()
+        }
+        assert got == want, (inclusive, got, want)
 
 
 def test_row_number_dense_zero_based(spark):

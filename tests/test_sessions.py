@@ -1003,3 +1003,68 @@ def test_timeout_tracker_state_survives_crash_restart(spark):
     assert state == [
         (3, (5_000_000_000,), (6_801_000_000,), (3,))
     ]
+
+
+def test_ewma_drops_cross_batch_late_rows():
+    """Round-10 review fix: the carried (ts, event_id) cursor now
+    GUARDS the late-row hazard instead of being dead state. A second
+    micro-batch delivering a row at or before the cursor drops it —
+    folding it would poison every later ewma in an already-emitted
+    append-mode prefix — while rows after the cursor fold normally."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import _ewma_fn
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": [e for e, _, _ in rows],
+                "ts": [T0 + dt.timedelta(seconds=s) for _, s, _ in rows],
+                "value": [float(v) for _, _, v in rows],
+            }
+        )
+
+    fn = _ewma_fn(0.25)
+    state = _FakeGroupState()
+    (b1,) = list(fn((1,), iter([chunk([(100, 0, 10.0), (101, 60, 20.0)])]), state))
+    e100, e101 = 10.0, 0.25 * 20.0 + 0.75 * 10.0
+    assert dict(zip(b1["event_id"], b1["ewma"])) == {100: e100, 101: e101}
+
+    # batch 2: one LATE row (ts before the cursor), one equal to the
+    # cursor (same ts AND event_id), one genuinely new
+    (b2,) = list(
+        fn((1,), iter([chunk([(99, 30, 99.0), (101, 60, 99.0), (102, 120, 40.0)])]), state)
+    )
+    e102 = 0.25 * 40.0 + 0.75 * e101
+    assert dict(zip(b2["event_id"], b2["ewma"])) == {102: e102}
+    assert state.get[0] == e102
+
+
+def test_locf_gap_cap_raises_loudly():
+    """Round-10 review fix: a months-stale open bucket meeting a new
+    event would materialize one Python tuple per missing bucket in a
+    single task (unbounded by anything). The cap fails loudly with
+    the key and gap size instead of stalling the executor."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from big_data_for_smart_houses_spark.streaming.stateful import _locf_fn
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "ts": [T0 + dt.timedelta(seconds=s) for s, _ in rows],
+                "value": [float(v) for _, v in rows],
+            }
+        )
+
+    fn = _locf_fn(60, max_gap_buckets=10)
+    state = _FakeGroupState()
+    list(fn((1,), iter([chunk([(0, 1.0)])]), state))
+    # 5-bucket gap: fine
+    list(fn((1,), iter([chunk([(6 * 60, 2.0)])]), state))
+    # 600-bucket gap: over the cap of 10 -> loud failure
+    with _pytest.raises(ValueError, match="max_gap_buckets"):
+        list(fn((1,), iter([chunk([(610 * 60, 3.0)])]), state))
