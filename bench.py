@@ -866,12 +866,22 @@ def main() -> None:
                     # moves bytes; ambient machine slowness does not.
                     # Anything whose io DID move stays UNEXPLAINED
                     # and must be attributed by hand before shipping.
+                    # CAPPED (round-10 advice): identical bytes rule
+                    # out plan flips that MOVE data, but CPU-only
+                    # changes (extra codegen stage, UDF overhead, an
+                    # added local agg) move zero bytes while genuinely
+                    # slowing a query — so the waiver only covers the
+                    # variance band (<= 2.0x). An io-identical
+                    # regression beyond 2x is not "ambient machine
+                    # variance" on any box we have measured (seven
+                    # committed dedup_groups runs spanned 1.42x) and
+                    # stays UNEXPLAINED for hand attribution.
                     pio, nio = prev_io.get(name), query_io.get(name)
-                    if pio and nio and pio == nio:
+                    if pio and nio and pio == nio and t <= p * 2.0:
                         adjudication = (
                             "io-identical to baseline run (plan and "
-                            "data volume unchanged) — ambient "
-                            "machine variance"
+                            "data volume unchanged) within the 2x "
+                            "variance band — ambient machine variance"
                         )
                     else:
                         adjudication = "UNEXPLAINED"

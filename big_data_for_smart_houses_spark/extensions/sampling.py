@@ -31,6 +31,28 @@ DEFAULT_SPLIT = (("train", 900), ("val", 950), ("test", SPLIT_BUCKETS))
 SALT_STRIDE = 2_246_822_519
 
 
+def fraction_buckets(fraction: float, buckets: int = SPLIT_BUCKETS) -> int:
+    """Bucket bound for a sampling fraction: half-up rounding, so the
+    tie at exactly half a bucket goes UP (``int(f*B + 0.5)``), never
+    Python ``round()``'s banker's tie-to-even — under which 0.0005
+    kept 0 buckets (source silently empty) while 0.0015 kept 2
+    (round-10 advice). A positive fraction that still rounds to zero
+    buckets is rejected loudly: the caller asked for *some* rows and
+    would silently get none — they need a larger fraction or a finer
+    ``buckets`` resolution, not an empty source. Oracles replay this
+    same helper so the tie rule has exactly one definition."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(fraction * buckets + 0.5)
+    if fraction > 0.0 and n == 0:
+        raise ValueError(
+            f"fraction {fraction} rounds to 0 of {buckets} buckets — "
+            "the source would be silently empty; raise the fraction "
+            "or the bucket resolution"
+        )
+    return n
+
+
 def _salted_bucket(id_col: str, salt: int, buckets: int) -> Column:
     """Deterministic bucket in [0, buckets) from a multiplicative hash
     of the id; distinct salts yield unrelated bucketings (multiplier
@@ -106,10 +128,11 @@ def weighted_mix(
         bucket = _salted_bucket(id_col, salt, SPLIT_BUCKETS)
         parts.append(
             df.filter(
-                # round, not int(): float products truncate
+                # fraction_buckets, not int(): float products truncate
                 # (0.7 * 1000 == 699.999...; int() keeps 699 buckets
-                # = 69.9%, a silently excluded bucket per weight)
-                bucket < round(weight * SPLIT_BUCKETS)
+                # = 69.9%, a silently excluded bucket per weight) —
+                # and not round(): banker's ties (see fraction_buckets)
+                bucket < fraction_buckets(weight)
             ).withColumn(
                 "source", F.lit(label)
             )
@@ -142,12 +165,14 @@ def stratified_sample(
     frac = None
     for name, f in sorted(fractions.items()):
         cond = F.col(strata_col) == name
-        bound = F.lit(round(f * SPLIT_BUCKETS))  # round, not int(): see weighted_mix
+        # fraction_buckets: half-up ties + loud zero-bucket guard
+        bound = F.lit(fraction_buckets(f))
         frac = F.when(cond, bound) if frac is None else frac.when(cond, bound)
+    _default = fraction_buckets(default_fraction)
     frac = (
-        frac.otherwise(F.lit(round(default_fraction * SPLIT_BUCKETS)))
+        frac.otherwise(F.lit(_default))
         if frac is not None
-        else F.lit(round(default_fraction * SPLIT_BUCKETS))
+        else F.lit(_default)
     )
     return df.filter(bucket < frac)
 

@@ -93,7 +93,15 @@ def global_running_agg(
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
     agg_fn = _AGGS[agg]
     spark = df.sparkSession
-    n = num_partitions or _default_scan_partitions(spark)
+    # explicit None test: `or` would collapse num_partitions=0 into
+    # the default instead of rejecting it (round-10 advice)
+    n = (
+        _default_scan_partitions(spark)
+        if num_partitions is None
+        else num_partitions
+    )
+    if n < 1:
+        raise ValueError(f"num_partitions must be >= 1, got {n}")
     val = F.col(value) if isinstance(value, str) else value
 
     # CORRECTNESS-CRITICAL: the local-prefix branch and the totals

@@ -8,47 +8,47 @@ non-SQL-expressible (hash-seeded sketches) and get rows-only checks.
 ORDER MATTERS: the external driver certifies the first 50 entries by
 insertion order.
 
-ROUND-10 ROTATION POLICY (verdict ask #1): the front is COMPUTED by
+ROTATION POLICY (round-10 verdict ask #1): the front is COMPUTED by
 ``certification.next_front`` from per-query provenance, not curated —
 
 1. every gate whose code or corpus this round TOUCHED (the
-   ``_TOUCHED_R10`` list below is the one per-round human input);
+   ``_TOUCHED_R11`` list below is the one per-round human input);
 2. every never-certified query (new gates this round) — detected
    mechanically as names absent from ``certification.LAST_CERTIFIED``;
-3. remaining slots fill oldest-green-first, so the r3/r4 rows that
-   predate five rounds of refactors rotate forward mechanically.
+3. remaining slots fill oldest-green-first, so stale rows rotate
+   forward mechanically;
+and whenever a rows-only sketch is seated by any rule, its
+hash-certified recall companion seats immediately after it
+(``certification.ROWS_ONLY_COMPANIONS`` — round-10 verdict ask #7),
+so the weaker rows-only row never certifies alone.
 
 ``certification.LAST_CERTIFIED`` records, for every registered query,
 the most recent round with a green driver row in
 ``CORRECTNESS_r{N}.json``; a registry test re-derives it from the
-artifacts so the static map can never drift. The remaining rows-only
-entries are the 4 structural sketches (minhash/simhash/ann_lsh/
-ann_ivf), each carrying a hash-gated recall companion that IS
-driver-certified.
+artifacts (clamped at the map's own max round — the driver writes
+each round's artifact AFTER the builder's final commit, round-10
+verdict finding #1) so the static map can never drift. The remaining
+rows-only entries are the 4 structural sketches (minhash/simhash/
+ann_lsh/ann_ivf), each carrying a hash-gated recall companion that
+IS driver-certified.
 
-END-OF-ROUND-10 STATE: registry 314 queries / 310 oracles; the front
-= 36 touched (arrow-staging users, timeout-gate projection, edit-1
-over-cap guard, narrowed sink poll, fused bpe_apply; the three
-watermark-emission gates — outer/full-outer joins and session
-windows — whose oracles now model the MEASURED finality bounds
-(ms-floored watermark, -1 ms join-state conservatism, non-strict
-aggregate <=); and the 19 gates running through the late-round
-operator review fixes — sampling envelope guard + round() buckets,
-shared packer core, scan NULL-prefix exactness, EWMA late-row
-cursor, LOCF gap cap) + 5 new (hdr_quantile_sketch_events,
-hdr_quantile_error_bound_events, hdr_sketch_stream_availablenow,
-stream_left_anti_availablenow, bpe_rankmap_documents) + 9
-oldest-green refreshes (r3 rows). Rotation takes the hit this round
-by design: a re-certification of edited code outranks a refresh of
-untouched code.
-ROUND-11 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
-CORRECTNESS_r10.json (``python -m ...queries.certification``, paste,
-test re-derives); (2) replace _TOUCHED_R10 with the round-11 touched
-list; next_front() does the rest — the 25 r3 rows this front could
-not seat (tests/test_registry.py recomputes the exact set; the name-
-ordered head is embedding_ann_lsh, embedding_cosine_topk,
-ewma_events, gopher_quality_documents, language_guess, ...) rotate
-in first, then the r4 block.
+END-OF-ROUND-11 STATE: registry 314 queries / 310 oracles — no new
+queries this round BY DESIGN (round-10 verdict ask #2: every slot
+the touched list doesn't need burns down the refresh backlog). The
+front = 14 touched (3 hdr gates through the new bit-arithmetic
+bucket, 2 sampling gates through half-up fraction_buckets, 8
+scan-family gates through the num_partitions validation, the EWMA
+stream gate with the counted late-drop) + all 25 r3 rows (the two
+rows-only sketches among them pull in their r9 recall companions:
+ann_lsh_recall_planted, simhash_recall_exact_dups) + the oldest r4
+rows. After a green round 11 the oldest certification in the
+registry is r4.
+ROUND-12 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
+CORRECTNESS_r11.json (``python -m ...queries.certification``, paste,
+test re-derives); (2) replace _TOUCHED_R11 with the round-12 touched
+list; next_front() does the rest — refresh priority continues with
+the remaining r4 block (tests/test_registry.py recomputes the exact
+seating).
 """
 
 from __future__ import annotations
@@ -123,66 +123,38 @@ ORACLES = {
     **_TPCH_ORACLES,
 }
 
-# Round-10 rotation (verdict ask #1): the front is COMPUTED, not
-# curated — touched gates first, then never-certified new gates, then
-# oldest-green-first from certification.LAST_CERTIFIED. The touched
-# list is the one per-round input a human supplies: every gate whose
-# code or corpus this round edited.
-_TOUCHED_R10 = [
-    # closed_by dropped from the hash projection + oracle (advice:
-    # the label is emission-time metadata, not split-invariant)
-    "stream_timeout_sessions_availablenow",
-    # _arrow_events now normalizes timestamps to us/UTC before
-    # staging — every gate staging through it re-certifies
-    "statestore_timeout_rearm_availablenow",
-    "stream_device_sessions_availablenow",
-    "rocksdb_pysessions_availablenow",
-    "statestore_sessions_availablenow",
-    "locf_stream_availablenow",
-    "ewma_stream_availablenow",
-    "stream_dedup_availablenow",
-    "stream_multiwatermark_availablenow",
-    "stream_restart_pystate_availablenow",
-    "stream_torture_availablenow",
-    # deletion_neighborhood_pairs gained the in-plan over-cap guard
-    # (default on_overcap='error') — the gate runs through it
-    "edit1_neighborhood_customer",
-    # review fix: the stream-join oracles now model the engine's
-    # measured finality bound (ms-floored watermark minus the 1 ms
-    # state-watermark conservatism) instead of the raw
-    # min(max)-delay — robust to sub-ms corpora; re-certify both
-    "stream_outer_join_availablenow",
-    "stream_fullouter_join_availablenow",
-    # same class: the session-window oracle now models the ms-floored
-    # watermark against the µs-precision session ends (aggregates:
-    # non-strict <=, no -1 ms — measured and boundary-tested)
-    "session_stream_availablenow",
-    # sink-poll except narrowed to AnalysisException
-    "synthetic_stream_availablenow",
-    # bpe_apply_tokens now fuses 4 folds per projection (round-10
-    # cost-envelope work) — same semantics, re-certify the gate
-    "bpe_apply_documents",
-    # late-round review fixes (all re-mirrored bit-exact before
-    # shipping): every gate running through the edited operators —
-    # sampling's _salted_bucket now computes on residues (overflow-
-    # free at any id, bit-identical in the old envelope) and
-    # weighted_mix/stratified_sample switched int() -> round() on
-    # fraction buckets (weighted_corpus_mix VALUES change: 0.7 now
-    # keeps 700 buckets, not int(699.999...)=699; oracle updated
-    # identically); the packers share one core; scan's running sum
-    # gained exact SQL NULL-prefix semantics + a non-numeric
-    # shuffle-partitions fallback; the EWMA cursor now drops
-    # cross-batch late rows; LOCF gained a gap cap
+# Round-11 rotation: the front is COMPUTED, not curated — touched
+# gates first (rows-only sketches bring their recall companions,
+# certification.ROWS_ONLY_COMPANIONS), then never-certified new
+# gates, then oldest-green-first from certification.LAST_CERTIFIED.
+# The touched list is the one per-round input a human supplies:
+# every gate whose EXECUTED code or corpus this round edited.
+# Deliberately small (round-10 verdict ask #2): no new registry
+# queries were minted this round, so ~36 slots burn down the r3/r4
+# refresh backlog. NOT counted as touched, with reasons:
+# streaming_gate.py gained only a module-level provenance constant
+# (FINALITY_BOUNDS_MEASURED_SPARK — no gate's compute changed);
+# session.py gained the scale profile (new functions no gate calls);
+# bench.py's regression-waiver cap and the certification-module
+# changes are harness-side.
+_TOUCHED_R11 = [
+    # hdr_bucket's floor(log2) switched from conv-to-binary-string
+    # to smear+popcount bit arithmetic (verdict ask #6) — proven
+    # bit-identical across every power-of-two boundary (unit test)
+    # and exact-mirrored at sf0.01, but the three gates execute the
+    # edited expression, so they re-certify
+    "hdr_quantile_sketch_events",
+    "hdr_quantile_error_bound_events",
+    "hdr_sketch_stream_availablenow",
+    # fraction-bucket rounding switched round() -> half-up
+    # fraction_buckets() with a loud zero-bucket guard (round-10
+    # advice); gate weights hit no .5 ties so values are identical
+    # (exact-mirrored), engine and oracle share the helper
     "weighted_corpus_mix",
     "stratified_sample_events",
-    "dataset_split_documents",
-    "corpus_shuffle_documents",
-    "hash_sample_per_lang",
-    "contrastive_triplets_documents",
-    "token_batch_packing",
-    "packed_sequence_offsets",
-    "inverted_index_documents",
-    "llm_corpus_pipeline_documents",
+    # global_running_agg now rejects num_partitions<1 instead of
+    # silently substituting the default on 0 (round-10 advice);
+    # validation-only, but on these gates' executed path
     "global_rownum_orders",
     "ntile_scan_orders",
     "concurrency_sweepline_events",
@@ -191,12 +163,15 @@ _TOUCHED_R10 = [
     "gini_customer_orders",
     "weighted_quantiles_orders",
     "ks_statistic_events",
-    "stream_rocksdb_availablenow",
+    # the EWMA cross-batch late-row drop is now counted (WARNING +
+    # optional accumulator, round-10 advice) — output unchanged,
+    # fold path edited
+    "ewma_stream_availablenow",
 ]
 
 # round-agnostic alias: tests and tooling read this name, so next
 # round only renames the list above
-_TOUCHED_THIS_ROUND = _TOUCHED_R10
+_TOUCHED_THIS_ROUND = _TOUCHED_R11
 
 from .certification import next_front as _next_front  # noqa: E402
 

@@ -62,36 +62,37 @@ LAST_CERTIFIED: dict[str, int] = {
     "asof_nearest_events": 8,
     "avi_frame_sample_assets": 7,
     "bfs_distances_transitions": 8,
-    "bigram_lm_documents": 3,
+    "bigram_lm_documents": 10,
     "binaryfile_bmp_assets": 8,
     "bitmap_distinct_events": 7,
     "bitwise_aggs_events": 8,
     "bloom_probe_customers": 5,
-    "bm25_documents": 3,
+    "bm25_documents": 10,
     "bmp_decode_assets": 7,
-    "boilerplate_ngram_documents": 3,
-    "bpe_apply_documents": 9,
+    "boilerplate_ngram_documents": 10,
+    "bpe_apply_documents": 10,
     "bpe_pair_counts_documents": 6,
+    "bpe_rankmap_documents": 10,
     "bpe_train_documents": 8,
     "bucketed_join_orders": 7,
     "business_summary_approx_gate": 6,
     "catalog_enrichment_events": 5,
-    "cdc_chunk_documents": 3,
+    "cdc_chunk_documents": 10,
     "cdc_crossdoc_documents": 8,
-    "chunk_documents": 3,
+    "chunk_documents": 10,
     "click_asof_next_purchase": 4,
     "cms_token_counts": 4,
     "cogroup_asof_events": 8,
     "cohort_retention_events": 5,
     "collation_group_events": 6,
     "compaction_roundtrip_events": 7,
-    "concurrency_sweepline_events": 8,
+    "concurrency_sweepline_events": 10,
     "conditional_aggs_by_type": 4,
     "conform_union_sources": 6,
-    "contamination_check_documents": 3,
-    "contrastive_triplets_documents": 9,
+    "contamination_check_documents": 10,
+    "contrastive_triplets_documents": 10,
     "copurchase_lift_parts": 8,
-    "corpus_shuffle_documents": 3,
+    "corpus_shuffle_documents": 10,
     "csv_malformed_modes_events": 8,
     "csv_roundtrip_customers": 7,
     "curation_funnel_report": 6,
@@ -100,21 +101,21 @@ LAST_CERTIFIED: dict[str, int] = {
     "customers_without_orders": 5,
     "daily_user_rollup": 4,
     "daily_value_pop_change": 4,
-    "dataset_split_documents": 3,
+    "dataset_split_documents": 10,
     "date_functions_events": 4,
     "datetime_functions_events": 9,
-    "decontaminated_train_docs": 3,
+    "decontaminated_train_docs": 10,
     "dedup_events_keepfirst": 4,
     "dedup_exact_documents": 5,
     "dedup_groups_documents": 9,
     "dedup_incremental_documents": 9,
-    "doc_fingerprint": 3,
+    "doc_fingerprint": 10,
     "dynamic_partition_overwrite_events": 8,
     "dynamic_partition_pruning_events": 7,
     "dynamic_session_window_events": 9,
-    "edit1_neighborhood_customer": 9,
+    "edit1_neighborhood_customer": 10,
     "editdist_recall_planted": 9,
-    "embedding_ann_ivf": 3,
+    "embedding_ann_ivf": 10,
     "embedding_ann_lsh": 3,
     "embedding_cosine_topk": 3,
     "embedding_int8_quantize": 7,
@@ -125,7 +126,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "events_cube": 5,
     "events_in_session_range": 5,
     "ewma_events": 3,
-    "ewma_stream_availablenow": 9,
+    "ewma_stream_availablenow": 10,
     "expectations_events": 7,
     "explode_outer_events": 9,
     "file_metadata_events": 8,
@@ -134,14 +135,17 @@ LAST_CERTIFIED: dict[str, int] = {
     "gapfill_linear_events": 7,
     "gapfill_locf_events": 9,
     "generator_functions_documents": 5,
-    "gini_customer_orders": 8,
-    "global_rownum_orders": 8,
+    "gini_customer_orders": 10,
+    "global_rownum_orders": 10,
     "gold_business_summary_events": 4,
     "gold_daily_energy_events": 4,
     "gold_device_health_events": 4,
     "gopher_quality_documents": 3,
     "grouping_sets_events": 4,
-    "hash_sample_per_lang": 4,
+    "hash_sample_per_lang": 10,
+    "hdr_quantile_error_bound_events": 10,
+    "hdr_quantile_sketch_events": 10,
+    "hdr_sketch_stream_availablenow": 10,
     "hll_reach_events": 6,
     "hof_functions_documents": 5,
     "hopping_window_events": 4,
@@ -149,7 +153,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "identifier_clause_orders": 9,
     "incremental_energy_state": 4,
     "incremental_join_view_orders": 6,
-    "inverted_index_documents": 6,
+    "inverted_index_documents": 10,
     "join_types_orders": 8,
     "json_null_functions_events": 4,
     "json_props_extract": 5,
@@ -159,7 +163,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "kmv_distinct_events": 8,
     "kmv_jaccard_events": 8,
     "kmv_merge_events": 8,
-    "ks_statistic_events": 8,
+    "ks_statistic_events": 10,
     "label_centroids_embeddings": 6,
     "language_guess": 3,
     "late_shipment_flag": 5,
@@ -168,8 +172,8 @@ LAST_CERTIFIED: dict[str, int] = {
     "latest_events_topk": 4,
     "length_bucketed_packing": 3,
     "listagg_events": 7,
-    "llm_corpus_pipeline_documents": 8,
-    "locf_stream_availablenow": 9,
+    "llm_corpus_pipeline_documents": 10,
+    "locf_stream_availablenow": 10,
     "logreg_quality_planted": 9,
     "mad_outliers_events": 8,
     "map_functions_events": 5,
@@ -187,13 +191,13 @@ LAST_CERTIFIED: dict[str, int] = {
     "multimodal_frame_sample": 3,
     "navigation_functions_events": 6,
     "ngram_jaccard_pairs": 5,
-    "ntile_scan_orders": 8,
+    "ntile_scan_orders": 10,
     "null_aware_notin_orders": 7,
     "nullsafe_join_events": 7,
     "observe_metrics_orders": 6,
     "orc_roundtrip_events": 7,
     "orders_business_summary": 4,
-    "packed_sequence_offsets": 4,
+    "packed_sequence_offsets": 10,
     "pagerank_user_transitions": 9,
     "pandas_udaf_geomean_events": 7,
     "parameterized_sql_orders": 9,
@@ -222,7 +226,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "regression_drift_events": 4,
     "revenue_vs_global": 5,
     "rle_segments_events": 7,
-    "rocksdb_pysessions_availablenow": 9,
+    "rocksdb_pysessions_availablenow": 10,
     "rolling_event_metrics": 4,
     "rolling_median_events": 6,
     "rolling_time_window_events": 5,
@@ -234,7 +238,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "semantic_dedup_embeddings": 9,
     "sentence_dedup_documents": 9,
     "session_paths": 4,
-    "session_stream_availablenow": 5,
+    "session_stream_availablenow": 10,
     "session_variables_orders": 9,
     "session_window_events": 4,
     "sessionize_events": 4,
@@ -242,8 +246,8 @@ LAST_CERTIFIED: dict[str, int] = {
     "silver_pipeline_events": 9,
     "simhash_dedup_documents": 3,
     "simhash_recall_exact_dups": 9,
-    "skyline3d_parts": 8,
-    "skyline_parts": 8,
+    "skyline3d_parts": 10,
+    "skyline_parts": 10,
     "sliding_chunks_documents": 6,
     "snapshot_diff_orders": 6,
     "source_cap_documents": 3,
@@ -255,29 +259,30 @@ LAST_CERTIFIED: dict[str, int] = {
     "sssp_weighted_transitions": 8,
     "statestore_join_availablenow": 8,
     "statestore_read_availablenow": 7,
-    "statestore_sessions_availablenow": 9,
-    "statestore_timeout_rearm_availablenow": 9,
+    "statestore_sessions_availablenow": 10,
+    "statestore_timeout_rearm_availablenow": 10,
     "stats_moments_lineitem": 6,
-    "stratified_sample_events": 3,
+    "stratified_sample_events": 10,
     "stream_chained_availablenow": 8,
-    "stream_dedup_availablenow": 9,
-    "stream_device_sessions_availablenow": 9,
+    "stream_dedup_availablenow": 10,
+    "stream_device_sessions_availablenow": 10,
     "stream_enrich_availablenow": 6,
     "stream_fanout_availablenow": 6,
-    "stream_fullouter_join_availablenow": 8,
+    "stream_fullouter_join_availablenow": 10,
     "stream_interval_enrich_availablenow": 8,
     "stream_join_availablenow": 6,
+    "stream_left_anti_availablenow": 10,
     "stream_merge_availablenow": 6,
-    "stream_multiwatermark_availablenow": 8,
+    "stream_multiwatermark_availablenow": 10,
     "stream_observe_availablenow": 7,
-    "stream_outer_join_availablenow": 7,
+    "stream_outer_join_availablenow": 10,
     "stream_restart_availablenow": 6,
-    "stream_restart_pystate_availablenow": 9,
-    "stream_rocksdb_availablenow": 6,
+    "stream_restart_pystate_availablenow": 10,
+    "stream_rocksdb_availablenow": 10,
     "stream_semi_join_availablenow": 8,
     "stream_sliding_availablenow": 8,
-    "stream_timeout_sessions_availablenow": 9,
-    "stream_torture_availablenow": 9,
+    "stream_timeout_sessions_availablenow": 10,
+    "stream_torture_availablenow": 10,
     "stream_tumbling_availablenow": 6,
     "stream_update_mode_availablenow": 8,
     "stream_upsert_availablenow": 7,
@@ -286,7 +291,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "sugar_syntax_orders": 9,
     "supplier_health_scores": 6,
     "synthetic_source_telemetry": 6,
-    "synthetic_stream_availablenow": 7,
+    "synthetic_stream_availablenow": 10,
     "table_checksum_orders": 7,
     "temperature_mix_documents": 3,
     "text_quality_score": 3,
@@ -295,7 +300,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "theta_sketch_events": 8,
     "time_travel_orders": 7,
     "time_weighted_avg_events": 4,
-    "token_batch_packing": 3,
+    "token_batch_packing": 10,
     "token_heavy_hitters": 3,
     "token_stats_by_lang": 3,
     "top_orders_per_customer": 5,
@@ -337,8 +342,8 @@ LAST_CERTIFIED: dict[str, int] = {
     "value_percentiles": 5,
     "variant_functions_events": 6,
     "wav_decode_assets": 7,
-    "weighted_corpus_mix": 3,
-    "weighted_quantiles_orders": 8,
+    "weighted_corpus_mix": 10,
+    "weighted_quantiles_orders": 10,
     "weighted_sample_wor_documents": 4,
     "window_completeness_events": 7,
     "winsorize_events": 3,
@@ -351,11 +356,22 @@ LAST_CERTIFIED: dict[str, int] = {
 }
 
 
-def compute_last_certified(repo_root: str | None = None) -> dict[str, int]:
+def compute_last_certified(
+    repo_root: str | None = None,
+    max_round: int | None = None,
+) -> dict[str, int]:
     """Re-derive the map from the ``CORRECTNESS_r{N}.json`` artifacts
     (the same rule the static literal was generated with). Names not
     currently registered are NOT filtered here — the caller (test or
-    regeneration) intersects with the live registry."""
+    regeneration) intersects with the live registry.
+
+    ``max_round`` clamps the derivation: artifacts from rounds above
+    it are ignored. The registry test passes
+    ``max(LAST_CERTIFIED.values())`` so the invariant it checks is
+    "the static map matches the artifacts it claims to cover" — the
+    driver writes ``CORRECTNESS_r{N}.json`` AFTER the builder's final
+    commit each round, so an unclamped comparison is red at exactly
+    the commit the judge evaluates (round-10 verdict finding #1)."""
     if repo_root is None:
         repo_root = os.path.join(os.path.dirname(__file__), "..", "..")
     last: dict[str, int] = {}
@@ -364,6 +380,8 @@ def compute_last_certified(repo_root: str | None = None) -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(f) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
@@ -376,25 +394,57 @@ def compute_last_certified(repo_root: str | None = None) -> dict[str, int]:
     return last
 
 
+# rows-only sketch -> its hash-certified recall companion. A
+# rows-only row in the driver artifact proves only "ran, produced
+# rows"; the companion plants known duplicates/neighbors and
+# hash-verifies recall, so it is the row that actually certifies the
+# sketch. Seating one without the other wastes the weaker slot
+# (round-10 verdict ask #7: embedding_ann_ivf burned a front slot as
+# a no_oracle row while ann_ivf_recall_planted sat outside).
+ROWS_ONLY_COMPANIONS: dict[str, str] = {
+    "embedding_ann_ivf": "ann_ivf_recall_planted",
+    "embedding_ann_lsh": "ann_lsh_recall_planted",
+    "minhash_dedup_documents": "minhash_recall_exact_dups",
+    "simhash_dedup_documents": "simhash_recall_exact_dups",
+}
+
+
 def next_front(
     all_names,
     touched,
     size: int = 50,
     last_certified: dict[str, int] | None = None,
+    companions: dict[str, str] | None = None,
 ) -> list[str]:
     """The driver front for the coming round: touched gates first,
     then never-certified (new) gates, then oldest-green-first. Raises
     if touched+new alone exceed ``size`` — that is a real planning
     problem (an edit backlog bigger than the driver can certify), not
-    something to truncate silently."""
+    something to truncate silently.
+
+    Whenever a rows-only sketch is seated (by any of the three
+    rules), its hash-certified recall companion is seated immediately
+    after it so the pair certifies together (``companions``,
+    defaulting to :data:`ROWS_ONLY_COMPANIONS`)."""
     lc = LAST_CERTIFIED if last_certified is None else last_certified
+    comp = ROWS_ONLY_COMPANIONS if companions is None else companions
     names = list(all_names)
     name_set = set(names)
     unknown = [t for t in touched if t not in name_set]
     assert not unknown, f"touched names not registered: {unknown}"
-    front = list(dict.fromkeys(touched))
+
+    def with_companions(seq):
+        out = []
+        for n in seq:
+            out.append(n)
+            c = comp.get(n)
+            if c is not None and c in name_set:
+                out.append(c)
+        return list(dict.fromkeys(out))
+
+    front = with_companions(dict.fromkeys(touched))
     new = sorted(n for n in names if n not in lc and n not in front)
-    front += new
+    front = list(dict.fromkeys(front + with_companions(new)))
     if len(front) > size:
         raise ValueError(
             f"touched+new = {len(front)} exceeds the driver front "
@@ -404,7 +454,14 @@ def next_front(
         (n for n in names if n not in front),
         key=lambda n: (lc.get(n, 0), n),
     )
-    front += rest[: size - len(front)]
+    for n in rest:
+        if len(front) >= size:
+            break
+        paired = with_companions([n])
+        paired = [p for p in paired if p not in front]
+        if len(front) + len(paired) > size:
+            continue  # the pair doesn't fit; a lone later name might
+        front += paired
     return front
 
 

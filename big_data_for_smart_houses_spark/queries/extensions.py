@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extensions import dedup, multimodal, similarity, text
+from ..extensions.sampling import fraction_buckets
 from ..functions.numeric import quantize_cols
 from ..session import configure_for_oracle_parity
 from ..sources.parquet import load_table, spread
@@ -261,10 +262,10 @@ def q_weighted_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WEIGHTED_CORPUS_MIX = f"""
 SELECT doc_id, lang, 'en' AS source FROM documents
-WHERE lang = 'en' AND (doc_id * 2654435761) % 1000 < {round(MIX_EN_WEIGHT * 1000)}
+WHERE lang = 'en' AND (doc_id * 2654435761) % 1000 < {fraction_buckets(MIX_EN_WEIGHT)}
 UNION ALL
 SELECT doc_id, lang, 'other' AS source FROM documents
-WHERE lang <> 'en' AND (doc_id * 2654435761) % 1000 < {round(MIX_OTHER_WEIGHT * 1000)}
+WHERE lang <> 'en' AND (doc_id * 2654435761) % 1000 < {fraction_buckets(MIX_OTHER_WEIGHT)}
 """
 
 

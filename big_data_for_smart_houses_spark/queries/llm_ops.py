@@ -19,6 +19,7 @@ from ..extensions.sampling import (
     SHUFFLE_BUCKETS,
     SPLIT_BUCKETS,
     deterministic_shuffle,
+    fraction_buckets,
     stratified_sample,
 )
 from ..functions.numeric import gate_quantize, quantize_cols
@@ -241,10 +242,10 @@ SELECT event_id, user_id, event_type, value
 FROM events
 WHERE (event_id * {KNUTH}) % {SPLIT_BUCKETS} <
       CASE event_type
-        WHEN 'click' THEN {round(0.5 * SPLIT_BUCKETS)}
-        WHEN 'error' THEN {SPLIT_BUCKETS}
-        WHEN 'purchase' THEN {round(0.25 * SPLIT_BUCKETS)}
-        ELSE {round(0.1 * SPLIT_BUCKETS)}
+        WHEN 'click' THEN {fraction_buckets(STRATA_FRACTIONS["click"])}
+        WHEN 'error' THEN {fraction_buckets(STRATA_FRACTIONS["error"])}
+        WHEN 'purchase' THEN {fraction_buckets(STRATA_FRACTIONS["purchase"])}
+        ELSE {fraction_buckets(STRATA_DEFAULT)}
       END
 """
 

@@ -43,6 +43,23 @@ from ..streaming.stateful import locf_stream
 LOCF_STEP_S = 3600
 _AWAIT_S = 300
 
+# The Spark version the streaming FINALITY BOUNDS baked into this
+# module's oracles were MEASURED against (round-10 advice: they are
+# engine internals, not documented contract, so pin the provenance):
+#   - event-time stats are tracked in MILLISECONDS, so the watermark
+#     is the ms-FLOORED max event time minus the delay;
+#   - stream-stream join state-watermarks subtract a further 1 ms of
+#     conservatism (StreamingJoinHelper) — outer/anti emission uses
+#     `<= W*1000 - 1000` in integer µs;
+#   - windowed/session AGGREGATES carry no -1 ms and emit on the
+#     non-strict `end <= watermark`.
+# On a Spark upgrade: re-run the boundary tests + Hypothesis property
+# in tests/test_streaming.py (they drive engine vs oracle on sub-ms
+# corpora and fail loudly on any drift), re-measure, and update this
+# constant — tests/test_streaming.py asserts it matches the running
+# pyspark so a version bump points HERE, not at a mystery hash-fail.
+FINALITY_BOUNDS_MEASURED_SPARK = "4.1.2"
+
 
 def _expect_injected_crash(exc: Exception) -> None:
     """Swallow a StreamingQueryException ONLY when it wraps this

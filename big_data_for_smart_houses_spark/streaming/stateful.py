@@ -391,7 +391,7 @@ EWMA_STATE_SCHEMA = StructType(
 )
 
 
-def _ewma_fn(alpha: float):
+def _ewma_fn(alpha: float, dropped_counter=None):
     beta = 1.0 - alpha
 
     def fn(
@@ -403,6 +403,7 @@ def _ewma_fn(alpha: float):
         else:
             last, cur_ts_us, cur_eid = None, None, None
         rows: list[tuple[int, object, float, float]] = []
+        dropped = 0
         # Arrow may deliver one key's micro-batch as SEVERAL chunks with
         # no ordering guarantee across them — sorting each chunk alone
         # would fold rows out of (ts, event_id) order whenever a key
@@ -431,11 +432,28 @@ def _ewma_fn(alpha: float):
                     # an already-emitted append-mode prefix, so it is
                     # dropped rather than folded out of order (which
                     # would silently poison every later ewma for the
-                    # key)
+                    # key) — counted, never silent (round-10 advice)
+                    dropped += 1
                     continue
                 v = float(v)
                 last = v if last is None else alpha * v + beta * last
                 rows.append((int(eid), ts, v, last))
+        if dropped:
+            # sustained drops mean the upstream watermark is too
+            # tight for the source's disorder — make that visible at
+            # runtime, not only in the docstring (round-10 advice):
+            # a per-(batch, key) WARNING on the executor log, plus an
+            # optional driver-visible accumulator for dashboards.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ewma_stream dropped %d late row(s) for user_id=%s "
+                "(at/before carried cursor); check the source "
+                "watermark if this persists",
+                dropped, user_id,
+            )
+            if dropped_counter is not None:
+                dropped_counter.add(dropped)
         if rows:
             last_eid, last_ts = rows[-1][0], rows[-1][1]
             state.update(
@@ -455,7 +473,9 @@ def _ewma_fn(alpha: float):
     return fn
 
 
-def ewma_stream(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+def ewma_stream(
+    stream: DataFrame, alpha: float = 0.25, dropped_counter=None
+) -> DataFrame:
     """Streaming EWMA per user: the incremental form of
     ``operators/windows.ewma_smooth`` — the carried state is ONE row
     per key (the last smoothed value), so memory is O(keys) however
@@ -471,9 +491,12 @@ def ewma_stream(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
     folding a late row out of order would silently poison every
     subsequent ewma for the key (unit-tested). Feed the operator
     from a watermarked source to bound how much data that policy can
-    discard."""
+    discard. Drops are never silent: each occurrence logs a WARNING
+    with the count, and ``dropped_counter`` (an optional
+    ``sc.accumulator(0)``) aggregates the total driver-side for
+    monitoring."""
     return stream.groupBy("user_id").applyInPandasWithState(
-        _ewma_fn(alpha),
+        _ewma_fn(alpha, dropped_counter),
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",

@@ -146,9 +146,12 @@ def main() -> None:
         if not os.path.exists(dst):
             shutil.copy(f"{SF_DIR}/{t}.parquet", dst)
 
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    probes = [p for p in PROBES if only is None or p in only]
+
     results = []
     for label, d in (("1x", SF_DIR), (f"{factor}x", scaled_dir)):
-        for name in PROBES:
+        for name in probes:
             fn = QUERIES[name]
             last_stage, _ = poll(-1)
             t0 = time.perf_counter()
@@ -159,6 +162,40 @@ def main() -> None:
                  "rows": n, **io}
             print(json.dumps(r), flush=True)
             results.append(r)
+
+    # q17 again under the input-volume-aware profile (round-10
+    # verdict ask #4): apply_scale_profile derives the
+    # shuffle-partition knob from the scaled input's on-disk bytes —
+    # the same number the r10 manual rerun pinned at 256 — and the
+    # probe row records the measured win over the 32-partition run
+    # above. Conf restored so any probes added later keep parity.
+    if "tpch_q17_small_qty_revenue" in probes:
+        from big_data_for_smart_houses_spark.session import (
+            apply_scale_profile,
+        )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        parts = apply_scale_profile(
+            spark,
+            f"{scaled_dir}/lineitem.parquet",
+            f"{scaled_dir}/part.parquet",
+        )
+        try:
+            fn = QUERIES["tpch_q17_small_qty_revenue"]
+            last_stage, _ = poll(-1)
+            t0 = time.perf_counter()
+            n = fn(spark, scaled_dir).count()
+            wall = round(time.perf_counter() - t0, 1)
+            _, io = poll(last_stage)
+            r = {
+                "probe": f"tpch_q17_small_qty_revenue_{factor}x_profile",
+                "wall_s": wall, "rows": n,
+                "shuffle_partitions": parts, **io,
+            }
+            print(json.dumps(r), flush=True)
+            results.append(r)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     with open("/tmp/scale1000x.json", "w") as fh:
         json.dump(results, fh, indent=1)
 

