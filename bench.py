@@ -311,7 +311,28 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # listed prints as UNEXPLAINED and must be attributed before the
 # round ships. Entries should be cleared once the new baseline is
 # committed (they adjudicate exactly one transition).
-_REGRESSION_ADJUDICATIONS: dict[str, str] = {}
+_REGRESSION_ADJUDICATIONS: dict[str, str] = {
+    # Attributed round 11 (the bar flagged it UNEXPLAINED because io
+    # moved): q21's EXISTS semi join sits at the static
+    # autoBroadcastJoinThreshold boundary for the projected lineitem
+    # side, so committed artifacts alternate between two states —
+    # statically-planned BHJ (0.67 MB shuffle) and SMJ-planned then
+    # AQE-converted-to-broadcast (10.13 MB written before the
+    # runtime conversion). Both states recur across the r8-r10
+    # committed BENCH_LOCAL.json history with bit-identical values
+    # per state and overlapping wall (1.1-1.6 s); the logical rewrite
+    # (one LeftSemi + one LeftAnti, plan-asserted) is identical in
+    # both. At 100 TB stats keep the SMJ — the declarative form is
+    # the scale-correct one; the flip is estimate noise at gate SF,
+    # not a plan defect.
+    "tpch_q21_waiting_supplier": (
+        "bistable static broadcast-threshold estimate: BHJ-planned "
+        "(0.67 MB) vs SMJ-planned + AQE-converted (10.13 MB), both "
+        "states recurring across committed r8-r10 artifacts with "
+        "overlapping wall — estimate noise at gate SF, same logical "
+        "plan"
+    ),
+}
 
 
 def _bench_stream_boot(spark) -> float:
