@@ -48,3 +48,73 @@ def test_apply_scale_profile_sets_and_returns(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_scale_profile_properties():
+    """Hypothesis: the partition formula is monotone in input bytes,
+    always within [floor, cap], and exactly the floor below the
+    threshold where one partition's worth of estimated shuffle
+    exceeds floor * TARGET — the invariants the gate-parity floor
+    and the q17 knob both rely on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_for_smart_houses_spark.session import (
+        SCALE_PROFILE_SHUFFLE_EXPANSION as EXP,
+        SCALE_PROFILE_TARGET_PARTITION_BYTES as TGT,
+    )
+
+    @given(
+        a=st.integers(0, 10**15),
+        b=st.integers(0, 10**15),
+        floor=st.integers(1, 512),
+    )
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    def check(a, b, floor):
+        na = scale_shuffle_partitions(a, floor=floor)
+        nb = scale_shuffle_partitions(b, floor=floor)
+        assert floor <= na <= max(floor, SCALE_PROFILE_CAP)
+        if a <= b:
+            assert na <= nb
+        if a * EXP <= floor * TGT:
+            assert na == floor
+
+    check()
+
+
+def test_fraction_buckets_properties():
+    """Hypothesis: fraction_buckets is monotone, half-up at ties,
+    bounded by the bucket count, and loud on positive fractions that
+    would silently empty a source."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_for_smart_houses_spark.extensions.sampling import (
+        fraction_buckets,
+    )
+
+    @given(
+        f=st.floats(0.0, 1.0, allow_nan=False),
+        g=st.floats(0.0, 1.0, allow_nan=False),
+        buckets=st.integers(1, 10**6),
+    )
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    def check(f, g, buckets):
+        try:
+            nf = fraction_buckets(f, buckets)
+        except ValueError:
+            # only the documented zero-bucket rejection may fire
+            assert f > 0.0 and int(f * buckets + 0.5) == 0
+            return
+        assert 0 <= nf <= buckets
+        assert nf == int(f * buckets + 0.5)  # half-up, never banker's
+        if f == 0.0:
+            assert nf == 0
+        try:
+            ng = fraction_buckets(g, buckets)
+        except ValueError:
+            return
+        if f <= g:
+            assert nf <= ng
+
+    check()
