@@ -155,7 +155,19 @@ def main() -> None:
             fn = QUERIES[name]
             last_stage, _ = poll(-1)
             t0 = time.perf_counter()
-            n = fn(spark, d).count()
+            try:
+                n = fn(spark, d).count()
+            except Exception as exc:  # noqa: BLE001
+                # a single probe blowing its heap (the r11 q17@32p
+                # run at an 8 GB driver) must not kill the rest of
+                # the matrix — record the failure as a row and move
+                # on; the profile rerun below is often exactly the
+                # configuration that survives
+                r = {"probe": f"{name}_{label}",
+                     "error": f"{type(exc).__name__}: {exc}"[:300]}
+                print(json.dumps(r), flush=True)
+                results.append(r)
+                continue
             wall = round(time.perf_counter() - t0, 1)
             _, io = poll(last_stage)
             r = {"probe": f"{name}_{label}", "wall_s": wall,
