@@ -496,6 +496,12 @@ SCALE10X_PROBES = [
     "hdr_quantile_sketch_events",
     "hdr_sketch_stream_availablenow",
     "stream_left_anti_availablenow",
+    # round 11: the remaining applyInPandasWithState pair — the EWMA
+    # fold (O(keys) state, per-key numpy fold) and LOCF gap-fill
+    # (open-bucket accumulator + bounded gap materialization);
+    # device/timeout session trackers already sweep above
+    "ewma_stream_availablenow",
+    "locf_stream_availablenow",
 ]
 
 

@@ -188,3 +188,49 @@ def test_next_front_edge_cases():
         next_front(names, ["nope"], size=4, last_certified=lc)
     with pytest.raises(ValueError):
         next_front(names, ["q0", "q1", "q2"], size=4, last_certified=lc)
+
+
+def test_next_front_companion_pairing_rules():
+    """Companion seating: a rows-only sketch seated by ANY rule pulls
+    its companion in right after it; duplicates collapse; a pair that
+    would not fit in the remaining slots is skipped whole (never
+    split); unregistered companions are ignored."""
+    from big_data_for_smart_houses_spark.queries.certification import (
+        next_front,
+    )
+
+    names = ["s1", "c1", "s2", "c2", "q1", "q2", "q3"]
+    comp = {"s1": "c1", "s2": "c2", "s3": "ghost"}
+    lc = {n: 3 for n in names}
+    lc["c1"] = 9  # companion newer than its sketch
+
+    # touched sketch brings companion immediately after it
+    front = next_front(names, ["s1"], size=4, last_certified=lc,
+                       companions=comp)
+    assert front[:2] == ["s1", "c1"]
+
+    # rotation seating of a sketch also pairs; q's fill around it.
+    # c2 rotates in on its own (older) merit BEFORE s2 — the
+    # invariant is membership (sketch in front => companion in
+    # front), adjacency only when the companion wasn't already seated
+    front = next_front(names, [], size=7, last_certified=lc,
+                       companions=comp)
+    i1, i2 = front.index("s1"), front.index("c1")
+    assert i2 == i1 + 1
+    assert "s2" in front and "c2" in front
+
+    # companion explicitly touched too: no duplicate seat
+    front = next_front(names, ["s1", "c1"], size=4,
+                       last_certified=lc, companions=comp)
+    assert front.count("c1") == 1 and front[:2] == ["s1", "c1"]
+
+    # a pair that does not fit is skipped whole — the front never
+    # contains a SKETCH without its registered companion (a
+    # companion alone is fine: it is an ordinary hash-certified
+    # gate and may rotate in on its own merit)
+    front = next_front(names, ["q1", "q2", "q3"], size=4,
+                       last_certified=lc, companions=comp)
+    assert len(front) == 4
+    for sk, c in (("s1", "c1"), ("s2", "c2")):
+        if sk in front:
+            assert c in front, front
