@@ -35,10 +35,11 @@ IS driver-certified.
 END-OF-ROUND-11 STATE: registry 314 queries / 310 oracles — no new
 queries this round BY DESIGN (round-10 verdict ask #2: every slot
 the touched list doesn't need burns down the refresh backlog). The
-front = 14 touched (3 hdr gates through the new bit-arithmetic
+front = 15 touched (3 hdr gates through the new bit-arithmetic
 bucket, 2 sampling gates through half-up fraction_buckets, 8
 scan-family gates through the num_partitions validation, the EWMA
-stream gate with the counted late-drop) + all 25 r3 rows (the two
+stream gate with the counted late-drop, and the approx-summary gate
+whose invariant the three-SF mirror sweep hardened) + all 25 r3 rows (the two
 rows-only sketches among them pull in their r9 recall companions:
 ann_lsh_recall_planted, simhash_recall_exact_dups) + the oldest r4
 rows. After a green round 11 the oldest certification in the
@@ -167,6 +168,15 @@ _TOUCHED_R11 = [
     # optional accumulator, round-10 advice) — output unchanged,
     # fold path edited
     "ewma_stream_availablenow",
+    # round-11 corpus-robustness sweep (exact mirror run at ALL
+    # THREE SFs) found this gate's invariant corpus-fragile twice
+    # over: a per-group 3-sigma HLL bound across 2,405 hashed
+    # per-date booleans (expected-to-fail multiplicity; now
+    # family-wise 5-sigma) and an order-fluttering float32-quantized
+    # revenue sum (now exact integer cents). Values changed on both
+    # engine and oracle sides identically; bit-exact at
+    # sf0.001/0.01/0.1
+    "business_summary_approx_gate",
 ]
 
 # round-agnostic alias: tests and tooling read this name, so next

@@ -737,7 +737,19 @@ def q_business_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_CD_RSD = 0.02
-APPROX_CD_BOUND_SIGMAS = 3.0
+# FAMILY-WISE sigmas, not per-group (round-11 corpus-robustness
+# sweep): the gate hashes one boolean PER DATE and there are
+# thousands of dates, so a per-group 3-sigma bound is EXPECTED to
+# fail somewhere — at sf0.1 the per-date cardinalities (~30-90)
+# leave HLL++'s exact sparse regime and 4 of 2,405 dates measured
+# out at up to 3.8 sigma, precisely the ~6 violations 2,405
+# Gaussian-ish trials predict (the r10 watermark-oracle lesson in
+# sketch form: the certified corpus hid it because sf0.01
+# cardinalities stay exact-mode). 5 sigma puts the family-wise
+# failure odds ~1.4e-3 at 2,405 groups while remaining a real bound
+# (10% at rsd=0.02; the observed tail is 7.7%). Verified bit-exact
+# at sf0.001 / sf0.01 / sf0.1.
+APPROX_CD_BOUND_SIGMAS = 5.0
 APPROX_CD_ABS_SLACK = 2
 
 
@@ -749,16 +761,25 @@ def q_business_summary_approx_gate(
     HLL++ estimate itself is not SQL-replayable, so the gate hashes
     the exact per-date distinct-customer count PLUS a boolean
     asserting the ``approx_count_distinct(rsd=0.02)`` estimate lands
-    within max(3·rsd·exact, 2) of exact — generous for the sparse
-    (exact-mode) regime at gate SF and still a real 3σ bound at 100 TB
-    cardinalities. One lost date or an out-of-bound sketch is a row /
-    hash mismatch. The revenue sum rides along through the float32
-    quantization like every summed gate column."""
-    from ..functions.numeric import quantize_cols
+    within max(5·rsd·exact, 2) of exact — the 5 is FAMILY-WISE over
+    the thousands of hashed per-date booleans (see the constant's
+    comment; a per-group 3σ provably trips on large corpora). One
+    lost date or an out-of-bound sketch is a row / hash mismatch.
 
+    Revenue is summed in INTEGER CENTS (round-11 corpus-robustness
+    sweep): the previous float32-quantized double sum fluttered by
+    one ulp on 5 of 2,405 dates at sf0.1 — double addition is not
+    associative, so Spark's partition order and DuckDB's scan order
+    can land a boundary-straddling sum on adjacent float32 values.
+    Per-row cents are identical bigints on both engines (same double
+    input, same *100, same half-away round), and an integer sum is
+    order-free — bit-equal at ANY scale factor and partitioning, the
+    same arithmetic-exactness discipline as the sampling and HDR
+    families."""
     o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     agg = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
-        F.sum("o_totalprice").alias("revenue"),
+        F.sum(cents).alias("revenue_cents"),
         F.approx_count_distinct("o_custkey", rsd=APPROX_CD_RSD).alias(
             "approx_customers"
         ),
@@ -770,9 +791,9 @@ def q_business_summary_approx_gate(
         * F.col("exact_customers"),
         F.lit(float(APPROX_CD_ABS_SLACK)),
     )
-    out = agg.select(
+    return agg.select(
         "order_date",
-        "revenue",
+        "revenue_cents",
         "exact_customers",
         "n_orders",
         (
@@ -783,12 +804,12 @@ def q_business_summary_approx_gate(
             <= bound
         ).alias("approx_in_bound"),
     )
-    return quantize_cols(out, "revenue")
 
 
 ORACLE_BUSINESS_SUMMARY_APPROX_GATE = """
 SELECT CAST(o_orderdate AS DATE) AS order_date,
-       CAST(CAST(sum(o_totalprice) AS REAL) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
        count(*) AS n_orders,
        true AS approx_in_bound
