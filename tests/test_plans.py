@@ -118,9 +118,16 @@ def test_neardup_lsh_has_no_join(spark):
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """A7 scale variant: HLL++ estimate within 3x the configured rsd of
-    the exact distinct count (rsd=2%, generous margin for small sf)."""
+    """A7 scale variant: HLL++ estimate within the FAMILY-WISE bound
+    of the exact distinct count — 5x rsd, not 3x, because the
+    assertion runs once per date and a per-group 3-sigma provably
+    trips by multiplicity on corpora with thousands of dates whose
+    cardinalities leave HLL's exact sparse mode (the round-11
+    business_summary_approx_gate finding; same constant)."""
     from big_data_for_smart_houses_spark.queries.core import (
+        APPROX_CD_ABS_SLACK,
+        APPROX_CD_BOUND_SIGMAS,
+        APPROX_CD_RSD,
         q_business_summary_approx,
     )
     from pyspark.sql import functions as F
@@ -137,8 +144,11 @@ def test_approx_count_distinct_error_bound(spark):
         .collect()
     }
     assert approx.keys() == exact.keys()
+    bound_frac = APPROX_CD_BOUND_SIGMAS * APPROX_CD_RSD
     for d, ex in exact.items():
-        assert abs(approx[d] - ex) <= max(1, 0.06 * ex), (d, approx[d], ex)
+        assert abs(approx[d] - ex) <= max(
+            APPROX_CD_ABS_SLACK, bound_frac * ex
+        ), (d, approx[d], ex)
 
 
 def test_contamination_train_side_never_shuffles_for_the_join(spark):
