@@ -15,7 +15,19 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", shuffle_partitions=8)
+    # Overridable so the exact mirror can be re-run under a DIFFERENT
+    # shuffle layout: changing the partition count changes Spark's
+    # accumulation order, which is exactly the stress that exposes
+    # order-sensitive float reductions hiding behind one layout (the
+    # round-11 revenue-flutter class). Default stays 8 for speed.
+    import os as _os
+
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=int(
+            _os.environ.get("SPARK_GRAFT_TEST_SHUFFLE_PARTITIONS", "8")
+        ),
+    )
     yield spark
 
 
