@@ -206,6 +206,19 @@ def main() -> None:
             }
             print(json.dumps(r), flush=True)
             results.append(r)
+        except Exception as exc:  # noqa: BLE001
+            # same guard as the main loop. NOTE: when the preceding
+            # 32-partition q17 has already churned this JVM's heap
+            # (80+ GB of spill structures at an 8 GB driver), the
+            # profile rerun can OOM HERE even though it completes
+            # reliably in a fresh session (measured 90.2 s standalone
+            # at the same heap) — a back-to-back single-JVM probe
+            # artifact, not a profile defect; run the profile-only
+            # matrix cell in its own process for clean numbers.
+            r = {"probe": f"tpch_q17_small_qty_revenue_{factor}x_profile",
+                 "error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(json.dumps(r), flush=True)
+            results.append(r)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     with open("/tmp/scale1000x.json", "w") as fh:
