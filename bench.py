@@ -332,6 +332,17 @@ _REGRESSION_ADJUDICATIONS: dict[str, str] = {
         "overlapping wall — estimate noise at gate SF, same logical "
         "plan"
     ),
+    # Deliberate round-11 semantics change: revenue is now summed in
+    # integer cents (order-free, bit-exact at any SF/layout — the
+    # corpus-robustness fix) which adds a per-row round+cast; the
+    # ablation measured +~0.1 s of real cost on the aggregate at
+    # sf0.1. Remove this entry after the next committed baseline
+    # absorbs the new timing.
+    "business_summary_approx_gate": (
+        "round-11 corpus-robustness edit: integer-cents revenue sum "
+        "(order-free exactness) adds a per-row round+cast — "
+        "measured +~0.1 s real, remainder ambient"
+    ),
 }
 
 
