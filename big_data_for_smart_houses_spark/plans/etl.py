@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.gold import build_gold
 from ..operators.silver import bronze_to_silver
 from ..schemas import BRONZE_SCHEMA
+from ..session import scale_profile
 from ..sources.csv import read_device_catalog
 from ..sources.parquet import (
     read_bronze,
@@ -51,7 +52,13 @@ def run_bronze_to_silver(
         read_device_catalog(spark, catalog_path) if catalog_path else None
     )
     silver = bronze_to_silver(bronze.drop("event_date"), catalog)
-    write_partitioned(silver, silver_path, partition_col="date")
+    # Size the shuffle from the input volume for the duration of the
+    # write (round-11 verdict ask #4): a 100 TB bronze window gets the
+    # measured-correct partition count without the caller reading
+    # SCALE.md; at gate/test SF the profile floors at the session's
+    # current layout, so small runs are byte-identical to before.
+    with scale_profile(spark, bronze_path):
+        write_partitioned(silver, silver_path, partition_col="date")
 
 
 def run_bronze_to_silver_incremental(
@@ -90,13 +97,17 @@ def run_bronze_to_silver_incremental(
             mode="overwrite",
         )
 
-    (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # availableNow drains the whole backlog in this run, so the
+    # backlog's on-disk volume is the right sizing input; restored
+    # after the drain completes.
+    with scale_profile(spark, bronze_path):
+        (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def run_silver_to_gold(
@@ -111,8 +122,11 @@ def run_silver_to_gold(
     the Spark-native equivalent)."""
     silver = read_silver(spark, silver_path, since=since)
     gold = build_gold(silver)
-    for name in GOLD_TABLES:
-        write_snapshot(gold[name], f"{gold_root}/{name}")
+    # input-volume-derived shuffle layout for the recompute (restored
+    # on exit; see run_bronze_to_silver)
+    with scale_profile(spark, silver_path):
+        for name in GOLD_TABLES:
+            write_snapshot(gold[name], f"{gold_root}/{name}")
     return gold
 
 

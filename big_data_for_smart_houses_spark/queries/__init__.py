@@ -12,7 +12,7 @@ ROTATION POLICY (round-10 verdict ask #1): the front is COMPUTED by
 ``certification.next_front`` from per-query provenance, not curated —
 
 1. every gate whose code or corpus this round TOUCHED (the
-   ``_TOUCHED_R11`` list below is the one per-round human input);
+   ``_TOUCHED_R12`` list below is the one per-round human input);
 2. every never-certified query (new gates this round) — detected
    mechanically as names absent from ``certification.LAST_CERTIFIED``;
 3. remaining slots fill oldest-green-first, so stale rows rotate
@@ -32,23 +32,20 @@ rows-only entries are the 4 structural sketches (minhash/simhash/
 ann_lsh/ann_ivf), each carrying a hash-gated recall companion that
 IS driver-certified.
 
-END-OF-ROUND-11 STATE: registry 314 queries / 310 oracles — no new
-queries this round BY DESIGN (round-10 verdict ask #2: every slot
-the touched list doesn't need burns down the refresh backlog). The
-front = 15 touched (3 hdr gates through the new bit-arithmetic
-bucket, 2 sampling gates through half-up fraction_buckets, 8
-scan-family gates through the num_partitions validation, the EWMA
-stream gate with the counted late-drop, and the approx-summary gate
-whose invariant the three-SF mirror sweep hardened) + all 25 r3 rows (the two
-rows-only sketches among them pull in their r9 recall companions:
-ann_lsh_recall_planted, simhash_recall_exact_dups) + the oldest r4
-rows. After a green round 11 the oldest certification in the
-registry is r4.
-ROUND-12 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
-CORRECTNESS_r11.json (``python -m ...queries.certification``, paste,
-test re-derives); (2) replace _TOUCHED_R11 with the round-12 touched
+END-OF-ROUND-12 STATE: registry 314 queries / 310 oracles — no new
+queries again BY DESIGN (the r4/r5 refresh backlog outranks new
+surface, round-11 verdict ask #8). LAST_CERTIFIED was regenerated
+from CORRECTNESS_r11.json (the mechanical ROUND-12 PROCEDURE step 1;
+oldest certification in the registry is now r4: 30 rows, then r5:
+41). The front = 2 touched (the streaming-LOCF gates, whose fold's
+gap emission was vectorized this round — bit-exact, mirror-checked)
++ 48 backlog rows oldest-green-first: all 30 remaining r4 rows and
+the 18 alphabetically-first r5 rows.
+ROUND-13 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
+CORRECTNESS_r12.json (``python -m ...queries.certification``, paste,
+test re-derives); (2) replace _TOUCHED_R12 with the round-13 touched
 list; next_front() does the rest — refresh priority continues with
-the remaining r4 block (tests/test_registry.py recomputes the exact
+the remaining r5 block (tests/test_registry.py recomputes the exact
 seating).
 """
 
@@ -124,64 +121,34 @@ ORACLES = {
     **_TPCH_ORACLES,
 }
 
-# Round-11 rotation: the front is COMPUTED, not curated — touched
+# Round-12 rotation: the front is COMPUTED, not curated — touched
 # gates first (rows-only sketches bring their recall companions,
 # certification.ROWS_ONLY_COMPANIONS), then never-certified new
 # gates, then oldest-green-first from certification.LAST_CERTIFIED.
 # The touched list is the one per-round input a human supplies:
 # every gate whose EXECUTED code or corpus this round edited.
-# Deliberately small (round-10 verdict ask #2): no new registry
-# queries were minted this round, so ~36 slots burn down the r3/r4
-# refresh backlog. NOT counted as touched, with reasons:
-# streaming_gate.py gained only a module-level provenance constant
-# (FINALITY_BOUNDS_MEASURED_SPARK — no gate's compute changed);
-# session.py gained the scale profile (new functions no gate calls);
-# bench.py's regression-waiver cap and the certification-module
-# changes are harness-side.
-_TOUCHED_R11 = [
-    # hdr_bucket's floor(log2) switched from conv-to-binary-string
-    # to smear+popcount bit arithmetic (verdict ask #6) — proven
-    # bit-identical across every power-of-two boundary (unit test)
-    # and exact-mirrored at sf0.01, but the three gates execute the
-    # edited expression, so they re-certify
-    "hdr_quantile_sketch_events",
-    "hdr_quantile_error_bound_events",
-    "hdr_sketch_stream_availablenow",
-    # fraction-bucket rounding switched round() -> half-up
-    # fraction_buckets() with a loud zero-bucket guard (round-10
-    # advice); gate weights hit no .5 ties so values are identical
-    # (exact-mirrored), engine and oracle share the helper
-    "weighted_corpus_mix",
-    "stratified_sample_events",
-    # global_running_agg now rejects num_partitions<1 instead of
-    # silently substituting the default on 0 (round-10 advice);
-    # validation-only, but on these gates' executed path
-    "global_rownum_orders",
-    "ntile_scan_orders",
-    "concurrency_sweepline_events",
-    "skyline_parts",
-    "skyline3d_parts",
-    "gini_customer_orders",
-    "weighted_quantiles_orders",
-    "ks_statistic_events",
-    # the EWMA cross-batch late-row drop is now counted (WARNING +
-    # optional accumulator, round-10 advice) — output unchanged,
-    # fold path edited
-    "ewma_stream_availablenow",
-    # round-11 corpus-robustness sweep (exact mirror run at ALL
-    # THREE SFs) found this gate's invariant corpus-fragile twice
-    # over: a per-group 3-sigma HLL bound across 2,405 hashed
-    # per-date booleans (expected-to-fail multiplicity; now
-    # family-wise 5-sigma) and an order-fluttering float32-quantized
-    # revenue sum (now exact integer cents). Values changed on both
-    # engine and oracle sides identically; bit-exact at
-    # sf0.001/0.01/0.1
-    "business_summary_approx_gate",
+# Deliberately small (round-11 verdict ask #1): no new registry
+# queries minted, so 48 slots burn down the r4/r5 refresh backlog.
+# NOT counted as touched, with reasons: bench.py's executed-plan
+# fingerprints, certification.py's regeneration, and the registry
+# drift-test hardening are harness-side; session.py's scale-profile
+# wiring into cli/etl entry points leaves every gate's executed path
+# byte-identical (unit-asserted in tests/test_session_profile.py).
+_TOUCHED_R12 = [
+    # _locf_fn's gap emission was vectorized (round-11 verdict ask
+    # #3): the per-output-row Python tuple + pd.Timestamp loops became
+    # numpy repeat/arange selection — pure selection, no value
+    # arithmetic, proven bit-identical by the LOCF unit suite and the
+    # sf0.01 exact mirror, and the 100x stateful probe's wall ratio
+    # dropped 59x -> 37.7x (output-linear, state still O(keys)). Both
+    # gates execute the edited fold, so they re-certify.
+    "locf_stream_availablenow",
+    "stream_restart_pystate_availablenow",
 ]
 
 # round-agnostic alias: tests and tooling read this name, so next
 # round only renames the list above
-_TOUCHED_THIS_ROUND = _TOUCHED_R11
+_TOUCHED_THIS_ROUND = _TOUCHED_R12
 
 from .certification import next_front as _next_front  # noqa: E402
 

@@ -37,27 +37,27 @@ import json
 import os
 import re
 
-# query name -> most recent round with a green driver row (r1-r9)
+# query name -> most recent round with a green driver row (r1-r11)
 LAST_CERTIFIED: dict[str, int] = {
     "ab_lift_events": 6,
-    "abc_customers": 4,
+    "abc_customers": 11,
     "agg_completeness_lineitem": 9,
     "agg_pushdown_events": 8,
     "analytics_daily_cost_trend": 5,
     "analytics_daily_energy_trend": 5,
     "analytics_data_status": 5,
-    "analytics_energy_by_type": 4,
+    "analytics_energy_by_type": 11,
     "analytics_health_scatter": 5,
     "analytics_kpi_chain_gold": 5,
     "analytics_kpi_chain_silver": 5,
     "analytics_kpi_chain_summary": 5,
-    "analytics_kpi_day": 4,
+    "analytics_kpi_day": 11,
     "analytics_live_readings": 5,
     "ann_ivf_recall_planted": 9,
-    "ann_lsh_recall_planted": 9,
+    "ann_lsh_recall_planted": 11,
     "approx_topk_events": 9,
     "argmax_functions_events": 7,
-    "array_functions_documents": 4,
+    "array_functions_documents": 11,
     "array_sort_hof_documents": 9,
     "asof_nearest_events": 8,
     "avi_frame_sample_assets": 7,
@@ -75,19 +75,19 @@ LAST_CERTIFIED: dict[str, int] = {
     "bpe_rankmap_documents": 10,
     "bpe_train_documents": 8,
     "bucketed_join_orders": 7,
-    "business_summary_approx_gate": 6,
+    "business_summary_approx_gate": 11,
     "catalog_enrichment_events": 5,
     "cdc_chunk_documents": 10,
     "cdc_crossdoc_documents": 8,
     "chunk_documents": 10,
-    "click_asof_next_purchase": 4,
-    "cms_token_counts": 4,
+    "click_asof_next_purchase": 11,
+    "cms_token_counts": 11,
     "cogroup_asof_events": 8,
     "cohort_retention_events": 5,
     "collation_group_events": 6,
     "compaction_roundtrip_events": 7,
-    "concurrency_sweepline_events": 10,
-    "conditional_aggs_by_type": 4,
+    "concurrency_sweepline_events": 11,
+    "conditional_aggs_by_type": 11,
     "conform_union_sources": 6,
     "contamination_check_documents": 10,
     "contrastive_triplets_documents": 10,
@@ -96,7 +96,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "csv_malformed_modes_events": 8,
     "csv_roundtrip_customers": 7,
     "curation_funnel_report": 6,
-    "customer_enrichment": 4,
+    "customer_enrichment": 11,
     "customers_with_orders": 5,
     "customers_without_orders": 5,
     "daily_user_rollup": 4,
@@ -116,8 +116,8 @@ LAST_CERTIFIED: dict[str, int] = {
     "edit1_neighborhood_customer": 10,
     "editdist_recall_planted": 9,
     "embedding_ann_ivf": 10,
-    "embedding_ann_lsh": 3,
-    "embedding_cosine_topk": 3,
+    "embedding_ann_lsh": 11,
+    "embedding_cosine_topk": 11,
     "embedding_int8_quantize": 7,
     "embedding_neardup_pairs": 9,
     "event_quality_score": 5,
@@ -125,8 +125,8 @@ LAST_CERTIFIED: dict[str, int] = {
     "event_type_pivot": 5,
     "events_cube": 5,
     "events_in_session_range": 5,
-    "ewma_events": 3,
-    "ewma_stream_availablenow": 10,
+    "ewma_events": 11,
+    "ewma_stream_availablenow": 11,
     "expectations_events": 7,
     "explode_outer_events": 9,
     "file_metadata_events": 8,
@@ -135,17 +135,17 @@ LAST_CERTIFIED: dict[str, int] = {
     "gapfill_linear_events": 7,
     "gapfill_locf_events": 9,
     "generator_functions_documents": 5,
-    "gini_customer_orders": 10,
-    "global_rownum_orders": 10,
+    "gini_customer_orders": 11,
+    "global_rownum_orders": 11,
     "gold_business_summary_events": 4,
     "gold_daily_energy_events": 4,
     "gold_device_health_events": 4,
-    "gopher_quality_documents": 3,
+    "gopher_quality_documents": 11,
     "grouping_sets_events": 4,
     "hash_sample_per_lang": 10,
-    "hdr_quantile_error_bound_events": 10,
-    "hdr_quantile_sketch_events": 10,
-    "hdr_sketch_stream_availablenow": 10,
+    "hdr_quantile_error_bound_events": 11,
+    "hdr_quantile_sketch_events": 11,
+    "hdr_sketch_stream_availablenow": 11,
     "hll_reach_events": 6,
     "hof_functions_documents": 5,
     "hopping_window_events": 4,
@@ -163,14 +163,14 @@ LAST_CERTIFIED: dict[str, int] = {
     "kmv_distinct_events": 8,
     "kmv_jaccard_events": 8,
     "kmv_merge_events": 8,
-    "ks_statistic_events": 10,
+    "ks_statistic_events": 11,
     "label_centroids_embeddings": 6,
-    "language_guess": 3,
+    "language_guess": 11,
     "late_shipment_flag": 5,
     "lateral_topk_orders": 6,
     "latest_event_per_user": 5,
     "latest_events_topk": 4,
-    "length_bucketed_packing": 3,
+    "length_bucketed_packing": 11,
     "listagg_events": 7,
     "llm_corpus_pipeline_documents": 10,
     "locf_stream_availablenow": 10,
@@ -185,13 +185,13 @@ LAST_CERTIFIED: dict[str, int] = {
     "minhash_dedup_documents": 9,
     "minhash_incremental_recall": 9,
     "minhash_recall_exact_dups": 9,
-    "mix_manifest_documents": 3,
-    "multimodal_decode": 3,
-    "multimodal_features": 3,
-    "multimodal_frame_sample": 3,
+    "mix_manifest_documents": 11,
+    "multimodal_decode": 11,
+    "multimodal_features": 11,
+    "multimodal_frame_sample": 11,
     "navigation_functions_events": 6,
     "ngram_jaccard_pairs": 5,
-    "ntile_scan_orders": 10,
+    "ntile_scan_orders": 11,
     "null_aware_notin_orders": 7,
     "nullsafe_join_events": 7,
     "observe_metrics_orders": 6,
@@ -203,18 +203,18 @@ LAST_CERTIFIED: dict[str, int] = {
     "parameterized_sql_orders": 9,
     "part_value_density": 6,
     "percentile_within_group_events": 8,
-    "pii_scrub_documents": 3,
+    "pii_scrub_documents": 11,
     "pipe_syntax_lineitem": 9,
     "polymorphic_udtf_events": 8,
     "ppjoin_pairs_documents": 8,
     "pricing_rollup": 5,
     "pricing_summary": 9,
-    "profile_documents": 3,
+    "profile_documents": 11,
     "profile_drift_documents": 5,
     "purchase_asof_click": 9,
     "pysink_roundtrip_orders": 9,
     "quality_topk_approx_pct": 5,
-    "quality_topk_per_lang": 3,
+    "quality_topk_per_lang": 11,
     "quantile_normalize_events": 4,
     "ranking_functions_events": 4,
     "rate_of_change_events": 4,
@@ -244,14 +244,14 @@ LAST_CERTIFIED: dict[str, int] = {
     "sessionize_events": 4,
     "setops_events": 5,
     "silver_pipeline_events": 9,
-    "simhash_dedup_documents": 3,
-    "simhash_recall_exact_dups": 9,
-    "skyline3d_parts": 10,
-    "skyline_parts": 10,
+    "simhash_dedup_documents": 11,
+    "simhash_recall_exact_dups": 11,
+    "skyline3d_parts": 11,
+    "skyline_parts": 11,
     "sliding_chunks_documents": 6,
     "snapshot_diff_orders": 6,
-    "source_cap_documents": 3,
-    "source_cap_two_phase": 3,
+    "source_cap_documents": 11,
+    "source_cap_two_phase": 11,
     "source_kl_documents": 6,
     "span_masks_documents": 6,
     "sql_scripting_orders": 9,
@@ -262,7 +262,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "statestore_sessions_availablenow": 10,
     "statestore_timeout_rearm_availablenow": 10,
     "stats_moments_lineitem": 6,
-    "stratified_sample_events": 10,
+    "stratified_sample_events": 11,
     "stream_chained_availablenow": 8,
     "stream_dedup_availablenow": 10,
     "stream_device_sessions_availablenow": 10,
@@ -293,16 +293,16 @@ LAST_CERTIFIED: dict[str, int] = {
     "synthetic_source_telemetry": 6,
     "synthetic_stream_availablenow": 10,
     "table_checksum_orders": 7,
-    "temperature_mix_documents": 3,
-    "text_quality_score": 3,
-    "text_stats": 3,
-    "tfidf_top_terms": 3,
+    "temperature_mix_documents": 11,
+    "text_quality_score": 11,
+    "text_stats": 11,
+    "tfidf_top_terms": 11,
     "theta_sketch_events": 8,
     "time_travel_orders": 7,
     "time_weighted_avg_events": 4,
     "token_batch_packing": 10,
-    "token_heavy_hitters": 3,
-    "token_stats_by_lang": 3,
+    "token_heavy_hitters": 11,
+    "token_stats_by_lang": 11,
     "top_orders_per_customer": 5,
     "tpch_q10_returned_items": 6,
     "tpch_q11_important_stock": 7,
@@ -338,21 +338,21 @@ LAST_CERTIFIED: dict[str, int] = {
     "url_functions_orders": 9,
     "user_event_type_sets": 5,
     "vacuum_retention_orders": 8,
-    "value_histogram_events": 3,
+    "value_histogram_events": 11,
     "value_percentiles": 5,
     "variant_functions_events": 6,
     "wav_decode_assets": 7,
-    "weighted_corpus_mix": 10,
-    "weighted_quantiles_orders": 10,
+    "weighted_corpus_mix": 11,
+    "weighted_quantiles_orders": 11,
     "weighted_sample_wor_documents": 4,
     "window_completeness_events": 7,
-    "winsorize_events": 3,
+    "winsorize_events": 11,
     "xml_functions_events": 7,
     "xml_roundtrip_events": 8,
     "zipf_slope_documents": 6,
     "zorder3_key_events": 4,
     "zorder_key_events": 5,
-    "zscore_anomaly_events": 3,
+    "zscore_anomaly_events": 11,
 }
 
 
@@ -425,7 +425,12 @@ def next_front(
     Whenever a rows-only sketch is seated (by any of the three
     rules), its hash-certified recall companion is seated immediately
     after it so the pair certifies together (``companions``,
-    defaulting to :data:`ROWS_ONLY_COMPANIONS`)."""
+    defaulting to :data:`ROWS_ONLY_COMPANIONS`). A pair the
+    oldest-first walk reaches with only one slot left unseats the
+    most recent droppable lone rest-fill row rather than being
+    leapfrogged by newer lone gates (round-11 advice: without this a
+    stale sketch could starve indefinitely when the geometry always
+    leaves a single final slot)."""
     lc = LAST_CERTIFIED if last_certified is None else last_certified
     comp = ROWS_ONLY_COMPANIONS if companions is None else companions
     names = list(all_names)
@@ -454,15 +459,53 @@ def next_front(
         (n for n in names if n not in front),
         key=lambda n: (lc.get(n, 0), n),
     )
+    rest_fill: list[str] = []
+
+    def _pair_locked(e: str) -> bool:
+        # e may not be unseated if doing so would orphan a seated
+        # sketch/companion pair
+        seated = set(front) | set(rest_fill)
+        c = comp.get(e)
+        if c is not None and c in seated:
+            return True  # sketch whose companion is seated
+        for sk, cc in comp.items():
+            if cc == e and sk in seated:
+                return True  # companion of a seated sketch
+        return False
+
     for n in rest:
-        if len(front) >= size:
+        if len(front) + len(rest_fill) >= size:
             break
-        paired = with_companions([n])
-        paired = [p for p in paired if p not in front]
-        if len(front) + len(paired) > size:
-            continue  # the pair doesn't fit; a lone later name might
-        front += paired
-    return front
+        paired = [
+            p
+            for p in with_companions([n])
+            if p not in front and p not in rest_fill
+        ]
+        if not paired:
+            continue
+        room = size - len(front) - len(rest_fill)
+        while len(paired) > room:
+            # Anti-starvation (round-11 advice): a sketch+companion
+            # pair reached by the oldest-first walk must not be
+            # leapfrogged by NEWER lone gates just because the
+            # geometry left one slot. Unseat the most recent
+            # DROPPABLE lone rest-fill row (never a touched/new row,
+            # never half of a seated pair) — it is the least-stale
+            # row in the fill and rotates to the queue head next
+            # round.
+            dropped = False
+            for i in range(len(rest_fill) - 1, -1, -1):
+                if not _pair_locked(rest_fill[i]):
+                    del rest_fill[i]
+                    room += 1
+                    dropped = True
+                    break
+            if not dropped:
+                break
+        if len(paired) > room:
+            continue  # cannot make room: skip whole (never split)
+        rest_fill += paired
+    return front + rest_fill
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ pandas-UDF extension operators.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -74,12 +75,38 @@ def apply_scale_profile(spark: SparkSession, *table_paths: str) -> int:
     """Set ``spark.sql.shuffle.partitions`` from the job's input
     volume (see :func:`scale_shuffle_partitions`) and return the
     chosen count. Call before the action, with the paths the job
-    actually reads; restore the previous value afterwards if the
-    session is shared (gates never call this — they pin the parity
-    layout)."""
+    actually reads. Fire-and-forget — for a SHARED session use
+    :func:`scale_profile`, the context-manager variant that restores
+    the previous value on exit (gates never call either — they pin
+    the parity layout)."""
     n = scale_shuffle_partitions(_local_input_bytes(*table_paths))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
+
+
+@contextmanager
+def scale_profile(spark: SparkSession, *table_paths: str):
+    """Context-manager form of :func:`apply_scale_profile` for shared
+    sessions (round-11 advice): sizes ``spark.sql.shuffle.partitions``
+    from the input volume for the duration of the block, then restores
+    the caller's previous value — so library entry points (plans/etl,
+    the CLI ops) get the measured-correct layout at 100 TB without
+    perturbing whatever layout the surrounding session pinned.
+
+    The floor is the session's CURRENT partition count, not the
+    static default: at gate/test SF the formula lands below it, so
+    the block runs with the exact layout the caller already had —
+    entry points stay byte-identical on small inputs under ANY
+    pinned layout (32, 8, a randomized mirror layout, ...)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = scale_shuffle_partitions(
+        _local_input_bytes(*table_paths), floor=int(prev)
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(

@@ -391,6 +391,12 @@ EWMA_STATE_SCHEMA = StructType(
 )
 
 
+# per-worker-process count of (batch, key) late-drop occurrences,
+# used only to rate-limit the executor-log WARNING below — the
+# driver-side accumulator is the precise monitoring signal
+_EWMA_DROP_LOG: dict = {"events": 0}
+
+
 def _ewma_fn(alpha: float, dropped_counter=None):
     beta = 1.0 - alpha
 
@@ -441,17 +447,26 @@ def _ewma_fn(alpha: float, dropped_counter=None):
         if dropped:
             # sustained drops mean the upstream watermark is too
             # tight for the source's disorder — make that visible at
-            # runtime, not only in the docstring (round-10 advice):
-            # a per-(batch, key) WARNING on the executor log, plus an
-            # optional driver-visible accumulator for dashboards.
+            # runtime, not only in the docstring (round-10 advice).
+            # RATE-LIMITED per worker process (round-11 advice): a
+            # hot-key late-data regime would otherwise emit one
+            # WARNING per key per micro-batch — unbounded stderr
+            # volume on executors. The first few occurrences log in
+            # full, then every 1000th as a heartbeat; the accumulator
+            # stays the precise signal.
             import logging
 
-            logging.getLogger(__name__).warning(
-                "ewma_stream dropped %d late row(s) for user_id=%s "
-                "(at/before carried cursor); check the source "
-                "watermark if this persists",
-                dropped, user_id,
-            )
+            _EWMA_DROP_LOG["events"] += 1
+            n = _EWMA_DROP_LOG["events"]
+            if n <= 20 or n % 1000 == 0:
+                logging.getLogger(__name__).warning(
+                    "ewma_stream dropped %d late row(s) for "
+                    "user_id=%s (at/before carried cursor); check "
+                    "the source watermark if this persists "
+                    "[occurrence %d on this worker%s]",
+                    dropped, user_id, n,
+                    "" if n <= 20 else "; further logs sampled 1/1000",
+                )
             if dropped_counter is not None:
                 dropped_counter.add(dropped)
         if rows:
@@ -534,9 +549,10 @@ def _locf_fn(step_seconds: int, max_gap_buckets: int = 100_000):
         (user_id,) = key
         if state.exists:
             bucket_s, obs_ts_us, value = state.get
+            have_state = True
         else:
-            bucket_s = None
-        out: list[tuple[int, float, bool]] = []
+            have_state = False
+        out_b = None
         # Same chunk hazard as _ewma_fn: Arrow chunk boundaries carry no
         # order, and an out-of-order row here is silently DROPPED by the
         # late-event branch below. Concat + one global sort restores the
@@ -559,51 +575,82 @@ def _locf_fn(step_seconds: int, max_gap_buckets: int = 100_000):
             all_v = whole["value"].astype(float).to_numpy()
             all_b = (all_ts // step_us) * step_seconds
             last = np.nonzero(np.append(all_b[1:] != all_b[:-1], True))[0]
-            for i in last:
-                ts_us = int(all_ts[i])
-                v = float(all_v[i])
-                b = int(all_b[i])
-                if bucket_s is None:
-                    bucket_s, obs_ts_us, value = b, ts_us, v
-                elif b == bucket_s:
-                    if (ts_us, v) > (obs_ts_us, value):
-                        obs_ts_us, value = ts_us, v
-                elif b > bucket_s:
-                    # gap emission is O(gap length) PYTHON TUPLES
-                    # inside one task: a key resuming from a months-
-                    # stale checkpoint would materialize millions of
-                    # rows for ONE event. Fail loudly at the cap
-                    # (observable, like the edit-1 over-cap guard)
-                    # instead of stalling/OOMing the executor.
-                    n_gaps = (b - bucket_s) // step_seconds - 1
-                    if n_gaps > max_gap_buckets:
+            # Winner arrays: strictly increasing buckets (fancy
+            # indexing copies, so the in-place tie fix below is safe).
+            wb = all_b[last]
+            wts = all_ts[last]
+            wv = all_v[last]
+            if have_state:
+                # Late events older than the open bucket are dropped,
+                # not folded; feed from a watermarked source upstream.
+                keep = wb >= bucket_s
+                wb, wts, wv = wb[keep], wts[keep], wv[keep]
+                if len(wb) and int(wb[0]) == bucket_s:
+                    # same-bucket merge: lexicographic-max (ts, value),
+                    # the batch operator's exact tie rule
+                    if (int(wts[0]), float(wv[0])) < (obs_ts_us, value):
+                        wts[0] = obs_ts_us
+                        wv[0] = value
+                else:
+                    wb = np.concatenate(([bucket_s], wb))
+                    wts = np.concatenate(([obs_ts_us], wts))
+                    wv = np.concatenate(([value], wv))
+            if len(wb):
+                if len(wb) > 1:
+                    # Emission is fully vectorized (round 12 — the gap
+                    # fill appended one Python tuple + one
+                    # pd.Timestamp PER OUTPUT ROW, the 59x-at-100x
+                    # wall driver in SCALE.md's stateful probe): each
+                    # closed bucket i emits counts[i] rows — itself
+                    # first (is_gap False), then its carried-forward
+                    # gap rows up to the next observed bucket. Pure
+                    # selection/repeat, no value arithmetic, so the
+                    # rows are bit-identical to the scalar fold's.
+                    counts = (wb[1:] - wb[:-1]) // step_seconds
+                    worst = int(counts.max()) - 1
+                    if worst > max_gap_buckets:
+                        # A key resuming from a months-stale
+                        # checkpoint would materialize millions of
+                        # rows for ONE event. Fail loudly at the cap
+                        # (observable, like the edit-1 over-cap
+                        # guard) instead of stalling/OOMing the
+                        # executor.
+                        j = int(np.argmax(counts))
                         raise ValueError(
                             f"locf_stream: key {user_id} gap of "
-                            f"{n_gaps} buckets exceeds max_gap_"
+                            f"{worst} buckets exceeds max_gap_"
                             f"buckets={max_gap_buckets} (open bucket "
-                            f"{bucket_s}, next event bucket {b}); "
+                            f"{int(wb[j])}, next event bucket "
+                            f"{int(wb[j + 1])}); "
                             "widen step_seconds, raise the cap, or "
                             "expire stale keys upstream"
                         )
-                    out.append((bucket_s, value, False))
-                    for g in range(
-                        bucket_s + step_seconds, b, step_seconds
-                    ):
-                        out.append((g, value, True))
-                    bucket_s, obs_ts_us, value = b, ts_us, v
-                # b < bucket_s: late event below the open bucket —
-                # dropped; feed from a watermarked source upstream
-        if bucket_s is not None:
+                    total = int(counts.sum())
+                    run_start = np.repeat(
+                        np.concatenate(([0], np.cumsum(counts)[:-1])),
+                        counts,
+                    )
+                    idx_in_run = np.arange(total) - run_start
+                    out_b = np.repeat(wb[:-1], counts) + (
+                        idx_in_run * step_seconds
+                    )
+                    out_v = np.repeat(wv[:-1], counts)
+                    out_g = idx_in_run > 0
+                bucket_s = int(wb[-1])
+                obs_ts_us = int(wts[-1])
+                value = float(wv[-1])
+                have_state = True
+        if have_state:
             state.update((int(bucket_s), int(obs_ts_us), float(value)))
-        if out:
+        if out_b is not None and len(out_b):
             yield pd.DataFrame(
                 {
                     "user_id": user_id,
-                    "bucket_time": [
-                        pd.Timestamp(b * _US * 1000) for b, _, _ in out
-                    ],
-                    "value": [v for _, v, _ in out],
-                    "is_gap": [bool(g) for _, _, g in out],
+                    "bucket_time": pd.to_datetime(
+                        out_b.astype("int64") * 1_000_000_000
+                    ),
+                    "value": out_v,
+                    "is_gap": out_g,
                 }
             )
 

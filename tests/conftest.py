@@ -13,20 +13,43 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def _mirror_shuffle_partitions() -> int:
+    """Per-round RANDOMIZED mirror shuffle layout (round-11 verdict
+    ask #5): changing the partition count changes Spark's
+    accumulation order, which is exactly the stress that exposes
+    order-sensitive float reductions hiding behind one layout (the
+    round-11 revenue-flutter class). Round 11 hand-picked two points
+    (8 and 32); seeding the layout per round turns accumulation-order
+    independence into a STANDING property the suite re-checks with a
+    fresh layout every round.
+
+    Precedence: SPARK_GRAFT_TEST_SHUFFLE_PARTITIONS pins an explicit
+    layout (used to reproduce a failure at the logged value);
+    otherwise the layout is drawn from [5, 48] seeded by
+    SPARK_GRAFT_TEST_LAYOUT_SEED (default: the round recorded in
+    COVERAGE.md gets the seed logged next to it). The chosen layout
+    and seed are printed so any red run names its layout."""
+    import os as _os
+    import random as _random
+
+    explicit = _os.environ.get("SPARK_GRAFT_TEST_SHUFFLE_PARTITIONS")
+    if explicit is not None:
+        n = int(explicit)
+        print(f"[conftest] shuffle layout pinned: {n}", file=sys.stderr)
+        return n
+    seed = int(_os.environ.get("SPARK_GRAFT_TEST_LAYOUT_SEED", "12"))
+    n = _random.Random(seed).randint(5, 48)
+    print(
+        f"[conftest] shuffle layout seed={seed} -> partitions={n}",
+        file=sys.stderr,
+    )
+    return n
+
+
 @pytest.fixture(scope="session")
 def spark():
-    # Overridable so the exact mirror can be re-run under a DIFFERENT
-    # shuffle layout: changing the partition count changes Spark's
-    # accumulation order, which is exactly the stress that exposes
-    # order-sensitive float reductions hiding behind one layout (the
-    # round-11 revenue-flutter class). Default stays 8 for speed.
-    import os as _os
-
     spark = get_spark(
-        "tests",
-        shuffle_partitions=int(
-            _os.environ.get("SPARK_GRAFT_TEST_SHUFFLE_PARTITIONS", "8")
-        ),
+        "tests", shuffle_partitions=_mirror_shuffle_partitions()
     )
     yield spark
 

@@ -973,3 +973,37 @@ def test_hdr_sketch_shuffle_budget(spark):
         "Exchange hashpartitioning"
     )
     assert "partial_count" in plan, plan
+
+
+def test_plan_fingerprint_stable_and_plan_sensitive(spark):
+    """bench._plan_fingerprinter (round-11 verdict ask #2): the
+    canonicalized executed-plan hash must be (a) STABLE across
+    repeated runs of the same query in one session — expression ids,
+    lambda counters, RDD ids, UUIDs, paths and callsites are all
+    stripped — and (b) SENSITIVE to a genuine plan change (the
+    q21-class broadcast-threshold flip is exactly a different final
+    adaptive plan). (a) false-positive plan flips would erode the
+    regression bar into noise; (b) false negatives would silently
+    waive real flips as variance."""
+    import bench
+    from big_data_for_smart_houses_spark.queries import QUERIES
+
+    poll = bench._plan_fingerprinter(spark)
+    last, _ = poll(-1)
+    fn = QUERIES["tpch_q21_waiting_supplier"]
+    sf = "/root/testdata/sf0.001"
+    fps = []
+    for _ in range(2):
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
+        last, fp = poll(last)
+        fps.append(fp)
+    assert fps[0] is not None and fps[0] == fps[1], fps
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
+        last, fp_nb = poll(last)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fp_nb is not None and fp_nb != fps[0], (fp_nb, fps[0])

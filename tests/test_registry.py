@@ -124,6 +124,33 @@ def test_last_certified_matches_artifacts():
     assert LAST_CERTIFIED == derived
     assert set(LAST_CERTIFIED) <= set(_ALL_QUERIES)
 
+    # The clamp must not make this test self-referential (round-11
+    # advice): if the whole map were stale — a round that forgot the
+    # regeneration procedure — every newer artifact would be ignored
+    # and the assertions above would stay green while the drift
+    # guarantee silently died. At most ONE artifact round may exceed
+    # the clamp: the in-flight driver round, written after the
+    # builder's final commit. Two or more means the map skipped a
+    # regeneration.
+    import glob
+    import os
+    import re
+
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    artifact_rounds = set()
+    for f in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if m:
+            artifact_rounds.add(int(m.group(1)))
+    newer = sorted(r for r in artifact_rounds if r > covered)
+    assert len(newer) <= 1, (
+        f"LAST_CERTIFIED covers rounds <= r{covered} but artifact "
+        f"rounds {newer} all exceed it — the map is at least two "
+        "rounds stale; run the regeneration procedure "
+        "(python -m big_data_for_smart_houses_spark.queries"
+        ".certification)"
+    )
+
 
 def test_front_is_computed_touched_then_new_then_oldest():
     """The driver front must follow the rotation policy mechanically:
@@ -231,6 +258,40 @@ def test_next_front_companion_pairing_rules():
     front = next_front(names, ["q1", "q2", "q3"], size=4,
                        last_certified=lc, companions=comp)
     assert len(front) == 4
+
+
+def test_next_front_pair_cannot_be_starved():
+    """Anti-starvation (round-11 advice): when the oldest-first walk
+    reaches a sketch+companion pair with only one slot left, the most
+    recent droppable lone rest-fill row is unseated to make room —
+    NEWER lone gates may never leapfrog the pair. Touched/new rows
+    and halves of seated pairs are never unseated."""
+    from big_data_for_smart_houses_spark.queries.certification import (
+        next_front,
+    )
+
+    names = ["q1", "q2", "s1", "c1", "q4"]
+    comp = {"s1": "c1"}
+    lc = {"q1": 1, "q2": 1, "s1": 2, "q4": 3, "c1": 9}
+
+    # size 3: walk seats q1, q2, then reaches the pair with room=1.
+    # Old behavior: skip the pair, seat the NEWER q4. New behavior:
+    # unseat q2 (the least-stale lone fill), seat the pair.
+    front = next_front(names, [], size=3, last_certified=lc,
+                       companions=comp)
+    assert front == ["q1", "s1", "c1"]
+
+    # touched rows are never unseated: with q1/q2 touched the fill
+    # has no droppable row, so the pair is skipped whole and the
+    # lone newer gate takes the final slot
+    front = next_front(names, ["q1", "q2"], size=3, last_certified=lc,
+                       companions=comp)
+    assert front == ["q1", "q2", "q4"]
+
+    # with two slots of room the pair seats without any eviction
+    front = next_front(names, [], size=4, last_certified=lc,
+                       companions=comp)
+    assert front == ["q1", "q2", "s1", "c1"]
     for sk, c in (("s1", "c1"), ("s2", "c2")):
         if sk in front:
             assert c in front, front
