@@ -736,10 +736,28 @@ def _plan_fingerprinter(spark):
     mechanical instead of prose (it previously inferred plan identity
     from io bytes alone, which is blind to CPU-only plan changes).
 
-    Returns poll(after_exec_id) -> (new_max_id, fp_or_None); walks
-    the executions list from the NEWEST end and stops at the
-    watermark, so py4j round-trips are O(new executions), not
-    O(retained executions)."""
+    TWO hashes are kept per query, because two different things can
+    move a plan description (measured on this engine, round 12):
+
+    * ``fp`` — the full description incl. the FINAL adaptive plan.
+      Moves on ANY executed-plan change.
+    * ``fp_init`` — the INITIAL (statically-planned) trees only,
+      node ids stripped. Static planning is deterministic given the
+      same code and stats, so this hash moves ONLY on a genuine
+      code/plan/stats change — it is immune to AQE runtime races
+      (ks_statistic_events flips BHJ build side run-to-run because
+      two ~equal 8.5 MiB broadcast candidates race; q21-class
+      runtime conversions are the same family).
+
+    Adjudication reads them as: fp_init moved => real plan change,
+    attribute by hand; fp_init same + fp moved => AQE runtime
+    re-plan, waivable when io is bit-identical inside the variance
+    band; both same => strongest variance confirmation.
+
+    Returns poll(after_exec_id) -> (new_max_id, fp_or_None,
+    fp_init_or_None); walks the executions list from the NEWEST end
+    and stops at the watermark, so py4j round-trips are O(new
+    executions), not O(retained executions)."""
     import hashlib
 
     sc = spark.sparkContext
@@ -769,12 +787,24 @@ def _plan_fingerprinter(spark):
         ),
         (re.compile(r"file:[^\s\],)]+"), "<path>"),
         (re.compile(r"/(?:root|tmp|home|private)[^\s\],)]*"), "<path>"),
+        # auto-generated temp-view names (parameterized SQL, scripting)
+        (re.compile(r"_pyspark_[0-9a-f]{32}"), "_pyspark_<id>"),
     ]
 
     def canon(desc: str) -> str:
         for pat, rep in strip:
             desc = pat.sub(rep, desc)
         return desc
+
+    init_re = re.compile(r"== Initial Plan ==\n(.*?)\n\s*\n", re.S)
+    tree_re = re.compile(r"== Physical Plan ==\n(.*?)\n\s*\n", re.S)
+    # node ids renumber with the FINAL tree's size, so the initial
+    # hash must ignore them
+    node_id_re = re.compile(r"\(\d+\)")
+
+    def initial_tree(desc: str) -> str:
+        m = init_re.search(desc) or tree_re.search(desc)
+        return node_id_re.sub("", m.group(1)) if m else desc
 
     def poll(after_exec_id: int):
         # The SQL status listener consumes execution-end events ASYNC
@@ -794,12 +824,15 @@ def _plan_fingerprinter(spark):
             mx = max(mx, eid)
             descs.append(canon(e.physicalPlanDescription()))
         if not descs:
-            return mx, None
+            return mx, None, None
         descs.reverse()  # executionId order — deterministic per gate
         h = hashlib.sha256(
             "\n---\n".join(descs).encode()
         ).hexdigest()[:16]
-        return mx, h
+        hi = hashlib.sha256(
+            "\n---\n".join(initial_tree(d) for d in descs).encode()
+        ).hexdigest()[:16]
+        return mx, h, hi
 
     return poll
 
@@ -825,6 +858,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     query_io: dict[str, dict] = {}
     query_fp: dict[str, str] = {}
+    query_fp_init: dict[str, str] = {}
     try:
         poll_stages = _stage_metrics_poller(spark)
         last_stage_id, _ = poll_stages(-1)
@@ -833,7 +867,7 @@ def main() -> None:
         last_stage_id = -1
     try:
         poll_fp = _plan_fingerprinter(spark)
-        last_exec_id, _ = poll_fp(-1)
+        last_exec_id, _, _ = poll_fp(-1)
     except Exception:  # noqa: BLE001 - fingerprints are best-effort
         poll_fp = None
         last_exec_id = -1
@@ -866,7 +900,7 @@ def main() -> None:
                         poll_stages = None
                 if run == 0 and poll_fp is not None:
                     try:
-                        last_exec_id, _ = poll_fp(last_exec_id)
+                        last_exec_id, _, _ = poll_fp(last_exec_id)
                     except Exception:  # noqa: BLE001
                         poll_fp = None
                 continue
@@ -891,9 +925,10 @@ def main() -> None:
             # final.
             if run == 0 and poll_fp is not None:
                 try:
-                    last_exec_id, fp = poll_fp(last_exec_id)
+                    last_exec_id, fp, fpi = poll_fp(last_exec_id)
                     if fp is not None and name not in query_fp:
                         query_fp[name] = fp
+                        query_fp_init[name] = fpi
                 except Exception:  # noqa: BLE001
                     poll_fp = None
             print(f"  [{run}] {name}: {t:.3f}s", file=sys.stderr)
@@ -959,6 +994,7 @@ def main() -> None:
         out["query_io"] = query_io
     if query_fp:
         out["query_plan_fp"] = query_fp
+        out["query_plan_fp_init"] = query_fp_init
     silver_t = timings.get("silver_pipeline_events")
     if silver_t:
         # ADVICE r9: the best-of-6 figure is not comparable to prior
@@ -1013,6 +1049,7 @@ def main() -> None:
         prev_q = prev.get("queries", {})
         prev_io = prev.get("query_io", {})
         prev_fp = prev.get("query_plan_fp", {})
+        prev_fpi = prev.get("query_plan_fp_init", {})
         for name, t in timings.items():
             p = prev_q.get(name)
             if p and t > p * 1.25 and t - p > 0.3:
@@ -1020,15 +1057,48 @@ def main() -> None:
                 fp_moved = (
                     pfp != nfp if (pfp and nfp) else None
                 )
+                pfi, nfi = prev_fpi.get(name), query_fp_init.get(name)
+                fpi_moved = (
+                    pfi != nfi if (pfi and nfi) else None
+                )
+                pio, nio = prev_io.get(name), query_io.get(name)
+                io_same = bool(pio and nio and pio == nio)
                 adjudication = _REGRESSION_ADJUDICATIONS.get(name)
-                if adjudication is None and fp_moved:
+                if adjudication is None and fpi_moved:
                     # Mechanical plan-flip detection (round-11 verdict
-                    # ask #2): the executed-plan fingerprint moved, so
-                    # this is a PLAN CHANGE, not machine variance —
-                    # it must be attributed by hand (corpus edit?
-                    # broadcast-threshold flip? deliberate rewrite?)
-                    # regardless of whether io bytes moved, closing
-                    # the CPU-only-plan-change blind spot.
+                    # ask #2): the STATIC (initial) plan moved — that
+                    # only happens on a genuine code/plan/stats
+                    # change, never on AQE runtime races — so this
+                    # must be attributed by hand regardless of io,
+                    # closing the CPU-only-plan-change blind spot.
+                    adjudication = (
+                        "UNEXPLAINED (static plan fingerprint moved "
+                        f"{pfi} -> {nfi})"
+                    )
+                if adjudication is None and fp_moved and fpi_moved is False:
+                    # The static plan is identical but the FINAL
+                    # adaptive plan differs: an AQE runtime re-plan
+                    # (build-side race on ~equal broadcast candidates,
+                    # stage-reuse timing, q21-class threshold
+                    # conversion). Waivable only when the bytes stayed
+                    # bit-identical inside the variance band; a
+                    # runtime re-plan that MOVED data is exactly the
+                    # q21 class and needs attribution.
+                    if io_same and t <= p * 2.0:
+                        adjudication = (
+                            "static plan identical; AQE runtime "
+                            "re-plan with bit-identical io inside "
+                            "the 2x band — runtime nondeterminism, "
+                            "not a code change"
+                        )
+                    else:
+                        adjudication = (
+                            "UNEXPLAINED (AQE runtime re-plan "
+                            f"{pfp} -> {nfp} with moved io or >2x)"
+                        )
+                if adjudication is None and fp_moved and fpi_moved is None:
+                    # no initial-plan baseline yet (first round after
+                    # the split): fall back to the conservative rule
                     adjudication = (
                         "UNEXPLAINED (plan fingerprint moved "
                         f"{pfp} -> {nfp})"
@@ -1053,8 +1123,7 @@ def main() -> None:
                     # variance" on any box we have measured (seven
                     # committed dedup_groups runs spanned 1.42x) and
                     # stays UNEXPLAINED for hand attribution.
-                    pio, nio = prev_io.get(name), query_io.get(name)
-                    if pio and nio and pio == nio and t <= p * 2.0:
+                    if io_same and t <= p * 2.0:
                         adjudication = (
                             "io-identical to baseline run (plan and "
                             "data volume unchanged) within the 2x "

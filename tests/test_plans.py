@@ -989,21 +989,43 @@ def test_plan_fingerprint_stable_and_plan_sensitive(spark):
     from big_data_for_smart_houses_spark.queries import QUERIES
 
     poll = bench._plan_fingerprinter(spark)
-    last, _ = poll(-1)
-    fn = QUERIES["tpch_q21_waiting_supplier"]
+    last, _, _ = poll(-1)
     sf = "/root/testdata/sf0.001"
-    fps = []
-    for _ in range(2):
-        fn(spark, sf).write.mode("overwrite").format("noop").save()
-        last, fp = poll(last)
-        fps.append(fp)
-    assert fps[0] is not None and fps[0] == fps[1], fps
 
+    # (a) stability, on a query with NO known plan bistability —
+    # q21 would be wrong here: its broadcast-threshold boundary is
+    # exactly the documented bistable case and can flip between two
+    # back-to-back runs when neighbouring tests have churned
+    # stats/conf (observed in-suite)
+    stable_fn = QUERIES["gold_daily_energy_events"]
+    fps, fpis = [], []
+    for _ in range(2):
+        stable_fn(spark, sf).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        last, fp, fpi = poll(last)
+        fps.append(fp)
+        fpis.append(fpi)
+    assert fps[0] is not None and fps[0] == fps[1], fps
+    assert fpis[0] is not None and fpis[0] == fpis[1], fpis
+
+    # (b) sensitivity: forcing the broadcast threshold on the
+    # q21-class join changes static planning — BOTH hashes must move
+    # (the initial hash is the one that escalates to UNEXPLAINED
+    # unconditionally). Pin the threshold for the reference run too,
+    # so the bistability can't race the comparison.
+    fn = QUERIES["tpch_q21_waiting_supplier"]
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        fn(spark, sf).write.mode("overwrite").format("noop").save()
+        last, fp_b, fpi_b = poll(last)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         fn(spark, sf).write.mode("overwrite").format("noop").save()
-        last, fp_nb = poll(last)
+        last, fp_nb, fpi_nb = poll(last)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert fp_nb is not None and fp_nb != fps[0], (fp_nb, fps[0])
+    assert fp_nb is not None and fp_nb != fp_b, (fp_nb, fp_b)
+    assert fpi_nb is not None and fpi_nb != fpi_b, (fpi_nb, fpi_b)
