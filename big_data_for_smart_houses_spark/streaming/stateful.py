@@ -586,9 +586,17 @@ def _locf_fn(step_seconds: int, max_gap_buckets: int = 100_000):
                 keep = wb >= bucket_s
                 wb, wts, wv = wb[keep], wts[keep], wv[keep]
                 if len(wb) and int(wb[0]) == bucket_s:
-                    # same-bucket merge: lexicographic-max (ts, value),
-                    # the batch operator's exact tie rule
-                    if (int(wts[0]), float(wv[0])) < (obs_ts_us, value):
+                    # same-bucket merge: the batch operator's exact
+                    # tie rule — the incoming winner replaces the
+                    # carried observation ONLY when strictly greater
+                    # (same predicate, same polarity, as the scalar
+                    # fold this replaced: a NaN value compares False
+                    # either way, so the carried state must win then
+                    # too)
+                    if not (
+                        (int(wts[0]), float(wv[0]))
+                        > (obs_ts_us, value)
+                    ):
                         wts[0] = obs_ts_us
                         wv[0] = value
                 else:

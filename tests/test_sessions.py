@@ -548,6 +548,52 @@ def test_locf_fold_no_drop_across_arrow_chunks():
     assert state.get[2] == 9.0
 
 
+def test_locf_state_merge_tie_polarity():
+    """The carried state merges with a same-bucket incoming winner
+    under the batch operator's exact predicate: the incoming row
+    replaces the state ONLY when strictly greater by (ts, value).
+    The polarity matters beyond ties: a NaN value compares False in
+    BOTH directions, so the carried state must win then too (the
+    round-12 vectorization briefly inverted this — an equal-ts
+    NaN-value row would have displaced the state)."""
+    import math
+
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming.stateful import _locf_fn
+
+    bucket0_s = int(T0.timestamp())
+    bucket0_s = (bucket0_s // 3600) * 3600
+    state_ts_us = int(T0.timestamp() * 1_000_000)
+
+    def run(rows, state_tuple):
+        state = _FakeGroupState(state_tuple)
+        chunks = [pd.DataFrame({
+            "user_id": [1] * len(rows),
+            "ts": [t for t, _ in rows],
+            "value": [v for _, v in rows],
+        })]
+        list(_locf_fn(3600)((1,), iter(chunks), state))
+        return state.get
+
+    # equal (ts, value): state survives unchanged (no-op either way)
+    got = run([(T0, 7.0)], (bucket0_s, state_ts_us, 7.0))
+    assert got == (bucket0_s, state_ts_us, 7.0)
+
+    # strictly greater value at the same ts: incoming wins
+    got = run([(T0, 9.0)], (bucket0_s, state_ts_us, 7.0))
+    assert got[2] == 9.0
+
+    # strictly smaller value at the same ts: state wins
+    got = run([(T0, 3.0)], (bucket0_s, state_ts_us, 7.0))
+    assert got[2] == 7.0
+
+    # NaN value at the same ts: comparison is False both ways —
+    # the carried state must win (the scalar fold's behavior)
+    got = run([(T0, float("nan"))], (bucket0_s, state_ts_us, 7.0))
+    assert got[2] == 7.0 and not math.isnan(got[2])
+
+
 def test_timeout_session_fold_offline():
     """The EventTimeTimeout fold in isolation, across the full
     watermark lifecycle: a gap-closed session stays PENDING until the
