@@ -32,20 +32,18 @@ rows-only entries are the 4 structural sketches (minhash/simhash/
 ann_lsh/ann_ivf), each carrying a hash-gated recall companion that
 IS driver-certified.
 
-END-OF-ROUND-12 STATE: registry 314 queries / 310 oracles — no new
-queries again BY DESIGN (the r4/r5 refresh backlog outranks new
-surface, round-11 verdict ask #8). LAST_CERTIFIED was regenerated
-from CORRECTNESS_r11.json (the mechanical ROUND-12 PROCEDURE step 1;
-oldest certification in the registry is now r4: 30 rows, then r5:
-41). The front = 2 touched (the streaming-LOCF gates, whose fold's
-gap emission was vectorized this round — bit-exact, mirror-checked)
-+ 48 backlog rows oldest-green-first: all 30 remaining r4 rows and
-the 18 alphabetically-first r5 rows.
-ROUND-13 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
-CORRECTNESS_r12.json (``python -m ...queries.certification``, paste,
-test re-derives); (2) replace _TOUCHED_R12 with the round-13 touched
+END-OF-ROUND-13 STATE: LAST_CERTIFIED regenerated from
+CORRECTNESS_r12.json (the mechanical ROUND-13 PROCEDURE step 1;
+oldest certification in the registry is now r5: 23 rows, then r6:
+42). One new gate minted this round (round-12 verdict ask #4): the
+billing-reconciliation join the reference's data model declares but
+never runs — it seats by the never-certified rule. The rest of the
+front burns the r5 bucket (all 23 rows) and continues into r6.
+ROUND-14 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
+CORRECTNESS_r13.json (``python -m ...queries.certification``, paste,
+test re-derives); (2) replace _TOUCHED_R13 with the round-14 touched
 list; next_front() does the rest — refresh priority continues with
-the remaining r5 block (tests/test_registry.py recomputes the exact
+the remaining r6 block (tests/test_registry.py recomputes the exact
 seating).
 """
 
@@ -121,34 +119,26 @@ ORACLES = {
     **_TPCH_ORACLES,
 }
 
-# Round-12 rotation: the front is COMPUTED, not curated — touched
+# Round-13 rotation: the front is COMPUTED, not curated — touched
 # gates first (rows-only sketches bring their recall companions,
 # certification.ROWS_ONLY_COMPANIONS), then never-certified new
 # gates, then oldest-green-first from certification.LAST_CERTIFIED.
 # The touched list is the one per-round input a human supplies:
 # every gate whose EXECUTED code or corpus this round edited.
-# Deliberately small (round-11 verdict ask #1): no new registry
-# queries minted, so 48 slots burn down the r4/r5 refresh backlog.
-# NOT counted as touched, with reasons: bench.py's executed-plan
-# fingerprints, certification.py's regeneration, and the registry
-# drift-test hardening are harness-side; session.py's scale-profile
-# wiring into cli/etl entry points leaves every gate's executed path
-# byte-identical (unit-asserted in tests/test_session_profile.py).
-_TOUCHED_R12 = [
-    # _locf_fn's gap emission was vectorized (round-11 verdict ask
-    # #3): the per-output-row Python tuple + pd.Timestamp loops became
-    # numpy repeat/arange selection — pure selection, no value
-    # arithmetic, proven bit-identical by the LOCF unit suite and the
-    # sf0.01 exact mirror, and the 100x stateful probe's wall ratio
-    # dropped 59x -> 37.7x (output-linear, state still O(keys)). Both
-    # gates execute the edited fold, so they re-certify.
-    "locf_stream_availablenow",
-    "stream_restart_pystate_availablenow",
-]
+# NOT counted as touched, with reasons: bench.py's micro-bench
+# fingerprint capture and throughput floor, certification.py's
+# regeneration, and cli.py's scale-profile de-duplication are
+# harness-side (the last leaves every gate's executed path
+# byte-identical — unit-asserted in tests/test_session_profile.py);
+# the EWMA drop-log per-stream keying edits only the warning-sampling
+# side channel of streaming/stateful.py, never a produced row (the
+# EWMA unit suite and sf0.01 exact mirror re-prove bit-identity, and
+# the ewma gate still seats via the r5 backlog rule this round).
+_TOUCHED_R13: list = []
 
 # round-agnostic alias: tests and tooling read this name, so next
 # round only renames the list above
-_TOUCHED_THIS_ROUND = _TOUCHED_R12
+_TOUCHED_THIS_ROUND = _TOUCHED_R13
 
 from .certification import next_front as _next_front  # noqa: E402
 

@@ -37,22 +37,22 @@ import json
 import os
 import re
 
-# query name -> most recent round with a green driver row (r1-r11)
+# query name -> most recent round with a green driver row (r1-r12)
 LAST_CERTIFIED: dict[str, int] = {
     "ab_lift_events": 6,
     "abc_customers": 11,
     "agg_completeness_lineitem": 9,
     "agg_pushdown_events": 8,
-    "analytics_daily_cost_trend": 5,
-    "analytics_daily_energy_trend": 5,
-    "analytics_data_status": 5,
+    "analytics_daily_cost_trend": 12,
+    "analytics_daily_energy_trend": 12,
+    "analytics_data_status": 12,
     "analytics_energy_by_type": 11,
-    "analytics_health_scatter": 5,
-    "analytics_kpi_chain_gold": 5,
-    "analytics_kpi_chain_silver": 5,
-    "analytics_kpi_chain_summary": 5,
+    "analytics_health_scatter": 12,
+    "analytics_kpi_chain_gold": 12,
+    "analytics_kpi_chain_silver": 12,
+    "analytics_kpi_chain_summary": 12,
     "analytics_kpi_day": 11,
-    "analytics_live_readings": 5,
+    "analytics_live_readings": 12,
     "ann_ivf_recall_planted": 9,
     "ann_lsh_recall_planted": 11,
     "approx_topk_events": 9,
@@ -66,7 +66,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "binaryfile_bmp_assets": 8,
     "bitmap_distinct_events": 7,
     "bitwise_aggs_events": 8,
-    "bloom_probe_customers": 5,
+    "bloom_probe_customers": 12,
     "bm25_documents": 10,
     "bmp_decode_assets": 7,
     "boilerplate_ngram_documents": 10,
@@ -76,14 +76,14 @@ LAST_CERTIFIED: dict[str, int] = {
     "bpe_train_documents": 8,
     "bucketed_join_orders": 7,
     "business_summary_approx_gate": 11,
-    "catalog_enrichment_events": 5,
+    "catalog_enrichment_events": 12,
     "cdc_chunk_documents": 10,
     "cdc_crossdoc_documents": 8,
     "chunk_documents": 10,
     "click_asof_next_purchase": 11,
     "cms_token_counts": 11,
     "cogroup_asof_events": 8,
-    "cohort_retention_events": 5,
+    "cohort_retention_events": 12,
     "collation_group_events": 6,
     "compaction_roundtrip_events": 7,
     "concurrency_sweepline_events": 11,
@@ -97,16 +97,16 @@ LAST_CERTIFIED: dict[str, int] = {
     "csv_roundtrip_customers": 7,
     "curation_funnel_report": 6,
     "customer_enrichment": 11,
-    "customers_with_orders": 5,
-    "customers_without_orders": 5,
-    "daily_user_rollup": 4,
-    "daily_value_pop_change": 4,
+    "customers_with_orders": 12,
+    "customers_without_orders": 12,
+    "daily_user_rollup": 12,
+    "daily_value_pop_change": 12,
     "dataset_split_documents": 10,
-    "date_functions_events": 4,
+    "date_functions_events": 12,
     "datetime_functions_events": 9,
     "decontaminated_train_docs": 10,
-    "dedup_events_keepfirst": 4,
-    "dedup_exact_documents": 5,
+    "dedup_events_keepfirst": 12,
+    "dedup_exact_documents": 12,
     "dedup_groups_documents": 9,
     "dedup_incremental_documents": 9,
     "doc_fingerprint": 10,
@@ -120,10 +120,10 @@ LAST_CERTIFIED: dict[str, int] = {
     "embedding_cosine_topk": 11,
     "embedding_int8_quantize": 7,
     "embedding_neardup_pairs": 9,
-    "event_quality_score": 5,
-    "event_transition_counts": 5,
-    "event_type_pivot": 5,
-    "events_cube": 5,
+    "event_quality_score": 12,
+    "event_transition_counts": 12,
+    "event_type_pivot": 12,
+    "events_cube": 12,
     "events_in_session_range": 5,
     "ewma_events": 11,
     "ewma_stream_availablenow": 11,
@@ -137,25 +137,25 @@ LAST_CERTIFIED: dict[str, int] = {
     "generator_functions_documents": 5,
     "gini_customer_orders": 11,
     "global_rownum_orders": 11,
-    "gold_business_summary_events": 4,
-    "gold_daily_energy_events": 4,
-    "gold_device_health_events": 4,
+    "gold_business_summary_events": 12,
+    "gold_daily_energy_events": 12,
+    "gold_device_health_events": 12,
     "gopher_quality_documents": 11,
-    "grouping_sets_events": 4,
+    "grouping_sets_events": 12,
     "hash_sample_per_lang": 10,
     "hdr_quantile_error_bound_events": 11,
     "hdr_quantile_sketch_events": 11,
     "hdr_sketch_stream_availablenow": 11,
     "hll_reach_events": 6,
     "hof_functions_documents": 5,
-    "hopping_window_events": 4,
+    "hopping_window_events": 12,
     "hourly_event_window": 5,
     "identifier_clause_orders": 9,
-    "incremental_energy_state": 4,
+    "incremental_energy_state": 12,
     "incremental_join_view_orders": 6,
     "inverted_index_documents": 10,
     "join_types_orders": 8,
-    "json_null_functions_events": 4,
+    "json_null_functions_events": 12,
     "json_props_extract": 5,
     "json_roundtrip_events": 8,
     "json_schema_profile_events": 6,
@@ -169,18 +169,18 @@ LAST_CERTIFIED: dict[str, int] = {
     "late_shipment_flag": 5,
     "lateral_topk_orders": 6,
     "latest_event_per_user": 5,
-    "latest_events_topk": 4,
+    "latest_events_topk": 12,
     "length_bucketed_packing": 11,
     "listagg_events": 7,
     "llm_corpus_pipeline_documents": 10,
-    "locf_stream_availablenow": 10,
+    "locf_stream_availablenow": 12,
     "logreg_quality_planted": 9,
     "mad_outliers_events": 8,
     "map_functions_events": 5,
     "map_hof_functions_events": 9,
     "mapinarrow_tokens_documents": 8,
     "math_functions_events": 6,
-    "merge_upsert_orders": 4,
+    "merge_upsert_orders": 12,
     "mergeschema_read_events": 7,
     "minhash_dedup_documents": 9,
     "minhash_incremental_recall": 9,
@@ -196,7 +196,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "nullsafe_join_events": 7,
     "observe_metrics_orders": 6,
     "orc_roundtrip_events": 7,
-    "orders_business_summary": 4,
+    "orders_business_summary": 12,
     "packed_sequence_offsets": 10,
     "pagerank_user_transitions": 9,
     "pandas_udaf_geomean_events": 7,
@@ -215,33 +215,33 @@ LAST_CERTIFIED: dict[str, int] = {
     "pysink_roundtrip_orders": 9,
     "quality_topk_approx_pct": 5,
     "quality_topk_per_lang": 11,
-    "quantile_normalize_events": 4,
-    "ranking_functions_events": 4,
-    "rate_of_change_events": 4,
-    "ratio_to_report_events": 4,
+    "quantile_normalize_events": 12,
+    "ranking_functions_events": 12,
+    "rate_of_change_events": 12,
+    "ratio_to_report_events": 12,
     "readability_documents": 6,
     "recursive_cte_hierarchy": 7,
     "referential_check_orders": 7,
     "regexp_functions_documents": 6,
-    "regression_drift_events": 4,
+    "regression_drift_events": 12,
     "revenue_vs_global": 5,
     "rle_segments_events": 7,
     "rocksdb_pysessions_availablenow": 10,
-    "rolling_event_metrics": 4,
+    "rolling_event_metrics": 12,
     "rolling_median_events": 6,
     "rolling_time_window_events": 5,
     "rollup_navigate_events": 8,
     "runtime_bloom_join_lineitem": 7,
     "salted_join_orders": 5,
     "scd2_asof_lookup": 9,
-    "scd2_customer_orders": 4,
+    "scd2_customer_orders": 12,
     "semantic_dedup_embeddings": 9,
     "sentence_dedup_documents": 9,
-    "session_paths": 4,
+    "session_paths": 12,
     "session_stream_availablenow": 10,
     "session_variables_orders": 9,
-    "session_window_events": 4,
-    "sessionize_events": 4,
+    "session_window_events": 12,
+    "sessionize_events": 12,
     "setops_events": 5,
     "silver_pipeline_events": 9,
     "simhash_dedup_documents": 11,
@@ -277,7 +277,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "stream_observe_availablenow": 7,
     "stream_outer_join_availablenow": 10,
     "stream_restart_availablenow": 6,
-    "stream_restart_pystate_availablenow": 10,
+    "stream_restart_pystate_availablenow": 12,
     "stream_rocksdb_availablenow": 10,
     "stream_semi_join_availablenow": 8,
     "stream_sliding_availablenow": 8,
@@ -287,7 +287,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "stream_update_mode_availablenow": 8,
     "stream_upsert_availablenow": 7,
     "stream_upsert_restart_availablenow": 8,
-    "string_functions_documents": 4,
+    "string_functions_documents": 12,
     "sugar_syntax_orders": 9,
     "supplier_health_scores": 6,
     "synthetic_source_telemetry": 6,
@@ -299,7 +299,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "tfidf_top_terms": 11,
     "theta_sketch_events": 8,
     "time_travel_orders": 7,
-    "time_weighted_avg_events": 4,
+    "time_weighted_avg_events": 12,
     "token_batch_packing": 10,
     "token_heavy_hitters": 11,
     "token_stats_by_lang": 11,
@@ -328,13 +328,13 @@ LAST_CERTIFIED: dict[str, int] = {
     "tpch_q9_product_profit": 7,
     "trailing_active_users_events": 8,
     "transpose_summary_lineitem": 9,
-    "trending_types_hourly": 4,
+    "trending_types_hourly": 12,
     "triangle_count_transitions": 8,
     "try_functions_events": 6,
     "two_phase_agg_orders": 5,
     "udtf_sentences_documents": 7,
     "union_dedup_orders": 5,
-    "unpivot_daily_metrics": 4,
+    "unpivot_daily_metrics": 12,
     "url_functions_orders": 9,
     "user_event_type_sets": 5,
     "vacuum_retention_orders": 8,
@@ -344,13 +344,13 @@ LAST_CERTIFIED: dict[str, int] = {
     "wav_decode_assets": 7,
     "weighted_corpus_mix": 11,
     "weighted_quantiles_orders": 11,
-    "weighted_sample_wor_documents": 4,
+    "weighted_sample_wor_documents": 12,
     "window_completeness_events": 7,
     "winsorize_events": 11,
     "xml_functions_events": 7,
     "xml_roundtrip_events": 8,
     "zipf_slope_documents": 6,
-    "zorder3_key_events": 4,
+    "zorder3_key_events": 12,
     "zorder_key_events": 5,
     "zscore_anomaly_events": 11,
 }
