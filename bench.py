@@ -311,8 +311,14 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # (a deliberate corpus/methodology change this round). Anything not
 # listed prints as UNEXPLAINED and must be attributed before the
 # round ships. Entries should be cleared once the new baseline is
-# committed (they adjudicate exactly one transition).
-_REGRESSION_ADJUDICATIONS: dict[str, str] = {
+# committed (they adjudicate exactly one transition), EXCEPT
+# standing bistability waivers, which must pin the set of known
+# static-plan fingerprints (``pinned_fp_init``) — a waiver with no
+# pin is invalidated the moment the static plan moves (round-12
+# advice: a stale hand waiver must never mask a genuine plan change,
+# that is the exact blind spot the fingerprint exists to close).
+# Value shape: {"note": str, "pinned_fp_init": list[str] | absent}.
+_REGRESSION_ADJUDICATIONS: dict[str, dict] = {
     # Attributed round 11 (the bar flagged it UNEXPLAINED because io
     # moved): q21's EXISTS semi join sits at the static
     # autoBroadcastJoinThreshold boundary for the projected lineitem
@@ -326,33 +332,144 @@ _REGRESSION_ADJUDICATIONS: dict[str, str] = {
     # both. At 100 TB stats keep the SMJ — the declarative form is
     # the scale-correct one; the flip is estimate noise at gate SF,
     # not a plan defect.
-    "tpch_q21_waiting_supplier": (
-        "bistable static broadcast-threshold estimate: BHJ-planned "
-        "(0.67 MB) vs SMJ-planned + AQE-converted (10.13 MB), both "
-        "states recurring across committed r8-r10 artifacts with "
-        "overlapping wall — estimate noise at gate SF, same logical "
-        "plan"
-    ),
-    # Attributed round 12 (flagged UNEXPLAINED because 2.64x exceeds
-    # the io-identical waiver's 2x cap): code, logical plan, and io
-    # are UNCHANGED since the committed baseline (git diff empty for
-    # extensions/multimodal.py and its gate; shuffle bit-identical at
-    # 0.27 MB), and a 6-run standalone re-measure floors at 0.78 s
-    # warm vs the committed 0.53 s — the whole r12 bench ran +4.5%
-    # slow on this VM session (silver throughput 95.9k -> 84.6k
-    # events/s on identical code). mapInPandas gates pay that ambient
-    # drift with the worst multiplier because Python-worker startup
-    # dominates their short wall. The plan fingerprint captured this
-    # round makes the next occurrence mechanical. Remove after the
-    # next committed baseline absorbs the timing.
-    "multimodal_frame_sample": (
-        "code/plan/io unchanged (git-diff empty, shuffle "
-        "bit-identical); 6-run standalone floor 0.78 s vs 0.53 s "
-        "committed on a session measuring +4.5% slower overall — "
-        "Python-worker ambient drift amplified by a short "
-        "mapInPandas wall, not a plan change"
-    ),
+    "tpch_q21_waiting_supplier": {
+        "note": (
+            "bistable static broadcast-threshold estimate: "
+            "BHJ-planned (0.67 MB) vs SMJ-planned + AQE-converted "
+            "(10.13 MB), both states recurring across committed "
+            "r8-r10 artifacts with overlapping wall — estimate "
+            "noise at gate SF, same logical plan"
+        ),
+        # every static fingerprint observed across the committed
+        # BENCH_LOCAL.json history since the r12 fp split (the two
+        # final-plan states 90ba5945/cd75f952 share it — the flip is
+        # the AQE runtime conversion, not static planning). A run
+        # whose static plan lands OUTSIDE this set is a genuine
+        # code/stats change and escalates past this waiver.
+        "pinned_fp_init": ["fc523a44b39d330c"],
+    },
+    # (round-12's multimodal_frame_sample ambient-drift waiver was
+    # removed per its own cleanup rule: the r12 driver run committed
+    # a new BENCH_LOCAL.json baseline that absorbs the timing.)
 }
+
+
+def adjudicate_regression(
+    name: str,
+    p: float,
+    t: float,
+    pfp: str | None,
+    nfp: str | None,
+    pfi: str | None,
+    nfi: str | None,
+    io_same: bool,
+    waivers: dict | None = None,
+):
+    """Classify a round-over-round per-query slowdown (prev wall
+    ``p`` -> now ``t``) using the dual plan fingerprints and io
+    deltas. Returns ``(adjudication, fp_moved)`` where anything
+    starting with "UNEXPLAINED" must be attributed by hand before the
+    round ships. Extracted from main() so the decision tree — in
+    particular the waiver-vs-fingerprint precedence — is unit-tested
+    (tests/test_bench_audit.py), not just exercised.
+
+    Precedence (round-12 advice): a manual waiver applies ONLY while
+    the static plan is inside the waiver's pinned set — taking the
+    waiver before the fpi check would let a stale hand entry mask a
+    genuine static-plan change, the exact blind spot the fingerprint
+    exists to close. A pin-less waiver survives only while fpi is
+    provably unmoved (False, not None/unknown)."""
+    fp_moved = pfp != nfp if (pfp and nfp) else None
+    fpi_moved = pfi != nfi if (pfi and nfi) else None
+    adjudication = None
+    waiver = (_REGRESSION_ADJUDICATIONS if waivers is None
+              else waivers).get(name)
+    if waiver is not None:
+        pinned = waiver.get("pinned_fp_init")
+        fpi_ok = nfi in pinned if pinned else fpi_moved is False
+        if fpi_ok:
+            adjudication = waiver["note"]
+        elif fpi_moved or (pinned and nfi is not None):
+            adjudication = (
+                "UNEXPLAINED (static plan fingerprint "
+                f"{pfi} -> {nfi} is outside the manual "
+                f"waiver's pinned set {pinned} — the "
+                "waiver is stale; attribute the plan "
+                "change by hand)"
+            )
+        # else: no fingerprint captured this run — fall through to
+        # the mechanical rules below, which handle the
+        # fpi_moved-is-None case explicitly
+    if adjudication is None and fpi_moved:
+        # Mechanical plan-flip detection (round-11 verdict ask #2):
+        # the STATIC (initial) plan moved — that only happens on a
+        # genuine code/plan/stats change, never on AQE runtime races
+        # — so this must be attributed by hand regardless of io,
+        # closing the CPU-only-plan-change blind spot.
+        adjudication = (
+            "UNEXPLAINED (static plan fingerprint moved "
+            f"{pfi} -> {nfi})"
+        )
+    if adjudication is None and fp_moved and fpi_moved is False:
+        # The static plan is identical but the FINAL adaptive plan
+        # differs: an AQE runtime re-plan (build-side race on ~equal
+        # broadcast candidates, stage-reuse timing, q21-class
+        # threshold conversion). Waivable only when the bytes stayed
+        # bit-identical inside the variance band; a runtime re-plan
+        # that MOVED data is exactly the q21 class and needs
+        # attribution.
+        if io_same and t <= p * 2.0:
+            adjudication = (
+                "static plan identical; AQE runtime "
+                "re-plan with bit-identical io inside "
+                "the 2x band — runtime nondeterminism, "
+                "not a code change"
+            )
+        else:
+            adjudication = (
+                "UNEXPLAINED (AQE runtime re-plan "
+                f"{pfp} -> {nfp} with moved io or >2x)"
+            )
+    if adjudication is None and fp_moved and fpi_moved is None:
+        # no initial-plan baseline yet (first round after the
+        # split): fall back to the conservative rule
+        adjudication = (
+            "UNEXPLAINED (plan fingerprint moved "
+            f"{pfp} -> {nfp})"
+        )
+    if adjudication is None:
+        # First-line auto-adjudication, the same evidence the manual
+        # r9/r10 investigations used: if the query moved EXACTLY the
+        # bytes it moved in the baseline run (shuffle/spill/input
+        # identical at 0.01 MB granularity), the plan did not change
+        # — a plan flip, corpus edit, or superstep change moves
+        # bytes; ambient machine slowness does not. Anything whose io
+        # DID move stays UNEXPLAINED and must be attributed by hand
+        # before shipping. CAPPED (round-10 advice): identical bytes
+        # rule out plan flips that MOVE data, but CPU-only changes
+        # (extra codegen stage, UDF overhead, an added local agg)
+        # move zero bytes while genuinely slowing a query — so the
+        # waiver only covers the variance band (<= 2.0x). An
+        # io-identical regression beyond 2x is not "ambient machine
+        # variance" on any box we have measured (seven committed
+        # dedup_groups runs spanned 1.42x) and stays UNEXPLAINED for
+        # hand attribution.
+        if io_same and t <= p * 2.0:
+            adjudication = (
+                "io-identical to baseline run (plan and "
+                "data volume unchanged) within the 2x "
+                "variance band — ambient machine variance"
+            )
+            if fp_moved is False:
+                adjudication = (
+                    "plan fingerprint AND io identical "
+                    "to baseline run within the 2x "
+                    "variance band — ambient machine "
+                    "variance (mechanically confirmed)"
+                )
+        else:
+            adjudication = "UNEXPLAINED"
+    return adjudication, fp_moved
 
 
 def _bench_stream_boot(spark) -> float:
@@ -388,13 +505,19 @@ def _bench_stream_boot(spark) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _bench_compaction(spark) -> dict[str, float]:
+def _bench_compaction(spark, capture=None) -> dict[str, float]:
     """Small-file tax, measured: the same full-scan aggregate over the
     events table fragmented into 256 files vs compacted output
     (sources/parquet.py:compact_files). The delta is pure per-file
     overhead (open/footer/task-schedule) — the cost the compaction
     operator exists to delete, which grows linearly with file count
-    at a fixed data size."""
+    at a fixed data size.
+
+    ``capture(name)`` hooks the main loop's fingerprint/io pollers
+    (round-12 verdict ask #2: these plans — the compaction payoff —
+    ARE the thing benchmarked, so they must be in query_plan_fp);
+    ``capture(None)`` discards the setup writes' executions so they
+    are never attributed to the first scan."""
     import shutil
     import tempfile
     import time
@@ -417,8 +540,10 @@ def _bench_compaction(spark) -> dict[str, float]:
             f"{root}/compacted",
             target_file_bytes=32 * 1024 * 1024,
         )
+        if capture is not None:
+            capture(None)
         results: dict[str, float] = {}
-        for _ in range(N_RUNS):
+        for run in range(N_RUNS):
             for name, path in (
                 ("scan_small_files", f"{root}/small"),
                 ("scan_compacted", f"{root}/compacted"),
@@ -429,6 +554,8 @@ def _bench_compaction(spark) -> dict[str, float]:
                 ).write.mode("overwrite").format("noop").save()
                 t = round(time.perf_counter() - t0, 3)
                 results[name] = min(results.get(name, t), t)
+                if run == 0 and capture is not None:
+                    capture(name)
         return results
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -619,12 +746,16 @@ def _bench_scale10x(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _bench_skew(spark) -> dict[str, float]:
+def _bench_skew(spark, capture=None) -> dict[str, float]:
     """Time the same skewed shuffle join plain vs salted. The fact is
     the events table with every user_id % 5 == 0 collapsed onto key 0
     (one key = ~20% of rows); plain hashes that key into ONE shuffle
     partition, salted spreads it over 16. Reported as min over
-    N_RUNS, same estimator as the headline entries."""
+    N_RUNS, same estimator as the headline entries.
+
+    ``capture(name)`` hooks the main loop's fingerprint/io pollers
+    (round-12 verdict ask #2: the salt fan-out plan is the thing
+    benchmarked); ``capture(None)`` discards the dim-write setup."""
     import shutil
     import tempfile
     import time
@@ -647,11 +778,13 @@ def _bench_skew(spark) -> dict[str, float]:
             "attr", F.md5(F.col("k").cast("string"))
         ).write.mode("overwrite").parquet(tmp)
         dim = spark.read.parquet(tmp)
+        if capture is not None:
+            capture(None)
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             results: dict[str, float] = {}
-            for _ in range(N_RUNS):
+            for run in range(N_RUNS):
                 for name, df in (
                     ("skew_join_plain", fact.join(dim, "k")),
                     ("skew_join_salted", salted_join(fact, dim, on="k")),
@@ -660,6 +793,8 @@ def _bench_skew(spark) -> dict[str, float]:
                     df.write.mode("overwrite").format("noop").save()
                     t = round(time.perf_counter() - t0, 3)
                     results[name] = min(results.get(name, t), t)
+                    if run == 0 and capture is not None:
+                        capture(name)
             return results
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -871,6 +1006,37 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - fingerprints are best-effort
         poll_fp = None
         last_exec_id = -1
+
+    def _micro_capture(name):
+        """io + plan-fingerprint capture for the micro-bench entries
+        (scan_compacted/scan_small_files/skew_join_plain/salted),
+        which execute outside the HEADLINE loop — round-12 verdict
+        ask #2: they were the only 4 timings with no query_plan_fp,
+        and their plans (compaction payoff, salt fan-out) are
+        exactly what those benchmarks exist to pin. ``name=None``
+        polls-and-discards setup executions so they are never billed
+        to the next named entry. Same capture discipline as the main
+        loop: first (cold) run only."""
+        nonlocal last_stage_id, last_exec_id, poll_stages, poll_fp
+        if poll_stages is not None:
+            try:
+                last_stage_id, io = poll_stages(last_stage_id)
+                if name is not None and name not in query_io:
+                    query_io[name] = io
+            except Exception:  # noqa: BLE001 - best-effort
+                poll_stages = None
+        if poll_fp is not None:
+            try:
+                last_exec_id, fp, fpi = poll_fp(last_exec_id)
+                if (
+                    name is not None
+                    and fp is not None
+                    and name not in query_fp
+                ):
+                    query_fp[name] = fp
+                    query_fp_init[name] = fpi
+            except Exception:  # noqa: BLE001 - best-effort
+                poll_fp = None
     for run in range(N_RUNS):
         for name in HEADLINE:
             fn = QUERIES.get(name)
@@ -953,7 +1119,7 @@ def main() -> None:
     # for the plain side: the delta reported is salting vs what AQE
     # alone does at this partition size.
     try:
-        skew_t = _bench_skew(spark)
+        skew_t = _bench_skew(spark, capture=_micro_capture)
         timings.update(skew_t)
     except Exception as exc:  # noqa: BLE001
         errors["skew_bench"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -961,7 +1127,7 @@ def main() -> None:
     # Small-file-tax microbenchmark (the compaction operator's
     # standing perf signal, like skew for salting)
     try:
-        timings.update(_bench_compaction(spark))
+        timings.update(_bench_compaction(spark, capture=_micro_capture))
     except Exception as exc:  # noqa: BLE001
         errors["compaction_bench"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -1025,8 +1191,58 @@ def main() -> None:
         out["silver_throughput_methodology"] = (
             "events / best-of-6 silver_pipeline wall "
             "(3 interleaved min-of-N runs + 3 dedicated "
-            "end-of-bench warm runs)"
+            "end-of-bench warm runs); round-over-round comparisons "
+            "use THIS best-of-6 field (the parsed "
+            "silver_throughput_events_per_s in BENCH_r{N}.json), "
+            "never the interleaved-min3 transition figure"
         )
+        # Mechanical throughput regression bar (round-12 verdict ask
+        # #3): query wall has a per-query bar and the 10x sweep has a
+        # ratio bar, but the r11->r12 driver throughput moved -19%
+        # with no flag because throughput had none. Floor = best of
+        # the last 3 driver rounds' parsed best-of-6 figures / 1.5
+        # (the committed same-code spread is 76,977-94,344 events/s
+        # ~= 1.23x, so 1.5x separates ambient VM drift from a real
+        # pipeline regression). Below the floor the artifact carries
+        # an UNEXPLAINED flag that must be adjudicated before the
+        # round ships, exactly like a per-query regression.
+        import glob as _glob
+
+        trailing = []
+        here = os.path.dirname(os.path.abspath(__file__))
+        for f in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+            try:
+                with open(f) as fh:
+                    parsed = (json.load(fh).get("parsed") or {})
+                tp = parsed.get("silver_throughput_events_per_s")
+                if tp:
+                    trailing.append((f, tp))
+            except (OSError, ValueError):
+                continue
+        trailing = trailing[-3:]
+        if trailing:
+            best_f, best_tp = max(trailing, key=lambda x: x[1])
+            floor = best_tp / 1.5
+            out["silver_throughput_floor"] = {
+                "floor_events_per_s": round(floor),
+                "comparator": "best of trailing 3 driver rounds",
+                "best_round_file": os.path.basename(best_f),
+                "best_events_per_s": best_tp,
+            }
+            if out["silver_throughput_events_per_s"] < floor:
+                out["silver_throughput_floor"]["adjudication"] = (
+                    "UNEXPLAINED throughput regression: "
+                    f"{out['silver_throughput_events_per_s']} < "
+                    f"floor {round(floor)} (best trailing "
+                    f"{best_tp} in {os.path.basename(best_f)})"
+                )
+                print(
+                    "  THROUGHPUT REGRESSION: "
+                    f"{out['silver_throughput_events_per_s']} "
+                    f"events/s < floor {round(floor)} "
+                    f"(best-of-trailing-3 {best_tp})",
+                    file=sys.stderr,
+                )
     if errors:
         out["errors"] = errors
     # Round-over-round per-query regression bar (round-10 verdict ask
@@ -1053,91 +1269,17 @@ def main() -> None:
         for name, t in timings.items():
             p = prev_q.get(name)
             if p and t > p * 1.25 and t - p > 0.3:
-                pfp, nfp = prev_fp.get(name), query_fp.get(name)
-                fp_moved = (
-                    pfp != nfp if (pfp and nfp) else None
-                )
-                pfi, nfi = prev_fpi.get(name), query_fp_init.get(name)
-                fpi_moved = (
-                    pfi != nfi if (pfi and nfi) else None
-                )
                 pio, nio = prev_io.get(name), query_io.get(name)
-                io_same = bool(pio and nio and pio == nio)
-                adjudication = _REGRESSION_ADJUDICATIONS.get(name)
-                if adjudication is None and fpi_moved:
-                    # Mechanical plan-flip detection (round-11 verdict
-                    # ask #2): the STATIC (initial) plan moved — that
-                    # only happens on a genuine code/plan/stats
-                    # change, never on AQE runtime races — so this
-                    # must be attributed by hand regardless of io,
-                    # closing the CPU-only-plan-change blind spot.
-                    adjudication = (
-                        "UNEXPLAINED (static plan fingerprint moved "
-                        f"{pfi} -> {nfi})"
-                    )
-                if adjudication is None and fp_moved and fpi_moved is False:
-                    # The static plan is identical but the FINAL
-                    # adaptive plan differs: an AQE runtime re-plan
-                    # (build-side race on ~equal broadcast candidates,
-                    # stage-reuse timing, q21-class threshold
-                    # conversion). Waivable only when the bytes stayed
-                    # bit-identical inside the variance band; a
-                    # runtime re-plan that MOVED data is exactly the
-                    # q21 class and needs attribution.
-                    if io_same and t <= p * 2.0:
-                        adjudication = (
-                            "static plan identical; AQE runtime "
-                            "re-plan with bit-identical io inside "
-                            "the 2x band — runtime nondeterminism, "
-                            "not a code change"
-                        )
-                    else:
-                        adjudication = (
-                            "UNEXPLAINED (AQE runtime re-plan "
-                            f"{pfp} -> {nfp} with moved io or >2x)"
-                        )
-                if adjudication is None and fp_moved and fpi_moved is None:
-                    # no initial-plan baseline yet (first round after
-                    # the split): fall back to the conservative rule
-                    adjudication = (
-                        "UNEXPLAINED (plan fingerprint moved "
-                        f"{pfp} -> {nfp})"
-                    )
-                if adjudication is None:
-                    # First-line auto-adjudication, the same evidence
-                    # the manual r9/r10 investigations used: if the
-                    # query moved EXACTLY the bytes it moved in the
-                    # baseline run (shuffle/spill/input identical at
-                    # 0.01 MB granularity), the plan did not change —
-                    # a plan flip, corpus edit, or superstep change
-                    # moves bytes; ambient machine slowness does not.
-                    # Anything whose io DID move stays UNEXPLAINED
-                    # and must be attributed by hand before shipping.
-                    # CAPPED (round-10 advice): identical bytes rule
-                    # out plan flips that MOVE data, but CPU-only
-                    # changes (extra codegen stage, UDF overhead, an
-                    # added local agg) move zero bytes while genuinely
-                    # slowing a query — so the waiver only covers the
-                    # variance band (<= 2.0x). An io-identical
-                    # regression beyond 2x is not "ambient machine
-                    # variance" on any box we have measured (seven
-                    # committed dedup_groups runs spanned 1.42x) and
-                    # stays UNEXPLAINED for hand attribution.
-                    if io_same and t <= p * 2.0:
-                        adjudication = (
-                            "io-identical to baseline run (plan and "
-                            "data volume unchanged) within the 2x "
-                            "variance band — ambient machine variance"
-                        )
-                        if fp_moved is False:
-                            adjudication = (
-                                "plan fingerprint AND io identical "
-                                "to baseline run within the 2x "
-                                "variance band — ambient machine "
-                                "variance (mechanically confirmed)"
-                            )
-                    else:
-                        adjudication = "UNEXPLAINED"
+                adjudication, fp_moved = adjudicate_regression(
+                    name,
+                    p,
+                    t,
+                    pfp=prev_fp.get(name),
+                    nfp=query_fp.get(name),
+                    pfi=prev_fpi.get(name),
+                    nfi=query_fp_init.get(name),
+                    io_same=bool(pio and nio and pio == nio),
+                )
                 regressions[name] = {
                     "prev_s": round(p, 3),
                     "now_s": round(t, 3),
@@ -1184,6 +1326,10 @@ def main() -> None:
         compact["silver_throughput_events_per_s"] = out[
             "silver_throughput_events_per_s"
         ]
+    if out.get("silver_throughput_floor", {}).get("adjudication"):
+        compact["silver_throughput_flag"] = out[
+            "silver_throughput_floor"
+        ]["adjudication"]
     if errors:
         compact["n_errors"] = len(errors)
     if regressions:

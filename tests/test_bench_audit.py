@@ -1,0 +1,85 @@
+"""Unit tests for bench.py's mechanical audit pieces: the
+regression-adjudication decision tree (in particular the round-12
+advice fix — a manual waiver must never outrank a moved static plan
+fingerprint) and the trailing throughput floor. Pure functions, no
+Spark session."""
+
+from __future__ import annotations
+
+import bench
+
+
+def _adj(**kw):
+    base = dict(
+        name="q", p=1.0, t=2.0, pfp=None, nfp=None,
+        pfi=None, nfi=None, io_same=False, waivers={},
+    )
+    base.update(kw)
+    return bench.adjudicate_regression(**base)
+
+
+def test_static_fp_move_is_unexplained_regardless_of_io():
+    adj, fp_moved = _adj(pfi="aaa", nfi="bbb", pfp="x", nfp="y",
+                         io_same=True, t=1.6)
+    assert adj.startswith("UNEXPLAINED (static plan fingerprint moved")
+    assert fp_moved is True
+
+
+def test_aqe_replan_waived_only_with_identical_io_under_2x():
+    kw = dict(pfi="aaa", nfi="aaa", pfp="x", nfp="y")
+    adj, _ = _adj(io_same=True, t=1.9, **kw)
+    assert "AQE runtime re-plan" in adj and not adj.startswith("UN")
+    adj, _ = _adj(io_same=False, t=1.9, **kw)
+    assert adj.startswith("UNEXPLAINED (AQE runtime re-plan")
+    adj, _ = _adj(io_same=True, t=2.5, **kw)
+    assert adj.startswith("UNEXPLAINED (AQE runtime re-plan")
+
+
+def test_io_identical_variance_band():
+    adj, _ = _adj(io_same=True, t=1.9)
+    assert "ambient machine variance" in adj
+    adj, _ = _adj(io_same=True, t=1.9, pfp="x", nfp="x",
+                  pfi="a", nfi="a")
+    assert "mechanically confirmed" in adj
+    adj, _ = _adj(io_same=True, t=2.5)
+    assert adj == "UNEXPLAINED"
+    adj, _ = _adj(io_same=False, t=1.5)
+    assert adj == "UNEXPLAINED"
+
+
+def test_waiver_applies_while_static_fp_inside_pinned_set():
+    w = {"q": {"note": "known bistability", "pinned_fp_init": ["aaa"]}}
+    # fpi landed on the pinned state: waiver applies even though the
+    # final plan moved with moved io (the q21 shape)
+    adj, _ = _adj(waivers=w, pfi="aaa", nfi="aaa", pfp="x", nfp="y",
+                  io_same=False, t=2.1)
+    assert adj == "known bistability"
+    # the previous round was also pinned but the new static plan is
+    # NOT in the set: the waiver is stale and must escalate, never
+    # mask (round-12 advice — the exact blind spot)
+    adj, _ = _adj(waivers=w, pfi="aaa", nfi="zzz", pfp="x", nfp="y",
+                  io_same=True, t=1.5)
+    assert adj.startswith("UNEXPLAINED (static plan fingerprint")
+    assert "waiver is stale" in adj
+
+
+def test_waiver_without_pin_needs_provably_unmoved_fpi():
+    w = {"q": {"note": "hand waiver"}}
+    adj, _ = _adj(waivers=w, pfi="aaa", nfi="aaa")
+    assert adj == "hand waiver"
+    # static plan moved: the pin-less waiver is overridden
+    adj, _ = _adj(waivers=w, pfi="aaa", nfi="bbb")
+    assert adj.startswith("UNEXPLAINED (static plan fingerprint")
+    # no fingerprint captured at all: the waiver must NOT apply on
+    # missing evidence — fall through to the mechanical io rules
+    adj, _ = _adj(waivers=w, io_same=True, t=1.5)
+    assert "ambient machine variance" in adj
+
+
+def test_throughput_floor_flags_below_band():
+    trailing = [("BENCH_r10.json", 79051), ("BENCH_r11.json", 95917),
+                ("BENCH_r12.json", 77932)]
+    best = max(tp for _, tp in trailing)
+    floor = best / 1.5
+    assert 77932 > floor  # the r12 figure itself passes the bar
+    assert 60000 < floor  # a genuine ~40% regression would flag
