@@ -140,25 +140,37 @@ def main(argv: list[str] | None = None) -> int:
     # CLI user pointing these ops at a 100 TB table gets the measured
     # partition profile without reading SCALE.md. The CLI owns its
     # session and exits afterwards, so the fire-and-forget form is
-    # right here (library callers with shared sessions get the
-    # restoring context manager in plans/etl.py). Tiny inputs floor
-    # at the default layout — behavior on test data is unchanged.
-    from .session import apply_scale_profile
+    # right here. Tiny inputs floor at the default layout — behavior
+    # on test data is unchanged.
+    #
+    # NOT applied for silver/gold/etl (round-12 advice): those entry
+    # points already wrap each phase in plans/etl.py's restoring
+    # ``scale_profile`` blocks, sized per-phase from the volume that
+    # phase actually reads. A session-level bronze-derived count here
+    # would become every inner block's FLOOR (the context manager
+    # floors at the session's current value), so etl's silver->gold
+    # phase could never size DOWN to silver's much smaller volume —
+    # and the same paths would be sized twice.
+    if args.cmd not in ("silver", "gold", "etl"):
+        from .session import apply_scale_profile
 
-    _sizing_inputs = [
-        p
-        for p in (
-            getattr(args, "bronze", None) if args.cmd != "simulate" else None,
-            getattr(args, "silver", None) if args.cmd in ("gold", "etl") else None,
-            getattr(args, "gold", None) if args.cmd == "analytics" else None,
-            getattr(args, "input", None),
-            getattr(args, "test_input", None),
-            getattr(args, "b_input", None),
-        )
-        if p is not None and os.path.exists(p)
-    ]
-    if _sizing_inputs:
-        apply_scale_profile(spark, *_sizing_inputs)
+        _sizing_inputs = [
+            p
+            for p in (
+                getattr(args, "bronze", None)
+                if args.cmd != "simulate"
+                else None,
+                getattr(args, "gold", None)
+                if args.cmd == "analytics"
+                else None,
+                getattr(args, "input", None),
+                getattr(args, "test_input", None),
+                getattr(args, "b_input", None),
+            )
+            if p is not None and os.path.exists(p)
+        ]
+        if _sizing_inputs:
+            apply_scale_profile(spark, *_sizing_inputs)
 
     if args.cmd == "simulate":
         from .streaming.ingest import write_bronze_stream

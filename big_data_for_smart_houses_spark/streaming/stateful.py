@@ -392,13 +392,24 @@ EWMA_STATE_SCHEMA = StructType(
 
 
 # per-worker-process count of (batch, key) late-drop occurrences,
-# used only to rate-limit the executor-log WARNING below — the
-# driver-side accumulator is the precise monitoring signal
-_EWMA_DROP_LOG: dict = {"events": 0}
+# keyed by operator-instance token and used only to rate-limit the
+# executor-log WARNING below — the driver-side accumulator is the
+# precise monitoring signal. Keying per instance (round-12 advice):
+# Spark reuses Python workers across queries, so a single shared
+# counter would leave a freshly started unrelated stream's first
+# drops already sampled at 1/1000 after 20 lifetime occurrences
+# anywhere — its operators might emit no first-drop warning at all.
+_EWMA_DROP_LOG: dict = {}
 
 
 def _ewma_fn(alpha: float, dropped_counter=None):
     beta = 1.0 - alpha
+    # Stable for one stream, distinct across streams and restarts:
+    # generated once at stream definition on the driver, then
+    # captured in the closure Spark pickles to every worker.
+    import uuid
+
+    op_token = uuid.uuid4().hex[:12]
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -456,8 +467,9 @@ def _ewma_fn(alpha: float, dropped_counter=None):
             # stays the precise signal.
             import logging
 
-            _EWMA_DROP_LOG["events"] += 1
-            n = _EWMA_DROP_LOG["events"]
+            n = _EWMA_DROP_LOG[op_token] = (
+                _EWMA_DROP_LOG.get(op_token, 0) + 1
+            )
             if n <= 20 or n % 1000 == 0:
                 logging.getLogger(__name__).warning(
                     "ewma_stream dropped %d late row(s) for "

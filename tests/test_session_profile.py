@@ -111,6 +111,38 @@ def test_etl_entry_points_use_the_profile():
         assert "with scale_profile(" in src, fn.__name__
 
 
+def test_cli_defers_sizing_to_internally_wired_commands():
+    """The CLI must NOT apply the fire-and-forget session-level
+    profile for silver/gold/etl (round-12 advice): those entry
+    points size each phase internally via scale_profile, and a
+    session-level bronze-derived count would become every inner
+    block's floor — etl's silver->gold phase could then never size
+    DOWN to silver's smaller volume, and the same paths would be
+    sized twice. Asserted structurally, matching the etl wiring
+    test above."""
+    import inspect
+
+    from big_data_for_smart_houses_spark import cli
+
+    src = inspect.getsource(cli.main)
+    assert 'args.cmd not in ("silver", "gold", "etl")' in src
+    # the apply call must sit INSIDE that guard (indentation check:
+    # the call line is indented deeper than the guard line)
+    lines = src.splitlines()
+    guard_idx = next(
+        i for i, ln in enumerate(lines)
+        if 'args.cmd not in ("silver", "gold", "etl")' in ln
+    )
+    call_idx = next(
+        i for i, ln in enumerate(lines)
+        if "apply_scale_profile(spark" in ln
+    )
+    assert call_idx > guard_idx
+    guard_indent = len(lines[guard_idx]) - len(lines[guard_idx].lstrip())
+    call_indent = len(lines[call_idx]) - len(lines[call_idx].lstrip())
+    assert call_indent > guard_indent
+
+
 def test_scale_profile_properties():
     """Hypothesis: the partition formula is monotone in input bytes,
     always within [floor, cap], and exactly the floor below the

@@ -1114,3 +1114,29 @@ def test_locf_gap_cap_raises_loudly():
     # 600-bucket gap: over the cap of 10 -> loud failure
     with _pytest.raises(ValueError, match="max_gap_buckets"):
         list(fn((1,), iter([chunk([(610 * 60, 3.0)])]), state))
+
+
+def test_ewma_drop_log_is_keyed_per_operator_instance():
+    """Round-12 advice: the late-drop WARNING rate-limit counter must
+    be keyed per operator instance, not per worker process — Spark
+    reuses Python workers, so a shared counter would leave a freshly
+    started stream's first drops pre-sampled at 1/1000 after 20
+    lifetime occurrences anywhere. Each _ewma_fn closure carries a
+    distinct token; the module dict keys by it."""
+    from big_data_for_smart_houses_spark.streaming import stateful
+
+    def token(fn):
+        cells = dict(
+            zip(fn.__code__.co_freevars,
+                (c.cell_contents for c in fn.__closure__))
+        )
+        return cells["op_token"]
+
+    f1 = stateful._ewma_fn(0.5)
+    f2 = stateful._ewma_fn(0.5)
+    assert token(f1) != token(f2)
+    # the log dict keys by token, so two instances sample independently
+    stateful._EWMA_DROP_LOG.clear()
+    stateful._EWMA_DROP_LOG[token(f1)] = 21  # f1 already past first-20
+    assert stateful._EWMA_DROP_LOG.get(token(f2), 0) == 0
+    stateful._EWMA_DROP_LOG.clear()
