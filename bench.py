@@ -287,6 +287,7 @@ HEADLINE = [
     "pandas_udaf_geomean_events",
     "bitmap_distinct_events",
     "stream_torture_availablenow",
+    "billing_reconciliation_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

@@ -294,14 +294,132 @@ FROM bronze b LEFT JOIN catalog c ON b.device_id = c.device_id
 """
 
 
+def q_billing_reconciliation_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Billing reconciliation (operators/billing.py) — the join the
+    reference's data model declares but never runs: its billing
+    dimension (config/billing_data.csv:1), ``billing.raw`` topic and
+    bronze/silver billing dirs (config/config.py:13,25,29) are
+    consumed by NO ETL (SURVEY.md §1.3). Monthly tumbling usage
+    rollup over events -> broadcast statement join -> recomputed
+    cost + guarded effective-rate division.
+
+    The statement fixture is synthesized deterministically from the
+    usage rollup's EXACT integer reading counts (never its float
+    sums), with integer-derived rates/charges so both engines compute
+    bit-identical doubles: rate = (8 + uid%5)/100, base = 10 +
+    (uid%3)*5, billed kWh = readings*99/2000 — the metered sum's
+    expected magnitude (mean event value ≈ 49.5 Wh, measured at all
+    three SFs), so the 5%% usage verdict genuinely splits
+    true/false on the data (~33-47%% true per SF) instead of being
+    constant. Odd users get no statement
+    (exercising the left-outer nulls); users ≡ 0 (mod 7) get a
+    phantom 2023-12 statement no usage matches (dropped by the left
+    join here; surfaced by operators/billing.unbilled_statements in
+    the unit suite). The order-sensitive metered kWh sum is gate-
+    quantized; every downstream delta derives from the quantized
+    value identically in both engines."""
+    configure_for_oracle_parity(spark)
+    from ..operators.billing import monthly_usage, reconcile_billing
+
+    ev = load_table(spark, sf_dir, "events")
+    usage = quantize_cols(monthly_usage(ev), "metered_usage_kwh")
+
+    uid = F.col("user_id")
+    rate = (F.lit(8).cast("double") + (uid % 5).cast("double")) / F.lit(
+        100.0
+    )
+    base = (F.lit(10) + (uid % 3) * 5).cast("double")
+    billed = (F.col("n_readings") * 99).cast("double") / F.lit(2000.0)
+    statements = usage.where(uid % 2 == 0).select(
+        "user_id",
+        "billing_period",
+        rate.alias("energy_rate_kwh"),
+        base.alias("base_charge"),
+        billed.alias("total_usage_kwh"),
+        (base + billed * rate).alias("total_cost"),
+    )
+    phantom = (
+        usage.select("user_id")
+        .distinct()
+        .where(uid % 7 == 0)
+        .select(
+            "user_id",
+            F.lit("2023-12").alias("billing_period"),
+            rate.alias("energy_rate_kwh"),
+            base.alias("base_charge"),
+            F.lit(100.0).alias("total_usage_kwh"),
+            (base + F.lit(100.0) * rate).alias("total_cost"),
+        )
+    )
+    return reconcile_billing(
+        usage, statements.unionByName(phantom), rel_tolerance=0.05
+    )
+
+
+ORACLE_BILLING_RECONCILIATION_EVENTS = """
+WITH usage AS (
+  SELECT user_id,
+         strftime(ts, '%Y-%m') AS billing_period,
+         CAST(CAST(sum(value) / 1000.0 AS REAL) AS DOUBLE)
+           AS metered_usage_kwh,
+         count(*) AS n_readings
+  FROM events
+  GROUP BY 1, 2
+), statements AS (
+  SELECT user_id, billing_period,
+         CAST(8 + user_id % 5 AS DOUBLE) / 100.0 AS energy_rate_kwh,
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE) AS base_charge,
+         CAST(n_readings * 99 AS DOUBLE) / 2000.0 AS total_usage_kwh,
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE)
+           + (CAST(n_readings * 99 AS DOUBLE) / 2000.0)
+             * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0) AS total_cost
+  FROM usage WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT user_id, '2023-12',
+         CAST(8 + user_id % 5 AS DOUBLE) / 100.0,
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE),
+         CAST(100.0 AS DOUBLE),
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE)
+           + 100.0 * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0)
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+)
+SELECT u.user_id, u.billing_period, u.metered_usage_kwh, u.n_readings,
+       s.energy_rate_kwh, s.base_charge,
+       s.total_usage_kwh AS billed_usage_kwh,
+       s.total_cost AS billed_cost,
+       u.metered_usage_kwh - s.total_usage_kwh AS usage_delta_kwh,
+       s.base_charge + u.metered_usage_kwh * s.energy_rate_kwh
+         AS computed_cost,
+       (s.base_charge + u.metered_usage_kwh * s.energy_rate_kwh)
+         - s.total_cost AS cost_delta,
+       CASE WHEN s.total_usage_kwh > 0
+            THEN (s.total_cost - s.base_charge) / s.total_usage_kwh
+            ELSE 0.0 END AS effective_rate_kwh,
+       s.base_charge IS NOT NULL AS has_statement,
+       COALESCE(
+         abs(u.metered_usage_kwh - s.total_usage_kwh)
+           <= CAST(0.05 AS DOUBLE) * s.total_usage_kwh,
+         FALSE) AS usage_reconciled,
+       COALESCE(
+         abs((s.base_charge + u.metered_usage_kwh * s.energy_rate_kwh)
+             - s.total_cost) <= CAST(0.05 AS DOUBLE) * s.total_cost,
+         FALSE) AS reconciled
+FROM usage u LEFT JOIN statements s USING (user_id, billing_period)
+"""
+
+
 QUERIES = {
     "silver_pipeline_events": q_silver_pipeline_events,
     "gold_daily_energy_events": q_gold_daily_energy_events,
     "catalog_enrichment_events": q_catalog_enrichment_events,
+    "billing_reconciliation_events": q_billing_reconciliation_events,
 }
 
 ORACLES = {
     "silver_pipeline_events": ORACLE_SILVER_PIPELINE_EVENTS,
     "gold_daily_energy_events": ORACLE_GOLD_DAILY_ENERGY_EVENTS,
     "catalog_enrichment_events": ORACLE_CATALOG_ENRICHMENT_EVENTS,
+    "billing_reconciliation_events": ORACLE_BILLING_RECONCILIATION_EVENTS,
 }

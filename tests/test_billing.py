@@ -1,0 +1,144 @@
+"""Billing reconciliation (operators/billing.py) — the join the
+reference's data model declares but never runs (billing dimension at
+config/billing_data.csv:1; `billing.raw` topic + bronze/silver dirs
+at config/config.py:13,25,29; consumed by no ETL, SURVEY.md §1.3).
+
+The fixture here is REFERENCE-SHAPED: the statement CSV uses the
+exact published header and its first row's published values
+(user_001, 2024-01, 0.12, 15.00, 450.5, 69.06 — internally
+consistent: 15.00 + 450.5 x 0.12 = 69.06), read through the same
+sources.csv.read_billing the engine would use in production."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from big_data_for_smart_houses_spark.operators.billing import (
+    monthly_usage,
+    reconcile_billing,
+    unbilled_statements,
+)
+from big_data_for_smart_houses_spark.sources.csv import read_billing
+
+REFERENCE_SHAPED_CSV = """user_id,billing_period,energy_rate_kwh,base_charge,total_usage_kwh,total_cost
+user_001,2024-01,0.12,15.00,450.5,69.06
+user_002,2024-01,0.12,15.00,520.8,77.50
+user_003,2024-01,0.12,15.00,100.0,27.00
+"""
+
+
+@pytest.fixture()
+def billing_df(spark):
+    d = tempfile.mkdtemp(prefix="billing_fixture_")
+    path = os.path.join(d, "billing_data.csv")
+    with open(path, "w") as fh:
+        fh.write(REFERENCE_SHAPED_CSV)
+    return read_billing(spark, path)
+
+
+def _usage(spark):
+    # user_001 metered == billed exactly; user_002 metered 400 kWh vs
+    # billed 520.8 (a real mismatch); user_004 has NO statement at
+    # all; nobody meters usage for user_003's statement (phantom).
+    return spark.createDataFrame(
+        [
+            Row(
+                user_id="user_001",
+                billing_period="2024-01",
+                metered_usage_kwh=450.5,
+                n_readings=100,
+            ),
+            Row(
+                user_id="user_002",
+                billing_period="2024-01",
+                metered_usage_kwh=400.0,
+                n_readings=80,
+            ),
+            Row(
+                user_id="user_004",
+                billing_period="2024-01",
+                metered_usage_kwh=10.0,
+                n_readings=4,
+            ),
+        ]
+    )
+
+
+def test_reference_shaped_statement_reconciles(spark, billing_df):
+    out = {
+        r["user_id"]: r
+        for r in reconcile_billing(_usage(spark), billing_df).collect()
+    }
+    assert set(out) == {"user_001", "user_002", "user_004"}
+
+    r1 = out["user_001"]
+    # the reference's own published row is internally consistent:
+    # 15.00 + 450.5 * 0.12 = 69.06 (config/billing_data.csv:2)
+    assert r1["computed_cost"] == pytest.approx(69.06)
+    assert r1["has_statement"] and r1["usage_reconciled"]
+    assert r1["reconciled"]
+    assert r1["effective_rate_kwh"] == pytest.approx(0.12)
+
+    r2 = out["user_002"]
+    assert r2["has_statement"]
+    assert not r2["usage_reconciled"]  # 400 vs 520.8 billed
+    assert not r2["reconciled"]  # 63.00 vs 77.50 billed
+    assert r2["usage_delta_kwh"] == pytest.approx(-120.8)
+    assert r2["computed_cost"] == pytest.approx(63.0)
+
+    r4 = out["user_004"]
+    assert not r4["has_statement"]
+    assert not r4["usage_reconciled"] and not r4["reconciled"]
+    assert r4["billed_cost"] is None and r4["cost_delta"] is None
+    assert r4["effective_rate_kwh"] == 0.0  # guarded division default
+
+
+def test_unbilled_statements_finds_phantom_bill(spark, billing_df):
+    phantom = unbilled_statements(_usage(spark), billing_df).collect()
+    assert [(r["user_id"], r["billing_period"]) for r in phantom] == [
+        ("user_003", "2024-01")
+    ]
+    # and the left-join reconciliation must NOT fabricate a match
+    recon_users = {
+        r["user_id"]
+        for r in reconcile_billing(_usage(spark), billing_df).collect()
+    }
+    assert "user_003" not in recon_users
+
+
+def test_monthly_usage_tumbles_calendar_months(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=dt.datetime(2024, 1, 5), value=1500.0),
+            Row(user_id=1, ts=dt.datetime(2024, 1, 31, 23, 59), value=500.0),
+            Row(user_id=1, ts=dt.datetime(2024, 2, 1), value=250.0),
+            Row(user_id=2, ts=dt.datetime(2024, 1, 10), value=1000.0),
+        ]
+    )
+    rows = {
+        (r["user_id"], r["billing_period"]): r
+        for r in monthly_usage(df).collect()
+    }
+    assert set(rows) == {(1, "2024-01"), (1, "2024-02"), (2, "2024-01")}
+    assert rows[(1, "2024-01")]["metered_usage_kwh"] == pytest.approx(2.0)
+    assert rows[(1, "2024-01")]["n_readings"] == 2
+    assert rows[(1, "2024-02")]["metered_usage_kwh"] == pytest.approx(0.25)
+
+
+def test_reconcile_plan_broadcasts_the_statement_side(spark, billing_df):
+    """The statement dimension must broadcast — at 100 TB the usage
+    side is the aggregated fact and a shuffle join here would move it
+    for a KB-scale dimension."""
+    plan = (
+        reconcile_billing(_usage(spark), billing_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
