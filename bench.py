@@ -288,6 +288,7 @@ HEADLINE = [
     "bitmap_distinct_events",
     "stream_torture_availablenow",
     "billing_reconciliation_events",
+    "billing_unbilled_events",
 ]
 
 # Iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the

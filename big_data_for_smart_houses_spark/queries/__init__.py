@@ -35,10 +35,11 @@ IS driver-certified.
 END-OF-ROUND-13 STATE: LAST_CERTIFIED regenerated from
 CORRECTNESS_r12.json (the mechanical ROUND-13 PROCEDURE step 1;
 oldest certification in the registry is now r5: 23 rows, then r6:
-42). One new gate minted this round (round-12 verdict ask #4): the
+42). Two new gates minted this round (round-12 verdict ask #4): the
 billing-reconciliation join the reference's data model declares but
-never runs — it seats by the never-certified rule. The rest of the
-front burns the r5 bucket (all 23 rows) and continues into r6.
+never runs, plus its anti-join companion (phantom statements) — both
+seat by the never-certified rule. The rest of the front burns the r5
+bucket (all 23 rows) and continues into r6.
 ROUND-14 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
 CORRECTNESS_r13.json (``python -m ...queries.certification``, paste,
 test re-derives); (2) replace _TOUCHED_R13 with the round-14 touched

@@ -410,11 +410,95 @@ FROM usage u LEFT JOIN statements s USING (user_id, billing_period)
 """
 
 
+def q_billing_unbilled_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reconciliation's other direction
+    (operators/billing.unbilled_statements): statements with no
+    metered usage in their period — the phantom bills the left join
+    in billing_reconciliation_events correctly drops. Anti-join
+    driven from the statement side over the aggregated usage rollup
+    (both dimension-sized at 100 TB), so this certifies the
+    broadcast left_anti path. Same deterministic statement fixture
+    as the reconciliation gate: the result is exactly the users ≡ 0
+    (mod 7) phantom 2023-12 statements."""
+    configure_for_oracle_parity(spark)
+    from ..operators.billing import monthly_usage, unbilled_statements
+
+    ev = load_table(spark, sf_dir, "events")
+    # no quantize here: the float usage sum never reaches this gate's
+    # output (Catalyst prunes the unused aggregate), only the exact
+    # integer n_readings feeds the fixture
+    usage = monthly_usage(ev)
+
+    uid = F.col("user_id")
+    rate = (F.lit(8).cast("double") + (uid % 5).cast("double")) / F.lit(
+        100.0
+    )
+    base = (F.lit(10) + (uid % 3) * 5).cast("double")
+    billed = (F.col("n_readings") * 99).cast("double") / F.lit(2000.0)
+    statements = usage.where(uid % 2 == 0).select(
+        "user_id",
+        "billing_period",
+        rate.alias("energy_rate_kwh"),
+        base.alias("base_charge"),
+        billed.alias("total_usage_kwh"),
+        (base + billed * rate).alias("total_cost"),
+    )
+    phantom = (
+        usage.select("user_id")
+        .distinct()
+        .where(uid % 7 == 0)
+        .select(
+            "user_id",
+            F.lit("2023-12").alias("billing_period"),
+            rate.alias("energy_rate_kwh"),
+            base.alias("base_charge"),
+            F.lit(100.0).alias("total_usage_kwh"),
+            (base + F.lit(100.0) * rate).alias("total_cost"),
+        )
+    )
+    return unbilled_statements(usage, statements.unionByName(phantom))
+
+
+ORACLE_BILLING_UNBILLED_EVENTS = """
+WITH usage AS (
+  SELECT user_id,
+         strftime(ts, '%Y-%m') AS billing_period,
+         count(*) AS n_readings
+  FROM events
+  GROUP BY 1, 2
+), statements AS (
+  SELECT user_id, billing_period,
+         CAST(8 + user_id % 5 AS DOUBLE) / 100.0 AS energy_rate_kwh,
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE) AS base_charge,
+         CAST(n_readings * 99 AS DOUBLE) / 2000.0 AS total_usage_kwh,
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE)
+           + (CAST(n_readings * 99 AS DOUBLE) / 2000.0)
+             * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0) AS total_cost
+  FROM usage WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT user_id, '2023-12',
+         CAST(8 + user_id % 5 AS DOUBLE) / 100.0,
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE),
+         CAST(100.0 AS DOUBLE),
+         CAST(10 + (user_id % 3) * 5 AS DOUBLE)
+           + 100.0 * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0)
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
+)
+SELECT s.user_id, s.billing_period, s.energy_rate_kwh, s.base_charge,
+       s.total_usage_kwh, s.total_cost
+FROM statements s
+ANTI JOIN usage u USING (user_id, billing_period)
+"""
+
+
 QUERIES = {
     "silver_pipeline_events": q_silver_pipeline_events,
     "gold_daily_energy_events": q_gold_daily_energy_events,
     "catalog_enrichment_events": q_catalog_enrichment_events,
     "billing_reconciliation_events": q_billing_reconciliation_events,
+    "billing_unbilled_events": q_billing_unbilled_events,
 }
 
 ORACLES = {
@@ -422,4 +506,5 @@ ORACLES = {
     "gold_daily_energy_events": ORACLE_GOLD_DAILY_ENERGY_EVENTS,
     "catalog_enrichment_events": ORACLE_CATALOG_ENRICHMENT_EVENTS,
     "billing_reconciliation_events": ORACLE_BILLING_RECONCILIATION_EVENTS,
+    "billing_unbilled_events": ORACLE_BILLING_UNBILLED_EVENTS,
 }
