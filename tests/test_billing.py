@@ -142,3 +142,108 @@ def test_reconcile_plan_broadcasts_the_statement_side(spark, billing_df):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestReconcileProperty:
+    """Hypothesis: reconcile_billing vs a pure-Python reference on
+    randomized usage/statement tables (same convention as
+    tests/test_properties.py — few examples, wide strategy space;
+    each example pays a Spark job). Exercises zero billed usage
+    (guarded division), unmatched usage (left-outer nulls), phantom
+    statements (anti-join), and exact IEEE arithmetic parity of the
+    recomputed-cost expression."""
+
+    import hypothesis.strategies as _st
+
+    _keys = _st.tuples(
+        _st.sampled_from(["u1", "u2", "u3"]),
+        _st.sampled_from(["2024-01", "2024-02"]),
+    )
+    _money = _st.floats(
+        min_value=0, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+    usage_rows = _st.dictionaries(_keys, _money, min_size=1, max_size=6)
+    stmt_rows = _st.dictionaries(
+        _keys,
+        _st.tuples(_money, _money, _money, _money),  # rate, base, kwh, cost
+        max_size=6,
+    )
+
+    from hypothesis import given, settings
+
+    @settings(max_examples=10, deadline=None)
+    @given(usage=usage_rows, stmts=stmt_rows)
+    def test_matches_python_reference(self, spark, usage, stmts):
+        from pyspark.sql import Row
+
+        from big_data_for_smart_houses_spark.operators.billing import (
+            reconcile_billing,
+            unbilled_statements,
+        )
+
+        tol = 0.05
+        u_df = spark.createDataFrame(
+            [
+                Row(
+                    user_id=k[0],
+                    billing_period=k[1],
+                    metered_usage_kwh=float(m),
+                    n_readings=1,
+                )
+                for k, m in sorted(usage.items())
+            ]
+        )
+        b_df = spark.createDataFrame(
+            [
+                Row(
+                    user_id=k[0],
+                    billing_period=k[1],
+                    energy_rate_kwh=float(r),
+                    base_charge=float(b),
+                    total_usage_kwh=float(kwh),
+                    total_cost=float(c),
+                )
+                for k, (r, b, kwh, c) in sorted(stmts.items())
+            ]
+        ) if stmts else spark.createDataFrame(
+            [], schema="user_id string, billing_period string, "
+            "energy_rate_kwh double, base_charge double, "
+            "total_usage_kwh double, total_cost double",
+        )
+
+        out = {
+            (r["user_id"], r["billing_period"]): r
+            for r in reconcile_billing(u_df, b_df, tol).collect()
+        }
+        assert set(out) == set(usage)  # one row per metered key
+        for k, m in usage.items():
+            r = out[k]
+            s = stmts.get(k)
+            assert r["has_statement"] == (s is not None)
+            if s is None:
+                assert r["billed_cost"] is None
+                assert r["usage_delta_kwh"] is None
+                assert not r["reconciled"]
+                assert not r["usage_reconciled"]
+                assert r["effective_rate_kwh"] == 0.0
+            else:
+                rate, base, kwh, cost = (float(x) for x in s)
+                computed = base + m * rate  # same IEEE op order
+                assert r["computed_cost"] == computed
+                assert r["usage_delta_kwh"] == m - kwh
+                assert r["reconciled"] == (
+                    abs(computed - cost) <= tol * cost
+                )
+                assert r["usage_reconciled"] == (
+                    abs(m - kwh) <= tol * kwh
+                )
+                expect_rate = (
+                    (cost - base) / kwh if kwh > 0 else 0.0
+                )
+                assert r["effective_rate_kwh"] == expect_rate
+
+        phantom = {
+            (r["user_id"], r["billing_period"])
+            for r in unbilled_statements(u_df, b_df).collect()
+        }
+        assert phantom == set(stmts) - set(usage)
