@@ -32,19 +32,24 @@ rows-only entries are the 4 structural sketches (minhash/simhash/
 ann_lsh/ann_ivf), each carrying a hash-gated recall companion that
 IS driver-certified.
 
-END-OF-ROUND-13 STATE: LAST_CERTIFIED regenerated from
-CORRECTNESS_r12.json (the mechanical ROUND-13 PROCEDURE step 1;
-oldest certification in the registry is now r5: 23 rows, then r6:
-42). Two new gates minted this round (round-12 verdict ask #4): the
-billing-reconciliation join the reference's data model declares but
-never runs, plus its anti-join companion (phantom statements) — both
-seat by the never-certified rule. The rest of the front burns the r5
-bucket (all 23 rows) and continues into r6.
-ROUND-14 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
-CORRECTNESS_r13.json (``python -m ...queries.certification``, paste,
-test re-derives); (2) replace _TOUCHED_R13 with the round-14 touched
+END-OF-ROUND-14 STATE: LAST_CERTIFIED regenerated from
+CORRECTNESS_r13.json (the mechanical ROUND-14 PROCEDURE step 1;
+oldest certification in the registry is now r6: 17 rows, then r7:
+42). Touched this round: the two billing gates — round-13 verdict
+ask #3 de-hinted both joins in operators/billing.py and the round-13
+advice re-derived ``has_statement`` from a literal pre-join flag, so
+their executed code changed and their r13 green rows are evidence
+about code that no longer exists. One new gate minted (round-13
+verdict ask #4): ``billing_stream_availablenow`` — the streaming
+medallion treatment of the reference's declared ``billing.raw``
+surface (file-stream stand-in -> conform -> checkpointed bronze ->
+reconcile), seated by the never-certified rule. The rest of the
+front retires the whole r6 bucket (17 rows) and bites into r7.
+ROUND-15 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
+CORRECTNESS_r14.json (``python -m ...queries.certification``, paste,
+test re-derives); (2) replace _TOUCHED_R14 with the round-15 touched
 list; next_front() does the rest — refresh priority continues with
-the remaining r6 block (tests/test_registry.py recomputes the exact
+the remaining r7 block (tests/test_registry.py recomputes the exact
 seating).
 """
 
@@ -120,26 +125,30 @@ ORACLES = {
     **_TPCH_ORACLES,
 }
 
-# Round-13 rotation: the front is COMPUTED, not curated — touched
+# Round-14 rotation: the front is COMPUTED, not curated — touched
 # gates first (rows-only sketches bring their recall companions,
 # certification.ROWS_ONLY_COMPANIONS), then never-certified new
 # gates, then oldest-green-first from certification.LAST_CERTIFIED.
 # The touched list is the one per-round input a human supplies:
 # every gate whose EXECUTED code or corpus this round edited.
-# NOT counted as touched, with reasons: bench.py's micro-bench
-# fingerprint capture and throughput floor, certification.py's
-# regeneration, and cli.py's scale-profile de-duplication are
-# harness-side (the last leaves every gate's executed path
-# byte-identical — unit-asserted in tests/test_session_profile.py);
-# the EWMA drop-log per-stream keying edits only the warning-sampling
-# side channel of streaming/stateful.py, never a produced row (the
-# EWMA unit suite and sf0.01 exact mirror re-prove bit-identity, and
-# the ewma gate still seats via the r5 backlog rule this round).
-_TOUCHED_R13: list = []
+# Touched: both billing gates — operators/billing.py lost its two
+# forced broadcast hints (round-13 verdict ask #3) and has_statement
+# now derives from a literal pre-join flag (round-13 advice), so the
+# executed operator code changed. NOT counted as touched, with
+# reasons: bench.py's plan-fingerprint canonicalization, VM canary,
+# and waiver wall-cap are harness-side (they change what the bench
+# MEASURES, never a produced row); the EWMA drop-log eviction cap
+# again edits only the warning-sampling side channel of
+# streaming/stateful.py (bit-identity re-proved by the EWMA unit
+# suite and the sf0.01 exact mirror).
+_TOUCHED_R14: list = [
+    "billing_reconciliation_events",
+    "billing_unbilled_events",
+]
 
 # round-agnostic alias: tests and tooling read this name, so next
 # round only renames the list above
-_TOUCHED_THIS_ROUND = _TOUCHED_R13
+_TOUCHED_THIS_ROUND = _TOUCHED_R14
 
 from .certification import next_front as _next_front  # noqa: E402
 

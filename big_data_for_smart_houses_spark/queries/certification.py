@@ -37,9 +37,9 @@ import json
 import os
 import re
 
-# query name -> most recent round with a green driver row (r1-r12)
+# query name -> most recent round with a green driver row (r1-r13)
 LAST_CERTIFIED: dict[str, int] = {
-    "ab_lift_events": 6,
+    "ab_lift_events": 13,
     "abc_customers": 11,
     "agg_completeness_lineitem": 9,
     "agg_pushdown_events": 8,
@@ -63,6 +63,8 @@ LAST_CERTIFIED: dict[str, int] = {
     "avi_frame_sample_assets": 7,
     "bfs_distances_transitions": 8,
     "bigram_lm_documents": 10,
+    "billing_reconciliation_events": 13,
+    "billing_unbilled_events": 13,
     "binaryfile_bmp_assets": 8,
     "bitmap_distinct_events": 7,
     "bitwise_aggs_events": 8,
@@ -71,7 +73,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "bmp_decode_assets": 7,
     "boilerplate_ngram_documents": 10,
     "bpe_apply_documents": 10,
-    "bpe_pair_counts_documents": 6,
+    "bpe_pair_counts_documents": 13,
     "bpe_rankmap_documents": 10,
     "bpe_train_documents": 8,
     "bucketed_join_orders": 7,
@@ -84,18 +86,18 @@ LAST_CERTIFIED: dict[str, int] = {
     "cms_token_counts": 11,
     "cogroup_asof_events": 8,
     "cohort_retention_events": 12,
-    "collation_group_events": 6,
+    "collation_group_events": 13,
     "compaction_roundtrip_events": 7,
     "concurrency_sweepline_events": 11,
     "conditional_aggs_by_type": 11,
-    "conform_union_sources": 6,
+    "conform_union_sources": 13,
     "contamination_check_documents": 10,
     "contrastive_triplets_documents": 10,
     "copurchase_lift_parts": 8,
     "corpus_shuffle_documents": 10,
     "csv_malformed_modes_events": 8,
     "csv_roundtrip_customers": 7,
-    "curation_funnel_report": 6,
+    "curation_funnel_report": 13,
     "customer_enrichment": 11,
     "customers_with_orders": 12,
     "customers_without_orders": 12,
@@ -124,17 +126,17 @@ LAST_CERTIFIED: dict[str, int] = {
     "event_transition_counts": 12,
     "event_type_pivot": 12,
     "events_cube": 12,
-    "events_in_session_range": 5,
+    "events_in_session_range": 13,
     "ewma_events": 11,
     "ewma_stream_availablenow": 11,
     "expectations_events": 7,
     "explode_outer_events": 9,
     "file_metadata_events": 8,
-    "funnel_click_purchase": 5,
+    "funnel_click_purchase": 13,
     "funnel_three_step_events": 7,
     "gapfill_linear_events": 7,
     "gapfill_locf_events": 9,
-    "generator_functions_documents": 5,
+    "generator_functions_documents": 13,
     "gini_customer_orders": 11,
     "global_rownum_orders": 11,
     "gold_business_summary_events": 12,
@@ -146,29 +148,29 @@ LAST_CERTIFIED: dict[str, int] = {
     "hdr_quantile_error_bound_events": 11,
     "hdr_quantile_sketch_events": 11,
     "hdr_sketch_stream_availablenow": 11,
-    "hll_reach_events": 6,
-    "hof_functions_documents": 5,
+    "hll_reach_events": 13,
+    "hof_functions_documents": 13,
     "hopping_window_events": 12,
-    "hourly_event_window": 5,
+    "hourly_event_window": 13,
     "identifier_clause_orders": 9,
     "incremental_energy_state": 12,
-    "incremental_join_view_orders": 6,
+    "incremental_join_view_orders": 13,
     "inverted_index_documents": 10,
     "join_types_orders": 8,
     "json_null_functions_events": 12,
-    "json_props_extract": 5,
+    "json_props_extract": 13,
     "json_roundtrip_events": 8,
-    "json_schema_profile_events": 6,
+    "json_schema_profile_events": 13,
     "kmeans_embeddings": 8,
     "kmv_distinct_events": 8,
     "kmv_jaccard_events": 8,
     "kmv_merge_events": 8,
     "ks_statistic_events": 11,
-    "label_centroids_embeddings": 6,
+    "label_centroids_embeddings": 13,
     "language_guess": 11,
-    "late_shipment_flag": 5,
-    "lateral_topk_orders": 6,
-    "latest_event_per_user": 5,
+    "late_shipment_flag": 13,
+    "lateral_topk_orders": 13,
+    "latest_event_per_user": 13,
     "latest_events_topk": 12,
     "length_bucketed_packing": 11,
     "listagg_events": 7,
@@ -176,10 +178,10 @@ LAST_CERTIFIED: dict[str, int] = {
     "locf_stream_availablenow": 12,
     "logreg_quality_planted": 9,
     "mad_outliers_events": 8,
-    "map_functions_events": 5,
+    "map_functions_events": 13,
     "map_hof_functions_events": 9,
     "mapinarrow_tokens_documents": 8,
-    "math_functions_events": 6,
+    "math_functions_events": 13,
     "merge_upsert_orders": 12,
     "mergeschema_read_events": 7,
     "minhash_dedup_documents": 9,
@@ -189,50 +191,50 @@ LAST_CERTIFIED: dict[str, int] = {
     "multimodal_decode": 11,
     "multimodal_features": 11,
     "multimodal_frame_sample": 11,
-    "navigation_functions_events": 6,
-    "ngram_jaccard_pairs": 5,
+    "navigation_functions_events": 13,
+    "ngram_jaccard_pairs": 13,
     "ntile_scan_orders": 11,
     "null_aware_notin_orders": 7,
     "nullsafe_join_events": 7,
-    "observe_metrics_orders": 6,
+    "observe_metrics_orders": 13,
     "orc_roundtrip_events": 7,
     "orders_business_summary": 12,
     "packed_sequence_offsets": 10,
     "pagerank_user_transitions": 9,
     "pandas_udaf_geomean_events": 7,
     "parameterized_sql_orders": 9,
-    "part_value_density": 6,
+    "part_value_density": 13,
     "percentile_within_group_events": 8,
     "pii_scrub_documents": 11,
     "pipe_syntax_lineitem": 9,
     "polymorphic_udtf_events": 8,
     "ppjoin_pairs_documents": 8,
-    "pricing_rollup": 5,
+    "pricing_rollup": 13,
     "pricing_summary": 9,
     "profile_documents": 11,
-    "profile_drift_documents": 5,
+    "profile_drift_documents": 13,
     "purchase_asof_click": 9,
     "pysink_roundtrip_orders": 9,
-    "quality_topk_approx_pct": 5,
+    "quality_topk_approx_pct": 13,
     "quality_topk_per_lang": 11,
     "quantile_normalize_events": 12,
     "ranking_functions_events": 12,
     "rate_of_change_events": 12,
     "ratio_to_report_events": 12,
-    "readability_documents": 6,
+    "readability_documents": 13,
     "recursive_cte_hierarchy": 7,
     "referential_check_orders": 7,
-    "regexp_functions_documents": 6,
+    "regexp_functions_documents": 13,
     "regression_drift_events": 12,
-    "revenue_vs_global": 5,
+    "revenue_vs_global": 13,
     "rle_segments_events": 7,
     "rocksdb_pysessions_availablenow": 10,
     "rolling_event_metrics": 12,
-    "rolling_median_events": 6,
-    "rolling_time_window_events": 5,
+    "rolling_median_events": 13,
+    "rolling_time_window_events": 13,
     "rollup_navigate_events": 8,
     "runtime_bloom_join_lineitem": 7,
-    "salted_join_orders": 5,
+    "salted_join_orders": 13,
     "scd2_asof_lookup": 9,
     "scd2_customer_orders": 12,
     "semantic_dedup_embeddings": 9,
@@ -242,18 +244,18 @@ LAST_CERTIFIED: dict[str, int] = {
     "session_variables_orders": 9,
     "session_window_events": 12,
     "sessionize_events": 12,
-    "setops_events": 5,
+    "setops_events": 13,
     "silver_pipeline_events": 9,
     "simhash_dedup_documents": 11,
     "simhash_recall_exact_dups": 11,
     "skyline3d_parts": 11,
     "skyline_parts": 11,
-    "sliding_chunks_documents": 6,
-    "snapshot_diff_orders": 6,
+    "sliding_chunks_documents": 13,
+    "snapshot_diff_orders": 13,
     "source_cap_documents": 11,
     "source_cap_two_phase": 11,
-    "source_kl_documents": 6,
-    "span_masks_documents": 6,
+    "source_kl_documents": 13,
+    "span_masks_documents": 13,
     "sql_scripting_orders": 9,
     "sql_udf_functions_events": 7,
     "sssp_weighted_transitions": 8,
@@ -261,16 +263,16 @@ LAST_CERTIFIED: dict[str, int] = {
     "statestore_read_availablenow": 7,
     "statestore_sessions_availablenow": 10,
     "statestore_timeout_rearm_availablenow": 10,
-    "stats_moments_lineitem": 6,
+    "stats_moments_lineitem": 13,
     "stratified_sample_events": 11,
     "stream_chained_availablenow": 8,
     "stream_dedup_availablenow": 10,
     "stream_device_sessions_availablenow": 10,
-    "stream_enrich_availablenow": 6,
-    "stream_fanout_availablenow": 6,
+    "stream_enrich_availablenow": 13,
+    "stream_fanout_availablenow": 13,
     "stream_fullouter_join_availablenow": 10,
     "stream_interval_enrich_availablenow": 8,
-    "stream_join_availablenow": 6,
+    "stream_join_availablenow": 13,
     "stream_left_anti_availablenow": 10,
     "stream_merge_availablenow": 6,
     "stream_multiwatermark_availablenow": 10,
@@ -303,7 +305,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "token_batch_packing": 10,
     "token_heavy_hitters": 11,
     "token_stats_by_lang": 11,
-    "top_orders_per_customer": 5,
+    "top_orders_per_customer": 13,
     "tpch_q10_returned_items": 6,
     "tpch_q11_important_stock": 7,
     "tpch_q12_priority_shipping": 8,
@@ -331,15 +333,15 @@ LAST_CERTIFIED: dict[str, int] = {
     "trending_types_hourly": 12,
     "triangle_count_transitions": 8,
     "try_functions_events": 6,
-    "two_phase_agg_orders": 5,
+    "two_phase_agg_orders": 13,
     "udtf_sentences_documents": 7,
-    "union_dedup_orders": 5,
+    "union_dedup_orders": 13,
     "unpivot_daily_metrics": 12,
     "url_functions_orders": 9,
-    "user_event_type_sets": 5,
+    "user_event_type_sets": 13,
     "vacuum_retention_orders": 8,
     "value_histogram_events": 11,
-    "value_percentiles": 5,
+    "value_percentiles": 13,
     "variant_functions_events": 6,
     "wav_decode_assets": 7,
     "weighted_corpus_mix": 11,
@@ -351,7 +353,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "xml_roundtrip_events": 8,
     "zipf_slope_documents": 6,
     "zorder3_key_events": 12,
-    "zorder_key_events": 5,
+    "zorder_key_events": 13,
     "zscore_anomaly_events": 11,
 }
 

@@ -302,7 +302,8 @@ def q_billing_reconciliation_events(
     dimension (config/billing_data.csv:1), ``billing.raw`` topic and
     bronze/silver billing dirs (config/config.py:13,25,29) are
     consumed by NO ETL (SURVEY.md §1.3). Monthly tumbling usage
-    rollup over events -> broadcast statement join -> recomputed
+    rollup over events -> hint-free statement join (AQE picks
+    broadcast at this scale; round-13 verdict ask #3) -> recomputed
     cost + guarded effective-rate division.
 
     The statement fixture is synthesized deterministically from the
@@ -374,7 +375,8 @@ WITH usage AS (
          CAST(n_readings * 99 AS DOUBLE) / 2000.0 AS total_usage_kwh,
          CAST(10 + (user_id % 3) * 5 AS DOUBLE)
            + (CAST(n_readings * 99 AS DOUBLE) / 2000.0)
-             * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0) AS total_cost
+             * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0) AS total_cost,
+         TRUE AS has_stmt
   FROM usage WHERE user_id % 2 = 0
   UNION ALL
   SELECT user_id, '2023-12',
@@ -382,7 +384,8 @@ WITH usage AS (
          CAST(10 + (user_id % 3) * 5 AS DOUBLE),
          CAST(100.0 AS DOUBLE),
          CAST(10 + (user_id % 3) * 5 AS DOUBLE)
-           + 100.0 * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0)
+           + 100.0 * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0),
+         TRUE
   FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
 )
 SELECT u.user_id, u.billing_period, u.metered_usage_kwh, u.n_readings,
@@ -397,7 +400,7 @@ SELECT u.user_id, u.billing_period, u.metered_usage_kwh, u.n_readings,
        CASE WHEN s.total_usage_kwh > 0
             THEN (s.total_cost - s.base_charge) / s.total_usage_kwh
             ELSE 0.0 END AS effective_rate_kwh,
-       s.base_charge IS NOT NULL AS has_statement,
+       COALESCE(s.has_stmt, FALSE) AS has_statement,
        COALESCE(
          abs(u.metered_usage_kwh - s.total_usage_kwh)
            <= CAST(0.05 AS DOUBLE) * s.total_usage_kwh,
@@ -419,7 +422,8 @@ def q_billing_unbilled_events(
     in billing_reconciliation_events correctly drops. Anti-join
     driven from the statement side over the aggregated usage rollup
     (both dimension-sized at 100 TB), so this certifies the
-    broadcast left_anti path. Same deterministic statement fixture
+    hint-free left_anti path (AQE broadcasts at this scale;
+    round-13 verdict ask #3). Same deterministic statement fixture
     as the reconciliation gate: the result is exactly the users ≡ 0
     (mod 7) phantom 2023-12 statements."""
     configure_for_oracle_parity(spark)
@@ -475,7 +479,8 @@ WITH usage AS (
          CAST(n_readings * 99 AS DOUBLE) / 2000.0 AS total_usage_kwh,
          CAST(10 + (user_id % 3) * 5 AS DOUBLE)
            + (CAST(n_readings * 99 AS DOUBLE) / 2000.0)
-             * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0) AS total_cost
+             * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0) AS total_cost,
+         TRUE AS has_stmt
   FROM usage WHERE user_id % 2 = 0
   UNION ALL
   SELECT user_id, '2023-12',
@@ -483,7 +488,8 @@ WITH usage AS (
          CAST(10 + (user_id % 3) * 5 AS DOUBLE),
          CAST(100.0 AS DOUBLE),
          CAST(10 + (user_id % 3) * 5 AS DOUBLE)
-           + 100.0 * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0)
+           + 100.0 * (CAST(8 + user_id % 5 AS DOUBLE) / 100.0),
+         TRUE
   FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0)
 )
 SELECT s.user_id, s.billing_period, s.energy_rate_kwh, s.base_charge,

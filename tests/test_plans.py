@@ -383,6 +383,10 @@ def test_user_keyed_joins_carry_no_broadcast_hint(spark):
         # data-scaled too — their joins must also be hint-free
         "supplier_health_scores",
         "part_value_density",
+        # round 14: the billing joins are user x month keyed — the
+        # same rule (round-13 verdict ask #3 de-hinted billing.py)
+        "billing_reconciliation_events",
+        "billing_unbilled_events",
     ):
         df = QUERIES[name](spark, SF_DIR)
         optimized = (
