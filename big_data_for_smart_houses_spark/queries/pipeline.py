@@ -294,6 +294,43 @@ FROM bronze b LEFT JOIN catalog c ON b.device_id = c.device_id
 """
 
 
+def billing_statement_fixture(usage: DataFrame) -> DataFrame:
+    """The deterministic statement table both billing gates (and the
+    round-14 streaming ingestion gate) synthesize from the usage
+    rollup: integer-derived rates/charges over the EXACT n_readings
+    counts so both engines compute bit-identical doubles; odd users
+    unbilled, users ≡ 0 (mod 7) get a phantom 2023-12 statement.
+    ``usage`` needs user_id, billing_period, n_readings."""
+    uid = F.col("user_id")
+    rate = (F.lit(8).cast("double") + (uid % 5).cast("double")) / F.lit(
+        100.0
+    )
+    base = (F.lit(10) + (uid % 3) * 5).cast("double")
+    billed = (F.col("n_readings") * 99).cast("double") / F.lit(2000.0)
+    statements = usage.where(uid % 2 == 0).select(
+        "user_id",
+        "billing_period",
+        rate.alias("energy_rate_kwh"),
+        base.alias("base_charge"),
+        billed.alias("total_usage_kwh"),
+        (base + billed * rate).alias("total_cost"),
+    )
+    phantom = (
+        usage.select("user_id")
+        .distinct()
+        .where(uid % 7 == 0)
+        .select(
+            "user_id",
+            F.lit("2023-12").alias("billing_period"),
+            rate.alias("energy_rate_kwh"),
+            base.alias("base_charge"),
+            F.lit(100.0).alias("total_usage_kwh"),
+            (base + F.lit(100.0) * rate).alias("total_cost"),
+        )
+    )
+    return statements.unionByName(phantom)
+
+
 def q_billing_reconciliation_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -326,36 +363,8 @@ def q_billing_reconciliation_events(
 
     ev = load_table(spark, sf_dir, "events")
     usage = quantize_cols(monthly_usage(ev), "metered_usage_kwh")
-
-    uid = F.col("user_id")
-    rate = (F.lit(8).cast("double") + (uid % 5).cast("double")) / F.lit(
-        100.0
-    )
-    base = (F.lit(10) + (uid % 3) * 5).cast("double")
-    billed = (F.col("n_readings") * 99).cast("double") / F.lit(2000.0)
-    statements = usage.where(uid % 2 == 0).select(
-        "user_id",
-        "billing_period",
-        rate.alias("energy_rate_kwh"),
-        base.alias("base_charge"),
-        billed.alias("total_usage_kwh"),
-        (base + billed * rate).alias("total_cost"),
-    )
-    phantom = (
-        usage.select("user_id")
-        .distinct()
-        .where(uid % 7 == 0)
-        .select(
-            "user_id",
-            F.lit("2023-12").alias("billing_period"),
-            rate.alias("energy_rate_kwh"),
-            base.alias("base_charge"),
-            F.lit(100.0).alias("total_usage_kwh"),
-            (base + F.lit(100.0) * rate).alias("total_cost"),
-        )
-    )
     return reconcile_billing(
-        usage, statements.unionByName(phantom), rel_tolerance=0.05
+        usage, billing_statement_fixture(usage), rel_tolerance=0.05
     )
 
 
@@ -434,35 +443,7 @@ def q_billing_unbilled_events(
     # output (Catalyst prunes the unused aggregate), only the exact
     # integer n_readings feeds the fixture
     usage = monthly_usage(ev)
-
-    uid = F.col("user_id")
-    rate = (F.lit(8).cast("double") + (uid % 5).cast("double")) / F.lit(
-        100.0
-    )
-    base = (F.lit(10) + (uid % 3) * 5).cast("double")
-    billed = (F.col("n_readings") * 99).cast("double") / F.lit(2000.0)
-    statements = usage.where(uid % 2 == 0).select(
-        "user_id",
-        "billing_period",
-        rate.alias("energy_rate_kwh"),
-        base.alias("base_charge"),
-        billed.alias("total_usage_kwh"),
-        (base + billed * rate).alias("total_cost"),
-    )
-    phantom = (
-        usage.select("user_id")
-        .distinct()
-        .where(uid % 7 == 0)
-        .select(
-            "user_id",
-            F.lit("2023-12").alias("billing_period"),
-            rate.alias("energy_rate_kwh"),
-            base.alias("base_charge"),
-            F.lit(100.0).alias("total_usage_kwh"),
-            (base + F.lit(100.0) * rate).alias("total_cost"),
-        )
-    )
-    return unbilled_statements(usage, statements.unionByName(phantom))
+    return unbilled_statements(usage, billing_statement_fixture(usage))
 
 
 ORACLE_BILLING_UNBILLED_EVENTS = """

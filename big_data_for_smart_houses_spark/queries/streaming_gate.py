@@ -3414,6 +3414,77 @@ QUERIES["hdr_sketch_stream_availablenow"] = (
 ORACLES["hdr_sketch_stream_availablenow"] = _hdr_stream_oracle()
 
 
+def q_billing_stream_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming billing medallion (round-13 verdict ask #4): the
+    reference declares a ``billing.raw`` topic plus bronze/silver
+    billing directories (config/config.py:13,25,29) that no ETL ever
+    consumes; round 13 ran the batch half of that surface (statements
+    as a CSV dimension). This gate runs the STREAMING half end to
+    end: the deterministic statement fixture is serialized as the
+    topic payload — all-string JSON records plus producer metadata
+    (file-stream stand-in, the established S1 Kafka caveat) — then
+    streaming/ingest.billing_bronze_stream conforms each micro-batch
+    onto BILLING_SCHEMA (try_cast type recovery, metadata dropped)
+    and appends to a checkpointed, period-partitioned bronze sink
+    under trigger(availableNow). The reconciliation then runs over
+    the STREAMED statements read back from bronze, and the oracle is
+    the batch reconciliation's own SQL — so the hash gate proves the
+    whole topic -> conform -> bronze -> reconcile path is
+    semantically invisible vs handing the operator the statements
+    directly.
+
+    Exactness through the wire: statement doubles go through
+    CAST(double AS STRING) -> JSON -> try_cast(string AS DOUBLE),
+    which is bit-exact round-trip (Java Double.toString produces the
+    shortest string that parses back to the same IEEE value); user_id
+    rides as a string (the published BILLING_SCHEMA's type — the
+    reference's CSV says "user_001") and is cast back to long for
+    the join against the usage rollup."""
+    configure_for_oracle_parity(spark)
+    from ..functions.numeric import quantize_cols
+    from ..operators.billing import monthly_usage, reconcile_billing
+    from ..streaming.ingest import billing_bronze_stream
+    from .pipeline import billing_statement_fixture
+
+    ev = load_table(spark, sf_dir, "events")
+    usage = quantize_cols(monthly_usage(ev), "metered_usage_kwh")
+    statements = billing_statement_fixture(usage)
+
+    tmp = tempfile.mkdtemp(prefix="billing_stream_gate_")
+    raw_dir = f"{tmp}/raw"
+    bronze = f"{tmp}/bronze"
+    payload = statements.select(
+        *[F.col(c).cast("string").alias(c) for c in statements.columns],
+        F.lit("billing.raw").alias("_source"),
+    )
+    payload.coalesce(1).write.mode("overwrite").json(raw_dir)
+    with _stream_state_partitions(spark):
+        q = billing_bronze_stream(spark, raw_dir, bronze, f"{tmp}/ckpt")
+        if not q.awaitTermination(_AWAIT_S):
+            q.stop()
+            raise TimeoutError(
+                f"billing bronze availableNow run exceeded {_AWAIT_S}s"
+            )
+    streamed = (
+        spark.read.parquet(bronze)
+        .select(*[f.name for f in payload.schema.fields if f.name != "_source"])
+        .withColumn("user_id", F.col("user_id").cast("long"))
+    )
+    return reconcile_billing(usage, streamed, rel_tolerance=0.05)
+
+
+def _billing_stream_oracle() -> str:
+    from .pipeline import ORACLE_BILLING_RECONCILIATION_EVENTS
+
+    return ORACLE_BILLING_RECONCILIATION_EVENTS
+
+
+QUERIES["billing_stream_availablenow"] = q_billing_stream_availablenow
+ORACLES["billing_stream_availablenow"] = _billing_stream_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Session-scoped result memo (round 7): every gate above is
 # DETERMINISTIC in (gate, sf_dir) — staging, checkpoint, and sink all

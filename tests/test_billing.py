@@ -298,3 +298,116 @@ class TestReconcileProperty:
             for r in unbilled_statements(u_df, b_df).collect()
         }
         assert phantom == set(stmts) - set(usage)
+
+
+class TestBillingBronzeStream:
+    """Streaming billing ingestion (round-13 verdict ask #4):
+    `billing.raw` topic stand-in -> conform -> checkpointed bronze.
+    The gate-level hash parity lives in the registry
+    (billing_stream_availablenow); these tests pin the medallion
+    contracts the hash can't see — exactly-once re-runs and the
+    conform step's drift handling."""
+
+    RAW_RECORDS = [
+        # well-formed statement, plus the producer metadata conform
+        # must drop
+        '{"user_id": "7", "billing_period": "2024-01",'
+        ' "energy_rate_kwh": "0.12", "base_charge": "15.0",'
+        ' "total_usage_kwh": "450.5", "total_cost": "69.06",'
+        ' "_source": "billing.raw"}',
+        # type drift: unparseable rate -> try_cast nulls the FIELD,
+        # never fails the task (P2)
+        '{"user_id": "8", "billing_period": "2024-01",'
+        ' "energy_rate_kwh": "not-a-number", "base_charge": "10.0",'
+        ' "total_usage_kwh": "100.0", "total_cost": "22.0",'
+        ' "_source": "billing.raw"}',
+        # missing fields -> typed nulls
+        '{"user_id": "9", "billing_period": "2024-02",'
+        ' "_source": "billing.raw"}',
+    ]
+
+    def _run(self, spark, tmp):
+        import os
+
+        from big_data_for_smart_houses_spark.streaming.ingest import (
+            billing_bronze_stream,
+        )
+
+        raw_dir = os.path.join(tmp, "raw")
+        os.makedirs(raw_dir, exist_ok=True)
+        with open(os.path.join(raw_dir, "batch0.json"), "w") as fh:
+            fh.write("\n".join(self.RAW_RECORDS) + "\n")
+        q = billing_bronze_stream(
+            spark,
+            raw_dir,
+            os.path.join(tmp, "bronze"),
+            os.path.join(tmp, "ckpt"),
+        )
+        assert q.awaitTermination(120), "bronze ingest did not drain"
+        return spark.read.parquet(os.path.join(tmp, "bronze"))
+
+    def test_conform_drops_metadata_and_recovers_types(self, spark):
+        import tempfile
+
+        from big_data_for_smart_houses_spark.schemas import BILLING_SCHEMA
+
+        tmp = tempfile.mkdtemp(prefix="billing_bronze_stream_")
+        bronze = self._run(spark, tmp)
+        # bronze carries exactly the published statement schema (the
+        # partition column round-trips; producer metadata is gone)
+        assert set(bronze.columns) == {f.name for f in BILLING_SCHEMA.fields}
+        rows = {r["user_id"]: r for r in bronze.collect()}
+        assert set(rows) == {"7", "8", "9"}
+        assert rows["7"]["energy_rate_kwh"] == 0.12
+        assert rows["7"]["total_cost"] == 69.06
+        # type drift -> field nulled, row kept
+        assert rows["8"]["energy_rate_kwh"] is None
+        assert rows["8"]["base_charge"] == 10.0
+        # missing fields -> typed nulls
+        assert rows["9"]["total_cost"] is None
+        assert rows["9"]["billing_period"] == "2024-02"
+
+    def test_rerun_on_same_checkpoint_is_exactly_once(self, spark):
+        import os
+        import tempfile
+
+        from big_data_for_smart_houses_spark.streaming.ingest import (
+            billing_bronze_stream,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="billing_bronze_rerun_")
+        first = self._run(spark, tmp).count()
+        assert first == len(self.RAW_RECORDS)
+        # second start() on the SAME checkpoint: the file source's
+        # commit log says every staged file is already ingested, so
+        # the run drains without appending a single duplicate row
+        q = billing_bronze_stream(
+            spark,
+            os.path.join(tmp, "raw"),
+            os.path.join(tmp, "bronze"),
+            os.path.join(tmp, "ckpt"),
+        )
+        assert q.awaitTermination(120)
+        assert (
+            spark.read.parquet(os.path.join(tmp, "bronze")).count() == first
+        )
+        # ...and a NEW statement file arriving after the restart IS
+        # picked up (the incremental half of exactly-once)
+        with open(os.path.join(tmp, "raw", "batch1.json"), "w") as fh:
+            fh.write(
+                '{"user_id": "10", "billing_period": "2024-03",'
+                ' "energy_rate_kwh": "0.1", "base_charge": "5.0",'
+                ' "total_usage_kwh": "1.0", "total_cost": "5.1",'
+                ' "_source": "billing.raw"}\n'
+            )
+        q = billing_bronze_stream(
+            spark,
+            os.path.join(tmp, "raw"),
+            os.path.join(tmp, "bronze"),
+            os.path.join(tmp, "ckpt"),
+        )
+        assert q.awaitTermination(120)
+        assert (
+            spark.read.parquet(os.path.join(tmp, "bronze")).count()
+            == first + 1
+        )
