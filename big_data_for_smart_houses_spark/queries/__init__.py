@@ -37,9 +37,12 @@ CORRECTNESS_r13.json (the mechanical ROUND-14 PROCEDURE step 1;
 oldest certification in the registry is now r6: 17 rows, then r7:
 42). Touched this round: the two billing gates — round-13 verdict
 ask #3 de-hinted both joins in operators/billing.py and the round-13
-advice re-derived ``has_statement`` from a literal pre-join flag, so
-their executed code changed and their r13 green rows are evidence
-about code that no longer exists. One new gate minted (round-13
+advice re-derived ``has_statement`` from a literal pre-join flag —
+plus synthetic_stream_availablenow, whose drain loop switched from
+sink-poll count() queries to driver-side q.recentProgress reads
+(round-13 verdict ask #2); all three gates' executed code changed,
+so their r13 green rows are evidence about code that no longer
+exists. One new gate minted (round-13
 verdict ask #4): ``billing_stream_availablenow`` — the streaming
 medallion treatment of the reference's declared ``billing.raw``
 surface (file-stream stand-in -> conform -> checkpointed bronze ->
@@ -133,10 +136,10 @@ ORACLES = {
 # every gate whose EXECUTED code or corpus this round edited.
 # Touched: both billing gates — operators/billing.py lost its two
 # forced broadcast hints (round-13 verdict ask #3) and has_statement
-# now derives from a literal pre-join flag (round-13 advice), so the
-# executed operator code changed. NOT counted as touched, with
-# reasons: bench.py's plan-fingerprint canonicalization, VM canary,
-# and waiver wall-cap are harness-side (they change what the bench
+# now derives from a literal pre-join flag (round-13 advice) — and
+# synthetic_stream_availablenow, whose drain check changed (ask #2).
+# NOT counted as touched, with reasons: bench.py's VM canary and
+# waiver wall-cap are harness-side (they change what the bench
 # MEASURES, never a produced row); the EWMA drop-log eviction cap
 # again edits only the warning-sampling side channel of
 # streaming/stateful.py (bit-identity re-proved by the EWMA unit
@@ -144,6 +147,7 @@ ORACLES = {
 _TOUCHED_R14: list = [
     "billing_reconciliation_events",
     "billing_unbilled_events",
+    "synthetic_stream_availablenow",
 ]
 
 # round-agnostic alias: tests and tooling read this name, so next

@@ -32,7 +32,6 @@ from __future__ import annotations
 import tempfile
 from contextlib import contextmanager
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1051,12 +1050,21 @@ def q_synthetic_stream_availablenow(
     micro-batches of the same RNG-free row function the batch reader
     plans, generation stopping at ``n``. The run is a real
     multi-batch processingTime stream (4 batches of 512; availableNow
-    on this API drains only the first prefetch, so the gate polls the
-    sink to the KNOWN deterministic end and stops). Append-only
-    disjoint offset ranges mean the sink holds exactly rows [0, n)
-    whenever generation has drained — the same generate_series oracle
-    as the batch gate, at stream n. sf_dir is unused: the source IS
-    the data."""
+    on this API drains only the first prefetch, so the gate watches
+    the query's OWN progress feed to the KNOWN deterministic end and
+    stops). Append-only disjoint offset ranges mean the sink holds
+    exactly rows [0, n) whenever generation has drained — the same
+    generate_series oracle as the batch gate, at stream n. sf_dir is
+    unused: the source IS the data.
+
+    The drain check reads ``q.recentProgress`` — DRIVER-side JSON
+    from completed micro-batches — never a Spark query over the sink
+    (round-13 verdict ask #2: each ``spark.read...count()`` poll was
+    an extra SQL execution, and the timing-dependent NUMBER of polls
+    made this gate's bench plan-fingerprint run-varying — the one
+    blind spot in the plan-flip detector; a batch's progress row
+    lands only after its sink commit, so the counter never runs
+    ahead of the data)."""
     import time
 
     from ..sources.synthetic import register
@@ -1079,17 +1087,9 @@ def q_synthetic_stream_availablenow(
     try:
         deadline = time.time() + _AWAIT_S
         while time.time() < deadline:
-            try:
-                if spark.read.parquet(out_dir).count() >= SYNTH_STREAM_N:
-                    break
-            except AnalysisException:
-                # Sink directory/metadata not created yet (PATH_NOT_
-                # FOUND / UNABLE_TO_INFER_SCHEMA before the first
-                # commit). After the first commit the file-sink
-                # _spark_metadata log makes reads consistent, so no
-                # broader swallow is needed — any other failure here
-                # is real and should surface.
-                pass
+            ingested = sum(p["numInputRows"] for p in q.recentProgress)
+            if ingested >= SYNTH_STREAM_N:
+                break
             time.sleep(0.1)
         else:
             raise TimeoutError(

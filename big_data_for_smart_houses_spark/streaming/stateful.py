@@ -399,7 +399,15 @@ EWMA_STATE_SCHEMA = StructType(
 # counter would leave a freshly started unrelated stream's first
 # drops already sampled at 1/1000 after 20 lifetime occurrences
 # anywhere — its operators might emit no first-drop warning at all.
+# BOUNDED (round-13 advice): workers outlive streams and nothing
+# ever signals a worker that a stream definition died, so the dict
+# would otherwise grow by one counter per stream/restart forever on
+# a long-lived reused worker. Past the cap the OLDEST token (Python
+# dicts iterate in insertion order) is evicted — worst case a
+# still-live evicted stream re-logs its "first" drops, which is
+# noise-bounded and strictly better than unbounded growth.
 _EWMA_DROP_LOG: dict = {}
+_EWMA_DROP_LOG_MAX = 256
 
 
 def _ewma_fn(alpha: float, dropped_counter=None):
@@ -467,6 +475,11 @@ def _ewma_fn(alpha: float, dropped_counter=None):
             # stays the precise signal.
             import logging
 
+            if (
+                op_token not in _EWMA_DROP_LOG
+                and len(_EWMA_DROP_LOG) >= _EWMA_DROP_LOG_MAX
+            ):
+                _EWMA_DROP_LOG.pop(next(iter(_EWMA_DROP_LOG)))
             n = _EWMA_DROP_LOG[op_token] = (
                 _EWMA_DROP_LOG.get(op_token, 0) + 1
             )

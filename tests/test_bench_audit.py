@@ -83,3 +83,47 @@ def test_throughput_floor_flags_below_band():
     floor = best / 1.5
     assert 77932 > floor  # the r12 figure itself passes the bar
     assert 60000 < floor  # a genuine ~40% regression would flag
+
+
+def test_pinned_waiver_bounded_by_wall_cap():
+    """round-13 advice: a pin certifies the PLAN, not the runtime —
+    an extreme same-plan slowdown must still escalate. Default cap
+    3.0x; per-waiver override honored."""
+    w = {"q": {"note": "known bistability", "pinned_fp_init": ["aaa"]}}
+    kw = dict(waivers=w, pfi="aaa", nfi="aaa", pfp="x", nfp="y",
+              io_same=False)
+    # inside the cap: waived exactly as before (the codified 2.1x)
+    adj, _ = _adj(t=2.1, **kw)
+    assert adj == "known bistability"
+    # past the cap: UNEXPLAINED even though fpi sits on the pin
+    adj, _ = _adj(t=4.0, **kw)
+    assert adj.startswith("UNEXPLAINED (static plan inside the waiver")
+    assert "waiver cap" in adj
+    # per-waiver override
+    w2 = {"q": {"note": "n", "pinned_fp_init": ["aaa"],
+                "wall_cap": 5.0}}
+    adj, _ = _adj(t=4.0, waivers=w2, pfi="aaa", nfi="aaa",
+                  pfp="x", nfp="y", io_same=False)
+    assert adj == "n"
+    # the cap also bounds PIN-LESS waivers with provably-unmoved fpi
+    w3 = {"q": {"note": "hand waiver"}}
+    adj, _ = _adj(t=4.0, waivers=w3, pfi="aaa", nfi="aaa")
+    assert adj.startswith("UNEXPLAINED (static plan inside the waiver")
+
+
+def test_vm_canary_is_fast_and_positive():
+    """The calibration task must be cheap (sub-second-ish on any sane
+    box) and strictly positive — it brackets every bench run."""
+    t = bench._vm_canary_s()
+    assert 0 < t < 30
+
+
+def test_synthetic_stream_waiver_carries_pin():
+    """The round-14 fingerprint re-pin for synthetic_stream must stay
+    a PINNED waiver (an unpinned entry would mask future genuine
+    plan changes on exactly the query that was the detector's blind
+    spot)."""
+    w = bench._REGRESSION_ADJUDICATIONS.get(
+        "synthetic_stream_availablenow"
+    )
+    assert w is not None and w.get("pinned_fp_init"), w

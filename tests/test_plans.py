@@ -1033,3 +1033,39 @@ def test_plan_fingerprint_stable_and_plan_sensitive(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert fp_nb is not None and fp_nb != fp_b, (fp_nb, fp_b)
     assert fpi_nb is not None and fpi_nb != fpi_b, (fpi_nb, fpi_b)
+
+
+def test_synthetic_stream_static_fingerprint_is_run_stable(spark):
+    """round-13 verdict ask #2 done-condition: the synthetic-stream
+    gate's STATIC plan fingerprint must be identical across two fresh
+    gate executions (it was run-varying through r13 because the
+    sink-poll count() queries added a timing-dependent number of SQL
+    executions; the gate now watches q.recentProgress driver-side).
+    Uses bench's own fingerprinter + execution pattern so the value
+    asserted here is the value the regression adjudicator sees."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    poll = bench._plan_fingerprinter(spark)
+    os.environ["SPARK_GRAFT_NO_STREAM_MEMO"] = "1"
+    try:
+        fpis = []
+        for _ in range(2):
+            last, _, _ = poll(-1)
+            df = QUERIES["synthetic_stream_availablenow"](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            _, _, fpi = poll(last)
+            fpis.append(fpi)
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_STREAM_MEMO", None)
+    assert fpis[0] is not None
+    assert fpis[0] == fpis[1], fpis
+    # ...and the value matches the waiver's pin, so the one-round
+    # transition entry and this test can never drift apart silently
+    pin = bench._REGRESSION_ADJUDICATIONS[
+        "synthetic_stream_availablenow"
+    ]["pinned_fp_init"]
+    assert fpis[0] in pin, (fpis[0], pin)

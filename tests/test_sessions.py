@@ -1140,3 +1140,37 @@ def test_ewma_drop_log_is_keyed_per_operator_instance():
     stateful._EWMA_DROP_LOG[token(f1)] = 21  # f1 already past first-20
     assert stateful._EWMA_DROP_LOG.get(token(f2), 0) == 0
     stateful._EWMA_DROP_LOG.clear()
+
+
+def test_ewma_drop_log_is_bounded():
+    """Round-13 advice: a long-lived reused worker accumulates one
+    counter per stream definition/restart forever — the dict must cap
+    (oldest-token eviction) so growth is bounded. Exercised through
+    the real fold path: a late row on a fresh token past the cap must
+    evict the oldest entry, never grow the dict."""
+    import pandas as pd
+
+    from big_data_for_smart_houses_spark.streaming import stateful
+
+    stateful._EWMA_DROP_LOG.clear()
+    try:
+        for i in range(stateful._EWMA_DROP_LOG_MAX):
+            stateful._EWMA_DROP_LOG[f"tok{i}"] = 1
+        oldest = next(iter(stateful._EWMA_DROP_LOG))
+
+        fn = stateful._ewma_fn(0.5)
+        state = _FakeGroupState()
+        state.update((1.0, 10_000_000, 5))  # cursor at ts=10s, eid=5
+        late = pd.DataFrame(
+            {
+                "event_id": [1],
+                "ts": [pd.Timestamp("1970-01-01 00:00:01")],
+                "value": [2.0],
+            }
+        )
+        list(fn((1,), iter([late]), state))  # drops -> logs -> counts
+
+        assert len(stateful._EWMA_DROP_LOG) == stateful._EWMA_DROP_LOG_MAX
+        assert oldest not in stateful._EWMA_DROP_LOG
+    finally:
+        stateful._EWMA_DROP_LOG.clear()
