@@ -31,7 +31,7 @@ idiom (consumer/silver_to_gold.py:114-118).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import guarded_div
@@ -53,6 +53,49 @@ def monthly_usage(
     ).agg(
         (F.sum(energy_wh_col) / F.lit(1000.0)).alias("metered_usage_kwh"),
         F.count(F.lit(1)).alias("n_readings"),
+    )
+
+
+def clean_statements(
+    df: DataFrame,
+    ingest_col: str = "ingestion_time",
+) -> DataFrame:
+    """The billing SILVER step — the reference declares a silver
+    billing directory (config/config.py:25,29) alongside the bronze
+    one, with no ETL behind either; this is the statement-table
+    analogue of the telemetry bronze->silver contract
+    (operators/silver.py): P1 required-field validation + W3
+    keep-one dedup.
+
+    - rows missing either join key (user_id, billing_period) are
+      dropped — they can never reconcile and a NULL key would smear
+      into the (user, period) join;
+    - duplicate statements for one (user, period) keep the LATEST by
+      ``ingest_col`` (a reissued statement supersedes the original —
+      the corrected bill is the bill), with every remaining value
+      column as a deterministic tie-break chain for rows sharing one
+      micro-batch's identical ingestion stamp;
+    - type-drifted numeric fields arrive as NULLs from the bronze
+      conform (P2) and are KEPT: reconciliation reports them as
+      unreconcilable rather than silently losing the statement.
+
+    One shuffle on the join keys — the same partitioning the
+    downstream reconcile join needs, so AQE can reuse it."""
+    keyed = df.filter(
+        F.col("user_id").isNotNull()
+        & F.col("billing_period").isNotNull()
+    )
+    w = Window.partitionBy("user_id", "billing_period").orderBy(
+        F.col(ingest_col).desc(),
+        F.col("total_cost").desc_nulls_last(),
+        F.col("total_usage_kwh").desc_nulls_last(),
+        F.col("energy_rate_kwh").desc_nulls_last(),
+        F.col("base_charge").desc_nulls_last(),
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", ingest_col)
     )
 
 

@@ -3428,12 +3428,17 @@ def q_billing_stream_availablenow(
     streaming/ingest.billing_bronze_stream conforms each micro-batch
     onto BILLING_SCHEMA (try_cast type recovery, metadata dropped)
     and appends to a checkpointed, period-partitioned bronze sink
-    under trigger(availableNow). The reconciliation then runs over
-    the STREAMED statements read back from bronze, and the oracle is
-    the batch reconciliation's own SQL — so the hash gate proves the
-    whole topic -> conform -> bronze -> reconcile path is
+    under trigger(availableNow). The silver step
+    (operators/billing.clean_statements: required-key drop +
+    supersede-dedup by ingestion stamp) then conforms bronze to the
+    silver statement contract, the reconciliation runs over the
+    STREAMED-and-cleaned statements, and the oracle is the batch
+    reconciliation's own SQL — so the hash gate proves the whole
+    topic -> conform -> bronze -> silver -> reconcile path is
     semantically invisible vs handing the operator the statements
-    directly.
+    directly (the deterministic fixture has no malformed or reissued
+    rows, so cleaning is provably a pass-through here; its filtering
+    behavior is unit-certified in tests/test_billing.py).
 
     Exactness through the wire: statement doubles go through
     CAST(double AS STRING) -> JSON -> try_cast(string AS DOUBLE),
@@ -3444,7 +3449,11 @@ def q_billing_stream_availablenow(
     the join against the usage rollup."""
     configure_for_oracle_parity(spark)
     from ..functions.numeric import quantize_cols
-    from ..operators.billing import monthly_usage, reconcile_billing
+    from ..operators.billing import (
+        clean_statements,
+        monthly_usage,
+        reconcile_billing,
+    )
     from ..streaming.ingest import billing_bronze_stream
     from .pipeline import billing_statement_fixture
 
@@ -3467,11 +3476,10 @@ def q_billing_stream_availablenow(
             raise TimeoutError(
                 f"billing bronze availableNow run exceeded {_AWAIT_S}s"
             )
-    streamed = (
-        spark.read.parquet(bronze)
-        .select(*[f.name for f in payload.schema.fields if f.name != "_source"])
-        .withColumn("user_id", F.col("user_id").cast("long"))
-    )
+    silver = clean_statements(spark.read.parquet(bronze))
+    streamed = silver.select(
+        *[f.name for f in payload.schema.fields if f.name != "_source"]
+    ).withColumn("user_id", F.col("user_id").cast("long"))
     return reconcile_billing(usage, streamed, rel_tolerance=0.05)
 
 

@@ -197,14 +197,24 @@ def billing_bronze_stream(
     ``conform_to_schema`` (typed nulls for missing fields, try_cast
     for type drift, producer metadata dropped), then appended to a
     ``billing_period``-partitioned parquet bronze sink under a
-    checkpoint — re-running on the same checkpoint ingests nothing
-    new (exactly-once, the T6 contract the reference's ad-hoc
-    re-buffer loop only approximates). Partitioning by period keeps
+    checkpoint, stamped with the ingestion time (the silver step's
+    supersede order) — re-running on the same checkpoint ingests
+    nothing new (exactly-once, the T6 contract the reference's
+    ad-hoc re-buffer loop only approximates). Partitioning by period
+    keeps
     the layout month-cardinality (bounded) while the statement count
     inside each period scales with users — the same event-date shape
     as telemetry bronze (T2)."""
     raw = spark.readStream.schema(BILLING_RAW_READ_SCHEMA).json(raw_dir)
-    conformed = conform_to_schema(raw, BILLING_SCHEMA)
+    conformed = conform_to_schema(raw, BILLING_SCHEMA).withColumn(
+        # uniform with telemetry bronze (write_bronze_stream): the
+        # ingestion stamp is what the silver step's supersede-dedup
+        # orders reissued statements by
+        "ingestion_time",
+        F.date_format(
+            F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ),
+    )
     return (
         conformed.writeStream.format("parquet")
         .option("path", bronze_path)

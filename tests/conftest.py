@@ -37,7 +37,7 @@ def _mirror_shuffle_partitions() -> int:
         n = int(explicit)
         print(f"[conftest] shuffle layout pinned: {n}", file=sys.stderr)
         return n
-    seed = int(_os.environ.get("SPARK_GRAFT_TEST_LAYOUT_SEED", "13"))
+    seed = int(_os.environ.get("SPARK_GRAFT_TEST_LAYOUT_SEED", "16"))
     n = _random.Random(seed).randint(5, 48)
     print(
         f"[conftest] shuffle layout seed={seed} -> partitions={n}",

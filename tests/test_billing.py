@@ -353,9 +353,12 @@ class TestBillingBronzeStream:
 
         tmp = tempfile.mkdtemp(prefix="billing_bronze_stream_")
         bronze = self._run(spark, tmp)
-        # bronze carries exactly the published statement schema (the
-        # partition column round-trips; producer metadata is gone)
-        assert set(bronze.columns) == {f.name for f in BILLING_SCHEMA.fields}
+        # bronze carries exactly the published statement schema plus
+        # the ingestion stamp (the partition column round-trips;
+        # producer metadata is gone)
+        assert set(bronze.columns) == {
+            f.name for f in BILLING_SCHEMA.fields
+        } | {"ingestion_time"}
         rows = {r["user_id"]: r for r in bronze.collect()}
         assert set(rows) == {"7", "8", "9"}
         assert rows["7"]["energy_rate_kwh"] == 0.12
@@ -411,3 +414,79 @@ class TestBillingBronzeStream:
             spark.read.parquet(os.path.join(tmp, "bronze")).count()
             == first + 1
         )
+
+
+class TestCleanStatements:
+    """The billing SILVER step (operators/billing.clean_statements):
+    required-key validation + supersede-dedup, mirroring the
+    telemetry bronze->silver contract on the statement table."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            schema=(
+                "user_id string, billing_period string, "
+                "energy_rate_kwh double, base_charge double, "
+                "total_usage_kwh double, total_cost double, "
+                "ingestion_time string"
+            ),
+        )
+
+    def test_drops_rows_missing_join_keys(self, spark):
+        from big_data_for_smart_houses_spark.operators.billing import (
+            clean_statements,
+        )
+
+        df = self._df(
+            spark,
+            [
+                ("u1", "2024-01", 0.1, 5.0, 10.0, 6.0, "t1"),
+                (None, "2024-01", 0.1, 5.0, 10.0, 6.0, "t1"),
+                ("u2", None, 0.1, 5.0, 10.0, 6.0, "t1"),
+            ],
+        )
+        out = clean_statements(df).collect()
+        assert [(r["user_id"], r["billing_period"]) for r in out] == [
+            ("u1", "2024-01")
+        ]
+        # the ingestion stamp is silver-internal, never emitted
+        assert "ingestion_time" not in clean_statements(df).columns
+
+    def test_reissued_statement_supersedes(self, spark):
+        from big_data_for_smart_houses_spark.operators.billing import (
+            clean_statements,
+        )
+
+        df = self._df(
+            spark,
+            [
+                # original bill, then a corrected reissue one batch
+                # later: the reissue must win
+                ("u1", "2024-01", 0.10, 5.0, 10.0, 6.00, "2024-02-01"),
+                ("u1", "2024-01", 0.10, 5.0, 12.0, 6.20, "2024-02-09"),
+                # an untouched statement for another period survives
+                ("u1", "2024-02", 0.10, 5.0, 11.0, 6.10, "2024-03-01"),
+            ],
+        )
+        out = {
+            (r["user_id"], r["billing_period"]): r
+            for r in clean_statements(df).collect()
+        }
+        assert len(out) == 2
+        assert out[("u1", "2024-01")]["total_cost"] == 6.20
+        assert out[("u1", "2024-02")]["total_cost"] == 6.10
+
+    def test_nulled_numeric_fields_are_kept(self, spark):
+        from big_data_for_smart_houses_spark.operators.billing import (
+            clean_statements,
+        )
+
+        # P2 type drift arrives as NULL numerics from bronze conform:
+        # the statement must survive cleaning so reconciliation can
+        # report it as unreconcilable instead of losing it
+        df = self._df(
+            spark,
+            [("u1", "2024-01", None, None, None, None, "t1")],
+        )
+        out = clean_statements(df).collect()
+        assert len(out) == 1 and out[0]["energy_rate_kwh"] is None
