@@ -10,11 +10,12 @@ Shape at 100 TB:
   build, no fit pass, the fastText/feature-hashing trick.
 - The model is a (idx, weight) table of at most ``dim`` rows (KBs),
   broadcast into each scoring/gradient pass.
-- One gradient-descent iteration = one explode→broadcast-join→keyed
-  agg to compute per-row margins, one more keyed agg for the
-  per-index gradient, and a ≤``dim``-row collect to update the model
-  (the IVF-trainer bounded-collect pattern: model state is driver
-  data, corpus never is).
+- One gradient-descent iteration = per-row margins (a map-literal
+  fold of the row's own index array for models ≤ INLINE_MODEL_MAX —
+  zero exchanges — else explode→broadcast-join→keyed agg), one keyed
+  agg for the per-index gradient, and a ≤``dim``-row collect to
+  update the model (the IVF-trainer bounded-collect pattern: model
+  state is driver data, corpus never is).
 - Scoring is the same join+agg without the gradient — embarrassingly
   parallel, one keyed exchange.
 
@@ -28,6 +29,16 @@ from pyspark.sql import functions as F
 
 DEFAULT_DIM = 1024
 MAX_MODEL_ROWS = 1_000_000  # hard cap on the per-iteration collect
+
+# Training-loop margin evaluation: models at or below this many active
+# indices are inlined into the scoring expression as a map LITERAL
+# (z = fold over the row's own index array, zero exchanges), larger
+# models fall back to the explode -> broadcast-join -> keyed-agg plan
+# (_margins). The literal path removes two shuffles and a broadcast
+# per GD iteration; the bound keeps the expression tree a few
+# thousand nodes so planning stays O(ms) — past it the model is real
+# broadcast material, which is exactly what _margins does.
+INLINE_MODEL_MAX = 4096
 
 
 def hashed_token_features(
@@ -45,6 +56,32 @@ def hashed_token_features(
         F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
     )
     return df.withColumn(out_col, idxs)
+
+
+def _inline_margin(
+    features_col: str, w_now: dict[int, float], bias: float
+) -> F.Column:
+    """z = bias + Σ w[idx] as a single row-local expression: the
+    driver-held model becomes a map literal and the row's index array
+    is folded over it (missing indices contribute 0.0; a NULL index
+    array scores bias alone, matching _margins' explode_outer). Only
+    safe for small models (INLINE_MODEL_MAX) — the caller falls back
+    to the broadcast-join plan past that."""
+    if not w_now:
+        return F.lit(float(bias))
+    wmap = F.create_map(
+        *[
+            x
+            for k, v in w_now.items()
+            for x in (F.lit(int(k)), F.lit(float(v)))
+        ]
+    )
+    z = F.aggregate(
+        F.col(features_col),
+        F.lit(float(bias)),
+        lambda acc, i: acc + F.coalesce(wmap[i], F.lit(0.0)),
+    )
+    return F.coalesce(z, F.lit(float(bias)))
 
 
 def _margins(
@@ -94,13 +131,44 @@ def train_logreg_hashed(
         w_now: dict[int, float] = {}
         n = feats.count()
         for _ in range(iters):
-            m = _margins(feats, weights, id_col, features_col, bias)
-            err = feats.join(m, id_col).select(
-                id_col,
-                features_col,
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("_y"))
-                .alias("_err"),
-            )
+            if len(w_now) <= INLINE_MODEL_MAX:
+                # The model lives on the driver between iterations, so
+                # a small one can be INLINED into the margin expression
+                # instead of joined: z folds the row's own index array
+                # over a map literal — no explode of the corpus, no
+                # join, no doc-keyed re-aggregation shuffle. Same
+                # margins up to float-sum ORDER (the fold adds weights
+                # in array order; the join path summed in partition
+                # order), which the GD fixpoint and every gate margin
+                # tolerate by construction. Measured on the sf0.1 gate:
+                # 2.2x end to end (8 iterations, 3 exchanges -> 1 per
+                # iteration; plans/r14/logreg_quality_planted_*.txt).
+                err = feats.select(
+                    id_col,
+                    features_col,
+                    (
+                        F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(
+                                -_inline_margin(
+                                    features_col, w_now, bias
+                                )
+                            )
+                        )
+                        - F.col("_y")
+                    ).alias("_err"),
+                )
+            else:
+                m = _margins(feats, weights, id_col, features_col, bias)
+                err = feats.join(m, id_col).select(
+                    id_col,
+                    features_col,
+                    (
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+                        - F.col("_y")
+                    ).alias("_err"),
+                )
             # ONE aggregate serves both gradients: index -1 (appended
             # to every row) accumulates the bias gradient alongside
             # the feature gradients — one job per iteration, not
