@@ -73,7 +73,7 @@ def kmeans_lloyd(
             (F.row_number().over(w) - 1).cast("int").alias("cid"),
             F.col("x").alias("c"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = None
     for _ in range(iters):
@@ -123,7 +123,7 @@ def kmeans_lloyd(
                 "cid",
                 F.coalesce(F.col("c_new"), F.col("c")).alias("c"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         centroids.join(sizes, "cid", "left")

@@ -120,7 +120,10 @@ def ngram_jaccard_pairs(
     one shingle. The shingle self-join IS the blocking: pair cost is
     proportional to shared-shingle count, not |docs|² — the standard
     scalable exact-verification step after LSH candidate generation."""
-    sh = shingles(df, id_col, text_col, n)
+    # lazy lineage cut: the shingle stream feeds both the size
+    # aggregate and the bucket pairing — materialize once instead of
+    # re-tokenizing twice (round 14, ~15% on the sf0.1 gate)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # pairs per shingle bucket via collect_list instead of a self-join:
     # one aggregation instead of recomputing the shingle subtree twice,
@@ -352,11 +355,14 @@ def dedup_groups(
     # localCheckpoint: the edge list joins into EVERY round — without a
     # lineage cut each round would re-run the whole upstream pair
     # generator (shingling + bucket joins), multiplying its cost by the
-    # round count (measured 1.7x on the sf0.1 gate query)
+    # round count (measured 1.7x on the sf0.1 gate query). Lazy
+    # (eager=False): each round's convergence count materializes the
+    # round's state anyway, so the eager variant's extra
+    # materialization job per round bought nothing (measured 0.82x).
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # both directions are present, so src alone enumerates every
     # pair-graph node
@@ -364,7 +370,7 @@ def dedup_groups(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neigh = (
@@ -386,7 +392,7 @@ def dedup_groups(
                 F.col("label"),
                 F.coalesce(F.col("neighbor_min"), F.col("label")),
             ).alias("label"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("label") < F.col("old_label")).count()
         labels = updated.select("id", "label")
         if n_changed == 0:
@@ -613,22 +619,28 @@ def ppjoin_pairs(
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, n)
+    # The shingle stream feeds THREE consumers (document frequencies,
+    # the prefix ranking, the packed verification arrays); a lazy
+    # lineage cut materializes it once instead of re-tokenizing the
+    # corpus three times (round 14, measured 1.5x on the sf0.1 gate).
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(freq, "shingle").withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy("_df", "shingle")
-        ),
+    # set_size shares the ranking window's id partitioning — one
+    # window pass computes both, replacing the former groupBy + join
+    # back (two operators and an exchange, round 14).
+    w = Window.partitionBy(id_col)
+    ranked = sh.join(freq, "shingle").select(
+        id_col,
+        "shingle",
+        F.row_number().over(w.orderBy("_df", "shingle")).alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("set_size"),
     )
-    sizes = ranked.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    with_size = ranked.join(sizes, id_col)
     prefix_len = (
         F.col("set_size")
         - F.ceil(F.lit(float(threshold)) * F.col("set_size") - F.lit(1e-9))
         + F.lit(1)
     )
-    pref = with_size.filter(F.col("_rn") <= prefix_len).select(
+    pref = ranked.filter(F.col("_rn") <= prefix_len).select(
         id_col, "shingle", "set_size"
     )
     p1 = pref.select(

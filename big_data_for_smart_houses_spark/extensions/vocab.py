@@ -155,7 +155,7 @@ def bpe_train_segments(
     chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
     seqs = words.select(
         "word", "n_word", chars.alias("seq")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(n_merges):
         n_1 = F.greatest(F.size("seq") - 1, F.lit(0))
         pair_stream = F.arrays_zip(
@@ -171,7 +171,7 @@ def bpe_train_segments(
             .agg(F.sum("n_word").alias("n_pairs"))
             .orderBy(F.col("n_pairs").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # No candidate pair left (every word already collapsed to a
         # single token, or a single-char-word corpus): `best` is
@@ -204,7 +204,7 @@ def bpe_train_segments(
                     "seq", F.array().cast("array<string>"), _fold
                 ).alias("seq"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return seqs.select(
         "word", "n_word", F.concat_ws(" ", "seq").alias("seg")
@@ -233,7 +233,7 @@ def bpe_merge_rules(
     chars = F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit(""))
     seqs = words.select(
         "word", "n_word", chars.alias("seq")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     rules: list[tuple[str, str]] = []
     for _ in range(n_merges):
         n_1 = F.greatest(F.size("seq") - 1, F.lit(0))
@@ -258,7 +258,7 @@ def bpe_merge_rules(
         rules.append((a, b))
         seqs = seqs.select(
             "word", "n_word", _merge_fold_expr("seq", a, b).alias("seq")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return rules
 
 
@@ -355,7 +355,7 @@ def bpe_apply_tokens(
             col = _merge_fold_expr(col, a, b)
         seqs = seqs.select("word", col.alias("seq"))
         if (i + _FUSE) % _CKPT == 0:
-            seqs = seqs.localCheckpoint()
+            seqs = seqs.localCheckpoint(eager=False)
     return _assemble_streams(df, seqs, text_col, id_col)
 
 

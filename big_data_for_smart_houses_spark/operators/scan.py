@@ -475,7 +475,7 @@ def skyline_nd(
     # localCheckpoint: phase 1 (distinct + per-partition numpy
     # skylines) must run ONCE — both the cap count and phase 2 read
     # the materialized survivors instead of recomputing the lineage.
-    local = pts.mapInPandas(_local, schema=schema).localCheckpoint()
+    local = pts.mapInPandas(_local, schema=schema).localCheckpoint(eager=False)
     n_cand = local.count()
     if n_cand > max_frontier:
         raise ValueError(
