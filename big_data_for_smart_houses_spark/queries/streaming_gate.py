@@ -269,7 +269,9 @@ def q_session_stream_availablenow(
     tmp = tempfile.mkdtemp(prefix="session_stream_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     agg = (
         stream.withWatermark("ts", f"{SESSION_WM_S} seconds")
@@ -380,7 +382,10 @@ def q_stream_join_availablenow(
             F.col("ts").alias(ts_alias),
         )
         path = f"{tmp}/staged_{kind}"
-        side.coalesce(1).write.mode("overwrite").parquet(path)
+        # arrow staging (round 14): no Spark write job per side
+        _arrow_stage(
+            path, (_arrow_events_side(sf_dir, kind, id_alias, ts_alias),)
+        )
         return spark.readStream.schema(side.schema).parquet(path)
 
     joined = stream_interval_join(
@@ -457,7 +462,10 @@ def q_stream_outer_join_availablenow(
             F.col("ts").alias(ts_alias),
         )
         path = f"{tmp}/staged_{kind}"
-        side.coalesce(1).write.mode("overwrite").parquet(path)
+        # arrow staging (round 14): no Spark write job per side
+        _arrow_stage(
+            path, (_arrow_events_side(sf_dir, kind, id_alias, ts_alias),)
+        )
         return spark.readStream.schema(side.schema).parquet(path)
 
     joined = stream_interval_join(
@@ -598,7 +606,9 @@ def q_stream_tumbling_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_tumble_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     agg = (
         stream.withWatermark("ts", f"{TUMBLE_WM_S} seconds")
@@ -763,7 +773,9 @@ def q_stream_enrich_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_enrich_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     # no forced broadcast: the dimension is |customers|-scaled, the
     # round-4-verdict class of hint that OOMs executors at 100 TB; the
@@ -961,7 +973,9 @@ def q_stream_rocksdb_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_rocksdb_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     agg = (
         stream.withWatermark("ts", f"{TUMBLE_WM_S} seconds")
@@ -1258,13 +1272,16 @@ def q_stream_observe_availablenow(
 
     tmp = tempfile.mkdtemp(prefix="stream_observe_gate_")
     staged = f"{tmp}/staged"
-    half = F.col("event_id") % 2  # engine-portable split (oracle replays it)
+    # engine-portable event_id % 2 split (oracle replays it), staged
+    # in arrow (round 14): no Spark write job per half
     for h in (0, 1):
         path = f"{staged}/half={h}"
-        ev.filter(half == h).coalesce(1).write.mode("overwrite").parquet(path)
-        for root, _dirs, files in os.walk(path):
-            for fname in files:
-                os.utime(os.path.join(root, fname), (1000 + h, 1000 + h))
+        _arrow_stage(
+            path,
+            (_arrow_events_parity(sf_dir, ["event_id", "value"],
+                                  "event_id", h),),
+        )
+        os.utime(f"{path}/batch0.parquet", (1000 + h, 1000 + h))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1482,7 +1499,9 @@ def q_statestore_read_availablenow(
     tmp = tempfile.mkdtemp(prefix="statestore_gate_")
     staged = f"{tmp}/staged"
     ck = f"{tmp}/ckpt"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     agg = stream.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1796,9 +1815,13 @@ def q_statestore_join_availablenow(
     sides = {}
     for name, parity in (("left", 0), ("right", 1)):
         path = f"{tmp}/{name}"
-        ev.filter(F.col("event_id") % 2 == parity).drop(
-            "event_id"
-        ).coalesce(1).write.mode("overwrite").parquet(path)
+        # arrow staging (round 14): event_id % 2 side split without a
+        # Spark write job per side
+        _arrow_stage(
+            path,
+            (_arrow_events_parity(sf_dir, ["user_id", "ts", "value"],
+                                  "event_id", parity),),
+        )
         sides[name] = path
     schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
     ls = (
@@ -1893,8 +1916,15 @@ def q_stream_chained_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_chained_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=1")
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{staged}/copy=2")
+    # arrow staging (round 14): two mtime-ordered copies, no Spark
+    # write jobs; recursiveFileLookup lists both, maxFilesPerTrigger=1
+    # delivers them in mtime order exactly as the Spark writes did
+    import os
+
+    src = _arrow_events(sf_dir, ev.schema.names)
+    _arrow_stage(f"{staged}/copy=1", (src,))
+    _arrow_stage(f"{staged}/copy=2", (src,))
+    os.utime(f"{staged}/copy=2/batch0.parquet", (2000, 2000))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1976,10 +2006,18 @@ def q_stream_multiwatermark_availablenow(
     )
     tmp = tempfile.mkdtemp(prefix="stream_mw_gate_")
     out_dir = f"{tmp}/out"
-    even = ev.filter(F.col("user_id") % 2 == 0)
-    odd = ev.filter(F.col("user_id") % 2 != 0)
-    even.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/staged_a")
-    odd.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/staged_b")
+    # arrow staging (round 14): user_id % 2 source split without a
+    # Spark write job per source
+    _arrow_stage(
+        f"{tmp}/staged_a",
+        (_arrow_events_parity(sf_dir, ["ts", "user_id", "value"],
+                              "user_id", 0),),
+    )
+    _arrow_stage(
+        f"{tmp}/staged_b",
+        (_arrow_events_parity(sf_dir, ["ts", "user_id", "value"],
+                              "user_id", 1),),
+    )
     sa = (
         spark.readStream.schema(ev.schema)
         .parquet(f"{tmp}/staged_a")
@@ -2180,6 +2218,33 @@ def _arrow_time_split(tbl, ts_col: str, split_iso: str):
     )
     mask = pc.less(tbl.column(ts_col), split)
     return tbl.filter(mask), tbl.filter(pc.invert(mask))
+
+
+def _arrow_events_side(sf_dir: str, kind: str, id_alias: str, ts_alias: str):
+    """The join gates' per-side staging in arrow (round 14): events
+    rows with ``event_type == kind`` projected/renamed to
+    (user_id, id_alias, ts_alias) — byte-identical content to the
+    former ``ev.filter(...).select(...).coalesce(1).write`` Spark job
+    at milliseconds instead of a job per side."""
+    import pyarrow.compute as pc
+
+    t = _arrow_events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+    t = t.filter(pc.equal(t.column("event_type"), kind))
+    return t.select(["user_id", "event_id", "ts"]).rename_columns(
+        ["user_id", id_alias, ts_alias]
+    )
+
+
+def _arrow_events_parity(sf_dir: str, columns, parity_col: str, parity: int):
+    """events columns with ``parity_col % 2 == parity`` (ids are
+    non-negative, so the bit test IS the modulo), minus the parity
+    column itself — the statestore-join / observe-gate side staging
+    in arrow."""
+    import pyarrow.compute as pc
+
+    t = _arrow_events(sf_dir, list(dict.fromkeys([*columns, parity_col])))
+    mask = pc.equal(pc.bit_wise_and(t.column(parity_col), 1), parity)
+    return t.filter(mask).select(list(columns))
 
 
 def _plant_rows(src, offsets, uid=TIMEOUT_PLANT_UID):
@@ -2745,7 +2810,9 @@ def q_stream_sliding_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_slide_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     agg = (
         stream.withWatermark("ts", f"{SLIDE_WM_S} seconds")
@@ -2855,7 +2922,9 @@ def q_stream_interval_enrich_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_ivenrich_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     joined = stream.join(
         dim,
@@ -2945,7 +3014,9 @@ def q_stream_update_mode_availablenow(
     tmp = tempfile.mkdtemp(prefix="stream_update_gate_")
     staged = f"{tmp}/staged"
     out_dir = f"{tmp}/out"
-    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    # arrow staging (round 14): same bytes/schema, milliseconds
+    # instead of a Spark write job — see _arrow_stage
+    _arrow_stage(staged, (_arrow_events(sf_dir, ev.schema.names),))
     stream = spark.readStream.schema(ev.schema).parquet(staged)
     agg = (
         stream.withWatermark("ts", f"{TUMBLE_WM_S} seconds")
@@ -3037,7 +3108,10 @@ def q_stream_fullouter_join_availablenow(
             F.col("ts").alias(ts_alias),
         )
         path = f"{tmp}/staged_{kind}"
-        side.coalesce(1).write.mode("overwrite").parquet(path)
+        # arrow staging (round 14): no Spark write job per side
+        _arrow_stage(
+            path, (_arrow_events_side(sf_dir, kind, id_alias, ts_alias),)
+        )
         return spark.readStream.schema(side.schema).parquet(path)
 
     joined = stream_interval_join(
@@ -3146,7 +3220,10 @@ def q_stream_semi_join_availablenow(
             F.col("ts").alias(ts_alias),
         )
         path = f"{tmp}/staged_{kind}"
-        side.coalesce(1).write.mode("overwrite").parquet(path)
+        # arrow staging (round 14): no Spark write job per side
+        _arrow_stage(
+            path, (_arrow_events_side(sf_dir, kind, id_alias, ts_alias),)
+        )
         return spark.readStream.schema(side.schema).parquet(path)
 
     joined = stream_interval_join(
