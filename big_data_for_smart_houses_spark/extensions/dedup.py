@@ -304,7 +304,10 @@ def boilerplate_ngram_stats(
 
     ``boilerplate_frac`` is a single division of exact integers —
     deterministic, no quantization needed."""
-    sh = shingles(df, id_col, text_col, n)
+    # lazy lineage cut: sh feeds both the DF aggregate and the join
+    # back — tokenize once instead of twice (round 14, 0.69x on the
+    # sf0.1 gate)
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     per_doc = (
         sh.join(doc_freq, "shingle")

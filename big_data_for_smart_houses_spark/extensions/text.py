@@ -465,8 +465,13 @@ def cdc_crossdoc_stats(
     ).select(
         F.col(id_col), F.md5(F.col("chunk_text")).alias("_fp")
     )
-    doc_fp = chunks.groupBy(id_col, "_fp").agg(
-        F.count(F.lit(1)).alias("_occ")
+    # lazy lineage cut: doc_fp feeds both the DF aggregate and the
+    # join back — materialize the CDC chunk+fingerprint pass once
+    # instead of twice (round 14, 0.70x on the sf0.1 gate)
+    doc_fp = (
+        chunks.groupBy(id_col, "_fp")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .localCheckpoint(eager=False)
     )
     fp_df = doc_fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_docs"))
     shared = F.col("_docs") >= 2

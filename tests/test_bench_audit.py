@@ -127,3 +127,32 @@ def test_synthetic_stream_waiver_carries_pin():
         "synthetic_stream_availablenow"
     )
     assert w is not None and w.get("pinned_fp_init"), w
+
+
+def test_throughput_floor_canary_adjudication():
+    """round 14: the dedicated throughput runs execute at the very
+    end of the bench, so a slow VM phase there flagged ambient drift
+    as a pipeline regression. The adjudicator waives a below-raw-floor
+    figure ONLY when the canary-adjusted figure clears the floor AND
+    the silver pipeline's static fingerprint + io are provably
+    unmoved; anything less stays UNEXPLAINED."""
+    from bench import adjudicate_throughput_floor as _a
+
+    floor = 63945.0
+    # above the floor raw: no adjudication at all
+    adj, _ = _a(70000, floor, 1.3, True, True)
+    assert adj is None
+    # below raw, adjusted clears it, plan+io identical: waived
+    adj, tp_adj = _a(62814, floor, 1.4, True, True)
+    assert adj is not None and not adj.startswith("UNEXPLAINED")
+    assert tp_adj == round(62814 * 1.4)
+    # same numbers but the plan moved: must escalate
+    adj, _ = _a(62814, floor, 1.4, False, True)
+    assert adj.startswith("UNEXPLAINED")
+    # same numbers but no previous artifact (evidence unknown): escalate
+    adj, _ = _a(62814, floor, 1.4, None, None)
+    assert adj.startswith("UNEXPLAINED")
+    # canary says the machine is FINE (ratio 1.0): a genuine
+    # regression stays flagged
+    adj, _ = _a(50000, floor, 1.0, True, True)
+    assert adj.startswith("UNEXPLAINED")
