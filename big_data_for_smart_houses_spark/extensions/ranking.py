@@ -183,7 +183,12 @@ def bigram_lm_scores(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bi = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    # lazy lineage cut: bi feeds THREE consumers (bigram counts,
+    # history counts, the scoring join) — tokenize + build bigrams
+    # once instead of three times (round 14, 0.58x on the sf0.1 gate)
+    bi = df.select(
+        F.col(id_col), F.explode(bigrams).alias("bigram")
+    ).localCheckpoint(eager=False)
 
     model = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("_c_bi"))
     hist = (
