@@ -351,32 +351,22 @@ _REGRESSION_ADJUDICATIONS: dict[str, dict] = {
         # code/stats change and escalates past this waiver.
         "pinned_fp_init": ["fc523a44b39d330c"],
     },
-    # (round-12's multimodal_frame_sample ambient-drift waiver was
-    # removed per its own cleanup rule: the r12 driver run committed
-    # a new BENCH_LOCAL.json baseline that absorbs the timing.)
-    # Round-14 deliberate gate change (round-13 verdict ask #2,
-    # one-transition entry — clear once the r14 BENCH_LOCAL.json
-    # baseline is committed): synthetic_stream_availablenow's drain
-    # check no longer runs spark.read...count() polls (a
-    # timing-VARYING number of SQL executions that made this gate's
-    # static fingerprint run-varying — the plan-flip detector's one
-    # blind spot); it reads q.recentProgress driver-side instead.
-    # The execution set is now deterministic (4 micro-batches + the
-    # final sink read) and fpi is identical across fresh runs —
-    # measured twice and pinned here; a run landing outside the pin
-    # is a genuine plan change and escalates.
-    "synthetic_stream_availablenow": {
-        "note": (
-            "round-14 gate edit: sink-poll count() executions "
-            "replaced by driver-side recentProgress reads, so the "
-            "fingerprinted execution set shrank and became "
-            "deterministic; static fp re-pinned"
-        ),
-        # measured 4x (2 runs x 2 fresh processes) under bench's own
-        # execution pattern (noop-format save); identical every time
-        "pinned_fp_init": ["3892d44292c28dc6"],
-    },
+    # (round-12's multimodal_frame_sample ambient-drift waiver and
+    # round-14's synthetic_stream_availablenow one-transition waiver
+    # were each removed per their own cleanup rule: the next
+    # committed BENCH_LOCAL.json baseline absorbs the transition.)
 }
+
+
+def regression_flag_fires(p: float | None, t: float) -> bool:
+    """The per-query flag gate: RAW wall ratio > 1.25x AND raw delta
+    > 0.3 s vs the previous artifact. Raw, not canary-adjusted
+    (round-14 verdict fix #2): normalizing the GATE by the canary
+    created flags whenever the machine sped up between runs — 51
+    auto-waived rows in the r14 driver tail, including queries that
+    got FASTER. The canary ratio is applied only downstream, to the
+    adjudication of queries this gate actually flags."""
+    return bool(p) and t > p * 1.25 and t - p > 0.3
 
 
 def adjudicate_regression(
@@ -1505,7 +1495,12 @@ def main() -> None:
         for name, t in timings.items():
             p = prev_q.get(name)
             t_adj = t / canary_ratio
-            if p and t_adj > p * 1.25 and t_adj - p > 0.3:
+            # Flag on the RAW ratio only (regression_flag_fires); the
+            # canary stays as ESCALATION evidence: flagged queries are
+            # adjudicated at the normalized time, so a slow-VM run
+            # still auto-waives and a same-wall query on a faster
+            # machine still escalates.
+            if regression_flag_fires(p, t):
                 pio, nio = prev_io.get(name), query_io.get(name)
                 adjudication, fp_moved = adjudicate_regression(
                     name,
@@ -1581,11 +1576,14 @@ def main() -> None:
         ]
     _floor_adj = out.get("silver_throughput_floor", {}).get("adjudication")
     if _floor_adj:
-        # waived (canary + plan-evidence) adjudications stay in the
-        # full artifact; only UNEXPLAINED ones surface in the compact
-        # line the driver parses
         if _floor_adj.startswith("UNEXPLAINED"):
             compact["silver_throughput_flag"] = _floor_adj
+        else:
+            # round-14 verdict fix #3: a WAIVED floor adjudication was
+            # invisible in the compact line the driver parses — carry a
+            # one-token marker so the external record is self-contained
+            # (the full adjudication text stays in BENCH_LOCAL.json).
+            compact["floor_waived"] = True
     if errors:
         compact["n_errors"] = len(errors)
     if regressions:

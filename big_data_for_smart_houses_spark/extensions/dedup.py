@@ -355,10 +355,18 @@ def dedup_groups(
     left join that labels singletons with their own id."""
     if max_iterations < 1:
         raise ValueError("dedup_groups needs max_iterations >= 1")
-    # localCheckpoint: the edge list joins into EVERY round — without a
-    # lineage cut each round would re-run the whole upstream pair
-    # generator (shingling + bucket joins), multiplying its cost by the
-    # round count (measured 1.7x on the sf0.1 gate query). Lazy
+    # Lazy lineage cut on PAIRS first (round 15): the union below
+    # references the pair generator TWICE (one branch per direction),
+    # and union branches share no subtree — so materializing edges ran
+    # the whole upstream generator (LSH banding + bucket agg + cosine
+    # verify for semantic_dedup; bucket pairing + size joins for
+    # jaccard) twice. Cutting at pairs computes it once; both branches
+    # read the cached rows.
+    pairs = pairs.select("id1", "id2").localCheckpoint(eager=False)
+    # localCheckpoint on edges: the edge list joins into EVERY round —
+    # without a lineage cut each round would re-run the whole upstream
+    # pair generator (shingling + bucket joins), multiplying its cost
+    # by the round count (measured 1.7x on the sf0.1 gate query). Lazy
     # (eager=False): each round's convergence count materializes the
     # round's state anyway, so the eager variant's extra
     # materialization job per round bought nothing (measured 0.82x).

@@ -395,28 +395,48 @@ def cdc_chunk_documents(
     anywhere. The fingerprint is md5 of the window text, engine-exact;
     a boundary fires when its first hex nibble lands in
     ``CDC_BOUNDARY_NIBBLES`` (p = 1/8 per position). A document
-    shorter than ``window`` is one chunk."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    shorter than ``window`` is one chunk.
+
+    The expensive subtrees are STAGED through intermediate projections
+    (round 15): the boundary filter (one md5 per token position) is a
+    higher-order function, which codegen evaluates as an interpreted
+    fallback with NO common-subexpression elimination — inlined, the
+    original single-select form evaluated ``ends`` twice per row (once
+    for ``_ends``, once inside ``posexplode``) and ``ends0`` up to
+    three times inside each ``ends`` (predicate + both branches).
+    Aliasing each stage into a column makes every md5 scan run exactly
+    once per row; CollapseProject keeps the stages separate because it
+    never inlines a non-cheap alias referenced more than once."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
     ends0 = F.filter(
         F.when(n >= window, F.sequence(F.lit(window), n)).otherwise(
             F.array().cast("array<int>")
         ),
         lambda i: F.substring(
-            F.md5(F.concat_ws(" ", F.slice(toks, i - window + 1, window))),
+            F.md5(F.concat_ws(" ", F.slice(t, i - window + 1, window))),
             1,
             1,
         ).isin(*CDC_BOUNDARY_NIBBLES),
     )
+    staged0 = toked.select(F.col(id_col), t, ends0.alias("_ends0"))
+    e0 = F.col("_ends0")
     ends = F.when(
-        (F.size(ends0) == 0) | (F.element_at(ends0, -1) != n),
-        F.concat(ends0, F.array(n)),
-    ).otherwise(ends0)
-    exploded = df.select(
+        (F.size(e0) == 0) | (F.element_at(e0, -1) != n),
+        F.concat(e0, F.array(n)),
+    ).otherwise(e0)
+    staged = staged0.select(F.col(id_col), t, ends.alias("_ends"))
+    # posexplode_OUTER: identical rows (``_ends`` is non-null and
+    # non-empty by construction — the concat branch always appends n),
+    # but the outer form stops InferFiltersFromGenerate from injecting
+    # a `size(_ends) > 0` Filter that predicate-pushdown would re-inline
+    # through the staging aliases, re-duplicating the md5 scan.
+    exploded = staged.select(
         F.col(id_col),
-        toks.alias("_toks"),
-        ends.alias("_ends"),
-        F.posexplode(ends).alias("chunk_id", "_end"),
+        t,
+        F.col("_ends"),
+        F.posexplode_outer(F.col("_ends")).alias("chunk_id", "_end"),
     )
     start = F.when(F.col("chunk_id") == 0, F.lit(1)).otherwise(
         F.element_at(F.col("_ends"), F.col("chunk_id")) + 1

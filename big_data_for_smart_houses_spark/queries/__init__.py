@@ -32,25 +32,18 @@ rows-only entries are the 4 structural sketches (minhash/simhash/
 ann_lsh/ann_ivf), each carrying a hash-gated recall companion that
 IS driver-certified.
 
-END-OF-ROUND-14 STATE: LAST_CERTIFIED regenerated from
-CORRECTNESS_r13.json (the mechanical ROUND-14 PROCEDURE step 1;
-oldest certification in the registry is now r6: 17 rows, then r7:
-42). Touched this round: the two billing gates — round-13 verdict
-ask #3 de-hinted both joins in operators/billing.py and the round-13
-advice re-derived ``has_statement`` from a literal pre-join flag —
-plus synthetic_stream_availablenow, whose drain loop switched from
-sink-poll count() queries to driver-side q.recentProgress reads
-(round-13 verdict ask #2); all three gates' executed code changed,
-so their r13 green rows are evidence about code that no longer
-exists. One new gate minted (round-13
-verdict ask #4): ``billing_stream_availablenow`` — the streaming
-medallion treatment of the reference's declared ``billing.raw``
-surface (file-stream stand-in -> conform -> checkpointed bronze ->
-reconcile), seated by the never-certified rule. The rest of the
-front retires the whole r6 bucket (17 rows) and bites into r7.
-ROUND-15 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
-CORRECTNESS_r14.json (``python -m ...queries.certification``, paste,
-test re-derives); (2) replace _TOUCHED_R14 with the round-15 touched
+END-OF-ROUND-15 STATE: LAST_CERTIFIED regenerated from
+CORRECTNESS_r14.json (the mechanical ROUND-15 PROCEDURE step 1; the
+r6 bucket is fully retired, oldest certification in the registry is
+now the remaining r7 block). Round 15 is the second OPTIMIZATION
+round: no new gates; the touched list is the set of gates whose
+EXECUTED operator code this round's optimizations edited (lineage
+cuts and expression staging — outputs proven identical, but the
+executed code changed, so their old green rows are evidence about
+code that no longer exists).
+ROUND-16 PROCEDURE: (1) regenerate LAST_CERTIFIED from the new
+CORRECTNESS_r15.json (``python -m ...queries.certification``, paste,
+test re-derives); (2) replace _TOUCHED_R15 with the round-16 touched
 list; next_front() does the rest — refresh priority continues with
 the remaining r7 block (tests/test_registry.py recomputes the exact
 seating).
@@ -128,31 +121,30 @@ ORACLES = {
     **_TPCH_ORACLES,
 }
 
-# Round-14 rotation: the front is COMPUTED, not curated — touched
+# Round-15 rotation: the front is COMPUTED, not curated — touched
 # gates first (rows-only sketches bring their recall companions,
 # certification.ROWS_ONLY_COMPANIONS), then never-certified new
 # gates, then oldest-green-first from certification.LAST_CERTIFIED.
 # The touched list is the one per-round input a human supplies:
 # every gate whose EXECUTED code or corpus this round edited.
-# Touched: both billing gates — operators/billing.py lost its two
-# forced broadcast hints (round-13 verdict ask #3) and has_statement
-# now derives from a literal pre-join flag (round-13 advice) — and
-# synthetic_stream_availablenow, whose drain check changed (ask #2).
-# NOT counted as touched, with reasons: bench.py's VM canary and
-# waiver wall-cap are harness-side (they change what the bench
-# MEASURES, never a produced row); the EWMA drop-log eviction cap
-# again edits only the warning-sampling side channel of
-# streaming/stateful.py (bit-identity re-proved by the EWMA unit
-# suite and the sf0.01 exact mirror).
-_TOUCHED_R14: list = [
-    "billing_reconciliation_events",
-    "billing_unbilled_events",
-    "synthetic_stream_availablenow",
+# (Populated as the optimization round proceeds — every gate whose
+# operator code an accepted optimization edits is appended here.)
+# - cdc_chunk/crossdoc: text.cdc_chunk_documents staged its expression
+#   pipeline (md5 boundary scan 6x -> 1x per row, posexplode_outer);
+# - dedup_groups/semantic_dedup: dedup.dedup_groups cut the pair
+#   generator's lineage before the edge union (computed once, not
+#   twice). Outputs proven identical (interleaved A/B collects +
+#   sf0.01 exact oracle), but the executed code changed.
+_TOUCHED_R15: list = [
+    "cdc_chunk_documents",
+    "cdc_crossdoc_documents",
+    "dedup_groups_documents",
+    "semantic_dedup_embeddings",
 ]
 
 # round-agnostic alias: tests and tooling read this name, so next
 # round only renames the list above
-_TOUCHED_THIS_ROUND = _TOUCHED_R14
+_TOUCHED_THIS_ROUND = _TOUCHED_R15
 
 from .certification import next_front as _next_front  # noqa: E402
 

@@ -37,7 +37,7 @@ import json
 import os
 import re
 
-# query name -> most recent round with a green driver row (r1-r13)
+# query name -> most recent round with a green driver row (r1-r14)
 LAST_CERTIFIED: dict[str, int] = {
     "ab_lift_events": 13,
     "abc_customers": 11,
@@ -56,27 +56,28 @@ LAST_CERTIFIED: dict[str, int] = {
     "ann_ivf_recall_planted": 9,
     "ann_lsh_recall_planted": 11,
     "approx_topk_events": 9,
-    "argmax_functions_events": 7,
+    "argmax_functions_events": 14,
     "array_functions_documents": 11,
     "array_sort_hof_documents": 9,
     "asof_nearest_events": 8,
-    "avi_frame_sample_assets": 7,
+    "avi_frame_sample_assets": 14,
     "bfs_distances_transitions": 8,
     "bigram_lm_documents": 10,
-    "billing_reconciliation_events": 13,
-    "billing_unbilled_events": 13,
+    "billing_reconciliation_events": 14,
+    "billing_stream_availablenow": 14,
+    "billing_unbilled_events": 14,
     "binaryfile_bmp_assets": 8,
-    "bitmap_distinct_events": 7,
+    "bitmap_distinct_events": 14,
     "bitwise_aggs_events": 8,
     "bloom_probe_customers": 12,
     "bm25_documents": 10,
-    "bmp_decode_assets": 7,
+    "bmp_decode_assets": 14,
     "boilerplate_ngram_documents": 10,
     "bpe_apply_documents": 10,
     "bpe_pair_counts_documents": 13,
     "bpe_rankmap_documents": 10,
     "bpe_train_documents": 8,
-    "bucketed_join_orders": 7,
+    "bucketed_join_orders": 14,
     "business_summary_approx_gate": 11,
     "catalog_enrichment_events": 12,
     "cdc_chunk_documents": 10,
@@ -87,7 +88,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "cogroup_asof_events": 8,
     "cohort_retention_events": 12,
     "collation_group_events": 13,
-    "compaction_roundtrip_events": 7,
+    "compaction_roundtrip_events": 14,
     "concurrency_sweepline_events": 11,
     "conditional_aggs_by_type": 11,
     "conform_union_sources": 13,
@@ -96,7 +97,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "copurchase_lift_parts": 8,
     "corpus_shuffle_documents": 10,
     "csv_malformed_modes_events": 8,
-    "csv_roundtrip_customers": 7,
+    "csv_roundtrip_customers": 14,
     "curation_funnel_report": 13,
     "customer_enrichment": 11,
     "customers_with_orders": 12,
@@ -113,14 +114,14 @@ LAST_CERTIFIED: dict[str, int] = {
     "dedup_incremental_documents": 9,
     "doc_fingerprint": 10,
     "dynamic_partition_overwrite_events": 8,
-    "dynamic_partition_pruning_events": 7,
+    "dynamic_partition_pruning_events": 14,
     "dynamic_session_window_events": 9,
     "edit1_neighborhood_customer": 10,
     "editdist_recall_planted": 9,
     "embedding_ann_ivf": 10,
     "embedding_ann_lsh": 11,
     "embedding_cosine_topk": 11,
-    "embedding_int8_quantize": 7,
+    "embedding_int8_quantize": 14,
     "embedding_neardup_pairs": 9,
     "event_quality_score": 12,
     "event_transition_counts": 12,
@@ -129,12 +130,12 @@ LAST_CERTIFIED: dict[str, int] = {
     "events_in_session_range": 13,
     "ewma_events": 11,
     "ewma_stream_availablenow": 11,
-    "expectations_events": 7,
+    "expectations_events": 14,
     "explode_outer_events": 9,
     "file_metadata_events": 8,
     "funnel_click_purchase": 13,
-    "funnel_three_step_events": 7,
-    "gapfill_linear_events": 7,
+    "funnel_three_step_events": 14,
+    "gapfill_linear_events": 14,
     "gapfill_locf_events": 9,
     "generator_functions_documents": 13,
     "gini_customer_orders": 11,
@@ -173,7 +174,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "latest_event_per_user": 13,
     "latest_events_topk": 12,
     "length_bucketed_packing": 11,
-    "listagg_events": 7,
+    "listagg_events": 14,
     "llm_corpus_pipeline_documents": 10,
     "locf_stream_availablenow": 12,
     "logreg_quality_planted": 9,
@@ -183,7 +184,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "mapinarrow_tokens_documents": 8,
     "math_functions_events": 13,
     "merge_upsert_orders": 12,
-    "mergeschema_read_events": 7,
+    "mergeschema_read_events": 14,
     "minhash_dedup_documents": 9,
     "minhash_incremental_recall": 9,
     "minhash_recall_exact_dups": 9,
@@ -194,14 +195,14 @@ LAST_CERTIFIED: dict[str, int] = {
     "navigation_functions_events": 13,
     "ngram_jaccard_pairs": 13,
     "ntile_scan_orders": 11,
-    "null_aware_notin_orders": 7,
-    "nullsafe_join_events": 7,
+    "null_aware_notin_orders": 14,
+    "nullsafe_join_events": 14,
     "observe_metrics_orders": 13,
-    "orc_roundtrip_events": 7,
+    "orc_roundtrip_events": 14,
     "orders_business_summary": 12,
     "packed_sequence_offsets": 10,
     "pagerank_user_transitions": 9,
-    "pandas_udaf_geomean_events": 7,
+    "pandas_udaf_geomean_events": 14,
     "parameterized_sql_orders": 9,
     "part_value_density": 13,
     "percentile_within_group_events": 8,
@@ -222,18 +223,18 @@ LAST_CERTIFIED: dict[str, int] = {
     "rate_of_change_events": 12,
     "ratio_to_report_events": 12,
     "readability_documents": 13,
-    "recursive_cte_hierarchy": 7,
-    "referential_check_orders": 7,
+    "recursive_cte_hierarchy": 14,
+    "referential_check_orders": 14,
     "regexp_functions_documents": 13,
     "regression_drift_events": 12,
     "revenue_vs_global": 13,
-    "rle_segments_events": 7,
+    "rle_segments_events": 14,
     "rocksdb_pysessions_availablenow": 10,
     "rolling_event_metrics": 12,
     "rolling_median_events": 13,
     "rolling_time_window_events": 13,
     "rollup_navigate_events": 8,
-    "runtime_bloom_join_lineitem": 7,
+    "runtime_bloom_join_lineitem": 14,
     "salted_join_orders": 13,
     "scd2_asof_lookup": 9,
     "scd2_customer_orders": 12,
@@ -257,10 +258,10 @@ LAST_CERTIFIED: dict[str, int] = {
     "source_kl_documents": 13,
     "span_masks_documents": 13,
     "sql_scripting_orders": 9,
-    "sql_udf_functions_events": 7,
+    "sql_udf_functions_events": 14,
     "sssp_weighted_transitions": 8,
     "statestore_join_availablenow": 8,
-    "statestore_read_availablenow": 7,
+    "statestore_read_availablenow": 14,
     "statestore_sessions_availablenow": 10,
     "statestore_timeout_rearm_availablenow": 10,
     "stats_moments_lineitem": 13,
@@ -274,65 +275,65 @@ LAST_CERTIFIED: dict[str, int] = {
     "stream_interval_enrich_availablenow": 8,
     "stream_join_availablenow": 13,
     "stream_left_anti_availablenow": 10,
-    "stream_merge_availablenow": 6,
+    "stream_merge_availablenow": 14,
     "stream_multiwatermark_availablenow": 10,
-    "stream_observe_availablenow": 7,
+    "stream_observe_availablenow": 14,
     "stream_outer_join_availablenow": 10,
-    "stream_restart_availablenow": 6,
+    "stream_restart_availablenow": 14,
     "stream_restart_pystate_availablenow": 12,
     "stream_rocksdb_availablenow": 10,
     "stream_semi_join_availablenow": 8,
     "stream_sliding_availablenow": 8,
     "stream_timeout_sessions_availablenow": 10,
     "stream_torture_availablenow": 10,
-    "stream_tumbling_availablenow": 6,
+    "stream_tumbling_availablenow": 14,
     "stream_update_mode_availablenow": 8,
-    "stream_upsert_availablenow": 7,
+    "stream_upsert_availablenow": 14,
     "stream_upsert_restart_availablenow": 8,
     "string_functions_documents": 12,
     "sugar_syntax_orders": 9,
-    "supplier_health_scores": 6,
-    "synthetic_source_telemetry": 6,
-    "synthetic_stream_availablenow": 10,
-    "table_checksum_orders": 7,
+    "supplier_health_scores": 14,
+    "synthetic_source_telemetry": 14,
+    "synthetic_stream_availablenow": 14,
+    "table_checksum_orders": 14,
     "temperature_mix_documents": 11,
     "text_quality_score": 11,
     "text_stats": 11,
     "tfidf_top_terms": 11,
     "theta_sketch_events": 8,
-    "time_travel_orders": 7,
+    "time_travel_orders": 14,
     "time_weighted_avg_events": 12,
     "token_batch_packing": 10,
     "token_heavy_hitters": 11,
     "token_stats_by_lang": 11,
     "top_orders_per_customer": 13,
-    "tpch_q10_returned_items": 6,
-    "tpch_q11_important_stock": 7,
+    "tpch_q10_returned_items": 14,
+    "tpch_q11_important_stock": 14,
     "tpch_q12_priority_shipping": 8,
     "tpch_q13_order_distribution": 7,
-    "tpch_q14_promo_revenue": 6,
+    "tpch_q14_promo_revenue": 14,
     "tpch_q15_top_supplier": 7,
     "tpch_q16_supplier_counts": 7,
     "tpch_q17_small_qty_revenue": 9,
-    "tpch_q18_large_orders": 6,
-    "tpch_q19_disjunctive": 6,
+    "tpch_q18_large_orders": 14,
+    "tpch_q19_disjunctive": 14,
     "tpch_q1_pricing_summary": 9,
     "tpch_q20_excess_supply": 7,
     "tpch_q21_waiting_supplier": 7,
-    "tpch_q22_global_balance": 6,
+    "tpch_q22_global_balance": 14,
     "tpch_q2_min_acctbal_supplier": 7,
-    "tpch_q3_shipping_priority": 6,
-    "tpch_q4_order_priority": 6,
-    "tpch_q5_region_volume": 6,
+    "tpch_q3_shipping_priority": 14,
+    "tpch_q4_order_priority": 14,
+    "tpch_q5_region_volume": 14,
     "tpch_q6_forecast_revenue": 7,
-    "tpch_q7_volume_shipping": 6,
+    "tpch_q7_volume_shipping": 14,
     "tpch_q8_market_share": 7,
     "tpch_q9_product_profit": 7,
     "trailing_active_users_events": 8,
     "transpose_summary_lineitem": 9,
     "trending_types_hourly": 12,
     "triangle_count_transitions": 8,
-    "try_functions_events": 6,
+    "try_functions_events": 14,
     "two_phase_agg_orders": 13,
     "udtf_sentences_documents": 7,
     "union_dedup_orders": 13,
@@ -342,7 +343,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "vacuum_retention_orders": 8,
     "value_histogram_events": 11,
     "value_percentiles": 13,
-    "variant_functions_events": 6,
+    "variant_functions_events": 14,
     "wav_decode_assets": 7,
     "weighted_corpus_mix": 11,
     "weighted_quantiles_orders": 11,
@@ -351,7 +352,7 @@ LAST_CERTIFIED: dict[str, int] = {
     "winsorize_events": 11,
     "xml_functions_events": 7,
     "xml_roundtrip_events": 8,
-    "zipf_slope_documents": 6,
+    "zipf_slope_documents": 14,
     "zorder3_key_events": 12,
     "zorder_key_events": 13,
     "zscore_anomaly_events": 11,

@@ -2239,10 +2239,22 @@ def _arrow_events_parity(sf_dir: str, columns, parity_col: str, parity: int):
     """events columns with ``parity_col % 2 == parity`` (ids are
     non-negative, so the bit test IS the modulo), minus the parity
     column itself — the statestore-join / observe-gate side staging
-    in arrow."""
+    in arrow. The non-negativity assumption is ASSERTED (round-14
+    advice): for a negative odd id Spark's ``%`` yields -1 — the old
+    Spark staging dropped such rows from BOTH halves, while the bit
+    test would route them to parity 1 — so a future signed-id corpus
+    must fail loudly here instead of silently reshaping the split."""
     import pyarrow.compute as pc
 
     t = _arrow_events(sf_dir, list(dict.fromkeys([*columns, parity_col])))
+    mn = pc.min(t.column(parity_col)).as_py()
+    if mn is not None and mn < 0:
+        raise ValueError(
+            f"_arrow_events_parity: {parity_col} has negative values "
+            f"(min {mn}); the bit-test parity split assumes "
+            "non-negative ids — use an explicit pmod split for a "
+            "signed-id corpus"
+        )
     mask = pc.equal(pc.bit_wise_and(t.column(parity_col), 1), parity)
     return t.filter(mask).select(list(columns))
 

@@ -118,15 +118,15 @@ def test_vm_canary_is_fast_and_positive():
     assert 0 < t < 30
 
 
-def test_synthetic_stream_waiver_carries_pin():
-    """The round-14 fingerprint re-pin for synthetic_stream must stay
-    a PINNED waiver (an unpinned entry would mask future genuine
-    plan changes on exactly the query that was the detector's blind
-    spot)."""
-    w = bench._REGRESSION_ADJUDICATIONS.get(
-        "synthetic_stream_availablenow"
-    )
-    assert w is not None and w.get("pinned_fp_init"), w
+def test_no_unpinned_waivers():
+    """Every manual waiver must carry a pinned static-fingerprint set
+    (an unpinned entry would mask future genuine plan changes — the
+    round-12 advice). The round-14 synthetic_stream one-transition
+    waiver was removed in round 15 per its own cleanup rule once the
+    r14 BENCH_LOCAL.json baseline absorbed the transition; this test
+    now guards the general invariant instead of that single entry."""
+    for name, w in bench._REGRESSION_ADJUDICATIONS.items():
+        assert w.get("pinned_fp_init"), (name, w)
 
 
 def test_throughput_floor_canary_adjudication():
@@ -156,3 +156,19 @@ def test_throughput_floor_canary_adjudication():
     # regression stays flagged
     adj, _ = _a(50000, floor, 1.0, True, True)
     assert adj.startswith("UNEXPLAINED")
+
+
+def test_regression_flag_fires_on_raw_ratio_only():
+    """round-15 de-noise (round-14 verdict fix #2): the per-query flag
+    gate is the RAW wall ratio — the canary must never CREATE a flag.
+    The r14 driver tail printed 51 auto-waived REGRESSION rows, some
+    for queries that got faster (1.264s -> 1.225s flagged), because the
+    gate compared the canary-INFLATED time. Both thresholds (>1.25x
+    AND >+0.3s) are raw."""
+    flag = bench.regression_flag_fires
+    assert flag(1.0, 1.4)            # 1.4x and +0.4s: genuine mover
+    assert not flag(1.0, 1.2)        # below the ratio bar
+    assert not flag(0.1, 0.2)        # 2x but only +0.1s: noise floor
+    assert not flag(1.264, 1.225)    # the r14 faster-but-flagged case
+    assert not flag(None, 5.0)       # no previous artifact
+    assert not flag(0, 5.0)          # zero/absent previous timing
